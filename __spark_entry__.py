@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine code lives in ``cloudfront_kinesis_log_lambda_spark/``; this file
+is just the registry.
 """
 
 from __future__ import annotations
@@ -13,26 +15,55 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Revenue by market segment: a 3-way join (broadcast dim) + hash
+    aggregate — the engine's showcase relational plan (SURVEY.md §7 M1).
+    """
+    return R.revenue_by_segment(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 / §2.5 / §2.6."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # aggregations
+        "pricing_summary": R.pricing_summary,
+        "filtered_revenue": R.filtered_revenue,
+        "distinct_suppliers_per_flag": R.distinct_suppliers_per_flag,
+        "rollup_returns": R.rollup_returns,
+        "cube_orders": R.cube_orders,
+        "conditional_agg_status": R.conditional_agg_status,
+        "group_having": R.group_having,
+        # joins
+        "revenue_by_segment": R.revenue_by_segment,
+        "customers_per_region": R.customers_per_region,
+        "customers_with_open_orders": R.customers_with_open_orders,
+        "customers_without_orders": R.customers_without_orders,
+        "supplier_nation_outer": R.supplier_nation_outer,
+        "theta_join_price_band": R.theta_join_price_band,
+        # windows
+        "top_orders_per_customer": R.top_orders_per_customer,
+        "order_price_delta": R.order_price_delta,
+        "running_customer_spend": R.running_customer_spend,
+        # sort/limit/set ops
+        "top_orders": R.top_orders,
+        "nation_set_ops": R.nation_set_ops,
+        # events
+        "events_hourly": R.events_hourly,
+        "events_json_props": R.events_json_props,
+        "sessionize_events": R.sessionize_events,
+        "top_event_per_user": R.top_event_per_user,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for each SQL-expressible query (see
+    functions/oracles.py for the type-parity rules). Keys absent here get
+    the driver's weaker rows-only check."""
+    return dict(ORACLE_SQL)

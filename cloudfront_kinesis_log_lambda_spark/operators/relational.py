@@ -1,0 +1,384 @@
+"""Relational operator surface over the testdata star schema.
+
+The reference implements none of this (SURVEY.md §2.5) — its whole
+aggregation surface is one row counter (cloudfront_kinesis_lambda.py:189).
+The engine exposes the full DataFrame/Catalyst surface instead; every
+function here is a named, DuckDB-checkable query used by
+``__spark_entry__.queries()`` and by ``bench.py``.
+
+Scale conventions applied throughout:
+
+- dimension tables (region/nation/supplier, and customer vs orders)
+  joined with explicit ``F.broadcast`` hints — at 100 TB the fact tables
+  shuffle-partition on join keys while dims replicate.
+- aggregates aliased and rounded at the edge (ROUND(x, 2..6)) so results
+  hash-stably across engines and partial-agg orderings; partial/final
+  split itself is Catalyst's job.
+- deterministic ORDER BY + tie-breaker keys everywhere a LIMIT exists
+  (top-k plans become TakeOrderedAndProject — no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
+    # as epoch-nanos. Integer-divide (DIV keeps long precision — a double
+    # roundtrip would lose sub-ms bits at 1e18 magnitudes) down to micros,
+    # matching DuckDB's own nanos→micros truncation.
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+# --- aggregations -----------------------------------------------------------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style hash aggregate with partial+final split (Catalyst
+    plans the map-side combine automatically)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style scan+filter+single-row agg; predicate and column
+    pruning must reach the parquet scan (verified in tests via explain)."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — Catalyst expands to a two-phase aggregate."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with grouping_id so subtotal
+    rows are distinguishable from genuine NULL keys."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+def conditional_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN conditional aggregation (TPC-H Q14 shape)."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: customers with more than 12 orders."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# --- joins ------------------------------------------------------------------
+
+
+def revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way fact⋈fact⋈dim join: lineitem⋈orders shuffle on orderkey,
+    customer broadcast (at real scale customer shuffles too — AQE decides;
+    the hint applies to the genuinely small side)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain broadcast joins: customer⋈nation⋈region."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers who never placed an URGENT
+    order (plain no-orders-at-all is empty on this data — every customer
+    has orders — so the filtered variant keeps the check non-degenerate)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+def supplier_nation_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + per-nation supplier account rollup."""
+    n = load(spark, sf_dir, "nation")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def theta_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join: parts priced within ±1.0 of another part's
+    retail price in the same brand — a deliberate range-join exercise.
+    Small side broadcast → BroadcastNestedLoopJoin stays sane; at scale
+    use a banded equi-key prefix (bucketized price) to turn it into an
+    equi-join, which is what we do here with `band`."""
+    p = load(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("p_brand").alias("a_brand"),
+        F.col("p_retailprice").alias("a_price"),
+        F.floor(F.col("p_retailprice")).alias("a_band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_retailprice").alias("b_price"),
+        F.floor(F.col("p_retailprice")).alias("b_band"),
+    )
+    # equi keys (brand, band±1 via explode) first, theta residual second —
+    # the banding turns an O(n²) nested loop into a hash join at scale.
+    a_exp = a.withColumn("band", F.explode(F.array("a_band", F.col("a_band") - 1, F.col("a_band") + 1)))
+    j = a_exp.join(b, (F.col("band") == F.col("b_band")) & (F.col("a_brand") == F.col("b_brand")))
+    return (
+        j.filter(
+            (F.col("a_key") < F.col("b_key"))
+            & (F.abs(F.col("a_price") - F.col("b_price")) <= 1.0)
+        )
+        .select("a_key", "b_key", "a_brand")
+        .distinct()
+    )
+
+
+# --- windows ----------------------------------------------------------------
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER ranking window, top-3 orders per customer by price.
+    Deterministic tie-break on orderkey."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rn")
+    )
+
+
+def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG analytic window: price delta vs customer's previous order."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("price_delta"),
+    )
+
+
+def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running sum (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --- sort / limit / set ops -------------------------------------------------
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject (no full sort)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .limit(10)
+    )
+
+
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations,
+    tagged and stacked into one result."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("op", F.lit("intersect"))
+    only_c = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("except"))
+    all_n = c.union(s).distinct().withColumn("op", F.lit("union"))
+    return all_n.unionByName(both).unionByName(only_c).select("op", "nationkey")
+
+
+# --- events (stream-shaped table, batch view) --------------------------------
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time aggregate — the batch twin of the
+    streaming windowed agg in streaming/pipeline.py."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (pairs with the CloudFront pipeline's to_json):
+    pull props.k out and aggregate it."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the classic batch formulation; the streaming twin is session_window."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_breaks = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = with_breaks.withColumn("session_id", F.sum("is_new").over(wsum))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via ranking window over events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )

@@ -1,0 +1,15 @@
+from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import (
+    read_cloudfront_logs,
+    read_cloudfront_logs_stream,
+)
+from cloudfront_kinesis_log_lambda_spark.sources.events import (
+    extract_bucket_key,
+    parse_log_key,
+)
+
+__all__ = [
+    "read_cloudfront_logs",
+    "read_cloudfront_logs_stream",
+    "extract_bucket_key",
+    "parse_log_key",
+]

@@ -1,0 +1,83 @@
+"""CloudFront access-log sources (batch + Structured Streaming).
+
+The reference processes one gzipped TSV log file per Lambda invocation:
+S3 GET → streaming gunzip → ``csv.DictReader`` with fixed fieldnames →
+skip 2 ``#`` header lines (cloudfront_kinesis_lambda.py:158-187). The
+Spark-native equivalent is one declarative scan:
+
+- ``spark.read.csv(path, sep="\\t", schema=RAW_SCHEMA, comment="#")`` —
+  Spark decompresses ``.gz`` by extension (one task per file, the same
+  unit of parallelism as one-Lambda-per-file) and ``comment="#"`` drops
+  the ``#Version:`` / ``#Fields:`` header lines more robustly than the
+  reference's positional double-``next()``.
+- the stream of files arriving in a bucket becomes the Structured
+  Streaming *file* source over the same layout — the scalable analogue of
+  the S3→SNS→Lambda notification fan-out.
+
+Scale note: gzip is non-splittable, so per-file parallelism is the file
+count — which is exactly how CloudFront delivers logs (many ~MB objects),
+so a 100 TB backlog parallelizes across files without re-chunking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.schema import RAW_SCHEMA
+
+#: CSV reader options shared by batch and streaming scans.
+#: PERMISSIVE mode reproduces DictReader's tolerance: short rows → None
+#: for missing trailing fields; extra fields are discarded.
+_CSV_OPTIONS = {
+    "sep": "\t",
+    "comment": "#",
+    "mode": "PERMISSIVE",
+    "quote": "",  # CloudFront TSV is unquoted; don't let '"' start a quote
+}
+
+
+def read_cloudfront_logs(
+    spark: SparkSession,
+    path: str | list[str],
+    with_source_file: bool = True,
+) -> DataFrame:
+    """Batch-read gzipped CloudFront TSV logs into the wire-fidelity schema.
+
+    ``with_source_file`` adds a ``_source_file`` column
+    (``input_file_name()``) so env/serviceId enrichment works per-file in
+    one multi-file job — the reference needs one Lambda per file to know
+    the key; the engine derives it per-row from the scan itself.
+    """
+    reader = spark.read.schema(RAW_SCHEMA)
+    for k, v in _CSV_OPTIONS.items():
+        reader = reader.option(k, v)
+    # bucket layouts nest env/serviceId dirs; recurse and keep only .gz
+    reader = reader.option("recursiveFileLookup", "true").option("pathGlobFilter", "*.gz")
+    df = reader.csv(path)
+    if with_source_file:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def read_cloudfront_logs_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming file source over a landing directory of ``.gz`` logs.
+
+    The scalable replacement for the reference's S3-notification trigger
+    (cloudformation.yaml:18-28): new files under ``landing_dir`` matching
+    ``*.gz`` become micro-batch input. ``maxFilesPerTrigger`` is the
+    backpressure knob (the analogue of the reference's bounded-queue sleep
+    loop, cloudfront_kinesis_lambda.py:219-220).
+    """
+    reader = spark.readStream.schema(RAW_SCHEMA)
+    for k, v in _CSV_OPTIONS.items():
+        reader = reader.option(k, v)
+    reader = reader.option("pathGlobFilter", "*.gz")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.csv(landing_dir)
+    return df.withColumn("_source_file", F.input_file_name())

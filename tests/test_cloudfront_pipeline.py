@@ -1,0 +1,92 @@
+"""Golden end-to-end tests: Spark CloudFront pipeline vs pure-Python oracle.
+
+Strategy per SURVEY.md §5.2: synthetic .gz log (2 header lines + N rows)
+→ engine → compare emitted JSON wire records field-for-field against
+expectations computed by an independent reimplementation of the
+reference's per-row transform (cloudfront_kinesis_lambda.py:191-212).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
+    cloudfront_wire_pipeline,
+    transform_cloudfront,
+)
+from cloudfront_kinesis_log_lambda_spark.schema import OUTPUT_FIELD_ORDER
+from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import read_cloudfront_logs
+from cloudfront_kinesis_log_lambda_spark.testing.fixtures import (
+    write_log_file,
+    write_log_tree,
+)
+from cloudfront_kinesis_log_lambda_spark.testing.oracle import expected_wire_data
+
+ENV, SID = "stg", "bf574f33-66e3-4936-a0b6-420325157173"
+
+
+@pytest.fixture(scope="module")
+def log_file(tmp_path_factory):
+    base = tmp_path_factory.mktemp("cf")
+    path = str(base / "cloudfront" / ENV / SID / "EGI5P51QNDZ.2019-01-18-02.aa.gz")
+    rows = write_log_file(path, rows=400, seed=7)
+    return path, rows
+
+
+def test_wire_records_match_oracle_exact_json(spark, log_file):
+    """Byte-exact wire parity (exact_json + exact unquote fidelity)."""
+    path, rows = log_file
+    df = read_cloudfront_logs(spark, path)
+    wire = cloudfront_wire_pipeline(
+        df, env=ENV, service_id=SID, ua_fidelity="exact", exact_json=True
+    )
+    got = wire.collect()
+    assert len(got) == len(rows)
+    expected = sorted(expected_wire_data(r, ENV, SID) for r in rows)
+    assert sorted(r["Data"] for r in got) == expected
+    # PartitionKey: uuid4().hex shape — 32 lowercase hex chars, all distinct
+    keys = [r["PartitionKey"] for r in got]
+    assert all(len(k) == 32 and set(k) <= set("0123456789abcdef") for k in keys)
+    assert len(set(keys)) == len(keys)
+
+
+def test_wire_records_fast_path_semantics(spark, log_file):
+    """Default JVM path: same parsed payload, same key order."""
+    path, rows = log_file
+    df = read_cloudfront_logs(spark, path)
+    wire = cloudfront_wire_pipeline(df, env=ENV, service_id=SID)
+    got = sorted(r["Data"] for r in wire.collect())
+    expected = sorted(expected_wire_data(r, ENV, SID) for r in rows)
+    for g, e in zip(got, expected):
+        gd, ed = json.loads(g), json.loads(e)
+        assert gd == ed
+        assert list(gd) == list(ed) == list(OUTPUT_FIELD_ORDER)
+
+
+def test_multi_file_enrichment_from_path(spark, tmp_path):
+    """env/serviceId derived per-file from the scan path in ONE job —
+    the engine's upgrade over one-Lambda-per-file."""
+    paths = write_log_tree(str(tmp_path), rows=50)
+    df = read_cloudfront_logs(spark, [str(tmp_path)])
+    out = transform_cloudfront(df)
+    combos = {(r["env"], r["serviceId"]) for r in out.select("env", "serviceId").distinct().collect()}
+    assert combos == {("prod", SID), ("stg", SID)}
+    assert out.count() == 50 * len(paths)
+
+
+def test_header_lines_skipped(spark, log_file):
+    path, rows = log_file
+    df = read_cloudfront_logs(spark, path)
+    assert df.count() == len(rows)  # the two '#' lines are not rows
+
+
+def test_transform_drops_exactly_three_fields(spark, log_file):
+    path, _ = log_file
+    df = read_cloudfront_logs(spark, path)
+    out = transform_cloudfront(df, env=ENV, service_id=SID)
+    assert set(out.columns) == set(OUTPUT_FIELD_ORDER)
+    # comment-only "stripped" fields must SURVIVE (SURVEY.md §1.4.1)
+    for kept in ("http_query", "http_cookie", "xff", "fle-status"):
+        assert kept in out.columns

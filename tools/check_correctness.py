@@ -1,0 +1,87 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it
+to its DuckDB ``oracle_sql()`` twin: row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted,
+exact equality after dtype normalization). Exits nonzero on mismatch.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        else:
+            df[c] = df[c].astype("string")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from cloudfront_kinesis_log_lambda_spark.session import get_spark
+
+    spark = get_spark(app_name="check-correctness", master="local[8]")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in oracles:
+            status = "rows-only"
+            print(f"OK?   {name}: {len(got)} rows ({status}, no oracle)")
+            continue
+        exp = con.execute(oracles[name]).df()
+        if sorted(got.columns) != sorted(exp.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
+            continue
+        if len(got) != len(exp):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(got)} != {len(exp)}")
+            continue
+        g, e = normalize(got), normalize(exp)
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"OK    {name}: {len(got)} rows")
+        except AssertionError as err:
+            failures.append(name)
+            msg = str(err).splitlines()
+            print(f"FAIL  {name}: value mismatch: {' | '.join(msg[:3])}")
+    print(f"\n{len(queries) - len(failures)}/{len(queries)} green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
