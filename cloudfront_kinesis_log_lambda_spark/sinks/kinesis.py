@@ -1,0 +1,179 @@
+"""Kinesis PutRecords sink with the reference's reliability semantics.
+
+The reference fans 500-record batches out to 25 asyncio consumers, each
+doing: exponential backoff on retry, ``put_records``, positional matching
+of partial failures, partition-key re-randomization, re-enqueue with
+``attempt+1`` (cloudfront_kinesis_lambda.py:77-155, SURVEY.md §3.3).
+
+Spark-first translation:
+
+- the 25-worker fan-out becomes executor parallelism — ``repartition(n)``
+  before the sink; each partition runs :func:`put_records_with_retry`
+  synchronously (Spark supplies the concurrency asyncio provided).
+- the producer's bounded-queue backpressure (…:219-220) is the streaming
+  source's ``maxFilesPerTrigger`` — no code here.
+- the reference's deadline-abandon (…:114-116) has no Lambda wall-clock
+  to race; we cap attempts instead (``max_attempts``), defaulting to the
+  point where the reference's own backoff passes its 600 s budget.
+- delivery is at-least-once, like the reference. Exactly-once upgrade:
+  make the consumer idempotent on ``cf_request_id`` (SURVEY.md §2.5).
+
+The boto3 client is injected (``client_factory``) so tests use a fake and
+production passes a real/assumed-role session factory. boto3 itself is
+imported lazily — it is only needed on executors that actually ship.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+#: Kinesis PutRecords API limit; the reference hardcodes the literal 500
+#: and leaves its named constant dead (cloudfront_kinesis_lambda.py:73,217)
+#: — here the constant is the single source of truth.
+MAX_RECORDS_PER_PUT = 500
+
+#: backoff base: 2**attempt * 0.1 s → 0.1, 0.2, 0.4, … like the comment
+#: ladder at cloudfront_kinesis_lambda.py:119
+BACKOFF_BASE_S = 0.1
+
+
+def chunked(it: Iterable[Any], size: int) -> Iterator[list[Any]]:
+    """Fixed-size rebatch (the reference's 500-row accumulate/flush loop,
+    cloudfront_kinesis_lambda.py:214-227) over any iterator, O(size) memory."""
+    chunk: list[Any] = []
+    for item in it:
+        chunk.append(item)
+        if len(chunk) == size:
+            yield chunk
+            chunk = []
+    if chunk:
+        yield chunk
+
+
+@dataclass
+class PutStats:
+    batches: int = 0
+    records: int = 0
+    retried_records: int = 0
+    dropped_records: int = 0
+    attempts_histogram: dict[int, int] = field(default_factory=dict)
+
+
+def put_records_with_retry(
+    records: Iterable[dict[str, Any]],
+    client: Any,
+    stream_name: str,
+    max_attempts: int = 11,
+    sleep: Callable[[float], None] = time.sleep,
+    batch_size: int = MAX_RECORDS_PER_PUT,
+) -> PutStats:
+    """Ship wire records (``{"Data": ..., "PartitionKey": ...}``) to a
+    Kinesis stream, reproducing the reference's partial-failure handling:
+
+    - inspect ``FailedRecordCount``; response entries align positionally
+      with the request (cloudfront_kinesis_lambda.py:131-141)
+    - only entries carrying ``ErrorCode`` are retried
+    - each retried record gets a fresh ``PartitionKey`` to dodge the hot
+      shard (…:142-143) — the same idea as join-skew salting
+    - retry waits ``2**attempt * 0.1`` s (…:110-119)
+    - ``max_attempts`` replaces the Lambda deadline-abandon: 11 attempts
+      ≈ the reference's backoff ladder crossing its 600 s budget; beyond
+      it the batch is dropped (at-least-once, drops possible — faithful
+      to …:114-116).
+    """
+    stats = PutStats()
+    # LIFO work stack of (batch, attempt); retries interleave with fresh
+    # batches exactly as the reference's shared queue allowed.
+    work: list[tuple[list[dict[str, Any]], int]] = [
+        (chunk, 0) for chunk in chunked(records, batch_size)
+    ]
+    while work:
+        batch, attempt = work.pop()
+        if attempt >= max_attempts:
+            stats.dropped_records += len(batch)
+            continue
+        if attempt:
+            sleep(2**attempt * BACKOFF_BASE_S)
+        response = client.put_records(StreamName=stream_name, Records=batch)
+        stats.batches += 1
+        stats.records += len(batch)
+        stats.attempts_histogram[attempt] = stats.attempts_histogram.get(attempt, 0) + 1
+        if response.get("FailedRecordCount"):
+            failed = []
+            for i, result in enumerate(response["Records"]):
+                if result.get("ErrorCode"):
+                    record = batch[i]
+                    record["PartitionKey"] = uuid.uuid4().hex
+                    failed.append(record)
+            if failed:
+                stats.retried_records += len(failed)
+                work.append((failed, attempt + 1))
+    return stats
+
+
+def _default_client_factory(region_name: str | None = None) -> Callable[[], Any]:
+    def make() -> Any:
+        import boto3  # executor-side import; not needed for tests
+
+        return boto3.client("kinesis", region_name=region_name)
+
+    return make
+
+
+class KinesisSink:
+    """``foreachBatch``-compatible Kinesis sink.
+
+    Usage (streaming)::
+
+        sink = KinesisSink("prod-logs", parallelism=25)
+        wire_df.writeStream.foreachBatch(sink).start(...)
+
+    or batch: ``sink.write(wire_df)``. ``parallelism=25`` mirrors the
+    reference's NUM_WORKERS (cloudfront_kinesis_lambda.py:74); on a real
+    cluster size it to shard-count × a small factor.
+    """
+
+    def __init__(
+        self,
+        stream_name: str,
+        parallelism: int = 25,
+        max_attempts: int = 11,
+        client_factory: Callable[[], Any] | None = None,
+        region_name: str | None = None,
+    ) -> None:
+        self.stream_name = stream_name
+        self.parallelism = parallelism
+        self.max_attempts = max_attempts
+        self.client_factory = client_factory or _default_client_factory(region_name)
+
+    def write(self, df: DataFrame) -> None:
+        stream_name = self.stream_name
+        max_attempts = self.max_attempts
+        client_factory = self.client_factory
+
+        def ship(partition: Iterator[Any]) -> None:
+            rows = (
+                {"Data": row["Data"], "PartitionKey": row["PartitionKey"]}
+                for row in partition
+            )
+            first = next(rows, None)
+            if first is None:
+                return  # don't build a client for an empty partition
+            import itertools
+
+            client = client_factory()
+            put_records_with_retry(
+                itertools.chain([first], rows), client, stream_name, max_attempts
+            )
+
+        df.repartition(self.parallelism).foreachPartition(ship)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch entry point."""
+        self.write(batch_df)

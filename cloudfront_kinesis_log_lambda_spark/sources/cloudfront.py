@@ -76,7 +76,7 @@ def read_cloudfront_logs_stream(
     reader = spark.readStream.schema(RAW_SCHEMA)
     for k, v in _CSV_OPTIONS.items():
         reader = reader.option(k, v)
-    reader = reader.option("pathGlobFilter", "*.gz")
+    reader = reader.option("pathGlobFilter", "*.gz").option("recursiveFileLookup", "true")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.csv(landing_dir)

@@ -1,0 +1,135 @@
+"""Structured Streaming surface (SURVEY.md §7 M5).
+
+The reference is itself a streaming system — an unbounded stream of log
+files flowing S3→Lambda→Kinesis with at-least-once delivery and no
+event-time logic (SURVEY.md §2.5). This module is the engine's upgrade:
+
+- the S3-notification trigger becomes the checkpointed streaming *file
+  source* (`sources.cloudfront.read_cloudfront_logs_stream`); a Kinesis
+  source drops in the same spot via a DataSourceV2 connector when one is
+  on the classpath — the transform/sink chain is source-agnostic.
+- the reference's single row counter (cloudfront_kinesis_lambda.py:189)
+  becomes `df.observe` metrics, visible per micro-batch.
+- watermarked event-time windows, session windows, and
+  dropDuplicatesWithinWatermark give the late-data semantics the
+  reference lacks; dedup on `cf_request_id` upgrades its at-least-once
+  delivery to effective exactly-once downstream.
+
+Scale notes: every stateful op here keys its state by a bounded-entropy
+key (window × type, request id within the watermark horizon) so state
+store size is proportional to the horizon, not the stream; watermarks are
+what let Spark evict — an unwatermarked streaming agg would OOM at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
+    cloudfront_wire_pipeline,
+)
+from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import (
+    read_cloudfront_logs_stream,
+)
+
+
+def stream_cloudfront_wire(
+    spark: SparkSession,
+    landing_dir: str,
+    sink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 16,
+    ua_fidelity: str = "fast",
+) -> StreamingQuery:
+    """Continuous CloudFront ingest: landing dir → transform → wire →
+    ``sink`` (a foreachBatch callable, e.g. :class:`sinks.KinesisSink`).
+
+    ``maxFilesPerTrigger`` is the backpressure knob standing in for the
+    reference's producer sleep loop (cloudfront_kinesis_lambda.py:219-220);
+    the checkpoint replaces its implicit 'Lambda ran once per file'
+    bookkeeping with real exactly-once source tracking.
+    """
+    raw = read_cloudfront_logs_stream(
+        spark, landing_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    wire = cloudfront_wire_pipeline(raw, ua_fidelity=ua_fidelity)
+    wire = observed_counter(wire, "wire_records")
+    return (
+        wire.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def observed_counter(df: DataFrame, name: str = "records") -> DataFrame:
+    """The reference's producer line counter
+    (cloudfront_kinesis_lambda.py:189,230) as a streaming-safe observable
+    metric — readable from each micro-batch's `observedMetrics`."""
+    return df.observe(name, F.count(F.lit(1)).alias("n_records"))
+
+
+def tumbling_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if ``slide`` given) window agg.
+
+    Late rows beyond the watermark are dropped and their window's state
+    evicted — bounded state at any scale.
+    """
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Gap-based session windows (the streaming twin of the batch
+    ``sessionize_events`` lag+running-sum formulation)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once upgrade for at-least-once upstreams: drop duplicate
+    deliveries (same ``keys``, e.g. cf_request_id) arriving within the
+    watermark horizon. State holds only keys newer than the horizon."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -1,0 +1,126 @@
+"""Sink-retry semantics against a fake PutRecords client (FIXTURES.md §A3).
+
+Exercises the reference semantics (cloudfront_kinesis_lambda.py:122-146):
+500-chunking, positional failure matching, rekeying, attempt increments,
+backoff schedule, give-up after max attempts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import (
+    MAX_RECORDS_PER_PUT,
+    KinesisSink,
+    chunked,
+    put_records_with_retry,
+)
+
+
+class FakeKinesis:
+    """Scriptable put_records: fail_plan[i] = set of record indices that
+    fail on the i-th call touching any batch (positional, like the API)."""
+
+    def __init__(self, fail_plan=None, throughput_exceeded_first_n=0):
+        self.calls = []
+        self.fail_plan = list(fail_plan or [])
+        self.throughput_exceeded_first_n = throughput_exceeded_first_n
+
+    def put_records(self, StreamName, Records):
+        self.calls.append((StreamName, [dict(r) for r in Records]))
+        call_idx = len(self.calls) - 1
+        fail_idx = set()
+        if call_idx < len(self.fail_plan):
+            fail_idx = {i for i in self.fail_plan[call_idx] if i < len(Records)}
+        elif call_idx < self.throughput_exceeded_first_n:
+            fail_idx = set(range(len(Records)))
+        results = [
+            {"ErrorCode": "ProvisionedThroughputExceededException",
+             "ErrorMessage": "Rate exceeded"}
+            if i in fail_idx
+            else {"SequenceNumber": str(i), "ShardId": "shardId-0"}
+            for i in range(len(Records))
+        ]
+        return {"FailedRecordCount": len(fail_idx), "Records": results}
+
+
+def recs(n, start=0):
+    return [{"Data": f"d{i}", "PartitionKey": f"k{i:032d}"} for i in range(start, start + n)]
+
+
+def test_chunking_500():
+    chunks = list(chunked(iter(range(1203)), MAX_RECORDS_PER_PUT))
+    assert [len(c) for c in chunks] == [500, 500, 203]
+
+
+def test_happy_path_no_retry():
+    client = FakeKinesis()
+    stats = put_records_with_retry(recs(1203), client, "prod-logs", sleep=lambda s: None)
+    assert [len(r) for _, r in client.calls] == [203, 500, 500] or [
+        len(r) for _, r in client.calls
+    ] == [500, 500, 203]
+    assert all(name == "prod-logs" for name, _ in client.calls)
+    assert stats.records == 1203 and stats.retried_records == 0 and stats.dropped_records == 0
+
+
+def test_partial_failure_retries_only_failed_and_rekeys():
+    # first call: records 1 and 3 fail; second call: all succeed
+    client = FakeKinesis(fail_plan=[{1, 3}])
+    sleeps = []
+    stats = put_records_with_retry(recs(5), client, "prod-logs", sleep=sleeps.append)
+    assert len(client.calls) == 2
+    retried = client.calls[1][1]
+    assert [r["Data"] for r in retried] == ["d1", "d3"]  # positional match
+    # rekeyed: fresh 32-hex keys, different from originals
+    for r in retried:
+        assert len(r["PartitionKey"]) == 32 and r["PartitionKey"] != f"k{r['Data'][1:]:>032}"
+    assert sleeps == [pytest.approx(0.2)]  # attempt=1 → 2**1 * 0.1
+    assert stats.retried_records == 2 and stats.dropped_records == 0
+
+
+def test_backoff_schedule_and_attempt_increment():
+    # same record keeps failing 4 times, then succeeds
+    client = FakeKinesis(fail_plan=[{0}, {0}, {0}, {0}])
+    sleeps = []
+    put_records_with_retry(recs(1), client, "prod-logs", sleep=sleeps.append)
+    assert sleeps == [pytest.approx(x) for x in (0.2, 0.4, 0.8, 1.6)]
+    assert len(client.calls) == 5
+
+
+def test_gives_up_after_max_attempts():
+    client = FakeKinesis(throughput_exceeded_first_n=10**6)  # always fails
+    stats = put_records_with_retry(
+        recs(3), client, "prod-logs", max_attempts=4, sleep=lambda s: None
+    )
+    assert len(client.calls) == 4  # attempts 0..3, then dropped
+    assert stats.dropped_records == 3
+
+
+def test_sink_through_spark_partitions(spark):
+    """End-to-end through foreachPartition with an executor-side fake.
+
+    The fake client can't round-trip through Spark's closure pickling with
+    shared state, so we count via side-effect files."""
+    import glob
+    import json
+    import os
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="fake-kinesis-")
+
+    class FileKinesis:
+        def put_records(self, StreamName, Records):
+            path = os.path.join(out_dir, f"{os.getpid()}-{id(self)}-{len(os.listdir(out_dir))}.json")
+            with open(path, "w") as f:
+                json.dump({"stream": StreamName, "n": len(Records)}, f)
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    df = spark.createDataFrame(
+        [(f"d{i}", f"{i:032d}") for i in range(1250)], "Data string, PartitionKey string"
+    )
+    sink = KinesisSink("prod-logs", parallelism=4, client_factory=FileKinesis)
+    sink.write(df)
+    shipped = [json.load(open(p)) for p in glob.glob(f"{out_dir}/*.json")]
+    assert sum(s["n"] for s in shipped) == 1250
+    assert all(s["stream"] == "prod-logs" for s in shipped)
+    assert all(s["n"] <= MAX_RECORDS_PER_PUT for s in shipped)
