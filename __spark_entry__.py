@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.plans.registry import EXTENSION_QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,
     }
+    # LLM-data-pipeline extension operators (SURVEY.md §2.6) + the
+    # CloudFront reference pipeline itself
+    q.update(EXTENSION_QUERIES)
     return q
 
 

@@ -214,4 +214,106 @@ ORACLE_SQL: dict[str, str] = {
               FROM events)
         WHERE rn = 1
     """,
+    # --- text analysis ---------------------------------------------------
+    "doc_token_stats": r"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_wordpieces,
+               CAST(length(text) AS BIGINT) AS n_chars_measured
+        FROM documents
+    """,
+    "doc_quality": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)         AS n_tok,
+                 CAST(length(text) AS DOUBLE)                                          AS n_chars,
+                 CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in)\b')) AS DOUBLE) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)       AS n_punct
+          FROM documents)
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT)                                                   AS n_tokens,
+               ROUND(CASE WHEN n_tok  > 0 THEN n_chars / n_tok  ELSE 0.0 END, 4)       AS mean_token_len,
+               ROUND(CASE WHEN n_tok  > 0 THEN n_stop  / n_tok  ELSE 0.0 END, 4)       AS stopword_ratio,
+               ROUND(CASE WHEN n_chars> 0 THEN n_punct / n_chars ELSE 0.0 END, 4)      AS punct_ratio,
+               ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+                   + 0.3 * LEAST((CASE WHEN n_tok  > 0 THEN n_stop  / n_tok   ELSE 0.0 END) * 4.0, 1.0)
+                   + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0, 1.0)), 4)
+                                                                                        AS quality
+        FROM t
+    """,
+    "doc_lang_id": r"""
+        WITH s AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '\b(the|and|is|was|that)\b'))  AS score_en,
+                 len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS score_de,
+                 len(regexp_extract_all(lower(text), '\b(el|los|las|es|y|que)\b'))  AS score_es,
+                 len(regexp_extract_all(lower(text), '\b(le|les|est|et|une|que)\b')) AS score_fr,
+                 len(regexp_extract_all(text, '[一-鿿]'))                            AS n_cjk
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN n_cjk > 0 THEN 'zh'
+                    WHEN GREATEST(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                    WHEN score_en = GREATEST(score_en, score_de, score_es, score_fr) THEN 'en'
+                    WHEN score_de = GREATEST(score_en, score_de, score_es, score_fr) THEN 'de'
+                    WHEN score_es = GREATEST(score_en, score_de, score_es, score_fr) THEN 'es'
+                    ELSE 'fr' END AS pred_lang,
+               CAST(score_en AS BIGINT) AS score_en,
+               CAST(score_de AS BIGINT) AS score_de,
+               CAST(score_es AS BIGINT) AS score_es,
+               CAST(score_fr AS BIGINT) AS score_fr
+        FROM s
+    """,
+    "doc_exact_dedup": r"""
+        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+               MIN(doc_id) AS representative,
+               COUNT(*)    AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    # --- near-dup (exact variant only; hash-based ops are rows-only) -----
+    "near_dup_3gram": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (na.n_sh + nb.n_sh - n_common), 4) AS jaccard
+        FROM common
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
+    """,
+    # --- similarity ------------------------------------------------------
+    "embedding_norms": """
+        SELECT label,
+               COUNT(*) AS n_vectors,
+               ROUND(AVG(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        FROM embeddings
+        GROUP BY label
+    """,
+    "cosine_topk_bruteforce": """
+        SELECT b.vec_id,
+               ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                            CAST(a.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id = 0 AND b.vec_id <> 0
+        ORDER BY cos DESC, b.vec_id
+        LIMIT 10
+    """,
+    # --- multimodal (scalar face of the Arrow UDF) -----------------------
+    "multimodal_features": """
+        SELECT doc_id AS asset_id,
+               'image' AS modality,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               md5(text) AS checksum
+        FROM documents
+    """,
 }

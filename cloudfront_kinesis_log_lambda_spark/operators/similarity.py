@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (SURVEY.md §2.6).
+
+Two tiers:
+
+- **brute-force cosine top-k** — the exact baseline. Dot products via
+  ``zip_with``+``aggregate`` higher-order functions: JVM-side, no Python,
+  no shuffle for a broadcast query vector; the top-k is
+  TakeOrderedAndProject. ~O(N·d) per query — the right answer up to a
+  few billion rows when fused with a partition-pruned scan.
+- **random-hyperplane LSH ANN** — the scale path. L hash tables × B
+  sign-bits; candidates = union of same-bucket rows; exact cosine only
+  on candidates. Planes are seeded literals broadcast into the plan, so
+  results are deterministic and index-free (at real scale you'd persist
+  the bucketed table, bucket-partitioned, and prune buckets at read).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_norms_by_label(embeddings: DataFrame) -> DataFrame:
+    """Sanity/statistics operator: mean L2 norm per label — exercises the
+    higher-order-function dot product and is SQL-oracle-checkable."""
+    return (
+        embeddings.select("label", _norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector.
+
+    The one-row query side is cross-joined with a broadcast hint — the
+    plan is scan → codegen'd cosine → TakeOrderedAndProject; no shuffle.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col, F.round(cos, 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> list[list[list[float]]]:
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(tables)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Pack sign(v·plane_j) bits into one long bucket id — pure column
+    arithmetic, codegen-fused."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = _dot(vec, F.array(*[F.lit(x) for x in plane]))
+        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: union of same-bucket candidates over L tables,
+    exact cosine on candidates only.
+
+    Candidate fraction ≈ L·2^-B of the table (plus correlation) — here
+    8 tables × 8 bits ≈ 3% of rows scored instead of 100%. Recall is
+    high when true neighbors are angularly close (the real-embedding
+    regime; ≥0.9 on planted clusters in tests) and degrades toward the
+    candidate fraction as neighbors approach orthogonality — for
+    corpora like that, raise ``tables`` / lower ``bits``, or fall back
+    to :func:`cosine_topk`.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+    bucket_cols = [
+        lsh_bucket(F.col(vec_col), planes[t]).alias(f"b{t}") for t in range(tables)
+    ]
+    tagged = embeddings.select(id_col, vec_col, *bucket_cols)
+    q = tagged.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec"),
+        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
+    )
+    joined = tagged.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_vec_id)
+    same_bucket = None
+    for t in range(tables):
+        cond = F.col(f"b{t}") == F.col(f"qb{t}")
+        same_bucket = cond if same_bucket is None else (same_bucket | cond)
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    return (
+        joined.filter(same_bucket)
+        .select(id_col, F.round(cos, 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_self_join_above(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    bits: int = 8,
+    tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all pairs with cosine ≥ threshold,
+    LSH-bucketed so the pairwise step is per-bucket, not global.
+
+    The all-pairs analogue of :func:`ann_lsh_topk`; used for
+    embedding-level dedup of training corpora.
+    """
+    planes = _hyperplanes(dim, bits, tables, seed)
+    tagged = embeddings.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket(F.col(vec_col), planes[t]).alias("b"),
+                )
+                for t in range(tables)
+            ])
+        ).alias("bk"),
+    ).select(id_col, vec_col, "bk.t", "bk.b")
+    a = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    cand = (
+        a.join(b, ["t", "b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .distinct()
+    )
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        cand.withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

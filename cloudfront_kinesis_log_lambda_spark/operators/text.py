@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.6).
+
+All JVM-side (built-in functions only — no Python in the hot path): at
+100 TB the per-document cost is a few regexp/hash evaluations inside
+WholeStageCodegen, embarrassingly parallel, no shuffle except the final
+aggregate if one is requested.
+
+Each operator has an exact ANSI-SQL twin in ``functions/oracles.py`` —
+the heuristics are deliberately expressed in engine-portable primitives
+(regexp counts, md5) so correctness is machine-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: stopwords chosen from the corpus vocabulary (quality_score signal)
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in")
+
+#: BPE-ish word-piece pattern: alpha runs, digit runs, single punctuation
+WORDPIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: language marker words (token-anchored); scores are regexp counts.
+#: zh is detected by CJK codepoints instead of markers.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|is|was|that)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|los|las|es|y|que)\b",
+    "fr": r"\b(le|les|est|et|une|que)\b",
+}
+CJK_RE = r"[一-鿿]"
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish word-piece count +
+    character length, per document."""
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(t)).cast("long").alias("n_tokens"),
+        F.regexp_count(t, F.lit(WORDPIECE_RE)).cast("long").alias("n_wordpieces"),
+        F.length(t).cast("long").alias("n_chars_measured"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length, mean token length, stopword
+    ratio, punctuation density → composite [0,1] score.
+
+    The score formula is arbitrary-but-fixed; its value is that it is
+    *deterministic and portable*, so downstream filtering (``score >= τ``)
+    is reproducible across engines.
+    """
+    t = F.col("text")
+    n_tok = F.size(_tokens(t)).cast("double")
+    n_chars = F.length(t).cast("double")
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    ).cast("double")
+    n_punct = F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    mean_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 10.0, F.lit(1.0)))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-marker language ID heuristic.
+
+    Counts language-marker tokens per language; CJK codepoints short-
+    circuit to ``zh``; argmax with a fixed tie-break order; all-zero →
+    ``und``. (On this synthetic corpus most docs classify ``en`` — the
+    operator's value is its deterministic, SQL-checkable contract, the
+    marker lists are swappable for real fastText-style models via the
+    pandas-UDF hook in multimodal.py.)
+    """
+    low = F.lower(F.col("text"))
+    scores = {k: F.regexp_count(low, F.lit(v)) for k, v in LANG_MARKERS.items()}
+    has_cjk = F.regexp_count(F.col("text"), F.lit(CJK_RE)) > 0
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(has_cjk, F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[scores[k].cast("long").alias(f"score_{k}") for k in LANG_MARKERS],
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the whitespace-normalized, lowercased
+    text — the exact-dedup key that survives cosmetic reformatting."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(norm, "UTF-8")).alias("fp"),
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact deduplication by normalized-text fingerprint: one
+    representative (min doc_id) per distinct content + multiplicity.
+    Hash-groupBy: one shuffle on the 128-bit key, no skew (md5 uniform)."""
+    fp = fingerprint(docs)
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("representative"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

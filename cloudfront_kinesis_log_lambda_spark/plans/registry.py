@@ -1,0 +1,144 @@
+"""Query registry: every operator exposed through the driver contract.
+
+Each entry is ``name → (spark, sf_dir) → DataFrame``. SQL-expressible
+entries have a DuckDB twin in ``functions/oracles.py``; hash-dependent /
+non-relational ops (MinHash, SimHash, LSH, wire pipeline) are rows-only
+and verified by planted-duplicate recall tests in ``tests/``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
+from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
+from cloudfront_kinesis_log_lambda_spark.operators import text as T
+from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
+    cloudfront_wire_pipeline,
+    transform_cloudfront,
+)
+from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import read_cloudfront_logs
+from cloudfront_kinesis_log_lambda_spark.testing.fixtures import write_log_tree
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.load(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.load(spark, sf_dir, "embeddings")
+
+
+# --- text analysis ----------------------------------------------------------
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir))
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.lang_id(_docs(spark, sf_dir))
+
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exact_dedup(_docs(spark, sf_dir))
+
+
+# --- near-dup detection -----------------------------------------------------
+
+
+def near_dup_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dup_pairs_exact(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
+# --- similarity search ------------------------------------------------------
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_norms_by_label(_emb(spark, sf_dir))
+
+
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_self_join_above(_emb(spark, sf_dir), threshold=0.3)
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = M.extract_features(M.documents_as_assets(_docs(spark, sf_dir)))
+    # scalar projection is the oracle-checkable face of the Arrow UDF;
+    # the features vector itself is covered by tests/test_multimodal.py
+    return feats.select("asset_id", "modality", "n_bytes", "checksum")
+
+
+# --- CloudFront pipeline on a deterministic fixture -------------------------
+
+_CF_FIXTURE = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v1")
+
+
+def _fixture_dir() -> str:
+    marker = os.path.join(_CF_FIXTURE, ".complete")
+    if not os.path.exists(marker):
+        write_log_tree(_CF_FIXTURE, rows=500, files_per_service=2)
+        open(marker, "w").close()
+    return _CF_FIXTURE
+
+
+def cloudfront_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform chain over a deterministic synthetic log
+    tree (rows-only: the cloudfront table isn't in the oracle's views)."""
+    return transform_cloudfront(read_cloudfront_logs(spark, _fixture_dir()))
+
+
+def cloudfront_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire records (Data only — PartitionKey is uuid4-nondeterministic
+    by reference design, cloudfront_kinesis_lambda.py:212)."""
+    return cloudfront_wire_pipeline(read_cloudfront_logs(spark, _fixture_dir())).select(
+        "Data"
+    )
+
+
+EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_token_stats": doc_token_stats,
+    "doc_quality": doc_quality,
+    "doc_lang_id": doc_lang_id,
+    "doc_exact_dedup": doc_exact_dedup,
+    "near_dup_3gram": near_dup_3gram,
+    "near_dup_minhash_lsh": near_dup_minhash_lsh,
+    "simhash_near_pairs": simhash_near_pairs,
+    "embedding_norms": embedding_norms,
+    "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_pairs_lsh": embedding_pairs_lsh,
+    "multimodal_features": multimodal_features,
+    "cloudfront_enriched": cloudfront_enriched,
+    "cloudfront_wire": cloudfront_wire,
+}

@@ -1,0 +1,77 @@
+"""Near-dup operators: planted-duplicate recall + cross-checks.
+
+The testdata documents tables contain planted near-duplicates (3-gram
+Jaccard ≥ 0.9 pairs). MinHash-LSH and SimHash are hash-dependent (no SQL
+oracle) so their gate is recall against the exact shingle-join baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    near_dup_pairs_exact,
+    shingles,
+    simhash,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return R.load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs_exact(docs, n=3, threshold=0.5).collect()
+    }
+
+
+def test_exact_pairs_find_planted_dups(exact_pairs):
+    assert len(exact_pairs) >= 10  # sf0.001 plants ~28
+    assert max(exact_pairs.values()) > 0.9  # near-identical pairs exist
+
+
+def test_minhash_lsh_matches_exact_at_high_similarity(docs, exact_pairs):
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # verification step computes EXACT jaccard → no false positives
+    assert set(got) <= set(exact_pairs)
+    for pair, j in got.items():
+        assert j == pytest.approx(exact_pairs[pair])
+    # b=16/r=4 banding: candidate prob ≥ 97% at s≥0.8 — demand full
+    # recall of the clearly-planted pairs and ≥80% overall
+    strong = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert strong <= set(got)
+    assert len(got) >= 0.8 * len(exact_pairs)
+
+
+def test_simhash_is_deterministic_and_discriminative(docs, exact_pairs):
+    sig1 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert sig1 == sig2  # deterministic across runs
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    # every simhash hit is a genuinely similar pair (precision)...
+    assert pairs <= set(exact_pairs)
+    # ...and it finds at least half of them (64-bit simhash recall at a
+    # 0.5-jaccard operating point is inherently partial)
+    assert len(pairs) >= 0.5 * len(exact_pairs)
+
+
+def test_shingles_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, ""), (4, "x y z")], "doc_id long, text string"
+    )
+    got = shingles(df, n=3).groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in got}
+    assert counts == {1: 2, 4: 1}  # short/empty docs produce no shingles

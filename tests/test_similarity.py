@@ -1,0 +1,86 @@
+"""Similarity search: brute-force correctness + ANN recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_self_join_above,
+    cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return R.load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def emb_py(emb):
+    return {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+
+def test_cosine_topk_matches_numpy_free_python(emb, emb_py):
+    got = cosine_topk(emb, query_vec_id=0, k=10).collect()
+    q = emb_py[0]
+    expected = sorted(
+        ((vid, _cos(v, q)) for vid, v in emb_py.items() if vid != 0),
+        key=lambda t: (-round(t[1], 4), t[0]),
+    )[:10]
+    assert [(r["vec_id"], r["cos"]) for r in got] == [
+        (vid, pytest.approx(round(c, 4))) for vid, c in expected
+    ]
+
+
+def test_ann_lsh_recall_on_planted_neighbors(spark):
+    """Hyperplane LSH's contract is high recall for *angularly close*
+    neighbors. Plant a cluster around a query vector (cos ≈ 0.95+) in
+    noise and demand it's found."""
+    import random
+
+    rng = random.Random(7)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, [float(x) for x in base], 0)]
+    for i in range(1, 21):  # 20 planted neighbors: base + small noise
+        rows.append((i, [float(x + rng.gauss(0, 0.15)) for x in base], 0))
+    for i in range(21, 400):  # background noise vectors
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
+    approx = [r["vec_id"] for r in ann_lsh_topk(emb, 0, 10).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9
+    cos_vals = [r["cos"] for r in ann_lsh_topk(emb, 0, 10).collect()]
+    assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_ann_lsh_on_near_orthogonal_corpus_degrades_gracefully(emb):
+    """On the driver corpus the true top-10 are nearly orthogonal to the
+    query (cos ≈ 0.28) — outside LSH's useful regime. Verify it still
+    returns a valid, exact-cosine-ordered candidate list with nonzero
+    overlap rather than garbage."""
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
+    approx = ann_lsh_topk(emb, 0, 10).collect()
+    assert len(approx) == 10
+    assert len(set(exact) & {r["vec_id"] for r in approx}) >= 2
+    cos_vals = [r["cos"] for r in approx]
+    assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_cosine_self_join_pairs_verified(emb, emb_py):
+    got = cosine_self_join_above(emb, threshold=0.3).collect()
+    for r in got:
+        true_cos = _cos(emb_py[r["id_a"]], emb_py[r["id_b"]])
+        assert r["cos"] == pytest.approx(round(true_cos, 4))
+        assert r["cos"] >= 0.3
+        assert r["id_a"] < r["id_b"]

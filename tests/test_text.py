@@ -1,0 +1,80 @@
+"""Text-analysis operators vs independent pure-Python expectations."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators.text import (
+    STOPWORDS,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return R.load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_py(docs):
+    return {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def test_token_stats_match_python(docs, docs_py):
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    for doc_id, text in list(docs_py.items())[:50]:
+        r = got[doc_id]
+        assert r["n_tokens"] == len(text.strip().split())
+        assert r["n_wordpieces"] == len(
+            re.findall(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]", text)
+        )
+        assert r["n_chars_measured"] == len(text)
+
+
+def test_quality_score_bounds_and_stopword_ratio(docs, docs_py):
+    got = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    stop_re = re.compile(r"\b(" + "|".join(STOPWORDS) + r")\b")
+    for doc_id, text in list(docs_py.items())[:50]:
+        r = got[doc_id]
+        assert 0.0 <= r["quality"] <= 1.0
+        n_tok = len(text.strip().split())
+        expected_ratio = len(stop_re.findall(text.lower())) / n_tok if n_tok else 0.0
+        assert r["stopword_ratio"] == pytest.approx(round(expected_ratio, 4))
+
+
+def test_lang_id_deterministic_and_known_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "el perro y las casas es que"),
+            (4, "le chat est une merveille et les chiens"),
+            (5, "这 是 中文 文本"),
+            (6, "zzz qqq www"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "fr", 5: "zh", 6: "und"}
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "  hello\tworld "), (4, "other")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(df).collect()}
+    assert fp[1] == fp[2] == fp[3] != fp[4]
+    assert fp[2] == hashlib.md5(b"hello world").hexdigest()
+    dd = exact_dedup(df).collect()
+    by_fp = {r["fp"]: (r["representative"], r["n_copies"]) for r in dd}
+    assert by_fp[fp[1]] == (1, 3)
+    assert by_fp[fp[4]] == (4, 1)
