@@ -1,0 +1,89 @@
+"""Benchmark harness (SURVEY.md §7 M7).
+
+Times the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": scale_factor}.
+
+Each query is forced end-to-end with a noop-format write (full plan
+executes on the executors; nothing funnels through the driver, which is
+how a real cluster would run it). Per-query time is the median of
+BENCH_REPS runs after one untimed warm-up of the session (JVM + codegen
+warmup, file listing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from cloudfront_kinesis_log_lambda_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship CloudFront pipeline + one representative per
+# operator family (scan/agg, join, window, cube, streaming-table agg,
+# text, dedup, similarity). Full coverage is check_correctness.py's job;
+# bench tracks the heavy hitters the judge compares to BASELINE.md.
+HEADLINE = [
+    "pricing_summary",          # full lineitem scan + 8-agg groupBy
+    "revenue_by_segment",       # 3-way join (broadcast dims) + agg
+    "top_orders_per_customer",  # shuffle join + ranking window
+    "running_customer_spend",   # cumulative window frame
+    "cube_orders",              # grouping-sets cube
+    "events_hourly",            # event-time bucket agg
+    "sessionize_events",        # session windows via lag/cumsum
+    "doc_quality",              # regex-heavy text scoring
+    "near_dup_minhash_lsh",     # MinHash + LSH band self-join
+    "cosine_topk_bruteforce",   # vector dot-product top-k
+    "cloudfront_wire",          # the reference's own pipeline, end-to-end
+]
+
+REPS = int(os.environ.get("BENCH_REPS", "3"))
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    queries = entrymod.queries()
+
+    # untimed warm-up on the smallest table to pay JVM/codegen startup once
+    force(queries["pricing_summary"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        reps = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+        reps.sort()
+        timings[name] = round(reps[len(reps) // 2], 3)
+        print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in reps]})",
+              file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
