@@ -270,6 +270,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
+    # --- as-of join ------------------------------------------------------
+    "purchases_asof_view": """
+        SELECT p.event_id, p.ts, p.user_id, p.value,
+               v.ts    AS ts_asof,
+               v.value AS value_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
     # --- near-dup (exact variant only; hash-based ops are rows-only) -----
     "near_dup_3gram": r"""
         WITH toks AS (

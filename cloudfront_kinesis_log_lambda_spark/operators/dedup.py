@@ -104,12 +104,15 @@ def _minhash_signature(
 
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_P))
+    # materialize the base hash once per shingle — as an inline subtree it
+    # would be recomputed inside all k min-aggregates
+    hashed = sh.withColumn("_h", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+    h = F.col("_h")
     mins = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = sh.groupBy("doc_id").agg(*mins)
+    sig = hashed.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
@@ -179,6 +182,91 @@ def minhash_lsh_pairs(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    rolling char k-gram hashes, keep the minimum hash of every window of
+    ``window`` consecutive grams → a sparse position-robust fingerprint
+    set that survives local edits.
+
+    Entirely higher-order functions over one row — substr/xxhash64 inside
+    ``transform`` lambdas, so the whole fingerprint derivation is a
+    single codegen'd projection: no explode until the output, no shuffle,
+    no Python. Output: (doc_id, fp) pairs.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    # each stage is materialized as its own projection: `grams` must be an
+    # attribute (not an inlined subtree) when the window transform slices
+    # it n times, or evaluation goes quadratic in document length
+    with_norm = docs.select("doc_id", norm.alias("_norm"))
+    with_grams = with_norm.select(
+        "doc_id",
+        F.when(
+            F.length("_norm") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.length("_norm") - k + 1),
+                lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
+            ),
+        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    )
+    g = F.col("grams")
+    fps = (
+        F.when(
+            F.size(g) >= window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(g) - window + 1),
+                    lambda j: F.array_min(F.slice(g, j, window)),
+                )
+            ),
+        )
+        # shorter than one full window but ≥1 gram: single global min
+        .when(F.size(g) >= 1, F.array(F.array_min(g)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return with_grams.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnow_near_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint Jaccard — the rolling-hash
+    sibling of :func:`near_dup_pairs_exact`, at a fraction of the join
+    fan-out (each doc contributes ~len/window fingerprints instead of
+    every shingle). Same shape: fp-match join → common counts → Jaccard
+    from per-doc fingerprint-set sizes → threshold."""
+    fp = winnow_fingerprints(docs, k, window, text_col).cache()
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
+    common = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """64-bit SimHash per document, entirely with higher-order functions.
 
@@ -187,7 +275,15 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     3-gram shingles: on small-vocabulary corpora unigram feature sets
     overlap heavily across unrelated docs, washing out the signature.
     """
-    hashes = F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t))
+    # materialize the gram-hash array in its own projection: all 64 bit-
+    # vote aggregates reference it, and an inlined subtree would be
+    # re-derived (tokenize + hash) once per bit
+    with_hashes = docs.select(
+        "doc_id",
+        F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t)).alias("_hashes"),
+    )
+    hashes = F.col("_hashes")
+
     # shift distances must be Python ints (shiftright doesn't take a
     # Column), so the 64 bit-vote aggregates are unrolled statically —
     # still one codegen'd projection, no explode/shuffle
@@ -206,7 +302,7 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
             vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
-    return docs.select("doc_id", sig.alias("simhash"))
+    return with_hashes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -143,6 +143,105 @@ def ann_lsh_topk(
     )
 
 
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """cid of the highest-cosine centroid, as one codegen'd expression:
+    greatest() over the per-centroid similarities, then a when-chain
+    argmax (first match wins → lowest cid breaks exact ties)."""
+    sims = [
+        _dot(vec, F.array(*[F.lit(x) for x in c]))
+        / (_norm(vec) * F.lit(math.sqrt(sum(x * x for x in c)) or 1.0))
+        for c in centroids
+    ]
+    best = F.greatest(*sims) if len(sims) > 1 else sims[0]
+    out = F.lit(0)
+    for i in range(len(sims) - 1, -1, -1):
+        out = F.when(sims[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical-ish k-means (cosine assignment, mean update) as Lloyd
+    iterations over DataFrames.
+
+    Each iteration is one distributed assign (codegen projection) + one
+    partial-aggregated shuffle of (cid, pos, x) → per-dimension means; only
+    the k×dim centroid table ever reaches the driver (same topology as
+    MLlib KMeans). Init is the k lowest-id vectors — deterministic, no RNG.
+    """
+    init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = embeddings.select(
+            _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
+            F.posexplode(vec_col),
+        )
+        rows = assigned.groupBy("cid", "pos").agg(F.avg("col").alias("m")).collect()
+        new = {cid: [0.0] * dim for cid in {r["cid"] for r in rows}}
+        for r in rows:
+            new[r["cid"]][r["pos"]] = float(r["m"])
+        # empty clusters keep their previous centroid
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists (k-means cells), probe the ``nprobe``
+    cells nearest the query, exact cosine inside the probed cells only.
+
+    The second of the two ANN scale paths (with :func:`ann_lsh_topk`).
+    At real scale the assignment (`cid`) is computed once and persisted
+    as a partition column, so a query reads nprobe/n_centroids of the
+    data via partition pruning; here the cell filter plays that role —
+    ~nprobe/n_centroids of rows reach the cosine scorer.
+    """
+    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = [float(x) for x in qrow[0]]
+
+    def cos_py(c: list[float]) -> float:
+        d = sum(a * b for a, b in zip(qv, c))
+        nq = math.sqrt(sum(a * a for a in qv))
+        nc = math.sqrt(sum(a * a for a in c)) or 1.0
+        return d / (nq * nc)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))[:nprobe]
+
+    assigned = embeddings.select(
+        id_col, vec_col, _nearest_centroid(F.col(vec_col), centroids).alias("cid")
+    )
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    return (
+        assigned.filter(F.col("cid").isin([int(p) for p in probe]))
+        .filter(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, F.round(cos, 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_self_join_above(
     embeddings: DataFrame,
     threshold: float = 0.3,

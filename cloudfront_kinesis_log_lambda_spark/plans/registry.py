@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators import asof as A
 from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
@@ -70,6 +71,24 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
 
 
+def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.winnow_near_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase event joined (backward as-of, per user) to that
+    user's most recent view event at-or-before the purchase time."""
+    ev = R.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return A.asof_join_backward(purchases, views, on="user_id", right_cols=["value"])
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -83,6 +102,10 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
 def embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,12 +154,15 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
+    "purchases_asof_view": purchases_asof_view,
     "near_dup_3gram": near_dup_3gram,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "simhash_near_pairs": simhash_near_pairs,
+    "winnow_near_pairs": winnow_near_pairs,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_pairs_lsh": embedding_pairs_lsh,
     "multimodal_features": multimodal_features,
     "cloudfront_enriched": cloudfront_enriched,

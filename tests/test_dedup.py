@@ -75,3 +75,47 @@ def test_shingles_edge_cases(spark):
     got = shingles(df, n=3).groupBy("doc_id").count().collect()
     counts = {r["doc_id"]: r["count"] for r in got}
     assert counts == {1: 2, 4: 1}  # short/empty docs produce no shingles
+
+
+def test_winnow_fingerprints_survive_local_edits(spark):
+    """Winnowing's contract: a local edit perturbs only the fingerprints
+    whose k-gram windows touch it — edited copies keep high fp overlap,
+    unrelated docs share ~none."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_near_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    edited = base.replace("lazy dog", "sleepy cat", 1)
+    other = "completely different content about spark shuffle partitioning " * 5
+    docs = spark.createDataFrame(
+        # doc 3: 9 chars → 2 k-grams, fewer than one window (4) → global min
+        # doc 4: 4 chars → shorter than k=8 → no grams at all
+        [(0, base), (1, edited), (2, other), (3, "tiny-doc1"), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    fps = {
+        i: {r["fp"] for r in rows}
+        for i, rows in (
+            (i, winnow_fingerprints(docs.filter(F.col("doc_id") == i)).collect())
+            for i in range(5)
+        )
+    }
+    j01 = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    j02 = len(fps[0] & fps[2]) / len(fps[0] | fps[2])
+    assert j01 > 0.6  # edited copy stays similar
+    assert j02 < 0.05  # unrelated doc does not
+    assert len(fps[3]) == 1  # shorter than one window → single global min
+    assert len(fps[4]) == 0  # shorter than k → no fingerprint, not garbage
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in winnow_near_pairs(docs, threshold=0.5).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_winnow_pairs_agree_with_exact_on_corpus(docs, exact_pairs):
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import winnow_near_pairs
+
+    got = {(r["doc_a"], r["doc_b"]) for r in winnow_near_pairs(docs, threshold=0.5).collect()}
+    strong = {p for p, j in exact_pairs.items() if j >= 0.8}
+    assert strong <= got  # near-identical planted pairs always found

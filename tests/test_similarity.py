@@ -84,3 +84,33 @@ def test_cosine_self_join_pairs_verified(emb, emb_py):
         assert r["cos"] == pytest.approx(round(true_cos, 4))
         assert r["cos"] >= 0.3
         assert r["id_a"] < r["id_b"]
+
+
+def test_ivf_recall_on_planted_neighbors(spark):
+    """IVF with nprobe=4/16 cells must recover a planted angular cluster
+    (the cluster lands in one cell, which is always probed)."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, [float(x) for x in base], 0)]
+    for i in range(1, 21):
+        rows.append((i, [float(x + rng.gauss(0, 0.15)) for x in base], 0))
+    for i in range(21, 400):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, 0, 10).collect()]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9
+
+
+def test_ivf_on_corpus_returns_ordered_topk(emb):
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import ivf_topk
+
+    got = ivf_topk(emb, 0, 10).collect()
+    assert len(got) == 10
+    cos_vals = [r["cos"] for r in got]
+    assert cos_vals == sorted(cos_vals, reverse=True)
