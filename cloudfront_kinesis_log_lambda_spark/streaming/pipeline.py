@@ -123,6 +123,68 @@ def session_window_counts(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    table. With ``broadcast`` (the right default — dims are small) the
+    join is stateless map-side work in every micro-batch: no shuffle, no
+    state store, and the dim snapshot is re-resolved per batch, so a
+    reloaded dim table is picked up automatically."""
+    right = F.broadcast(dim) if broadcast else dim
+    return stream.join(right, on=on, how=how)
+
+
+def running_user_totals(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    event count and value sum, carried across micro-batches — the kind of
+    cumulative state the reference cannot express at all.
+
+    State per key is two scalars (count, sum) → state-store size is
+    O(distinct keys), independent of stream length. An optional
+    processing-time timeout evicts idle keys, bounding state for
+    unbounded key universes (the 100 TB safety valve).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} long, n_events long, total_value double"
+    state_schema = "n long, s double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += int(len(pdf))
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_value": [round(s, 2)]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

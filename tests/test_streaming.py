@@ -124,3 +124,61 @@ def test_cloudfront_streaming_ingest_end_to_end(spark, tmp_path):
     rec = json.loads(batches[0][0]["Data"])
     assert rec["env"] == "prod" and rec["serviceId"] == "svc-1"
     assert rec["type"] == "globaledge_cloudfront"
+
+
+def test_stream_static_enrich_is_stateless_broadcast(spark, tmp_path):
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        stream_static_enrich,
+    )
+
+    land = str(tmp_path / "enrich")
+    _write_batch(land, "b0.json", [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 2, "event_type": "b", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "user_id": 9, "event_type": "c", "value": 3.0},
+    ])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(land)
+    rows = _run_to_memory(
+        stream_static_enrich(stream, dim, on="user_id"), spark, "enrich_t", "append"
+    )
+    got = {r["event_id"]: r["tier"] for r in rows}
+    assert got == {1: "gold", 2: "silver", 3: None}  # left join keeps misses
+
+
+def test_running_user_totals_state_survives_batches(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        running_user_totals,
+    )
+
+    land = str(tmp_path / "stateful")
+    _write_batch(land, "b0.json", [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "a", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "a", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:02:00", "user_id": 2, "event_type": "b", "value": 5.0},
+    ])
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(EVENT_SCHEMA).json(land)
+    totals = running_user_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("totals_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write_batch(land, "b1.json", [
+        {"event_id": 4, "ts": "2024-01-01 00:03:00", "user_id": 1, "event_type": "a", "value": 4.0},
+    ])
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM totals_t").collect()
+    q.stop()
+    # last emission per user wins (update mode appends each emission)
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert latest[1] == (3, 7.0)  # 2 events in batch 0 + 1 in batch 1
+    assert latest[2] == (1, 5.0)
