@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
 
 #: Mersenne prime 2^31-1: universal-hash modulus. a·h+b with a,b,h < p
 #: stays under 2^62 — no long overflow even with ANSI arithmetic.
@@ -51,6 +52,7 @@ def gram_array(text_col: str | Column, n: int) -> Column:
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) pairs: distinct word n-grams per document."""
+    docs = ensure_parallelism(docs)
     return docs.select("doc_id", F.explode(gram_array(text_col, n)).alias("shingle"))
 
 
@@ -154,19 +156,31 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.h")
 
-    # drop degenerate buckets (boilerplate guard) before the self-join
-    sized = buckets.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "h"))
-    ).filter(F.col("bucket_n") <= max_bucket_size)
-
-    left = sized.select(F.col("band"), F.col("h"), F.col("doc_id").alias("doc_a"))
-    right = sized.select(F.col("band"), F.col("h"), F.col("doc_id").alias("doc_b"))
-    candidates = (
-        left.join(right, ["band", "h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # pair generation inside ONE aggregate: collect each bucket's members,
+    # drop degenerate buckets (boilerplate guard), emit ordered pairs with
+    # a nested transform. Replaces the window-count + bucket self-join +
+    # global distinct formulation — 2 shuffles instead of 4-5, and the
+    # pairwise blowup stays capped by max_bucket_size.
+    members = buckets.groupBy("band", "h").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    ).filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        # elements after position i (1-based slice start)
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.array(x, y),
+                    ),
+                )
+            )
+        ).alias("p")
     )
+    candidates = pairs.select(
+        F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b")
+    ).distinct()
 
     sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
@@ -198,6 +212,7 @@ def winnow_fingerprints(
     single codegen'd projection: no explode until the output, no shuffle,
     no Python. Output: (doc_id, fp) pairs.
     """
+    docs = ensure_parallelism(docs)
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     # each stage is materialized as its own projection: `grams` must be an
     # attribute (not an inlined subtree) when the window transform slices
@@ -278,7 +293,7 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     # materialize the gram-hash array in its own projection: all 64 bit-
     # vote aggregates reference it, and an inlined subtree would be
     # re-derived (tokenize + hash) once per bit
-    with_hashes = docs.select(
+    with_hashes = ensure_parallelism(docs).select(
         "doc_id",
         F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t)).alias("_hashes"),
     )

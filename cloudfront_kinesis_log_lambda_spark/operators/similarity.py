@@ -22,6 +22,8 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -67,7 +69,7 @@ def cosine_topk(
         _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
     )
     return (
-        embeddings.crossJoin(F.broadcast(q))
+        ensure_parallelism(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_vec_id)
         .select(id_col, F.round(cos, 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
@@ -122,7 +124,7 @@ def ann_lsh_topk(
     bucket_cols = [
         lsh_bucket(F.col(vec_col), planes[t]).alias(f"b{t}") for t in range(tables)
     ]
-    tagged = embeddings.select(id_col, vec_col, *bucket_cols)
+    tagged = ensure_parallelism(embeddings).select(id_col, vec_col, *bucket_cols)
     q = tagged.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec"),
         *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
@@ -177,6 +179,7 @@ def kmeans_centroids(
     init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init]
     dim = len(centroids[0])
+    embeddings = ensure_parallelism(embeddings)
     for _ in range(iters):
         assigned = embeddings.select(
             _nearest_centroid(F.col(vec_col), centroids).alias("cid"),
@@ -223,7 +226,7 @@ def ivf_topk(
 
     probe = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))[:nprobe]
 
-    assigned = embeddings.select(
+    assigned = ensure_parallelism(embeddings).select(
         id_col, vec_col, _nearest_centroid(F.col(vec_col), centroids).alias("cid")
     )
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
@@ -259,7 +262,7 @@ def cosine_self_join_above(
     embedding-level dedup of training corpora.
     """
     planes = _hyperplanes(dim, bits, tables, seed)
-    tagged = embeddings.select(
+    tagged = ensure_parallelism(embeddings).select(
         id_col,
         vec_col,
         F.explode(

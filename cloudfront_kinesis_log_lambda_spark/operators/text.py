@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
+
 #: stopwords chosen from the corpus vocabulary (quality_score signal)
 STOPWORDS: tuple[str, ...] = ("the", "a", "of", "to", "and", "in")
 
@@ -39,6 +41,7 @@ def _tokens(col: Column) -> Column:
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish word-piece count +
     character length, per document."""
+    docs = ensure_parallelism(docs)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -56,6 +59,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     *deterministic and portable*, so downstream filtering (``score >= τ``)
     is reproducible across engines.
     """
+    docs = ensure_parallelism(docs)
     t = F.col("text")
     n_tok = F.size(_tokens(t)).cast("double")
     n_chars = F.length(t).cast("double")
@@ -92,6 +96,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     marker lists are swappable for real fastText-style models via the
     pandas-UDF hook in multimodal.py.)
     """
+    docs = ensure_parallelism(docs)
     low = F.lower(F.col("text"))
     scores = {k: F.regexp_count(low, F.lit(v)) for k, v in LANG_MARKERS.items()}
     has_cjk = F.regexp_count(F.col("text"), F.lit(CJK_RE)) > 0
@@ -114,6 +119,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
     text — the exact-dedup key that survives cosmetic reformatting."""
+    docs = ensure_parallelism(docs)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id",
