@@ -54,6 +54,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort/limit/set ops
         "top_orders": R.top_orders,
         "nation_set_ops": R.nation_set_ops,
+        # scalar functions / grouping sets / subquery shapes
+        "scalar_function_showcase": R.scalar_function_showcase,
+        "grouping_sets_revenue": R.grouping_sets_revenue,
+        "parts_above_brand_avg": R.parts_above_brand_avg,
+        "orders_with_max_item": R.orders_with_max_item,
         # events
         "events_hourly": R.events_hourly,
         "events_json_props": R.events_json_props,

@@ -214,6 +214,69 @@ ORACLE_SQL: dict[str, str] = {
               FROM events)
         WHERE rn = 1
     """,
+    # --- scalar functions / grouping sets / subquery shapes --------------
+    "scalar_function_showcase": """
+        SELECT o_orderkey,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+               year(o_orderdate)    AS order_year,
+               quarter(o_orderdate) AS order_quarter,
+               CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS BIGINT) AS days_to_eoy,
+               upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+               lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+               ROUND(abs(o_totalprice - 150000.0), 2) AS dist_from_150k,
+               CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_kilo_ceil,
+               ROUND(sqrt(o_totalprice), 4) AS price_sqrt,
+               ROUND(log10(o_totalprice), 4) AS price_log10,
+               CASE WHEN o_totalprice > 200000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+    """,
+    "grouping_sets_revenue": """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               ROUND(SUM(o_totalprice), 2)               AS revenue,
+               COUNT(*)                                  AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus),
+                                ())
+    """,
+    "parts_above_brand_avg": """
+        SELECT p_partkey, p_brand,
+               ROUND(p_retailprice, 2) AS p_retailprice,
+               ROUND(brand_sum, 2)     AS brand_sum,
+               brand_n
+        FROM (SELECT p_partkey, p_brand, p_retailprice,
+                     SUM(p_retailprice) OVER (PARTITION BY p_brand) AS brand_sum,
+                     COUNT(*) OVER (PARTITION BY p_brand)           AS brand_n
+              FROM part)
+        WHERE p_retailprice * brand_n > brand_sum
+    """,
+    "orders_with_max_item": """
+        SELECT l_orderkey AS o_orderkey,
+               ROUND(MAX(l_extendedprice), 2) AS max_item,
+               ROUND(SUM(l_extendedprice), 2) AS sum_items,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(*) >= 3
+           AND ROUND(MAX(l_extendedprice), 2) * COUNT(*) > 3 * ROUND(SUM(l_extendedprice), 2)
+    """,
+    # --- UDTF surface ----------------------------------------------------
+    "doc_chunks_udtf": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents)
+        SELECT doc_id,
+               CAST(c AS BIGINT) AS chunk_idx,
+               array_to_string(w[(c - 1) * 16 + 1 : LEAST(c * 16, len(w))], ' ') AS chunk,
+               CAST(LEAST(c * 16, len(w)) - (c - 1) * 16 AS BIGINT) AS n_tokens
+        FROM t, UNNEST(range(1, CAST(ceil(len(w) / 16.0) AS INT) + 1)) AS u(c)
+    """,
     # --- text analysis ---------------------------------------------------
     "doc_token_stats": r"""
         SELECT doc_id,

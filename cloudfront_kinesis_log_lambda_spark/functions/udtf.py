@@ -1,0 +1,45 @@
+"""Python UDTF surface (SURVEY.md §2.5 'UDF/UDAF/UDTF': ABSENT in the
+reference — the engine exposes Spark 3.5+ Python UDTFs).
+
+``SplitSentences`` is the demonstration table function: one document row
+→ N (sentence_idx, sentence) rows, invoked through SQL as a correlated
+LATERAL table function. UDTFs are row-at-a-time Python — the slow path
+by design (the deliberately simple split here IS expressible with
+split+posexplode, which is what production code should use); the value
+is the extension point for genuinely non-relational row expanders
+(tokenizers, parsers, model inference) with the same plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import udtf
+
+CHUNK_TOKENS = 16
+
+
+@udtf(returnType="chunk_idx bigint, chunk string, n_tokens bigint")
+class ChunkTokens:
+    """text → fixed-size token chunks (1-based index, chunk text, token
+    count) — the context-window chunker of an LLM training pipeline."""
+
+    def eval(self, text: str):  # noqa: ANN201 — UDTF contract
+        if text is None:
+            return
+        toks = text.split()
+        for i in range(0, len(toks), CHUNK_TOKENS):
+            chunk = toks[i : i + CHUNK_TOKENS]
+            yield i // CHUNK_TOKENS + 1, " ".join(chunk), len(chunk)
+
+
+def doc_chunks(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Explode documents into token chunks via the UDTF, LATERAL-joined
+    in SQL exactly as a user would call it."""
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM docs_for_udtf d, LATERAL chunk_tokens(d.text) c
+        """
+    )

@@ -382,3 +382,96 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
     )
+
+
+# --- scalar-function / subquery / grouping-set surface ----------------------
+
+
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar library sweep (SURVEY.md §2.5 'scalar function library'):
+    date (trunc/extract/datediff), string (substring/concat/upper/lpad),
+    math (abs/ceil/floor/pow/log), conditional — one pass over orders,
+    every expression codegen'd JVM-side."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long").alias("days_to_eoy"),
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.round(F.abs(F.col("o_totalprice") - 150000.0), 2).alias("dist_from_150k"),
+        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_kilo_ceil"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log10("o_totalprice"), 4).alias("price_log10"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond cube/rollup): revenue by
+    (status, priority), by status alone, and grand total — exercised via
+    the SQL surface, exactly how a user would write it."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+               ROUND(SUM(o_totalprice), 2)               AS revenue,
+               COUNT(*)                                  AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus),
+                                ())
+        """
+    )
+
+
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar-subquery shape: parts priced above their brand's
+    average retail price. Expressed as window avg — Catalyst decorrelates
+    the subquery formulation to exactly this single-shuffle plan, so the
+    engine states it directly."""
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    # avg is compared multiplicatively (price·n > Σ) and reported as
+    # (Σ, n) rather than a rounded quotient: quotients of 2-dp prices sit
+    # exactly on round-half midpoints, where engines' double-rounding
+    # conventions disagree (SURVEY.md §5 cross-engine determinism)
+    return (
+        p.withColumn("brand_sum", F.sum("p_retailprice").over(w))
+        .withColumn("brand_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("p_retailprice") * F.col("brand_n") > F.col("brand_sum"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            F.round("brand_sum", 2).alias("brand_sum"),
+            F.col("brand_n").cast("long").alias("brand_n"),
+        )
+    )
+
+
+def orders_with_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN/EXISTS + scalar-aggregate subquery composition: orders whose
+    single most expensive lineitem exceeds 10x its average item —
+    max/avg computed in one grouped pass (no double scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(F.max("l_extendedprice"), 2).alias("max_item"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_items"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    # max·n > 3·Σ ⇔ max > 3·avg, without the cross-engine double-division
+    return per_order.filter(
+        (F.col("n_items") >= 3)
+        & (F.col("max_item") * F.col("n_items") > 3 * F.col("sum_items"))
+    ).select(F.col("l_orderkey").alias("o_orderkey"), "max_item", "sum_items", "n_items")

@@ -21,6 +21,7 @@ from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
 from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
+from cloudfront_kinesis_log_lambda_spark.functions.udtf import doc_chunks
 from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
     cloudfront_wire_pipeline,
     transform_cloudfront,
@@ -73,6 +74,13 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_near_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+# --- UDTF surface -----------------------------------------------------------
+
+
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_chunks(spark, _docs(spark, sf_dir))
 
 
 # --- as-of join -------------------------------------------------------------
@@ -154,6 +162,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
     "near_dup_3gram": near_dup_3gram,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
