@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_revenue": R.grouping_sets_revenue,
         "parts_above_brand_avg": R.parts_above_brand_avg,
         "orders_with_max_item": R.orders_with_max_item,
+        "order_price_percentiles": R.order_price_percentiles,
         # events
         "events_hourly": R.events_hourly,
         "events_json_props": R.events_json_props,

@@ -266,6 +266,15 @@ ORACLE_SQL: dict[str, str] = {
         HAVING COUNT(*) >= 3
            AND ROUND(MAX(l_extendedprice), 2) * COUNT(*) > 3 * ROUND(SUM(l_extendedprice), 2)
     """,
+    "order_price_percentiles": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+               ROUND(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+               ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
     # --- UDTF surface ----------------------------------------------------
     "doc_chunks_udtf": r"""
         WITH t AS (

