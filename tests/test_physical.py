@@ -1,0 +1,67 @@
+"""Physical-layout operators: bucketed join plans + salted-join parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators.physical import (
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, no_broadcast):
+    """The whole point of bucketing: co-located join, zero shuffle."""
+    orders = R.load(spark, sf_dir, "orders")
+    customer = R.load(spark, sf_dir, "customer")
+    try:
+        write_bucketed(
+            orders.withColumnRenamed("o_custkey", "custkey"), "b_orders", "custkey", 8
+        )
+        write_bucketed(
+            customer.withColumnRenamed("c_custkey", "custkey"), "b_customer", "custkey", 8
+        )
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # no shuffle on either side
+        # and the result is still the plain join
+        expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted equi-join returns exactly the plain join's rows on skewed
+    data (one key carries 90% of the left side)."""
+    left = spark.createDataFrame(
+        [(1 if i % 10 else i, f"l{i}") for i in range(1000)], "k long, lv string"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(120)], "k long, rv string"
+    )
+    plain = {(r["k"], r["lv"], r["rv"]) for r in left.join(right, "k").collect()}
+    salted = {
+        (r["k"], r["lv"], r["rv"]) for r in salted_join(left, right, "k").collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_left_join_keeps_misses(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "miss")], "k long, lv string")
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string")
+    rows = {r["k"]: r["rv"] for r in salted_join(left, right, "k", how="left").collect()}
+    assert rows == {1: "r1", 2: "r2", 99: None}
