@@ -38,7 +38,9 @@ HEADLINE = [
     "events_hourly",            # event-time bucket agg
     "sessionize_events",        # session windows via lag/cumsum
     "doc_quality",              # regex-heavy text scoring
+    "purchases_asof_view",      # as-of join (union+window)
     "near_dup_minhash_lsh",     # MinHash + LSH band self-join
+    "winnow_near_pairs",        # rolling-hash fingerprint join
     "cosine_topk_bruteforce",   # vector dot-product top-k
     "cloudfront_wire",          # the reference's own pipeline, end-to-end
 ]

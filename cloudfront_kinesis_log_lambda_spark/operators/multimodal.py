@@ -134,6 +134,53 @@ def extract_features(
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_images(
+    assets: DataFrame, width: int = 32, height: int = 32
+) -> DataFrame:
+    """'Resize' plumbing: payload → fixed-size payload + dims metadata.
+
+    The deterministic stand-in samples the byte stream at a uniform
+    stride down to exactly ``width*height`` bytes (padding with zeros) —
+    the real implementation decodes, resizes (PIL/cv2), re-encodes; the
+    Spark surface (binary in/out, metadata struct, Arrow batching, output
+    size invariant) is identical and tested today.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def shrink(payload: bytes | None) -> bytes:
+            if not payload:
+                return bytes(target)
+            if len(payload) >= target:
+                stride = len(payload) / target
+                return bytes(payload[int(i * stride)] for i in range(target))
+            return bytes(payload) + bytes(target - len(payload))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "payload": pdf["payload"].map(shrink),
+                    "width": width,
+                    "height": height,
+                    "n_bytes": target,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("modality", StringType()),
+            StructField("payload", BinaryType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    return assets.mapInPandas(run, schema)
+
+
 def sample_frames(
     assets: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8
 ) -> DataFrame:

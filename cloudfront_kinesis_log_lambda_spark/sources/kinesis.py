@@ -81,6 +81,32 @@ class FakeShardClient:
         return out
 
 
+class FakeKinesisDataPlane:
+    """put_records fake over the same shard-file layout ``FakeShardClient``
+    reads — records hash to shards by PartitionKey, like Kinesis. Plug it
+    into :class:`sinks.kinesis.KinesisSink` as the ``client_factory`` to
+    run the reference's whole write path against local files (importable
+    package module, so executors can unpickle it)."""
+
+    def __init__(self, fake_dir: str, n_shards: int = 2) -> None:
+        self.fake_dir = fake_dir
+        self.n_shards = n_shards
+        os.makedirs(fake_dir, exist_ok=True)
+
+    def put_records(self, StreamName: str, Records: list) -> dict:
+        import zlib
+
+        for r in Records:
+            shard = zlib.crc32(r["PartitionKey"].encode()) % self.n_shards
+            path = os.path.join(self.fake_dir, f"shard-{shard:03d}.jsonl")
+            with open(path, "a") as f:
+                f.write(
+                    json.dumps({"PartitionKey": r["PartitionKey"], "Data": r["Data"]})
+                    + "\n"
+                )
+        return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+
 class Boto3ShardClient:
     """Production client: same protocol over the real data-plane API.
 

@@ -1,0 +1,82 @@
+"""Full-loop integration: the reference's entire pipeline PLUS the
+engine's analytics upgrade, in one test —
+
+  landing dir (gz TSV) → streaming transform → wire records
+    → Kinesis sink (put_records to shard files)
+      → kinesis_py source (batch replay of the stream)
+        → JSON decode → aggregation
+
+i.e. everything `bmgoau/cloudfront-kinesis-log-lambda` does end-to-end,
+then querying the stream it produced — the capability the reference
+itself has no answer for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import KinesisSink
+from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+    FakeKinesisDataPlane,
+    register_kinesis_source,
+)
+from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+    stream_cloudfront_wire,
+)
+from cloudfront_kinesis_log_lambda_spark.testing.fixtures import write_log_tree
+
+
+class ShardFileKinesis:
+    """put_records fake that lands records in kinesis_py's shard-file
+    layout — records hash to shards by PartitionKey, like Kinesis."""
+
+    def __init__(self, dir_: str, n_shards: int = 2) -> None:
+        self.dir = dir_
+        self.n_shards = n_shards
+        os.makedirs(dir_, exist_ok=True)
+
+    def put_records(self, StreamName, Records):
+        for r in Records:
+            shard = hash(r["PartitionKey"]) % self.n_shards
+            with open(os.path.join(self.dir, f"shard-{shard:03d}.jsonl"), "a") as f:
+                f.write(json.dumps({"PartitionKey": r["PartitionKey"], "Data": r["Data"]}) + "\n")
+        return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+
+def test_reference_pipeline_then_stream_analytics(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    stream_dir = str(tmp_path / "stream")
+    write_log_tree(landing, rows=40, files_per_service=1)  # prod + stg
+
+    sink = KinesisSink(
+        "prod-logs",
+        parallelism=4,
+        client_factory=lambda: FakeKinesisDataPlane(stream_dir),
+    )
+    q = stream_cloudfront_wire(
+        spark, landing, sink, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    register_kinesis_source(spark)
+    stream = spark.read.format("kinesis_py").option("fake_dir", stream_dir).load()
+    assert stream.count() == 80  # 2 envs × 40 rows, at-least-once with 0 failures
+
+    # analytics over the stream the reference produced: status-class
+    # traffic rollup per env — JVM-side JSON extraction, then groupBy
+    decoded = stream.select(
+        F.get_json_object("Data", "$.env").alias("env"),
+        F.get_json_object("Data", "$.http_status").alias("status"),
+        F.get_json_object("Data", "$.bytes_sent").cast("long").alias("bytes_sent"),
+    )
+    rollup = (
+        decoded.groupBy("env", F.substring("status", 1, 1).alias("status_class"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("bytes_sent").alias("bytes"))
+        .collect()
+    )
+    by_key = {(r["env"], r["status_class"]): r["n"] for r in rollup}
+    assert sum(by_key.values()) == 80
+    assert {k[0] for k in by_key} == {"prod", "stg"}
+    assert all(k[1] in "2345" for k in by_key)
+    assert all(r["bytes"] > 0 for r in rollup)

@@ -66,3 +66,24 @@ def test_sample_frames_offsets(spark):
     assert [f["byte_offset"] for f in frames] == [0, 4096, 8192, 12288]
     for f in frames:
         assert bytes(f["frame_bytes"]) == payload[f["byte_offset"] : f["byte_offset"] + 64]
+
+
+def test_resize_images_fixed_output_size(spark):
+    from cloudfront_kinesis_log_lambda_spark.operators.multimodal import (
+        documents_as_assets,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 5000), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    out = resize_images(documents_as_assets(docs), width=16, height=16).collect()
+    assert len(out) == 3
+    for r in out:
+        assert len(r["payload"]) == 256  # exact target size, pad or sample
+        assert (r["width"], r["height"], r["n_bytes"]) == (16, 16, 256)
+    # resizing is deterministic
+    out2 = resize_images(documents_as_assets(docs), width=16, height=16).collect()
+    assert {r["asset_id"]: bytes(r["payload"]) for r in out} == {
+        r["asset_id"]: bytes(r["payload"]) for r in out2
+    }

@@ -1,0 +1,119 @@
+"""Property-based invariants (hypothesis) for the CloudFront transform
+core — SURVEY.md §5.4: random rows through parse→transform→serialize
+with reference-fidelity invariants checked on every record.
+
+Strategy note: one Spark job per example would take minutes, so each
+property collects a BATCH of hypothesis-generated values and runs them
+through the engine in a single DataFrame — same coverage, few jobs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import random
+from urllib.parse import quote, unquote
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cloudfront_kinesis_log_lambda_spark.operators.transforms import url_unquote
+from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES
+from cloudfront_kinesis_log_lambda_spark.testing.fixtures import (
+    HEADER_LINES,
+    make_log_row,
+)
+
+_ua_text = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+    max_size=40,
+)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_ua_text, min_size=1, max_size=30))
+def test_url_unquote_exact_matches_python_unquote(spark, uas):
+    """The exact (Arrow UDF) path IS urllib.parse.unquote, for arbitrary
+    strings including raw unicode and malformed escapes."""
+    encoded = [quote(u, safe="") for u in uas] + uas  # encoded and raw forms
+    df = spark.createDataFrame([(s,) for s in encoded], "ua string")
+    got = [
+        r["out"]
+        for r in df.select(url_unquote("ua", fidelity="exact").alias("out")).collect()
+    ]
+    assert got == [unquote(s) for s in encoded]
+
+
+_tsv_safe = st.text(
+    alphabet="abcdefghijklmnop%20/.-_&=+", min_size=1, max_size=18
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["GET", "HEAD", "POST", "PUT"]),
+            st.integers(min_value=0, max_value=2**40),
+            _tsv_safe,  # http_path
+            _tsv_safe,  # http_user_agent (percent-encoded-ish)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_wire_record_field_invariants(spark, tmp_path_factory, rows):
+    """Arbitrary field values through the REAL file path (gz TSV → scan →
+    transform → wire JSON): dropped fields never leak, enrichment fields
+    always present, every value stays a string (SURVEY.md §1.2), the
+    partition key keeps uuid4-hex shape."""
+    from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
+        cloudfront_wire_pipeline,
+    )
+    from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import (
+        read_cloudfront_logs,
+    )
+
+    base_dir = str(tmp_path_factory.mktemp("prop"))
+    path = os.path.join(base_dir, "cloudfront", "prop-env", "svc-prop", "f0.gz")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = random.Random(7)
+    data = []
+    for m, b, p, ua in rows:
+        row = make_log_row(rng)
+        row.update(
+            http_method=m, bytes_sent=str(b), http_path=p, http_user_agent=ua
+        )
+        data.append(row)
+    with gzip.open(path, "wt", newline="") as f:
+        for line in HEADER_LINES:
+            f.write(line + "\n")
+        for row in data:
+            f.write("\t".join(row[name] for name in FIELDNAMES) + "\n")
+
+    # exact UA fidelity: the property asserts bit-exact unquote parity,
+    # which is the Arrow-UDF path's contract (the default fast JVM path
+    # intentionally passes invalid %-escapes through unchanged — that
+    # divergence is pinned by test_url_unquote_invalid_escape_fast_passthrough)
+    wire = cloudfront_wire_pipeline(
+        read_cloudfront_logs(spark, base_dir), ua_fidelity="exact"
+    ).collect()
+    assert len(wire) == len(data)
+    for r in wire:
+        rec = json.loads(r["Data"])
+        # dropped by the reference (actual behavior, trap §1.4.1) — and
+        # ONLY those three fields vanish
+        assert "http_referer" not in rec
+        assert "log_date" not in rec and "log_time" not in rec
+        # enrichment always present and key-derived
+        assert rec["type"] == "globaledge_cloudfront"
+        assert rec["env"] == "prop-env" and rec["serviceId"] == "svc-prop"
+        assert "@timestamp" in rec
+        # wire fidelity: every value is a JSON string
+        assert all(isinstance(v, str) for v in rec.values())
+        assert len(r["PartitionKey"]) == 32 and int(r["PartitionKey"], 16) >= 0
+    # user agents decoded per reference (unquote, '+' NOT decoded)
+    got_uas = sorted(json.loads(r["Data"])["http_user_agent"] for r in wire)
+    want_uas = sorted(unquote(row["http_user_agent"]) for row in data)
+    assert got_uas == want_uas
