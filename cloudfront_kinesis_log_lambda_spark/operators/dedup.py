@@ -4,13 +4,14 @@ Spark-first design (no MLlib, no Python UDFs — everything is DataFrame
 ops + higher-order functions, so the whole path stays in codegen):
 
 - shingling: ``split`` → ``transform(sequence(...))`` n-grams per doc
-- MinHash: one ``xxhash64`` per shingle, then k universal-hash
-  permutations ``(a_i·h + b_i) mod p`` as plain column arithmetic,
-  ``min()`` aggregated per doc — one shuffle keyed by doc_id
-- LSH banding: signature sliced into b bands, band-hash bucket join —
+- MinHash: per-doc gram-hash array, then k universal-hash permutations
+  ``(a_i·h + b_i) mod p`` as ``array_min`` folds — signatures need NO
+  shuffle at all (the exploded-shingle formulation exists only where the
+  SQL oracle needs it, in ``near_dup_pairs_exact``)
+- LSH banding: signature sliced into b bands, band-hash bucket groupBy —
   candidate generation cost ~ O(docs·b), never O(docs²)
 - verification: exact Jaccard on candidates only, via array_intersect
-  on per-doc shingle sets
+  on the per-doc gram arrays
 
 At 100 TB the only quadratic danger is a hot band bucket (e.g. boiler-
 plate shingles); the band hash includes the band index, and genuinely
@@ -95,31 +96,6 @@ def near_dup_pairs_exact(
     )
 
 
-def _minhash_signature(
-    sh: DataFrame, num_hashes: int, seed: int
-) -> DataFrame:
-    """doc_id → array<long> MinHash signature.
-
-    One xxhash64 per shingle, then k independent universal hashes as
-    column arithmetic — k·min aggregations in a single pass."""
-    import random
-
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
-    # materialize the base hash once per shingle — as an inline subtree it
-    # would be recomputed inside all k min-aggregates
-    hashed = sh.withColumn("_h", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
-    h = F.col("_h")
-    mins = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = hashed.groupBy("doc_id").agg(*mins)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -128,23 +104,49 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     max_bucket_size: int = 1000,
+    text_col: str = "text",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
     b=16 bands × r=4 rows: candidate probability ≈ 1-(1-s⁴)¹⁶ — ~0.97
     at s=0.8, ~0.04 at s=0.2 — tuned for the ≥0.5 near-dup regime.
 
-    Pipeline: shingles → signatures → band buckets → bucket self-join
-    (the ONLY pairwise step, bounded by bucket size) → exact Jaccard on
-    candidates via shingle-set intersection → threshold filter.
+    Pipeline: per-doc gram-hash arrays (no explode, no shuffle) →
+    signature array-folds → band buckets (groupBy: shuffle 1) → in-bucket
+    pair generation bounded by bucket size → exact Jaccard on candidates
+    via gram-array intersection → threshold filter.
     """
+    import random
+
     rows = num_hashes // bands
-    sh = shingles(docs, n).cache()
-    sig = _minhash_signature(sh, num_hashes, seed)
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+    # signatures WITHOUT exploding shingles: per-doc gram-hash array in
+    # one projection (materialized — 64 min-reductions reference it),
+    # then k universal-hash minima as array folds. Zero shuffles until
+    # the band buckets; the gram array doubles as the exact-verification
+    # set (gram_array is already distinct).
+    hashed = (
+        ensure_parallelism(docs)
+        .select("doc_id", gram_array(text_col, n).alias("grams"))
+        .filter(F.size("grams") > 0)
+        .withColumn(
+            "_h", F.transform("grams", lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+        )
+        .cache()
+    )
+    mins = [
+        F.array_min(
+            F.transform("_h", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = hashed.select("doc_id", *mins)
 
     band_cols = [
         F.xxhash64(
-            F.lit(i), F.concat_ws(",", *[F.element_at("sig", i * rows + j + 1).cast("string") for j in range(rows)])
+            F.lit(i), *[F.col(f"h{i * rows + j}") for j in range(rows)]
         ).alias(f"band_{i}")
         for i in range(bands)
     ]
@@ -182,9 +184,9 @@ def minhash_lsh_pairs(
         F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b")
     ).distinct()
 
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b"))
+    sets = hashed.select("doc_id", "grams")
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
     union = (F.size("set_a") + F.size("set_b")).cast("double") - inter
     return (
@@ -251,27 +253,60 @@ def winnow_near_pairs(
     k: int = 8,
     window: int = 4,
     threshold: float = 0.5,
+    max_doc_freq: int = 100,
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs by winnowed-fingerprint Jaccard — the rolling-hash
-    sibling of :func:`near_dup_pairs_exact`, at a fraction of the join
-    fan-out (each doc contributes ~len/window fingerprints instead of
-    every shingle). Same shape: fp-match join → common counts → Jaccard
-    from per-doc fingerprint-set sizes → threshold."""
-    fp = winnow_fingerprints(docs, k, window, text_col).cache()
-    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = fp.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fp.select(F.col("doc_id").alias("doc_b"), "fp")
-    common = (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+    """Near-dup pairs by winnowed-fingerprint Jaccard over the
+    *discriminative* fingerprint subspace.
+
+    Fingerprints shared by more than ``max_doc_freq`` documents are
+    boilerplate (function words, templates) — they carry no dedup signal
+    but dominate a naive fp-match join quadratically (measured: 220 M
+    join rows on 5 k small-vocabulary docs). They are excluded from BOTH
+    the pair numerator and the per-doc set sizes, so the Jaccard stays a
+    true Jaccard — of the rare-fingerprint sets. Near-identical docs
+    share their rare fingerprints (J→1); unrelated docs share only the
+    hot ones (J→0).
+
+    Shape: one groupBy(fp) feeds both pair generation (nested transform
+    over each rare bucket, same pattern as minhash_lsh_pairs) and the
+    per-doc rare-set sizes — 3 shuffles total, pairwise work capped by
+    ``max_doc_freq``.
+    """
+    fp = winnow_fingerprints(docs, k, window, text_col)
+    rare = (
+        fp.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= max_doc_freq)
+        .cache()
+    )
+    sizes = (
+        rare.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+    )
+    pairs = (
+        rare.filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.array(x, y),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
     return (
-        common.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
