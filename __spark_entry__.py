@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_brand_avg": R.parts_above_brand_avg,
         "orders_with_max_item": R.orders_with_max_item,
         "order_price_percentiles": R.order_price_percentiles,
+        "sketch_event_stats": R.sketch_event_stats,
+        "order_item_arrays": R.order_item_arrays,
         # events
         "events_hourly": R.events_hourly,
         "events_json_props": R.events_json_props,

@@ -275,6 +275,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         GROUP BY o_orderstatus
     """,
+    "order_item_arrays": """
+        SELECT l_orderkey,
+               COUNT(*) AS n_items,
+               array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS qty_csv,
+               CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max,
+               array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
     # --- UDTF surface ----------------------------------------------------
     "doc_chunks_udtf": r"""
         WITH t AS (

@@ -494,3 +494,42 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the 100 TB substitutes for exact distinct/
+    percentile: approx_count_distinct (HyperLogLog++, mergeable partials,
+    O(1) state) and approx_percentile (t-digest). Rows-only in the
+    driver gate (sketch internals aren't cross-engine-stable); the
+    accuracy contract vs exact is pinned by tests/test_sketches.py.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[0]
+        .alias("ap50"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[1]
+        .alias("ap90"),
+        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[2]
+        .alias("ap99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: per-order quantity vector via
+    collect_list → sort_array → transform → array_join, plus a distinct
+    flag set. Arrays are emitted as canonical CSV strings so the result
+    is cross-engine hashable (array columns don't compare stably through
+    pandas) — the array ops themselves are the point.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qty = F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint")))
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.array_join(
+            F.transform(qty, lambda x: x.cast("string")), ","
+        ).alias("qty_csv"),
+        F.element_at(qty, -1).alias("qty_max"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
+    )

@@ -1,0 +1,66 @@
+"""Physical-plan hygiene gates: the properties that matter at 100 TB,
+asserted on the actual executed/spark plans so regressions that silently
+de-optimize (a lost pushdown, a broadcast that became a shuffle, a sort
+where TakeOrdered belongs) fail CI — not a 1000-executor bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    plan = _plan(R.filtered_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:300]
+    # column pruning: only the 4 needed columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    plan = _plan(R.revenue_by_segment(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # only the final aggregate may shuffle — the dim join must not add
+    # a SortMergeJoin
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(R.top_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import purchases_asof_view
+
+    plan = _plan(purchases_asof_view(spark, sf_dir))
+    # union+window formulation: exactly one exchange (the window's key
+    # partitioning), and no physical join operator at all
+    assert plan.count("Exchange hashpartitioning") == 1
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_node not in plan
+
+
+def test_whole_stage_codegen_covers_text_scoring(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.operators.text import quality_score
+
+    plan = _plan(quality_score(R.load(spark, sf_dir, "documents")))
+    # JVM-side end to end: a Project of builtin expressions over the scan,
+    # never a Python eval node (WholeStageCodegen markers only materialize
+    # in the AQE final plan, so absence-of-Python is the stable gate)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Project" in plan and "regexp_extract_all" in plan
+
+
+@pytest.mark.parametrize("query", ["pricing_summary", "events_hourly"])
+def test_aggregates_have_partial_final_split(spark, sf_dir, query):
+    plan = _plan(getattr(R, query)(spark, sf_dir))
+    # map-side combine: a partial_ aggregate before the exchange and a
+    # final after — Catalyst's two-phase agg
+    assert "partial_" in plan and "HashAggregate" in plan
