@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators import reshape as RS
 from cloudfront_kinesis_log_lambda_spark.plans.registry import EXTENSION_QUERIES
 
 
@@ -62,6 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles": R.order_price_percentiles,
         "sketch_event_stats": R.sketch_event_stats,
         "order_item_arrays": R.order_item_arrays,
+        # reshape: pivot / unpivot / explode / range join / sampling
+        "pivot_qty_by_linestatus": RS.pivot_qty_by_linestatus,
+        "unpivot_order_metrics": RS.unpivot_order_metrics,
+        "doc_word_explode": RS.doc_word_explode,
+        "events_range_join": RS.events_range_join,
+        "stratified_event_sample": RS.stratified_event_sample,
         # events
         "events_hourly": R.events_hourly,
         "events_json_props": R.events_json_props,

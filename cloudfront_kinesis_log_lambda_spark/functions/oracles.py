@@ -284,6 +284,53 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY l_orderkey
     """,
+    # --- reshape surface -------------------------------------------------
+    "pivot_qty_by_linestatus": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_F,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_O
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    "unpivot_order_metrics": """
+        WITH w AS (
+            SELECT o_orderpriority,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price,
+                   ROUND(AVG(o_totalprice), 6) AS avg_price,
+                   CAST(COUNT(*) AS DOUBLE) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, 'sum_price' AS metric, sum_price AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'avg_price' AS metric, avg_price AS value FROM w
+        UNION ALL
+        SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM w
+    """,
+    "doc_word_explode": r"""
+        WITH words AS (
+            SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+            FROM documents
+        )
+        SELECT word,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs
+        FROM words
+        WHERE word <> ''
+        GROUP BY word
+        HAVING COUNT(DISTINCT doc_id) >= 100
+    """,
+    "events_range_join": """
+        SELECT e.event_id, COUNT(c.click_ts) AS n_follow
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') e
+        LEFT JOIN (SELECT user_id AS c_user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.c_user_id = e.user_id
+         AND c.click_ts >= e.ts
+         AND c.click_ts < e.ts + INTERVAL 5 MINUTE
+        GROUP BY e.event_id
+    """,
     # --- UDTF surface ----------------------------------------------------
     "doc_chunks_udtf": r"""
         WITH t AS (

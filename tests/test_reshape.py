@@ -1,0 +1,70 @@
+"""Reshape-operator contracts: pivot/unpivot/explode are oracle-checked
+by the driver gate; here we pin what the oracle can't — sampling rates,
+and the range join's equivalence to the naive theta formulation plus its
+physical plan (no nested-loop blow-up).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import reshape as RS
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    exact = {r["event_type"]: r["n"] for r in e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r["event_type"]: r["n_sampled"] for r in RS.stratified_event_sample(spark, sf_dir).collect()}
+    # fraction-1.0 stratum must be kept whole
+    assert sampled["error"] == exact["error"]
+    for et, n in exact.items():
+        if et == "error":
+            continue
+        # Bernoulli(0.25) on n trials: allow 5 sigma
+        expect = 0.25 * n
+        sigma = (n * 0.25 * 0.75) ** 0.5
+        assert abs(sampled[et] - expect) <= 5 * sigma + 1, (et, sampled[et], expect)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = _plan(RS.events_range_join(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_matches_naive_theta_formulation(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    naive = (
+        errors.join(
+            clicks,
+            (errors.user_id == clicks.c_user_id)
+            & (clicks.click_ts >= errors.ts)
+            & (clicks.click_ts < errors.ts + F.expr("INTERVAL 5 MINUTES")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("click_ts").alias("n_follow"))
+    )
+    got = {r["event_id"]: r["n_follow"] for r in RS.events_range_join(spark, sf_dir).collect()}
+    exp = {r["event_id"]: r["n_follow"] for r in naive.collect()}
+    assert got == exp
+    assert sum(got.values()) > 0  # the window actually matches something
+
+
+def test_pivot_unpivot_roundtrip_schema(spark, sf_dir):
+    wide = RS.pivot_qty_by_linestatus(spark, sf_dir)
+    assert wide.columns == ["l_returnflag", "qty_F", "qty_O"]
+    long = RS.unpivot_order_metrics(spark, sf_dir)
+    assert long.columns == ["o_orderpriority", "metric", "value"]
+    # melt triples the wide row count exactly
+    n_wide = load(spark, sf_dir, "orders").select("o_orderpriority").distinct().count()
+    assert long.count() == 3 * n_wide
