@@ -136,9 +136,14 @@ def minhash_lsh_pairs(
         )
         .cache()
     )
+    # aggregate+least rather than transform+array_min: same fold, but no
+    # per-hash-function intermediate array materialization (64 × |grams|
+    # allocations per doc otherwise — pure GC pressure on long docs)
     mins = [
-        F.array_min(
-            F.transform("_h", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P))
+        F.aggregate(
+            "_h",
+            F.lit(_P).cast("long"),
+            lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % F.lit(_P)),
         ).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]

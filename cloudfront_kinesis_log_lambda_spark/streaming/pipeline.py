@@ -185,6 +185,44 @@ def running_user_totals(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    within: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: match right-stream rows to
+    left-stream rows with the same key arriving within ``[left_ts,
+    left_ts + within]``.
+
+    Both sides carry a watermark AND the join condition bounds the time
+    skew between them — together these let Spark expire join state (a
+    left row can stop waiting once the right watermark passes
+    ``left_ts + within``), so state size is O(rows per watermark
+    horizon), not O(stream length). Without the interval bound the
+    state store grows forever — the unbounded-state trap this wrapper
+    exists to make unrepresentable.
+
+    ``how`` may be "inner", "leftOuter", etc. — outer sides emit their
+    null-padded rows only once the opposing watermark closes the window.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withColumnRenamed(right_key, "__rk").withWatermark(
+        right_ts, watermark
+    )
+    cond = (
+        (F.col(left_key) == F.col("__rk"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond, how).drop("__rk")
+
+
 def dedup_within_watermark(
     df: DataFrame,
     keys: list[str],

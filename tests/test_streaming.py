@@ -182,3 +182,31 @@ def test_running_user_totals_state_survives_batches(spark, tmp_path):
         latest[r["user_id"]] = (r["n_events"], r["total_value"])
     assert latest[1] == (3, 7.0)  # 2 events in batch 0 + 1 in batch 1
     assert latest[2] == (1, 5.0)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Impressions ⋈ clicks within 5 minutes: same key + in-window ts
+    matches; out-of-window or unknown-key clicks don't."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _write_batch(imp_dir, "b0.json", [
+        {"ad_id": 1, "imp_ts": "2024-01-01 00:00:00"},
+        {"ad_id": 2, "imp_ts": "2024-01-01 00:00:00"},
+    ])
+    _write_batch(clk_dir, "b0.json", [
+        {"ad_id": 1, "click_ts": "2024-01-01 00:03:00"},   # match (3 min)
+        {"ad_id": 2, "click_ts": "2024-01-01 00:30:00"},   # out of window
+        {"ad_id": 99, "click_ts": "2024-01-01 00:01:00"},  # unknown key
+    ])
+    imps = spark.readStream.schema("ad_id long, imp_ts timestamp").json(imp_dir)
+    clks = spark.readStream.schema("ad_id long, click_ts timestamp").json(clk_dir)
+    joined = stream_stream_interval_join(
+        imps, clks, "ad_id", "ad_id", "imp_ts", "click_ts", within="5 minutes"
+    )
+    rows = _run_to_memory(joined, spark, "ssj", "append")
+    assert [(r["ad_id"], str(r["click_ts"])) for r in rows] == [
+        (1, "2024-01-01 00:03:00")
+    ]
