@@ -427,6 +427,37 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = doc_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
     """,
+    "near_dup_clusters": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        canon AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id FROM reach GROUP BY u)
+        SELECT d.doc_id,
+               CAST(COALESCE(c.canon_id, d.doc_id) AS BIGINT) AS canon_id
+        FROM documents d LEFT JOIN canon c USING (doc_id)
+    """,
     # --- similarity ------------------------------------------------------
     "embedding_norms": """
         SELECT label,

@@ -322,6 +322,78 @@ def winnow_near_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of an undirected pair graph via iterative
+    min-label propagation: every node's label converges to the minimum
+    doc_id in its component. Returns (node, label).
+
+    Scale shape: each iteration is one join + one aggregate (2 shuffles)
+    over the EDGE set, and the iteration count is the graph diameter —
+    for near-dup graphs that's tiny (dup clusters are cliques or short
+    chains), so the loop runs ~2-4 times regardless of corpus size.
+    ``localCheckpoint`` truncates the lineage each round; without it the
+    plan doubles per iteration and Catalyst analysis time explodes long
+    before data size matters.
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Cluster-dedup assignment: every document mapped to the canonical
+    (minimum) doc_id of its near-dup component; singletons map to
+    themselves. Downstream dedup is then ``filter(doc_id == canon_id)``
+    — keep one representative per cluster — which, unlike pairwise
+    drop-the-second, is stable under transitive chains (A~B, B~C, A≁C
+    still collapses to one survivor).
+    """
+    comp = connected_components(pairs, max_iter)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("canon_id"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """64-bit SimHash per document, entirely with higher-order functions.
 

@@ -76,6 +76,15 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_near_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-dedup: connected components (min-label propagation) over
+    the exact 3-gram Jaccard pair graph → (doc_id, canon_id) for every
+    document. Oracle: DuckDB recursive-CTE transitive closure."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.near_dup_pairs_exact(docs, n=3, threshold=0.5)
+    return D.near_dup_clusters(docs, pairs)
+
+
 # --- UDTF surface -----------------------------------------------------------
 
 
@@ -168,6 +177,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "simhash_near_pairs": simhash_near_pairs,
     "winnow_near_pairs": winnow_near_pairs,
+    "near_dup_clusters": near_dup_clusters,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,

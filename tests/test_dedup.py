@@ -119,3 +119,22 @@ def test_winnow_pairs_agree_with_exact_on_corpus(docs, exact_pairs):
     got = {(r["doc_a"], r["doc_b"]) for r in winnow_near_pairs(docs, threshold=0.5).collect()}
     strong = {p for p, j in exact_pairs.items() if j >= 0.8}
     assert strong <= got  # near-identical planted pairs always found
+
+
+def test_connected_components_transitive_chains(spark):
+    """A~B, B~C (A≁C directly) and a separate pair: min-label propagation
+    must collapse the chain into one cluster keyed by its min id."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        connected_components,
+        near_dup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8]], "doc_id long")
+    canon = {r["doc_id"]: r["canon_id"] for r in near_dup_clusters(docs, pairs).collect()}
+    assert canon == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
