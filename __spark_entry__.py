@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_price_percentiles": R.order_price_percentiles,
         "sketch_event_stats": R.sketch_event_stats,
         "order_item_arrays": R.order_item_arrays,
+        "order_price_histogram": R.order_price_histogram,
         # reshape: pivot / unpivot / explode / range join / sampling
         "pivot_qty_by_linestatus": RS.pivot_qty_by_linestatus,
         "unpivot_order_metrics": RS.unpivot_order_metrics,

@@ -331,6 +331,15 @@ ORACLE_SQL: dict[str, str] = {
          AND c.click_ts < e.ts + INTERVAL 5 MINUTE
         GROUP BY e.event_id
     """,
+    "order_price_histogram": """
+        SELECT CAST(LEAST(GREATEST(FLOOR(o_totalprice / 30000.0), 0), 19) AS BIGINT) AS bucket,
+               COUNT(*) AS n_orders,
+               ROUND(MIN(o_totalprice), 2) AS lo,
+               ROUND(MAX(o_totalprice), 2) AS hi,
+               ROUND(AVG(o_totalprice), 4) AS mean_price
+        FROM orders
+        GROUP BY 1
+    """,
     # --- UDTF surface ----------------------------------------------------
     "doc_chunks_udtf": r"""
         WITH t AS (

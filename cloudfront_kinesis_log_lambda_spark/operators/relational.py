@@ -533,3 +533,23 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(qty, -1).alias("qty_max"),
         F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
     )
+
+
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range binned histogram in ONE aggregation pass — the
+    scale-friendly distribution profile. Sort-based quantiles shuffle the
+    full column; this is a map-side-combinable groupBy over ~20 groups,
+    so the reduce stage moves 20 rows per partition no matter how many
+    trillions of input rows. Bucket = floor(price/30k) clamped to [0,20).
+    """
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("o_totalprice") / 30000.0), F.lit(0)),
+        F.lit(19),
+    ).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+    )
