@@ -436,6 +436,28 @@ ORACLE_SQL: dict[str, str] = {
         JOIN sizes nb ON nb.doc_id = doc_b
         WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5
     """,
+    "doc_tfidf_topk": r"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM toks WHERE term <> '' GROUP BY 1, 2),
+        dfreq AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df
+          FROM toks WHERE term <> '' GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS s,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (LN((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) DESC,
+                            tf.term) AS rn
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        SELECT doc_id, term, tf, df, ROUND(s, 4) AS tfidf, rn
+        FROM scored WHERE rn <= 5
+    """,
     "near_dup_clusters": r"""
         WITH RECURSIVE toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),

@@ -136,3 +136,49 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
         F.min("doc_id").alias("representative"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Smoothed TF-IDF with per-document top-k terms, as pure DataFrame
+    math (tf and df are exact counts, idf = ln((N+1)/(df+1)) + 1) — no
+    feature hashing, so every score is exactly reproducible in SQL.
+
+    Scale shape: the document-frequency table is VOCABULARY-sized, tiny
+    next to the (doc, term) tf table, so Catalyst broadcasts it (and the
+    1-row corpus count) — the only shuffles are the tf aggregate and the
+    per-doc top-k window, both partitioned by doc-side keys that can't
+    skew the way hot terms can. Ties rank deterministically (score desc,
+    term asc): equal (tf, df) pairs produce bit-identical doubles.
+    """
+    docs = ensure_parallelism(docs)
+    toks = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("_score", 4).alias("tfidf"),
+            "rn",
+        )
+    )

@@ -53,6 +53,10 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_id(_docs(spark, sf_dir))
 
 
+def doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.exact_dedup(_docs(spark, sf_dir))
 
@@ -170,6 +174,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
+    "doc_tfidf_topk": doc_tfidf_topk,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
