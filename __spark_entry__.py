@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+from cloudfront_kinesis_log_lambda_spark.operators import pandas_grouped as PG
 from cloudfront_kinesis_log_lambda_spark.operators import reshape as RS
 from cloudfront_kinesis_log_lambda_spark.plans.registry import EXTENSION_QUERIES
 
@@ -75,6 +76,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": R.events_json_props,
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,
+        # grouped Pandas-UDF surface (applyInPandas / grouped-agg UDAF)
+        "events_zscore": PG.events_zscore,
+        "events_median_udaf": PG.events_median_udaf,
     }
     # LLM-data-pipeline extension operators (SURVEY.md §2.6) + the
     # CloudFront reference pipeline itself

@@ -284,6 +284,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM lineitem
         GROUP BY l_orderkey
     """,
+    # --- grouped Pandas-UDF surface --------------------------------------
+    "events_zscore": """
+        SELECT event_id, event_type,
+               ROUND(CASE WHEN COUNT(*) OVER w <= 1
+                            OR STDDEV_SAMP(value) OVER w = 0
+                          THEN 0.0
+                          ELSE (value - AVG(value) OVER w)
+                               / STDDEV_SAMP(value) OVER w
+                     END, 4) AS z
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    """,
+    "events_median_udaf": """
+        SELECT event_type,
+               ROUND(MEDIAN(value), 4) AS median_value
+        FROM events
+        GROUP BY event_type
+    """,
     # --- reshape surface -------------------------------------------------
     "pivot_qty_by_linestatus": """
         SELECT l_returnflag,
