@@ -286,7 +286,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # --- grouped Pandas-UDF surface --------------------------------------
     "events_zscore": """
-        SELECT event_id, event_type,
+        SELECT event_id, user_id,
                ROUND(CASE WHEN COUNT(*) OVER w <= 1
                             OR STDDEV_SAMP(value) OVER w = 0
                           THEN 0.0
@@ -294,13 +294,52 @@ ORACLE_SQL: dict[str, str] = {
                                / STDDEV_SAMP(value) OVER w
                      END, 4) AS z
         FROM events
-        WINDOW w AS (PARTITION BY event_type)
+        WINDOW w AS (PARTITION BY user_id)
     """,
     "events_median_udaf": """
-        SELECT event_type,
+        SELECT user_id,
                ROUND(MEDIAN(value), 4) AS median_value
         FROM events
-        GROUP BY event_type
+        GROUP BY user_id
+    """,
+    # --- streaming batch twins -------------------------------------------
+    # Spark F.window buckets are epoch-aligned; floor(epoch/600)*600 is
+    # the dialect-neutral equivalent (600 s = 10 min divides both the
+    # Unix epoch and any whole-day origin, so alignment is identical).
+    "events_tumbling_windows": """
+        SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 600) * 600) AS TIMESTAMP)
+                 AS window_start,
+               CAST(to_timestamp(FLOOR(epoch(ts) / 600) * 600) AS TIMESTAMP)
+                 + INTERVAL 10 MINUTE AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    # Spark session_window: session = maximal run where each event starts
+    # < previous event's ts + gap (end-exclusive); end = last ts + gap.
+    "events_session_windows": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_id
     """,
     # --- reshape surface -------------------------------------------------
     "pivot_qty_by_linestatus": """
@@ -362,7 +401,11 @@ ORACLE_SQL: dict[str, str] = {
     "doc_chunks_udtf": r"""
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-          FROM documents)
+          FROM documents
+          -- empty/whitespace-only text: the UDTF yields no rows (LATERAL
+          -- drops the doc); splitting '' here would yield [''] → 1 bogus
+          -- chunk. Guard keeps both engines aligned on "no chunks".
+          WHERE trim(text) <> '')
         SELECT doc_id,
                CAST(c AS BIGINT) AS chunk_idx,
                array_to_string(w[(c - 1) * 16 + 1 : LEAST(c * 16, len(w))], ' ') AS chunk,

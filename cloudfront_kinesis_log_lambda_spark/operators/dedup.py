@@ -405,9 +405,18 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     # materialize the gram-hash array in its own projection: all 64 bit-
     # vote aggregates reference it, and an inlined subtree would be
     # re-derived (tokenize + hash) once per bit
-    with_hashes = ensure_parallelism(docs).select(
-        "doc_id",
-        F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t)).alias("_hashes"),
+    with_hashes = (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t)).alias(
+                "_hashes"
+            ),
+        )
+        # docs shorter than n tokens have no grams → signature would be 0,
+        # and every such unrelated doc would pair at hamming 0. Exclude
+        # them, same contract as minhash_lsh_pairs' size(grams)>0 filter.
+        .filter(F.size("_hashes") > 0)
     )
     hashes = F.col("_hashes")
 

@@ -11,10 +11,13 @@ checkable against DuckDB; swap the body for a real model and the Spark
 plumbing (schema, grouping, Arrow batching) is already proven.
 
 Scale notes: applyInPandas shuffles each group to one task and
-materializes it as ONE pandas frame — fine for bounded-cardinality
-groups like event_type (≤ a few M rows each), wrong for skewed
-billion-row groups (use window functions or re-key first). Grouped-agg
-pandas_udf has the same contract per (group, column) series.
+materializes it as ONE pandas frame — the grouping key must therefore
+have bounded per-group size. These queries key on ``user_id`` (group
+size = events per user, bounded regardless of corpus size; cardinality
+grows with the data, which is exactly what applyInPandas parallelizes
+over). Keying on a 5-value column like event_type would materialize
+~20% of the table per task — the anti-pattern. Grouped-agg pandas_udf
+has the same contract per (group, column) series.
 """
 
 from __future__ import annotations
@@ -35,8 +38,9 @@ def zscore_by_group(
     (n=1 or zero variance) emit z=0.0 rather than NaN so the output is
     total over input rows.
     """
-    out_fields = ", ".join(f"{c} long" for c in id_cols)
-    schema = f"{out_fields}, {key} string, z double"
+    dtypes = dict(df.dtypes)
+    out_fields = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
+    schema = f"{out_fields}, {key} {dtypes[key]}, z double"
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf[value_col].std(ddof=1)
@@ -55,12 +59,14 @@ def zscore_by_group(
 
 
 def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score of event values — bounded groups (events per
+    user), cardinality scales with the corpus."""
     e = load(spark, sf_dir, "events")
-    return zscore_by_group(e, "event_type", "value", ["event_id"])
+    return zscore_by_group(e, "user_id", "value", ["event_id"])
 
 
 def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouped-aggregate pandas_udf: per-type median of ``value``.
+    """Grouped-aggregate pandas_udf: per-user median of ``value``.
 
     The UDAF receives each group's column as one pandas Series (Arrow
     transfer, no Python-per-row cost). Note Spark forbids mixing grouped-
@@ -74,6 +80,6 @@ def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(v.median())
 
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    return e.groupBy("user_id").agg(
         F.round(median_udf("value"), 4).alias("median_value")
     )

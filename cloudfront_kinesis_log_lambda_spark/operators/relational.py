@@ -26,6 +26,11 @@ from pyspark.sql.window import Window
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries TIMESTAMP(NANOS), which a plain SparkSession
+    # rejects outright (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
+    # so pin it here rather than relying on session-build confs — callers
+    # (e.g. an external driver harness) may hand us any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
     # as epoch-nanos. Integer-divide (DIV keeps long precision — a double

@@ -18,6 +18,17 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # df.rdd.getNumPartitions() would be exact but forces a full physical-
+    # plan → RDD conversion on every call (this helper sits in ~10 operator
+    # hot paths). The scan's file count is a cheap FileIndex lookup and a
+    # conservative proxy: >= target files is certainly enough parallelism;
+    # fewer (or a non-file source, 0) gets the round-robin repartition. A
+    # single large splittable file repartitions unnecessarily — one extra
+    # shuffle, bounded by the input being small enough to have few files.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < target:
         return df.repartition(target)
     return df

@@ -27,6 +27,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
     transform_cloudfront,
 )
 from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import read_cloudfront_logs
+from cloudfront_kinesis_log_lambda_spark.streaming import pipeline as SP
 from cloudfront_kinesis_log_lambda_spark.testing.fixtures import write_log_tree
 
 
@@ -82,10 +83,17 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
-    the exact 3-gram Jaccard pair graph → (doc_id, canon_id) for every
-    document. Oracle: DuckDB recursive-CTE transitive closure."""
+    the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
+
+    The pair graph comes from the SCALE path (banded LSH, capped buckets
+    — no shingle self-join anywhere in this plan), not the quadratic
+    exact join, which survives only as the oracle/recall baseline. LSH
+    candidates are verified with exact Jaccard before clustering, so
+    precision is exact; recall at J>=0.5 is 1.0 on this corpus
+    (tests/test_dedup.py), which is what lets the result still hash-match
+    the DuckDB recursive-CTE transitive closure over the exact graph."""
     docs = _docs(spark, sf_dir)
-    pairs = D.near_dup_pairs_exact(docs, n=3, threshold=0.5)
+    pairs = D.minhash_lsh_pairs(docs, n=3, threshold=0.5)
     return D.near_dup_clusters(docs, pairs)
 
 
@@ -108,6 +116,27 @@ def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
     return A.asof_join_backward(purchases, views, on="user_id", right_cols=["value"])
+
+
+# --- streaming operators, batch twins ---------------------------------------
+# The streaming surface (streaming/pipeline.py) is exercised end-to-end by
+# tests/test_streaming.py; these twins run the SAME operator functions over
+# the batch events table (withWatermark is a no-op in batch) so F.window /
+# session_window semantics get driver-gate oracle evidence too.
+
+
+def events_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window counts/sums per event_type — the batch
+    twin of the watermarked streaming aggregate."""
+    return SP.tumbling_event_counts(R.load(spark, sf_dir, "events"))
+
+
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) session windows per user — the batch twin of
+    the streaming ``session_window`` aggregate; session end = last event
+    + gap, end-exclusive (a new event at exactly prev_ts+gap opens a new
+    session)."""
+    return SP.session_window_counts(R.load(spark, sf_dir, "events"), gap="30 minutes")
 
 
 # --- similarity search ------------------------------------------------------
@@ -183,6 +212,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_pairs": simhash_near_pairs,
     "winnow_near_pairs": winnow_near_pairs,
     "near_dup_clusters": near_dup_clusters,
+    "events_tumbling_windows": events_tumbling_windows,
+    "events_session_windows": events_session_windows,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "ann_lsh_topk": ann_lsh_topk,

@@ -88,13 +88,20 @@ def put_records_with_retry(
       to …:114-116).
     """
     stats = PutStats()
-    # LIFO work stack of (batch, attempt); retries interleave with fresh
-    # batches exactly as the reference's shared queue allowed.
-    work: list[tuple[list[dict[str, Any]], int]] = [
-        (chunk, 0) for chunk in chunked(records, batch_size)
-    ]
-    while work:
-        batch, attempt = work.pop()
+    # Chunks are pulled LAZILY from the input iterator — the reference's
+    # bounded-queue producer (cloudfront_kinesis_lambda.py:219-220) never
+    # materialized the whole file either. Memory held here is one in-flight
+    # batch plus the retry stack (failed records only), not the partition.
+    chunks = chunked(records, batch_size)
+    retries: list[tuple[list[dict[str, Any]], int]] = []
+    while True:
+        if retries:
+            batch, attempt = retries.pop()
+        else:
+            batch = next(chunks, None)
+            if batch is None:
+                break
+            attempt = 0
         if attempt >= max_attempts:
             stats.dropped_records += len(batch)
             continue
@@ -113,7 +120,7 @@ def put_records_with_retry(
                     failed.append(record)
             if failed:
                 stats.retried_records += len(failed)
-                work.append((failed, attempt + 1))
+                retries.append((failed, attempt + 1))
     return stats
 
 

@@ -25,6 +25,21 @@ tests, and a boto3 implementation behind a lazy import for production
 (AWS SDK access isn't assumed in this environment — the Spark-side
 plumbing, schema, partitioning, and offset handling are the real,
 tested surface).
+
+Offset protocol (client-agnostic by construction): a shard *position* is
+an opaque JSON-serializable token owned by the client — the reader never
+does arithmetic or ordering on it. Each client exposes
+
+- ``initial_position`` — the "beginning of shard" token,
+- ``read_from(shard, pos, limit) -> (records, next_pos)`` — records
+  strictly after ``pos`` plus the token to resume from,
+- ``read_between(shard, start, end)`` — deterministic replay of exactly
+  the records a ``read_from(start)`` that returned ``next_pos == end``
+  produced (checkpoint recovery).
+
+For the fake, tokens are line indices (next unread line); for boto3 they
+are Kinesis sequence-number strings (last consumed, used with
+AFTER_SEQUENCE_NUMBER) with ``None`` meaning TRIM_HORIZON.
 """
 
 from __future__ import annotations
@@ -52,7 +67,11 @@ class FakeShardClient:
     A "stream" is a directory of ``shard-*.jsonl`` files; each line is a
     record ``{"PartitionKey": ..., "Data": ...}``; a record's sequence
     number is its line index. Append-only files model an open shard.
+
+    Position token: the index of the next unread line (0 = beginning).
     """
+
+    initial_position: int = 0
 
     def __init__(self, fake_dir: str) -> None:
         self.fake_dir = fake_dir
@@ -64,8 +83,12 @@ class FakeShardClient:
             if f.startswith("shard-") and f.endswith(".jsonl")
         )
 
-    def read_from(
-        self, shard_id: str, start_seq: int, limit: int | None = None
+    def _scan(
+        self,
+        shard_id: str,
+        start: int,
+        stop: int | None,
+        limit: int | None,
     ) -> list[tuple[int, dict[str, Any]]]:
         path = os.path.join(self.fake_dir, f"{shard_id}.jsonl")
         if not os.path.exists(path):
@@ -73,12 +96,26 @@ class FakeShardClient:
         out: list[tuple[int, dict[str, Any]]] = []
         with open(path) as f:
             for seq, line in enumerate(f):
-                if seq < start_seq or not line.strip():
+                if seq < start or not line.strip():
                     continue
+                if stop is not None and seq >= stop:
+                    break
                 out.append((seq, json.loads(line)))
                 if limit is not None and len(out) >= limit:
                     break
         return out
+
+    def read_from(
+        self, shard_id: str, position: int, limit: int | None = None
+    ) -> tuple[list[tuple[int, dict[str, Any]]], int]:
+        got = self._scan(shard_id, int(position), None, limit)
+        next_pos = got[-1][0] + 1 if got else int(position)
+        return got, next_pos
+
+    def read_between(
+        self, shard_id: str, start: int, end: int
+    ) -> list[tuple[int, dict[str, Any]]]:
+        return self._scan(shard_id, int(start), int(end), None)
 
 
 class FakeKinesisDataPlane:
@@ -110,10 +147,13 @@ class FakeKinesisDataPlane:
 class Boto3ShardClient:
     """Production client: same protocol over the real data-plane API.
 
-    Sequence positions are Kinesis sequence-number strings; ``start_seq``
-    0 means TRIM_HORIZON. Lazy boto3 import — only executors/driver that
+    Position token: the last consumed Kinesis sequence-number string
+    (resumed with AFTER_SEQUENCE_NUMBER, which is exclusive); ``None``
+    means TRIM_HORIZON. Lazy boto3 import — only executors/driver that
     actually talk to AWS need the SDK.
     """
+
+    initial_position: None = None
 
     def __init__(self, stream_name: str, region_name: str | None = None) -> None:
         import boto3  # deferred: not installed/needed for tests
@@ -131,23 +171,33 @@ class Boto3ShardClient:
             if not token:
                 return sorted(shards)
 
-    def read_from(
-        self, shard_id: str, start_seq: Any, limit: int | None = None
-    ) -> list[tuple[Any, dict[str, Any]]]:
-        if start_seq in (0, "0", None):
+    def _iterate(
+        self,
+        shard_id: str,
+        position: str | None,
+        limit: int | None,
+        stop_seq: str | None,
+    ) -> list[tuple[str, dict[str, Any]]]:
+        if position in (0, "0", None):
             it_kw = {"ShardIteratorType": "TRIM_HORIZON"}
         else:
             it_kw = {
                 "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
-                "StartingSequenceNumber": str(start_seq),
+                "StartingSequenceNumber": str(position),
             }
         iterator = self._client.get_shard_iterator(
             StreamName=self.stream_name, ShardId=shard_id, **it_kw
         )["ShardIterator"]
-        out: list[tuple[Any, dict[str, Any]]] = []
+        # Kinesis sequence numbers are decimal strings of a 128-bit
+        # counter — numeric comparison (NOT lexicographic) is the
+        # documented ordering, used only for the replay stop bound.
+        stop = int(stop_seq) if stop_seq is not None else None
+        out: list[tuple[str, dict[str, Any]]] = []
         while iterator:
             resp = self._client.get_records(ShardIterator=iterator, Limit=1000)
             for r in resp["Records"]:
+                if stop is not None and int(r["SequenceNumber"]) > stop:
+                    return out
                 out.append(
                     (
                         r["SequenceNumber"],
@@ -163,6 +213,20 @@ class Boto3ShardClient:
             if resp.get("MillisBehindLatest", 0) == 0:
                 return out
         return out
+
+    def read_from(
+        self, shard_id: str, position: str | None, limit: int | None = None
+    ) -> tuple[list[tuple[str, dict[str, Any]]], str | None]:
+        got = self._iterate(shard_id, position, limit, None)
+        next_pos = got[-1][0] if got else position
+        return got, next_pos
+
+    def read_between(
+        self, shard_id: str, start: str | None, end: str | None
+    ) -> list[tuple[str, dict[str, Any]]]:
+        if end is None or start == end:
+            return []
+        return self._iterate(shard_id, start, None, end)
 
 
 def _make_client(options: dict) -> FakeShardClient | Boto3ShardClient:
@@ -187,7 +251,8 @@ class KinesisBatchReader(DataSourceReader):
 
     def read(self, partition: _ShardPartition) -> Iterator[tuple]:
         client = _make_client(self.options)  # executor-side construction
-        for seq, rec in client.read_from(partition.shard_id, 0):
+        got, _ = client.read_from(partition.shard_id, client.initial_position)
+        for seq, rec in got:
             yield (partition.shard_id, str(seq), rec["PartitionKey"], rec["Data"])
 
 
@@ -200,28 +265,31 @@ class KinesisStreamReader(SimpleDataSourceStreamReader):
         self.max_per_shard = int(options.get("max_records_per_shard", "10000"))
 
     def initialOffset(self) -> dict:
-        return {s: 0 for s in self.client.list_shards()}
+        init = self.client.initial_position
+        return {s: init for s in self.client.list_shards()}
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        # pick up shards that appeared after the stream started (resharding)
-        offsets = {s: 0 for s in self.client.list_shards()}
+        # pick up shards that appeared after the stream started
+        # (resharding); position tokens are opaque to this reader — the
+        # client returns its own next position (no +1 arithmetic here,
+        # which would break on boto3's string sequence numbers)
+        init = self.client.initial_position
+        offsets = {s: init for s in self.client.list_shards()}
         offsets.update(start)
         rows: list[tuple] = []
         end: dict = {}
-        for shard_id, seq in offsets.items():
-            got = self.client.read_from(shard_id, int(seq), self.max_per_shard)
+        for shard_id, pos in offsets.items():
+            got, next_pos = self.client.read_from(shard_id, pos, self.max_per_shard)
             for s, rec in got:
                 rows.append((shard_id, str(s), rec["PartitionKey"], rec["Data"]))
-            end[shard_id] = (got[-1][0] + 1) if got else int(seq)
+            end[shard_id] = next_pos
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # replay for recovery: deterministic because shards are append-only
-        for shard_id, seq in start.items():
-            stop = int(end.get(shard_id, seq))
-            for s, rec in self.client.read_from(shard_id, int(seq)):
-                if s >= stop:
-                    break
+        for shard_id, pos in start.items():
+            stop = end.get(shard_id, pos)
+            for s, rec in self.client.read_between(shard_id, pos, stop):
                 yield (shard_id, str(s), rec["PartitionKey"], rec["Data"])
 
 

@@ -124,3 +124,39 @@ def test_sink_through_spark_partitions(spark):
     assert sum(s["n"] for s in shipped) == 1250
     assert all(s["stream"] == "prod-logs" for s in shipped)
     assert all(s["n"] <= MAX_RECORDS_PER_PUT for s in shipped)
+
+
+def test_streams_lazily_first_put_before_iterator_exhausted():
+    """Round 1 regression (VERDICT): the retry loop materialized every
+    chunk up front (`[(chunk, 0) for chunk in chunked(...)]`), holding
+    the whole partition in memory. Chunks must now be pulled lazily —
+    the first put_records happens after exactly one batch is consumed."""
+    consumed = []
+    puts_at = []
+
+    class ProbeKinesis:
+        def put_records(self, StreamName, Records):
+            puts_at.append(len(consumed))
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    def gen(n):
+        for i in range(n):
+            consumed.append(i)
+            yield {"Data": f"d{i}", "PartitionKey": f"k{i:032d}"}
+
+    put_records_with_retry(gen(1250), ProbeKinesis(), "prod-logs", sleep=lambda s: None)
+    # first put fired after 500 records consumed, not after all 1250
+    assert puts_at[0] == 500
+    assert puts_at == [500, 1000, 1250]
+
+
+def test_lazy_retry_interleaves_with_fresh_chunks():
+    """Retries drain before the next fresh chunk is pulled; total memory
+    is one in-flight batch + failed records, never the partition."""
+    client = FakeKinesis(fail_plan=[{0}])  # first batch: record 0 fails
+    stats = put_records_with_retry(
+        recs(12), client, "prod-logs", sleep=lambda s: None, batch_size=5
+    )
+    # call order: batch0(fail rec0) → retry(1 rec) → batch1 → batch2
+    assert [len(r) for _, r in client.calls] == [5, 1, 5, 2]
+    assert stats.records == 13 and stats.retried_records == 1

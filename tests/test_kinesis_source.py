@@ -91,3 +91,82 @@ def test_wire_records_roundtrip_through_stream(spark, tmp_path):
     assert len(decoded) == len(wire) > 0
     assert {r["type"] for r in decoded} == {"globaledge_cloudfront"}
     assert all(r["env"] and r["ts"] for r in decoded)
+
+
+class _FakeBotoKinesis:
+    """boto3-shaped data plane: string 128-bit-ish sequence numbers,
+    AFTER_SEQUENCE_NUMBER (exclusive) iterators — the semantics that
+    broke the old integer-offset arithmetic."""
+
+    def __init__(self, records):
+        # records: list of (seq_str, pk, data), ascending numeric seq
+        self.records = records
+
+    def get_shard_iterator(self, StreamName, ShardId, **kw):
+        if kw["ShardIteratorType"] == "TRIM_HORIZON":
+            return {"ShardIterator": "it-0"}
+        after = int(kw["StartingSequenceNumber"])
+        for i, (seq, _, _) in enumerate(self.records):
+            if int(seq) > after:
+                return {"ShardIterator": f"it-{i}"}
+        return {"ShardIterator": f"it-{len(self.records)}"}
+
+    def get_records(self, ShardIterator, Limit):
+        start = int(ShardIterator.split("-")[1])
+        batch = self.records[start : start + Limit]
+        return {
+            "Records": [
+                {"SequenceNumber": s, "PartitionKey": pk, "Data": d.encode()}
+                for s, pk, d in batch
+            ],
+            "NextShardIterator": f"it-{start + len(batch)}",
+            "MillisBehindLatest": 0,
+        }
+
+
+def _boto_client(records):
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import Boto3ShardClient
+
+    c = Boto3ShardClient.__new__(Boto3ShardClient)  # skip boto3 import
+    c._client = _FakeBotoKinesis(records)
+    c.stream_name = "s"
+    return c
+
+
+def test_boto3_offset_protocol_string_sequence_numbers():
+    """Round 1 regression (ADVICE): the reader did `last_seq + 1` next-
+    offset arithmetic, a TypeError on boto3's string sequence numbers,
+    and compared str >= int in replay. The protocol is now client-owned:
+    next position IS the last consumed sequence string."""
+    recs = [(str(10**20 + 7 * i), f"pk{i}", f"d{i}") for i in range(5)]
+    c = _boto_client(recs)
+
+    got, nxt = c.read_from("shard-0", c.initial_position, limit=3)
+    assert [r["Data"] for _, r in got] == ["d0", "d1", "d2"]
+    assert nxt == recs[2][0]  # last consumed seq string, no arithmetic
+
+    got2, nxt2 = c.read_from("shard-0", nxt)  # resumes AFTER nxt
+    assert [r["Data"] for _, r in got2] == ["d3", "d4"]
+    assert nxt2 == recs[4][0]
+
+    # empty tail: position unchanged
+    got3, nxt3 = c.read_from("shard-0", nxt2)
+    assert got3 == [] and nxt3 == nxt2
+
+    # replay [start, end] reproduces exactly the second batch
+    replay = c.read_between("shard-0", nxt, nxt2)
+    assert [r["Data"] for _, r in replay] == ["d3", "d4"]
+    assert c.read_between("shard-0", nxt2, nxt2) == []
+
+
+def test_fake_client_offset_protocol(tmp_path):
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import FakeShardClient
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [(f"pk{i}", f"x{i}") for i in range(4)])
+    c = FakeShardClient(d)
+    got, nxt = c.read_from("shard-000", c.initial_position, limit=3)
+    assert [s for s, _ in got] == [0, 1, 2] and nxt == 3
+    got2, nxt2 = c.read_from("shard-000", nxt)
+    assert [s for s, _ in got2] == [3] and nxt2 == 4
+    assert [s for s, _ in c.read_between("shard-000", 1, 3)] == [1, 2]

@@ -5,7 +5,13 @@ to its DuckDB ``oracle_sql()`` twin: row count, column-name set, and an
 order-insensitive value comparison (columns sorted by name, rows sorted,
 exact equality after dtype normalization). Exits nonzero on mismatch.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+By default the sweep runs on a **vanilla** SparkSession (bare builder, no
+engine confs) — the same environment the external driver harness uses —
+so session-conf skew between the engine factory and a plain session can
+never hide a failure again. Pass ``--engine-session`` to use the tuned
+``get_spark()`` factory instead.
+
+Usage: python tools/check_correctness.py [--engine-session] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -35,13 +41,26 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--engine-session"]
+    engine_session = "--engine-session" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
-    from cloudfront_kinesis_log_lambda_spark.session import get_spark
 
-    spark = get_spark(app_name="check-correctness", master="local[8]")
+    if engine_session:
+        from cloudfront_kinesis_log_lambda_spark.session import get_spark
+
+        spark = get_spark(app_name="check-correctness", master="local[8]")
+    else:
+        from pyspark.sql import SparkSession
+
+        # driver-faithful: no engine confs at all (container TZ is UTC)
+        spark = (
+            SparkSession.builder.appName("check-correctness-vanilla")
+            .master("local[8]")
+            .getOrCreate()
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
