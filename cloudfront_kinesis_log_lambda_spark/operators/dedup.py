@@ -34,6 +34,21 @@ from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelis
 _P = 2_147_483_647
 
 
+def has_min_tokens(text_col: str | Column, n: int) -> Column:
+    """Cheap pushdown-safe predicate: document has at least n whitespace
+    tokens (⇔ gram_array(text, n) is non-empty).
+
+    Filtering on ``size(gram_array(...)) > 0`` instead is a measured
+    5× regression: Catalyst pushes the predicate below the
+    ensure_parallelism exchange into the (often single-file, single-task)
+    scan stage, so the whole interpreted shingling HOF runs twice — once
+    serially. This predicate keeps the pushdown (good: prunes at the
+    scan) but costs only one regex split per row there.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(F.trim(c), r"\s+")) >= n
+
+
 def gram_array(text_col: str | Column, n: int) -> Column:
     """Distinct word n-grams of a text column as an array<string>."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -122,32 +137,28 @@ def minhash_lsh_pairs(
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
 
-    # signatures WITHOUT exploding shingles: per-doc gram-hash array in
-    # one projection (materialized — 64 min-reductions reference it),
-    # then k universal-hash minima as array folds. Zero shuffles until
-    # the band buckets; the gram array doubles as the exact-verification
-    # set (gram_array is already distinct).
+    # signature computation stays in whole-stage codegen: explode grams,
+    # hash each once, then ONE hash-aggregate with 64 min() columns.
+    # Map-side partial aggregation collapses each doc to a single
+    # signature row before the exchange (every doc's grams live in one
+    # input row → one partition), so the shuffle carries exactly the
+    # signature table — 1 row/doc — at any scale. The previous
+    # formulation (64 F.aggregate HOF folds over a per-doc hash array)
+    # was shuffle-free but ~3× slower wall-clock: higher-order-function
+    # lambdas evaluate interpreted, outside codegen.
     hashed = (
-        ensure_parallelism(docs)
+        ensure_parallelism(docs.filter(has_min_tokens(text_col, n)))
         .select("doc_id", gram_array(text_col, n).alias("grams"))
-        .filter(F.size("grams") > 0)
-        .withColumn(
-            "_h", F.transform("grams", lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
-        )
         .cache()
     )
-    # aggregate+least rather than transform+array_min: same fold, but no
-    # per-hash-function intermediate array materialization (64 × |grams|
-    # allocations per doc otherwise — pure GC pressure on long docs)
+    exploded = hashed.select("doc_id", F.explode("grams").alias("g")).withColumn(
+        "h", F.pmod(F.xxhash64("g"), F.lit(_P))
+    )
     mins = [
-        F.aggregate(
-            "_h",
-            F.lit(_P).cast("long"),
-            lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % F.lit(_P)),
-        ).alias(f"h{i}")
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    sig = hashed.select("doc_id", *mins)
+    sig = exploded.groupBy("doc_id").agg(*mins)
 
     band_cols = [
         F.xxhash64(
@@ -395,50 +406,41 @@ def near_dup_clusters(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """64-bit SimHash per document, entirely with higher-order functions.
+    """64-bit SimHash per document: n-gram hashes → per-bit ±1 vote sums
+    → sign bits packed into a long.
 
-    n-gram hashes → per-bit ±1 vote aggregation → sign bits packed into
-    a long — no explode, no shuffle beyond the input scan. Defaults to
-    3-gram shingles: on small-vocabulary corpora unigram feature sets
-    overlap heavily across unrelated docs, washing out the signature.
+    Shape: explode grams, hash once, one hash-aggregate with 64 sum()
+    vote columns (codegen + map-side combine → the shuffle carries one
+    64-int row per doc), then the bit pack as a single projection. The
+    HOF-fold formulation (64 F.aggregate lambdas per doc) was shuffle-
+    free but interpreted — measurably slower than this codegen plan.
+
+    Docs shorter than n tokens are excluded up front (their signature
+    would be 0 and every such unrelated doc would pair at hamming 0);
+    the predicate is pushdown-safe (see :func:`has_min_tokens`).
+    Defaults to 3-gram shingles: on small-vocabulary corpora unigram
+    feature sets overlap heavily across unrelated docs, washing out the
+    signature.
     """
-    # materialize the gram-hash array in its own projection: all 64 bit-
-    # vote aggregates reference it, and an inlined subtree would be
-    # re-derived (tokenize + hash) once per bit
-    with_hashes = (
-        ensure_parallelism(docs)
-        .select(
-            "doc_id",
-            F.transform(gram_array(text_col, n), lambda t: F.xxhash64(t)).alias(
-                "_hashes"
-            ),
-        )
-        # docs shorter than n tokens have no grams → signature would be 0,
-        # and every such unrelated doc would pair at hamming 0. Exclude
-        # them, same contract as minhash_lsh_pairs' size(grams)>0 filter.
-        .filter(F.size("_hashes") > 0)
+    base = (
+        ensure_parallelism(docs.filter(has_min_tokens(text_col, n)))
+        .select("doc_id", F.explode(gram_array(text_col, n)).alias("g"))
+        .withColumn("h", F.xxhash64("g"))
     )
-    hashes = F.col("_hashes")
-
-    # shift distances must be Python ints (shiftright doesn't take a
-    # Column), so the 64 bit-vote aggregates are unrolled statically —
-    # still one codegen'd projection, no explode/shuffle
-    def _vote_merge(i: int):
-        # NB: a 2-arg lambda is required — pyspark binds one lambda
-        # variable per parameter, so an `i=i` default would be shadowed
-        # by a third lambda variable
-        return lambda acc, h: acc + (
-            F.shiftright(h, i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        )
-
+    votes = [
+        F.sum(
+            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    per_doc = base.groupBy("doc_id").agg(*votes)
     sig = F.lit(0).cast("long")
     for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), _vote_merge(i))
         bit = F.when(
-            vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         sig = sig.bitwiseOR(bit)
-    return with_hashes.select("doc_id", sig.alias("simhash"))
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(

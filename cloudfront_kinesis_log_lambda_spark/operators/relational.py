@@ -25,12 +25,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS), which a plain SparkSession
-    # rejects outright (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
-    # so pin it here rather than relying on session-build confs — callers
-    # (e.g. an external driver harness) may hand us any session.
+#: marker conf: session already tuned by _tune_session (skip the RPCs)
+_TUNED = "spark.cloudfront_kinesis_log_lambda_spark.tuned"
+
+
+def _tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable confs to ANY session.
+
+    Callers (e.g. an external driver harness) may hand us a plain
+    ``SparkSession.builder.getOrCreate()`` session: shuffle.partitions
+    stuck at 200 and AQE off means every multi-stage query on small/
+    medium inputs pays ~200-task scheduling overhead per exchange —
+    measured 28 s vs ~3 s for the winnowing query at sf0.01. All of
+    these are runtime-settable SQLConfs, so the engine repairs the
+    session at first load rather than requiring its own session factory
+    (session.py sets the same values at build time; timezone is NOT
+    touched here — it must match the oracle engine's host zone).
+    """
+    if spark.conf.get(_TUNED, None):
+        return
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    # events.parquet carries TIMESTAMP(NANOS), which a plain session
+    # rejects outright (PARQUET_TYPE_ILLEGAL)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    spark.conf.set(_TUNED, "true")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives
     # as epoch-nanos. Integer-divide (DIV keeps long precision — a double

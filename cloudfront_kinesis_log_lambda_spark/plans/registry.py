@@ -199,7 +199,12 @@ def cloudfront_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordered cheap-and-oracle-checked first: the driver gate walks this dict
+# in order under a time budget (round 1 truncated after entry 50), so the
+# entries with the strongest evidence value (SQL oracle twins) and lowest
+# cost run before the heavy hash-seeded rows-only ones.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # oracle-checked, cheap
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_lang_id": doc_lang_id,
@@ -207,19 +212,22 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_exact_dedup": doc_exact_dedup,
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
-    "near_dup_3gram": near_dup_3gram,
-    "near_dup_minhash_lsh": near_dup_minhash_lsh,
-    "simhash_near_pairs": simhash_near_pairs,
-    "winnow_near_pairs": winnow_near_pairs,
-    "near_dup_clusters": near_dup_clusters,
     "events_tumbling_windows": events_tumbling_windows,
     "events_session_windows": events_session_windows,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "multimodal_features": multimodal_features,
+    # rows-only, cheap (the reference pipeline itself)
+    "cloudfront_enriched": cloudfront_enriched,
+    "cloudfront_wire": cloudfront_wire,
+    # oracle-checked, heavier
+    "near_dup_3gram": near_dup_3gram,
+    "near_dup_clusters": near_dup_clusters,
+    # rows-only (hash-seeded; recall-gated in tests), heaviest last
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_pairs_lsh": embedding_pairs_lsh,
-    "multimodal_features": multimodal_features,
-    "cloudfront_enriched": cloudfront_enriched,
-    "cloudfront_wire": cloudfront_wire,
+    "near_dup_minhash_lsh": near_dup_minhash_lsh,
+    "simhash_near_pairs": simhash_near_pairs,
+    "winnow_near_pairs": winnow_near_pairs,
 }

@@ -25,9 +25,11 @@ imported lazily — it is only needed on executors that actually ship.
 
 from __future__ import annotations
 
+import threading
 import time
 import uuid
 from collections.abc import Callable, Iterable, Iterator
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -72,6 +74,7 @@ def put_records_with_retry(
     max_attempts: int = 11,
     sleep: Callable[[float], None] = time.sleep,
     batch_size: int = MAX_RECORDS_PER_PUT,
+    concurrency: int = 1,
 ) -> PutStats:
     """Ship wire records (``{"Data": ..., "PartitionKey": ...}``) to a
     Kinesis stream, reproducing the reference's partial-failure handling:
@@ -86,7 +89,16 @@ def put_records_with_retry(
       ≈ the reference's backoff ladder crossing its 600 s budget; beyond
       it the batch is dropped (at-least-once, drops possible — faithful
       to …:114-116).
+    - ``concurrency > 1`` overlaps puts within the partition with a small
+      thread pool — the reference's 25 asyncio consumers hiding PutRecords
+      latency (cloudfront_kinesis_lambda.py:74,93-122). boto3 clients are
+      thread-safe; at-most ``concurrency`` batches are in flight, so the
+      memory bound stays in-flight batches + failed records.
     """
+    if concurrency > 1:
+        return _put_records_concurrent(
+            records, client, stream_name, max_attempts, sleep, batch_size, concurrency
+        )
     stats = PutStats()
     # Chunks are pulled LAZILY from the input iterator — the reference's
     # bounded-queue producer (cloudfront_kinesis_lambda.py:219-220) never
@@ -111,16 +123,83 @@ def put_records_with_retry(
         stats.batches += 1
         stats.records += len(batch)
         stats.attempts_histogram[attempt] = stats.attempts_histogram.get(attempt, 0) + 1
-        if response.get("FailedRecordCount"):
-            failed = []
-            for i, result in enumerate(response["Records"]):
-                if result.get("ErrorCode"):
-                    record = batch[i]
-                    record["PartitionKey"] = uuid.uuid4().hex
-                    failed.append(record)
-            if failed:
+        failed = _failed_records(response, batch)
+        if failed:
+            stats.retried_records += len(failed)
+            retries.append((failed, attempt + 1))
+    return stats
+
+
+def _failed_records(
+    response: dict[str, Any], batch: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Positional partial-failure extraction + rekey (the reference's
+    retry selection, cloudfront_kinesis_lambda.py:131-143)."""
+    if not response.get("FailedRecordCount"):
+        return []
+    failed = []
+    for i, result in enumerate(response["Records"]):
+        if result.get("ErrorCode"):
+            record = batch[i]
+            record["PartitionKey"] = uuid.uuid4().hex
+            failed.append(record)
+    return failed
+
+
+def _put_records_concurrent(
+    records: Iterable[dict[str, Any]],
+    client: Any,
+    stream_name: str,
+    max_attempts: int,
+    sleep: Callable[[float], None],
+    batch_size: int,
+    concurrency: int,
+) -> PutStats:
+    """Threaded variant of :func:`put_records_with_retry`: up to
+    ``concurrency`` batches in flight at once. Chunks are still pulled
+    lazily — a new chunk is consumed only when a pool slot frees up."""
+    stats = PutStats()
+    lock = threading.Lock()
+
+    def do_put(
+        batch: list[dict[str, Any]], attempt: int
+    ) -> tuple[list[dict[str, Any]], int] | None:
+        if attempt >= max_attempts:
+            with lock:
+                stats.dropped_records += len(batch)
+            return None
+        if attempt:
+            sleep(2**attempt * BACKOFF_BASE_S)
+        response = client.put_records(StreamName=stream_name, Records=batch)
+        with lock:
+            stats.batches += 1
+            stats.records += len(batch)
+            stats.attempts_histogram[attempt] = (
+                stats.attempts_histogram.get(attempt, 0) + 1
+            )
+        failed = _failed_records(response, batch)
+        if failed:
+            with lock:
                 stats.retried_records += len(failed)
-                retries.append((failed, attempt + 1))
+            return failed, attempt + 1
+        return None
+
+    chunks = chunked(records, batch_size)
+    with ThreadPoolExecutor(max_workers=concurrency) as pool:
+        pending = set()
+        while True:
+            while len(pending) < concurrency:
+                batch = next(chunks, None)
+                if batch is None:
+                    break
+                pending.add(pool.submit(do_put, batch, 0))
+            if not pending:
+                break
+            done, pending = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                retry = fut.result()  # re-raises put errors → task fails/retries
+                if retry:
+                    pending.add(pool.submit(do_put, *retry))
     return stats
 
 
@@ -143,7 +222,10 @@ class KinesisSink:
 
     or batch: ``sink.write(wire_df)``. ``parallelism=25`` mirrors the
     reference's NUM_WORKERS (cloudfront_kinesis_lambda.py:74); on a real
-    cluster size it to shard-count × a small factor.
+    cluster size it to shard-count × a small factor. ``io_concurrency``
+    additionally overlaps puts *within* each partition (the reference's
+    in-worker asyncio I/O overlap) — total in-flight puts =
+    parallelism × io_concurrency.
     """
 
     def __init__(
@@ -153,16 +235,19 @@ class KinesisSink:
         max_attempts: int = 11,
         client_factory: Callable[[], Any] | None = None,
         region_name: str | None = None,
+        io_concurrency: int = 1,
     ) -> None:
         self.stream_name = stream_name
         self.parallelism = parallelism
         self.max_attempts = max_attempts
         self.client_factory = client_factory or _default_client_factory(region_name)
+        self.io_concurrency = io_concurrency
 
     def write(self, df: DataFrame) -> None:
         stream_name = self.stream_name
         max_attempts = self.max_attempts
         client_factory = self.client_factory
+        io_concurrency = self.io_concurrency
 
         def ship(partition: Iterator[Any]) -> None:
             rows = (
@@ -176,7 +261,11 @@ class KinesisSink:
 
             client = client_factory()
             put_records_with_retry(
-                itertools.chain([first], rows), client, stream_name, max_attempts
+                itertools.chain([first], rows),
+                client,
+                stream_name,
+                max_attempts,
+                concurrency=io_concurrency,
             )
 
         df.repartition(self.parallelism).foreachPartition(ship)

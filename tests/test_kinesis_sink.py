@@ -160,3 +160,53 @@ def test_lazy_retry_interleaves_with_fresh_chunks():
     # call order: batch0(fail rec0) → retry(1 rec) → batch1 → batch2
     assert [len(r) for _, r in client.calls] == [5, 1, 5, 2]
     assert stats.records == 13 and stats.retried_records == 1
+
+
+def test_concurrent_puts_overlap_in_flight():
+    """io-overlap path (reference: 25 concurrent in-flight put_records):
+    two puts must be in flight simultaneously — each call blocks on a
+    2-party barrier that only a concurrent second call can release."""
+    import threading
+
+    barrier = threading.Barrier(2, timeout=10)
+
+    class BarrierKinesis:
+        def put_records(self, StreamName, Records):
+            barrier.wait()  # deadlocks (then raises) unless 2 calls overlap
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    stats = put_records_with_retry(
+        recs(20), BarrierKinesis(), "prod-logs",
+        sleep=lambda s: None, batch_size=5, concurrency=2,
+    )
+    assert stats.records == 20 and stats.batches == 4
+
+
+def test_concurrent_path_retry_and_drop_semantics():
+    """Threaded path keeps the retry contract: positional matching,
+    rekey, attempt cap → drop."""
+    import threading
+
+    calls = []
+    lock = threading.Lock()
+
+    class FlakyKinesis:
+        def put_records(self, StreamName, Records):
+            with lock:
+                calls.append(len(Records))
+            # every record of every batch fails forever
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [
+                    {"ErrorCode": "ProvisionedThroughputExceededException"}
+                    for _ in Records
+                ],
+            }
+
+    stats = put_records_with_retry(
+        recs(10), FlakyKinesis(), "prod-logs",
+        max_attempts=3, sleep=lambda s: None, batch_size=5, concurrency=4,
+    )
+    assert stats.dropped_records == 10
+    assert stats.batches == 6  # 2 chunks × attempts 0,1,2
+    assert stats.attempts_histogram == {0: 2, 1: 2, 2: 2}

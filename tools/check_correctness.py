@@ -17,6 +17,7 @@ Usage: python tools/check_correctness.py [--engine-session] [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -71,15 +72,16 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        dt = time.perf_counter() - t0
         if name not in oracles:
-            status = "rows-only"
-            print(f"OK?   {name}: {len(got)} rows ({status}, no oracle)")
+            print(f"OK?   {name}: {len(got)} rows (rows-only, no oracle) [{dt:.1f}s]")
             continue
         exp = con.execute(oracles[name]).df()
         if sorted(got.columns) != sorted(exp.columns):
@@ -93,7 +95,7 @@ def main() -> int:
         g, e = normalize(got), normalize(exp)
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
-            print(f"OK    {name}: {len(got)} rows")
+            print(f"OK    {name}: {len(got)} rows [{dt:.1f}s]")
         except AssertionError as err:
             failures.append(name)
             msg = str(err).splitlines()
