@@ -397,6 +397,43 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         GROUP BY 1
     """,
+    # --- embedding dedup (exact baseline of the LSH tier) ----------------
+    "embedding_pairs_exact": """
+        SELECT a.vec_id AS id_a,
+               b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4)
+                 AS cos
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 4)
+              >= 0.3
+    """,
+    # --- repetition / boilerplate quality signals ------------------------
+    "doc_repetition": r"""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        g AS (
+          SELECT doc_id, w,
+                 list_transform(range(1, len(w)),
+                                i -> w[i] || ' ' || w[i+1]) AS g2
+          FROM t),
+        tc AS (
+          SELECT doc_id, tok, COUNT(*) AS c
+          FROM (SELECT doc_id, UNNEST(w) AS tok FROM t)
+          GROUP BY doc_id, tok)
+        SELECT g.doc_id,
+               ROUND(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+                 AS distinct_token_ratio,
+               ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+                 AS dup_2gram_frac,
+               (SELECT ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4)
+                FROM tc WHERE tc.doc_id = g.doc_id) AS top_token_frac
+        FROM g
+    """,
     # --- UDTF surface ----------------------------------------------------
     "doc_chunks_udtf": r"""
         WITH t AS (

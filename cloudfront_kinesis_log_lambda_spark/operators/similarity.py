@@ -270,6 +270,37 @@ def ivf_topk(
     )
 
 
+def cosine_pairs_exact(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs: ALL pairs with cosine ≥
+    threshold via brute-force cross join.
+
+    O(N²·d) — the oracle/recall baseline for
+    :func:`cosine_self_join_above` (the LSH-bucketed scale path), same
+    role :func:`dedup.near_dup_pairs_exact` plays for MinHash. SQL-
+    expressible, so it gives the embedding-dedup tier a DuckDB-checked
+    driver row.
+    """
+    a = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
+        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cos, 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def cosine_self_join_above(
     embeddings: DataFrame,
     threshold: float = 0.3,

@@ -182,3 +182,50 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
             "rn",
         )
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Repetition/boilerplate quality signals per document (the
+    Gopher-rules tier of an LLM data pipeline):
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens| (low =
+      repetitive)
+    - ``dup_2gram_frac`` — fraction of word bigrams that are repeats
+    - ``top_token_frac`` — frequency share of the single most common
+      token (high = degenerate/boilerplate)
+
+    Array-local signals (distinct ratios) are per-row higher-order
+    expressions — zero shuffle; the top-token share needs per-token
+    counts, done with explode + two map-side-combined aggregates (the
+    shuffle carries one row per (doc, distinct token), then one per
+    doc). Docs with <2 tokens are excluded via the pushdown-safe
+    predicate (a 1-token doc has no bigrams; ratios degenerate).
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import has_min_tokens
+
+    base = ensure_parallelism(docs.filter(has_min_tokens("text", 2))).select(
+        "doc_id", _tokens(F.col("text")).alias("w")
+    )
+    w = F.col("w")
+    grams2 = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    arr_stats = base.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 4).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(grams2)) / F.size(grams2), 4
+        ).alias("dup_2gram_frac"),
+    )
+    tok_counts = (
+        base.select("doc_id", F.explode(w).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tok_counts.groupBy("doc_id").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac")
+    )
+    return arr_stats.join(top, "doc_id")

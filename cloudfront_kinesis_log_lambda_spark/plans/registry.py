@@ -62,6 +62,10 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.exact_dedup(_docs(spark, sf_dir))
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.repetition_signals(_docs(spark, sf_dir))
+
+
 # --- near-dup detection -----------------------------------------------------
 
 
@@ -162,6 +166,10 @@ def embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_self_join_above(_emb(spark, sf_dir), threshold=0.3)
 
 
+def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.3)
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -210,12 +218,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_lang_id": doc_lang_id,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_exact_dedup": doc_exact_dedup,
+    "doc_repetition": doc_repetition,
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
     "events_tumbling_windows": events_tumbling_windows,
     "events_session_windows": events_session_windows,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "embedding_pairs_exact": embedding_pairs_exact,
     "multimodal_features": multimodal_features,
     # rows-only, cheap (the reference pipeline itself)
     "cloudfront_enriched": cloudfront_enriched,

@@ -114,3 +114,43 @@ def test_ivf_on_corpus_returns_ordered_topk(emb):
     assert len(got) == 10
     cos_vals = [r["cos"] for r in got]
     assert cos_vals == sorted(cos_vals, reverse=True)
+
+
+def test_exact_pairs_is_recall_reference_for_lsh_pairs(spark, emb):
+    """cosine_pairs_exact (brute force, the oracle twin) vs the
+    LSH-bucketed all-pairs path.
+
+    Two contracts: (1) on any corpus, LSH output ⊆ exact output —
+    candidates are exactly verified, so precision is perfect; (2) in the
+    near-duplicate regime LSH exists for (a planted cluster, pair cos
+    ≥ ~0.9), recall is ≥ 0.9. Low-similarity pairs (cos 0.3-0.5, all
+    that exists in the sf corpus) are NOT expected to be recovered —
+    hyperplane collision probability is ~0.12 there by design."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_self_join_above,
+    )
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(emb, 0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in cosine_self_join_above(emb, 0.3).collect()}
+    assert lsh <= exact  # exact verification ⇒ perfect precision
+
+    rng = random.Random(7)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.08)) for x in base], 0) for i in range(12)
+    ] + [
+        (i, [float(rng.gauss(0, 1)) for _ in range(dim)], 1) for i in range(12, 300)
+    ]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    ex = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(planted, 0.85).collect()}
+    got = {
+        (r["id_a"], r["id_b"]) for r in cosine_self_join_above(planted, 0.85).collect()
+    }
+    assert ex  # the cluster produces high-cos pairs
+    assert len(got & ex) / len(ex) >= 0.9

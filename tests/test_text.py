@@ -78,3 +78,24 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     by_fp = {r["fp"]: (r["representative"], r["n_copies"]) for r in dd}
     assert by_fp[fp[1]] == (1, 3)
     assert by_fp[fp[4]] == (4, 1)
+
+
+def test_repetition_signals(spark):
+    from cloudfront_kinesis_log_lambda_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # fully repetitive
+            (2, "all tokens here are unique"),   # no repetition
+            (3, "one"),                          # <2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 4)
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[2]["distinct_token_ratio"] == 1.0
+    assert got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.2
