@@ -64,3 +64,60 @@ def test_aggregates_have_partial_final_split(spark, sf_dir, query):
     # map-side combine: a partial_ aggregate before the exchange and a
     # final after — Catalyst's two-phase agg
     assert "partial_" in plan and "HashAggregate" in plan
+
+
+def test_minhash_signature_is_codegen_hash_aggregate(spark, sf_dir):
+    """Round-2 rewrite gate: MinHash signatures come from ONE two-phase
+    hash aggregate (explode + 64 min() columns, map-side combined), not
+    interpreted higher-order aggregate() folds — and no shingle
+    self-join anywhere in the LSH plan (that's the quadratic exact
+    baseline's shape, not the scale path's)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = R.load(spark, sf_dir, "documents")
+    plan = _plan(minhash_lsh_pairs(docs, n=3, threshold=0.5))
+    assert "partial_min" in plan  # map-side combine of the signature agg
+    # HOF folds would appear as aggregate(... lambdafunction ...); the
+    # only remaining lambdas belong to shingling transform()s
+    assert "aggregate(" not in plan
+    # exact verification joins on per-doc gram sets — no shingle-level
+    # equi-join (join keyed on an exploded shingle/string column)
+    assert "SortMergeJoin [shingle" not in plan
+
+
+def test_clusters_driver_query_avoids_shingle_self_join(spark, sf_dir):
+    """near_dup_clusters (driver entry) must be built on the LSH pair
+    graph: candidate generation inside band buckets, never the exploded
+    shingle self-join."""
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import near_dup_clusters
+
+    plan = _plan(near_dup_clusters(spark, sf_dir))
+    assert "shingle" not in plan
+
+
+def test_centroid_assignment_is_broadcast_join(spark, sf_dir):
+    """k-means assignment is a broadcast join against the k-row centroid
+    table (one codegen compile, reused across Lloyd iterations), not a
+    k x dim literal expression chain."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        assign_centroids,
+    )
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    centroids = [[float(i == j) for j in range(64)] for i in range(4)]
+    plan = _plan(assign_centroids(emb, centroids))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_max_by" in plan  # argmax map-side combined too
+    assert "SortMergeJoin" not in plan
+
+
+def test_streaming_batch_twins_use_native_window_nodes(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import (
+        events_session_windows,
+        events_tumbling_windows,
+    )
+
+    tumbling = _plan(events_tumbling_windows(spark, sf_dir))
+    assert "HashAggregate" in tumbling and "partial_" in tumbling
+    session = _plan(events_session_windows(spark, sf_dir))
+    assert "session_window" in session
