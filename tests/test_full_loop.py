@@ -80,3 +80,61 @@ def test_reference_pipeline_then_stream_analytics(spark, tmp_path):
     assert {k[0] for k in by_key} == {"prod", "stg"}
     assert all(k[1] in "2345" for k in by_key)
     assert all(r["bytes"] > 0 for r in rollup)
+
+
+def test_streaming_window_agg_over_kinesis_stream(spark, tmp_path):
+    """readStream from the Kinesis source → event-time tumbling windows:
+    the streaming analytics tier running directly on the stream the
+    sink produced (reference has no analog)."""
+    import json as _json
+    import os as _os
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        tumbling_event_counts,
+    )
+
+    stream_dir = str(tmp_path / "stream")
+    _os.makedirs(stream_dir)
+    rows = [
+        ("2024-01-01 00:01:00", "view", 1.0),
+        ("2024-01-01 00:04:00", "view", 2.0),
+        ("2024-01-01 00:11:00", "view", 4.0),
+        ("2024-01-01 00:02:00", "click", 8.0),
+    ]
+    with open(_os.path.join(stream_dir, "shard-000.jsonl"), "w") as f:
+        for i, (ts, et, v) in enumerate(rows):
+            f.write(
+                _json.dumps(
+                    {
+                        "PartitionKey": f"k{i}",
+                        "Data": _json.dumps({"ts": ts, "event_type": et, "value": v}),
+                    }
+                )
+                + "\n"
+            )
+
+    register_kinesis_source(spark)
+    stream = spark.readStream.format("kinesis_py").option("fake_dir", stream_dir).load()
+    decoded = stream.select(
+        F.to_timestamp(F.get_json_object("Data", "$.ts")).alias("ts"),
+        F.get_json_object("Data", "$.event_type").alias("event_type"),
+        F.get_json_object("Data", "$.value").cast("double").alias("value"),
+    )
+    win = tumbling_event_counts(decoded, window="10 minutes")
+    q = (
+        win.writeStream.format("memory")
+        .queryName("kinesis_win")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM kinesis_win").collect()
+    }
+    q.stop()
+    assert got == {
+        ("2024-01-01 00:00:00", "view"): (2, 3.0),
+        ("2024-01-01 00:10:00", "view"): (1, 4.0),
+        ("2024-01-01 00:00:00", "click"): (1, 8.0),
+    }

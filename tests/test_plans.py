@@ -95,10 +95,10 @@ def test_clusters_driver_query_avoids_shingle_self_join(spark, sf_dir):
     assert "shingle" not in plan
 
 
-def test_centroid_assignment_is_broadcast_join(spark, sf_dir):
-    """k-means assignment is a broadcast join against the k-row centroid
-    table (one codegen compile, reused across Lloyd iterations), not a
-    k x dim literal expression chain."""
+def test_centroid_assignment_is_map_only_arrow_kernel(spark, sf_dir):
+    """k-means assignment is one Arrow-batched numpy kernel: map-only —
+    no join, no exchange, no per-iteration k x dim literal expression
+    chain (which Janino re-compiled every Lloyd iteration)."""
     from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
         assign_centroids,
     )
@@ -106,9 +106,10 @@ def test_centroid_assignment_is_broadcast_join(spark, sf_dir):
     emb = R.load(spark, sf_dir, "embeddings")
     centroids = [[float(i == j) for j in range(64)] for i in range(4)]
     plan = _plan(assign_centroids(emb, centroids))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "partial_max_by" in plan  # argmax map-side combined too
-    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert join_node not in plan
 
 
 def test_streaming_batch_twins_use_native_window_nodes(spark, sf_dir):
