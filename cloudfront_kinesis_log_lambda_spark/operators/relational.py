@@ -388,15 +388,20 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the classic batch formulation; the streaming twin is session_window."""
     e = load(spark, sf_dir, "events")
+    # both windows share partitioning AND ordering, so Catalyst plans one
+    # exchange + one sort; the frame differs per function (lag = default
+    # frame, running sum = unbounded-preceding)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     with_breaks = e.withColumn(
         "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     )
-    wsum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    sess = with_breaks.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    sess = with_breaks.withColumn("session_id", F.sum("is_new").over(wsum))
     return (
         sess.groupBy("user_id", "session_id")
         .agg(

@@ -12,12 +12,17 @@ Spark-extension candidate — this module is it:
 - Batch reads are one ``InputPartition`` per shard, fetched on the
   executors — shard count is the parallelism unit, exactly like the
   real connector.
-- The streaming side implements ``SimpleDataSourceStreamReader``
-  (driver-side prefetch + ``readBetweenOffsets`` replay for
-  exactly-once). That API is the right fit up to moderate throughput;
-  at full 100 TB firehose scale the upgrade path is the partitioned
-  ``DataSourceStreamReader`` with per-shard offset ranges — the offset
-  model used here ({shard → next sequence}) carries over unchanged.
+- The streaming side has BOTH stream-reader tiers of the DataSource
+  API. The default is the partitioned ``DataSourceStreamReader``:
+  the driver only plans {shard → (start, end)} ranges; record bytes
+  flow on the EXECUTORS, one task per shard — the 100 TB shape.
+  Requires a data plane that can report a shard tip
+  (``latest_position``); the file-backed fake can, AWS's API cannot
+  in O(1), so ``simple_reader=true`` selects the
+  ``SimpleDataSourceStreamReader`` fallback (driver-side prefetch +
+  ``readBetweenOffsets`` replay), the right fit for boto3 at moderate
+  throughput. Offsets ({shard → position token}) are identical in
+  both tiers, so a checkpoint survives switching.
 
 The wire protocol is injected: ``ShardClient`` is a tiny protocol with a
 deterministic file-backed implementation (``fake_dir`` option) used by
@@ -51,9 +56,11 @@ from typing import Any, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.types import StructType
 
 #: output schema: one row per Kinesis record. Data is the UTF-8 payload
@@ -116,6 +123,19 @@ class FakeShardClient:
         self, shard_id: str, start: int, end: int
     ) -> list[tuple[int, dict[str, Any]]]:
         return self._scan(shard_id, int(start), int(end), None)
+
+    def latest_position(self, shard_id: str) -> int:
+        """Shard tip (= position after the last record): the line count.
+        O(file) here but O(1) in any indexed data plane; this is what
+        enables the partitioned stream reader."""
+        path = os.path.join(self.fake_dir, f"{shard_id}.jsonl")
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            # every physical line consumes a sequence number (blank lines
+            # are skipped as records but still advance the counter in
+            # _scan's enumerate), so the tip is the raw line count
+            return sum(1 for _ in f)
 
 
 class FakeKinesisDataPlane:
@@ -256,6 +276,65 @@ class KinesisBatchReader(DataSourceReader):
             yield (partition.shard_id, str(seq), rec["PartitionKey"], rec["Data"])
 
 
+class _ShardRangePartition(InputPartition):
+    def __init__(self, shard_id: str, start: Any, end: Any) -> None:
+        self.shard_id = shard_id
+        self.start = start
+        self.end = end
+
+
+class KinesisPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-side micro-batch reads: the driver plans only
+    {shard → (start, end)} offset ranges; each shard's bytes are pulled
+    by its own task via ``read_between`` — no record ever crosses the
+    driver, so throughput scales with shards × executors (the 100 TB
+    shape; the Simple reader funnels every byte through the driver).
+
+    Needs ``latest_position`` from the shard client. The file-backed
+    fake provides it; ``Boto3ShardClient`` deliberately does not (AWS
+    exposes no O(1) shard-tip lookup) — production over boto3 opts into
+    the Simple reader via ``simple_reader=true``.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+        self.client = _make_client(options)
+        if not hasattr(self.client, "latest_position"):
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "partitioned Kinesis stream reads need a "
+                    "shard-tip API; pass simple_reader=true for this client"
+                },
+            )
+
+    def initialOffset(self) -> dict:
+        init = self.client.initial_position
+        return {s: init for s in self.client.list_shards()}
+
+    def latestOffset(self) -> dict:
+        # resharding-safe: list_shards() re-enumerated every batch
+        return {s: self.client.latest_position(s) for s in self.client.list_shards()}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        init = self.client.initial_position
+        return [
+            _ShardRangePartition(shard, start.get(shard, init), stop)
+            for shard, stop in end.items()
+            if start.get(shard, init) != stop
+        ]
+
+    def read(self, partition: _ShardRangePartition):  # executor-side
+        client = _make_client(self.options)
+        for seq, rec in client.read_between(
+            partition.shard_id, partition.start, partition.end
+        ):
+            yield (partition.shard_id, str(seq), rec["PartitionKey"], rec["Data"])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint log; nothing to ack
+
+
 class KinesisStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch read with offsets = {shard_id: next_sequence}."""
 
@@ -311,6 +390,16 @@ class KinesisPyDataSource(DataSource):
 
     def reader(self, schema: StructType) -> KinesisBatchReader:
         return KinesisBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> KinesisPartitionedStreamReader:
+        # Spark prefers this over simpleStreamReader; raising
+        # NotImplementedError here makes it fall back to the Simple tier
+        if str(self.options.get("simple_reader", "")).lower() == "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "simple_reader requested"},
+            )
+        return KinesisPartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema: StructType) -> KinesisStreamReader:
         return KinesisStreamReader(self.options)

@@ -170,3 +170,69 @@ def test_fake_client_offset_protocol(tmp_path):
     got2, nxt2 = c.read_from("shard-000", nxt)
     assert [s for s, _ in got2] == [3] and nxt2 == 4
     assert [s for s, _ in c.read_between("shard-000", 1, 3)] == [1, 2]
+
+
+def test_simple_reader_fallback_tier(spark, tmp_path):
+    """simple_reader=true opts into the SimpleDataSourceStreamReader
+    (driver-prefetch tier for data planes without a shard-tip API, e.g.
+    boto3); offsets are token-compatible with the partitioned default."""
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [(f"pk{i}", f"s{i}") for i in range(3)])
+    register_kinesis_source(spark)
+    stream = (
+        spark.readStream.format("kinesis_py")
+        .option("fake_dir", d)
+        .option("simple_reader", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kinesis_simple_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    _write_shard(d, "shard-000", [("pk3", "s3")], append=True)
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM kinesis_simple_t").collect()
+    q.stop()
+    assert sorted(r["Data"] for r in rows) == ["s0", "s1", "s2", "s3"]
+
+
+def test_partitioned_reader_plans_ranges_reads_on_partitions(tmp_path):
+    """Unit-level: the partitioned reader plans {shard -> (start, end)}
+    ranges, skips caught-up shards, picks up new shards from the
+    beginning, and read() replays exactly the planned range."""
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        KinesisPartitionedStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [(f"pk{i}", f"a{i}") for i in range(4)])
+    _write_shard(d, "shard-001", [(f"pk{i}", f"b{i}") for i in range(2)])
+    r = KinesisPartitionedStreamReader({"fake_dir": d})
+
+    start = r.initialOffset()
+    assert start == {"shard-000": 0, "shard-001": 0}
+    end = r.latestOffset()
+    assert end == {"shard-000": 4, "shard-001": 2}
+
+    parts = {p.shard_id: p for p in r.partitions(start, end)}
+    assert set(parts) == {"shard-000", "shard-001"}
+    got = [row for p in parts.values() for row in r.read(p)]
+    assert sorted(row[3] for row in got) == ["a0", "a1", "a2", "a3", "b0", "b1"]
+
+    # caught-up shard produces NO partition; appended shard resumes mid-file
+    _write_shard(d, "shard-001", [("pk9", "b2")], append=True)
+    end2 = r.latestOffset()
+    parts2 = r.partitions(end, end2)
+    assert [p.shard_id for p in parts2] == ["shard-001"]
+    assert [row[3] for row in r.read(parts2[0])] == ["b2"]
+
+    # a shard born after the stream started reads from the beginning
+    _write_shard(d, "shard-002", [("pknew", "c0")])
+    end3 = r.latestOffset()
+    parts3 = {p.shard_id: p for p in r.partitions(end2, end3)}
+    assert parts3["shard-002"].start == 0
+    assert [row[3] for row in r.read(parts3["shard-002"])] == ["c0"]
