@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sort/limit/set ops
         "top_orders": R.top_orders,
         "nation_set_ops": R.nation_set_ops,
+        # SQL front door (spark.sql over registered views)
+        "sql_market_share": R.sql_market_share,
         # scalar functions / grouping sets / subquery shapes
         "scalar_function_showcase": R.scalar_function_showcase,
         "grouping_sets_revenue": R.grouping_sets_revenue,
@@ -73,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_event_sample": RS.stratified_event_sample,
         # events
         "events_hourly": R.events_hourly,
+        "events_gapfill": R.events_gapfill,
         "events_json_props": R.events_json_props,
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,

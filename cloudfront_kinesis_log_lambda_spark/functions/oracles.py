@@ -302,6 +302,52 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    # --- SQL front door ---------------------------------------------------
+    "sql_market_share": """
+        WITH rev AS (
+            SELECT n.n_name AS nation,
+                   r.r_name AS region,
+                   YEAR(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT region, nation, o_year,
+               ROUND(SUM(volume), 2) AS nation_volume,
+               ROUND(SUM(volume) / SUM(SUM(volume)) OVER (PARTITION BY region, o_year), 6)
+                 AS region_share
+        FROM rev
+        GROUP BY region, nation, o_year
+    """,
+    # --- time-series gapfill ---------------------------------------------
+    "events_gapfill": """
+        WITH agg AS (
+            SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS s
+            FROM events GROUP BY 1, 2),
+        bounds AS (
+            SELECT MIN(date_trunc('hour', ts)) AS lo,
+                   MAX(date_trunc('hour', ts)) AS hi
+            FROM events),
+        spine AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+            FROM bounds),
+        grid AS (
+            SELECT s.bucket_ts, t.event_type
+            FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        SELECT g.bucket_ts, g.event_type,
+               COALESCE(a.n, 0) AS n_events,
+               COALESCE(a.s, 0.0) AS sum_value,
+               COALESCE(last_value(a.s IGNORE NULLS)
+                          OVER (PARTITION BY g.event_type ORDER BY g.bucket_ts),
+                        0.0) AS locf_sum
+        FROM grid g
+        LEFT JOIN agg a
+          ON a.bucket_ts = g.bucket_ts AND a.event_type = g.event_type
+    """,
     # --- streaming batch twins -------------------------------------------
     # Spark F.window buckets are epoch-aligned; floor(epoch/600)*600 is
     # the dialect-neutral equivalent (600 s = 10 min divides both the

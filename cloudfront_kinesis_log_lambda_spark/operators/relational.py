@@ -411,6 +411,47 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event_type with gap filling: missing
+    (hour, type) cells get zero counts and a last-observation-carried-
+    forward sum — the hypertable/gapfill operator of time-series OLAP
+    engines, composed from a generated spine + outer join + IGNORE NULLS
+    window.
+
+    Scale shape: the spine is hours×types (tiny — thousands of rows even
+    for years of data, broadcast side of the join); the aggregate side
+    shrinks to one row per (hour, type) via map-side combine BEFORE the
+    join, so the outer join never touches raw events. LOCF is one window
+    over the already-dense grid.
+    """
+    e = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    agg = e.groupBy(hour.alias("bucket_ts"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("s"),
+    )
+    bounds = e.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_ts")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    return (
+        grid.join(agg, ["bucket_ts", "event_type"], "left")
+        .select(
+            "bucket_ts",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("s", F.lit(0.0)).alias("sum_value"),
+            F.coalesce(F.last("s", ignorenulls=True).over(w), F.lit(0.0)).alias(
+                "locf_sum"
+            ),
+        )
+    )
+
+
 def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via ranking window over events."""
     e = load(spark, sf_dir, "events")
@@ -419,6 +460,39 @@ def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", F.round("value", 6).alias("value"))
+    )
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: the same Catalyst plans are reachable
+    through ``spark.sql`` over registered views (TPC-H Q8-flavored market
+    share — two fact joins, three broadcast dims, conditional agg,
+    window share-of-total). Everything other queries prove about
+    pushdown/broadcast applies unchanged: SQL and DataFrame code meet in
+    the same optimizer.
+    """
+    for name in ("lineitem", "orders", "customer", "nation", "region"):
+        load(spark, sf_dir, name).createOrReplaceTempView(f"v_{name}")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT n.n_name AS nation,
+                   r.r_name AS region,
+                   YEAR(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume
+            FROM v_lineitem l
+            JOIN v_orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN v_customer c ON o.o_custkey = c.c_custkey
+            JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN v_region r   ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT region, nation, o_year,
+               ROUND(SUM(volume), 2) AS nation_volume,
+               ROUND(SUM(volume) / SUM(SUM(volume)) OVER (PARTITION BY region, o_year), 6)
+                 AS region_share
+        FROM rev
+        GROUP BY region, nation, o_year
+        """
     )
 
 

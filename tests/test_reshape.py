@@ -68,3 +68,39 @@ def test_pivot_unpivot_roundtrip_schema(spark, sf_dir):
     # melt triples the wide row count exactly
     n_wide = load(spark, sf_dir, "orders").select("o_orderpriority").distinct().count()
     assert long.count() == 3 * n_wide
+
+
+def test_events_gapfill_semantics(spark, tmp_path):
+    """Zero-filled gaps, LOCF carry-forward, leading-gap zero, dense
+    hourly spine spanning [min, max] per type."""
+    import os
+
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import (
+        events_gapfill,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10, "view", 2.0, "{}"),
+            (2, "2024-01-01 03:20:00", 10, "view", 4.0, "{}"),
+            (3, "2024-01-01 01:00:00", 11, "click", 8.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    d = str(tmp_path)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+
+    rows = {
+        (str(r["bucket_ts"]), r["event_type"]): r
+        for r in events_gapfill(spark, d).collect()
+    }
+    # dense spine: 4 hours x 2 types
+    assert len(rows) == 8
+    v1 = rows[("2024-01-01 01:00:00", "view")]   # gap hour for view
+    assert v1["n_events"] == 0 and v1["sum_value"] == 0.0 and v1["locf_sum"] == 2.0
+    v3 = rows[("2024-01-01 03:00:00", "view")]
+    assert v3["n_events"] == 1 and v3["locf_sum"] == 4.0
+    c0 = rows[("2024-01-01 00:00:00", "click")]  # leading gap: zero LOCF
+    assert c0["n_events"] == 0 and c0["locf_sum"] == 0.0
+    c3 = rows[("2024-01-01 03:00:00", "click")]
+    assert c3["locf_sum"] == 8.0
