@@ -418,25 +418,31 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, composed from a generated spine + outer join + IGNORE NULLS
     window.
 
-    Scale shape: the spine is hours×types (tiny — thousands of rows even
-    for years of data, broadcast side of the join); the aggregate side
-    shrinks to one row per (hour, type) via map-side combine BEFORE the
-    join, so the outer join never touches raw events. LOCF is one window
-    over the already-dense grid.
+    Scale shape: ONE pass over raw events (the groupBy, map-side
+    combined); bounds and the type list derive from the cached aggregate
+    — hours×types rows, trivially memory-resident — rather than
+    re-scanning events. The spine is generated, the outer join and LOCF
+    window run over the already-dense grid.
     """
     e = load(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
-    agg = e.groupBy(hour.alias("bucket_ts"), F.col("event_type")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("s"),
+    agg = (
+        e.groupBy(hour.alias("bucket_ts"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("s"),
+        )
+        .cache()
     )
-    bounds = e.agg(F.min(hour).alias("lo"), F.max(hour).alias("hi"))
+    # every event's hour and type survive into agg, so min/max/distinct
+    # over agg equal the same over raw events — no second events scan
+    bounds = agg.agg(F.min("bucket_ts").alias("lo"), F.max("bucket_ts").alias("hi"))
     spine = bounds.select(
         F.explode(
             F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
         ).alias("bucket_ts")
     )
-    grid = spine.crossJoin(e.select("event_type").distinct())
+    grid = spine.crossJoin(agg.select("event_type").distinct())
     w = Window.partitionBy("event_type").orderBy("bucket_ts")
     return (
         grid.join(agg, ["bucket_ts", "event_type"], "left")
