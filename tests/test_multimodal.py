@@ -87,3 +87,28 @@ def test_resize_images_fixed_output_size(spark):
     assert {r["asset_id"]: bytes(r["payload"]) for r in out} == {
         r["asset_id"]: bytes(r["payload"]) for r in out2
     }
+
+
+def test_multimodal_features_compose_with_similarity_search(spark, sf_dir):
+    """The tiers plug together: mapInPandas feature vectors (array<float>)
+    drop straight into the similarity operators' embedding contract."""
+    from pyspark.sql import functions as F
+
+    from cloudfront_kinesis_log_lambda_spark.operators.multimodal import (
+        documents_as_assets,
+        extract_features,
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents").limit(100)
+    feats = extract_features(documents_as_assets(docs), dim=16)
+    emb_like = feats.select(
+        F.col("asset_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    qid = emb_like.select(F.min("vec_id")).first()[0]
+    top = cosine_topk(emb_like, query_vec_id=qid, k=5).collect()
+    assert len(top) == 5
+    cs = [r["cos"] for r in top]
+    assert cs == sorted(cs, reverse=True)
+    assert all(-1.0001 <= c <= 1.0001 for c in cs)
