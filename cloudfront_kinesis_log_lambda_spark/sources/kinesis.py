@@ -137,6 +137,11 @@ class FakeShardClient:
             # _scan's enumerate), so the tip is the raw line count
             return sum(1 for _ in f)
 
+    def bound_advance(self, shard_id: str, start: int, tip: int, max_records: int) -> int:
+        """Clamp a planned (start → tip] range to ≤ max_records — the
+        partitioned reader's backpressure knob."""
+        return min(int(tip), int(start) + max_records)
+
 
 class FakeKinesisDataPlane:
     """put_records fake over the same shard-file layout ``FakeShardClient``
@@ -299,6 +304,11 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.options = options
         self.client = _make_client(options)
+        self.max_per_shard = int(options.get("max_records_per_shard", "0"))
+        #: last planned end offsets — the admission-control baseline.
+        #: None until the first partitions() call reveals the true
+        #: consumer position (fresh start OR checkpoint restore).
+        self._last_end: dict | None = None
         if not hasattr(self.client, "latest_position"):
             raise PySparkNotImplementedError(
                 errorClass="NOT_IMPLEMENTED",
@@ -314,9 +324,24 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         # resharding-safe: list_shards() re-enumerated every batch
-        return {s: self.client.latest_position(s) for s in self.client.list_shards()}
+        tips = {s: self.client.latest_position(s) for s in self.client.list_shards()}
+        # Backpressure: cap each shard's advance to max_records_per_shard
+        # beyond the last planned end. Only once a baseline is known —
+        # capping against a guess below the checkpointed position would
+        # REWIND the offset log and replay records (at-most-once lost).
+        # So the first batch of a (re)started query is uncapped.
+        if self.max_per_shard and self._last_end is not None:
+            init = self.client.initial_position
+            tips = {
+                s: self.client.bound_advance(
+                    s, self._last_end.get(s, init), tip, self.max_per_shard
+                )
+                for s, tip in tips.items()
+            }
+        return tips
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        self._last_end = dict(end)  # true planned position (incl. restore)
         init = self.client.initial_position
         return [
             _ShardRangePartition(shard, start.get(shard, init), stop)

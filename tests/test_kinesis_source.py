@@ -236,3 +236,29 @@ def test_partitioned_reader_plans_ranges_reads_on_partitions(tmp_path):
     parts3 = {p.shard_id: p for p in r.partitions(end2, end3)}
     assert parts3["shard-002"].start == 0
     assert [row[3] for row in r.read(parts3["shard-002"])] == ["c0"]
+
+
+def test_partitioned_reader_admission_control(tmp_path):
+    """max_records_per_shard caps each planned batch once the consumer
+    position is known; the first batch is deliberately uncapped (capping
+    against a guessed baseline could rewind a restored checkpoint)."""
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        KinesisPartitionedStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [(f"pk{i}", f"a{i}") for i in range(10)])
+    r = KinesisPartitionedStreamReader({"fake_dir": d, "max_records_per_shard": "3"})
+
+    start = r.initialOffset()
+    end1 = r.latestOffset()          # no baseline yet → uncapped
+    assert end1 == {"shard-000": 10}
+    r.partitions(start, {"shard-000": 4})  # pretend the log planned 0→4
+
+    end2 = r.latestOffset()          # baseline 4 → capped to 4+3
+    assert end2 == {"shard-000": 7}
+    parts = r.partitions({"shard-000": 4}, end2)
+    assert [row[3] for p in parts for row in r.read(p)] == ["a4", "a5", "a6"]
+
+    end3 = r.latestOffset()          # baseline 7 → 10 within cap
+    assert end3 == {"shard-000": 10}
