@@ -302,6 +302,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    # --- PII scrub --------------------------------------------------------
+    "doc_pii_scrub": r"""
+        WITH s AS (
+          SELECT doc_id, text,
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS after_email
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(after_email,
+                 '\+?[0-9][0-9()\-. ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+               regexp_replace(after_email,
+                 '\+?[0-9][0-9()\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+        FROM s
+    """,
+    # --- parquet store roundtrip -----------------------------------------
+    "parquet_roundtrip_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS log_day,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
     # --- SQL front door ---------------------------------------------------
     "sql_market_share": """
         WITH rev AS (

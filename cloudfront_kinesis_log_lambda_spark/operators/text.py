@@ -229,3 +229,33 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
         F.round(F.max("c") / F.sum("c"), 4).alias("top_token_frac")
     )
     return arr_stats.join(top, "doc_id")
+
+
+#: PII patterns chosen for regex-dialect parity: plain character classes
+#: + bounded quantifiers only, identical semantics in Java regex (Spark)
+#: and RE2 (DuckDB oracle)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction for training corpora: replace email/phone spans with
+    typed placeholder tokens and count what was removed.
+
+    Emails are scrubbed first, then phones on the already-scrubbed text
+    (a digit-bearing email local-part can't be double-counted as a
+    phone). Pure regexp_replace/extract_all projections — codegen'd,
+    zero shuffle, scan-parallel at any scale.
+    """
+    t = F.col("text")
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.regexp_replace(after_email, PII_PHONE, "<PHONE>").alias("scrubbed"),
+    )

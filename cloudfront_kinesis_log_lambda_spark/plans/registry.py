@@ -66,6 +66,35 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.repetition_signals(_docs(spark, sf_dir))
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.pii_scrub(_docs(spark, sf_dir))
+
+
+def parquet_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink evidence in the gate: events written through the partitioned
+    parquet store layout (partitionBy day), read back, and aggregated —
+    any lost/duplicated/corrupted row breaks the oracle hash. Partition
+    pruning on log_day is what this layout buys at 100 TB."""
+    out = os.path.join(tempfile.gettempdir(), "cfkll-events-store-v1")
+    e = R.load(spark, sf_dir, "events")
+    (
+        e.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("log_day")
+        .write.mode("overwrite")
+        .partitionBy("log_day")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy(F.col("log_day").cast("string").alias("log_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
 # --- near-dup detection -----------------------------------------------------
 
 
@@ -219,6 +248,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_exact_dedup": doc_exact_dedup,
     "doc_repetition": doc_repetition,
+    "doc_pii_scrub": doc_pii_scrub,
+    "parquet_roundtrip_daily": parquet_roundtrip_daily,
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
     "events_tumbling_windows": events_tumbling_windows,

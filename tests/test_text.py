@@ -99,3 +99,25 @@ def test_repetition_signals(spark):
     assert got[2]["distinct_token_ratio"] == 1.0
     assert got[2]["dup_2gram_frac"] == 0.0
     assert got[2]["top_token_frac"] == 0.2
+
+
+def test_pii_scrub_redacts_emails_then_phones(spark):
+    from cloudfront_kinesis_log_lambda_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.com today"),
+            (2, "call +1 (555) 123-4567 or 555.222.3333"),
+            (3, "a@b.io and 555-123-4567 both"),
+            (4, "clean text, no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["scrubbed"] == "mail <EMAIL> today"
+    assert got[2]["n_phones"] == 2
+    assert got[2]["scrubbed"] == "call <PHONE> or <PHONE>"
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (1, 1)
+    assert got[3]["scrubbed"] == "<EMAIL> and <PHONE> both"
+    assert got[4]["scrubbed"] == "clean text, no pii at all"
+    assert got[4]["n_emails"] == 0 and got[4]["n_phones"] == 0
