@@ -75,7 +75,9 @@ def parquet_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet store layout (partitionBy day), read back, and aggregated —
     any lost/duplicated/corrupted row breaks the oracle hash. Partition
     pruning on log_day is what this layout buys at 100 TB."""
-    out = os.path.join(tempfile.gettempdir(), "cfkll-events-store-v1")
+    # pid-scoped: the external gate may run queries in parallel processes,
+    # and two writers overwriting one directory corrupt both
+    out = os.path.join(tempfile.gettempdir(), f"cfkll-events-store-{os.getpid()}")
     e = R.load(spark, sf_dir, "events")
     (
         e.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))

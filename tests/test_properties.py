@@ -117,3 +117,31 @@ def test_wire_record_field_invariants(spark, tmp_path_factory, rows):
     got_uas = sorted(json.loads(r["Data"])["http_user_agent"] for r in wire)
     want_uas = sorted(unquote(row["http_user_agent"]) for row in data)
     assert got_uas == want_uas
+
+
+_doc_text = st.text(
+    alphabet="abc defgh@.+-0123456789() ", min_size=0, max_size=60
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc_text, min_size=1, max_size=25))
+def test_pii_scrub_idempotent_and_total(spark, texts):
+    """Scrubbing is idempotent (a second pass finds nothing) and total
+    (row count preserved, output never null)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    once = pii_scrub(df)
+    rows = once.collect()
+    assert len(rows) == len(texts)
+    assert all(r["scrubbed"] is not None for r in rows)
+    twice = pii_scrub(
+        once.select("doc_id", once["scrubbed"].alias("text"))
+    ).collect()
+    assert all(r["n_emails"] == 0 and r["n_phones"] == 0 for r in twice)
+    assert {r["doc_id"]: r["scrubbed"] for r in twice} == {
+        r["doc_id"]: r["scrubbed"] for r in rows
+    }
