@@ -210,3 +210,27 @@ def test_concurrent_path_retry_and_drop_semantics():
     assert stats.dropped_records == 10
     assert stats.batches == 6  # 2 chunks × attempts 0,1,2
     assert stats.attempts_histogram == {0: 2, 1: 2, 2: 2}
+
+
+def test_concurrency_overlaps_put_latency():
+    """Measured: with a 40 ms-latency data plane, 4-way in-partition
+    concurrency must beat sequential by a wide margin (reference
+    rationale: 25 asyncio workers existed to hide PutRecords latency)."""
+    import time as _time
+
+    class SlowKinesis:
+        def put_records(self, StreamName, Records):
+            _time.sleep(0.04)
+            return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
+
+    def run(conc):
+        t0 = _time.perf_counter()
+        put_records_with_retry(
+            recs(8 * 100), SlowKinesis(), "s",
+            sleep=lambda s: None, batch_size=100, concurrency=conc,
+        )
+        return _time.perf_counter() - t0
+
+    seq = run(1)   # 8 puts × 40 ms ≈ 320 ms
+    par = run(4)   # ≈ 2 waves ≈ 80-120 ms
+    assert par < seq / 1.5
