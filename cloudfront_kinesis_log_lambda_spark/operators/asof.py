@@ -24,22 +24,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def asof_join_backward(
+def _asof_join(
     left: DataFrame,
     right: DataFrame,
     on: str,
-    left_ts: str = "ts",
-    right_ts: str = "ts",
-    right_cols: list[str] | None = None,
-    suffix: str = "_asof",
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None,
+    suffix: str,
+    direction: str,
+    tolerance: str | None,
 ) -> DataFrame:
-    """Backward as-of join: each ``left`` row gains the ``right_cols`` of
-    the latest ``right`` row with the same ``on`` key and
-    ``right.right_ts <= left.left_ts`` (NULLs when no such row).
-
-    Both inputs must not already share non-key column names with the
-    output suffix applied.
-    """
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
 
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
@@ -52,13 +47,88 @@ def asof_join_backward(
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
-    # right rows (side=0) sort before left rows at equal ts → ties are
-    # inclusive, matching ASOF JOIN's `right.ts <= left.ts`
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_ats", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows (side=0) sort before left rows at equal ts → ties
+        # inclusive, matching ASOF JOIN's `right.ts <= left.ts`; the
+        # carried value is the LAST right row seen so far
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_ats", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = F.last
+    else:
+        # forward: left rows sort before right rows at equal ts (side
+        # desc) so an equal-ts right row is inside the following frame;
+        # the carried value is the FIRST right row at-or-after
+        w = (
+            Window.partitionBy(on)
+            .orderBy(F.col("_ats"), F.col("_side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     for c in carried:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+        unioned = unioned.withColumn(c, pick(c, ignorenulls=True).over(w))
+
+    out = unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+    if tolerance is not None:
+        matched_ts = F.col(f"{right_ts}{suffix}")
+        if direction == "backward":
+            in_tol = matched_ts >= F.col(left_ts) - F.expr(f"INTERVAL {tolerance}")
+        else:
+            in_tol = matched_ts <= F.col(left_ts) + F.expr(f"INTERVAL {tolerance}")
+        # null out ALL carried columns of out-of-tolerance matches; the
+        # condition is evaluated against the matched ts before any
+        # nulling, so column order doesn't matter
+        out = out.select(
+            *[c for c in out.columns if c not in carried],
+            *[
+                F.when(in_tol, F.col(c)).alias(c)
+                for c in carried
+            ],
+        )
+    return out
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each ``left`` row gains the ``right_cols`` of
+    the latest ``right`` row with the same ``on`` key and
+    ``right.right_ts <= left.left_ts`` (NULLs when no such row).
+    ``tolerance`` (an INTERVAL string, e.g. ``"1 HOUR"``) additionally
+    requires the match to lie within ``left_ts - tolerance`` — the
+    pandas ``merge_asof(tolerance=...)`` contract.
+
+    Both inputs must not already share non-key column names with the
+    output suffix applied.
+    """
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_cols, suffix, "backward", tolerance
+    )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: the EARLIEST right row with
+    ``right.right_ts >= left.left_ts`` (ties inclusive), optionally
+    within ``left_ts + tolerance``. Same single-shuffle union+window
+    shape as backward — the frame direction flips, nothing else."""
+    return _asof_join(
+        left, right, on, left_ts, right_ts, right_cols, suffix, "forward", tolerance
+    )

@@ -55,3 +55,62 @@ def test_asof_preserves_left_rowcount(spark):
     out = asof_join_backward(left, right, on="k")
     assert out.count() == 50  # no row amplification, ever
     assert set(out.columns) == {"k", "ts", "lv", "ts_asof", "rv_asof"}
+
+
+def _mk(spark, rows, cols):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    from cloudfront_kinesis_log_lambda_spark.operators.asof import asof_join_forward
+
+    left = _mk(
+        spark,
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 12:00:00")],
+        "k long, ts string",
+    )
+    right = _mk(
+        spark,
+        [
+            (1, "2024-01-01 09:00:00", 1.0),   # before → not eligible
+            (1, "2024-01-01 10:00:00", 2.0),   # equal ts → inclusive tie
+            (1, "2024-01-01 11:00:00", 3.0),
+            (2, "2024-01-01 23:00:00", 9.0),
+        ],
+        "k long, ts string, px double",
+    )
+    got = {
+        r["k"]: (str(r["ts_asof"]) if r["ts_asof"] else None, r["px_asof"])
+        for r in asof_join_forward(left, right, on="k").collect()
+    }
+    assert got[1] == ("2024-01-01 10:00:00", 2.0)
+    assert got[2] == ("2024-01-01 23:00:00", 9.0)
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from cloudfront_kinesis_log_lambda_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    left = _mk(spark, [(1, "2024-01-01 10:00:00")], "k long, ts string")
+    right = _mk(
+        spark, [(1, "2024-01-01 07:00:00", 5.0)], "k long, ts string, px double"
+    )
+    # backward: match is 3h old — outside a 1h tolerance, inside 4h
+    tight = asof_join_backward(left, right, on="k", tolerance="1 HOUR").collect()[0]
+    assert tight["ts_asof"] is None and tight["px_asof"] is None
+    loose = asof_join_backward(left, right, on="k", tolerance="4 HOUR").collect()[0]
+    assert loose["px_asof"] == 5.0
+
+    # forward with tolerance: nothing at-or-after within 1h
+    fwd_right = _mk(
+        spark, [(1, "2024-01-01 13:30:00", 7.0)], "k long, ts string, px double"
+    )
+    fwd = asof_join_forward(left, fwd_right, on="k", tolerance="1 HOUR").collect()[0]
+    assert fwd["px_asof"] is None
+    fwd4 = asof_join_forward(left, fwd_right, on="k", tolerance="4 HOUR").collect()[0]
+    assert fwd4["px_asof"] == 7.0
