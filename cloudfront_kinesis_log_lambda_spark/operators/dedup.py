@@ -24,6 +24,8 @@ DuckDB-checkable oracle twin; MinHash/SimHash results are hash-dependent
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -221,47 +223,57 @@ def winnow_fingerprints(
     text_col: str = "text",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
-    rolling char k-gram hashes, keep the minimum hash of every window of
-    ``window`` consecutive grams → a sparse position-robust fingerprint
-    set that survives local edits.
+    rolling byte k-gram hashes over whitespace-normalized lowercase text,
+    keep the minimum hash of every window of ``window`` consecutive
+    grams → a sparse position-robust fingerprint set that survives
+    local edits.
 
-    Entirely higher-order functions over one row — substr/xxhash64 inside
-    ``transform`` lambdas, so the whole fingerprint derivation is a
-    single codegen'd projection: no explode until the output, no shuffle,
-    no Python. Output: (doc_id, fp) pairs.
+    Normalization is a codegen'd JVM projection; the rolling hash +
+    windowed minima run as ONE Arrow-batched numpy kernel per batch
+    (sliding_window_view + polynomial hash with uint64 wraparound) —
+    zero shuffle, scan-parallel. The previous all-HOF formulation
+    (substr+xxhash64 inside transform lambdas) was also shuffle-free but
+    interpreted per element: ~1.4 M lambda evaluations at sf0.1, ~10 µs
+    each — the kernel replaces that with vectorized ops. Output:
+    (doc_id, fp) pairs; docs shorter than k bytes emit nothing, docs
+    with fewer than ``window`` grams emit their single global min.
     """
-    docs = ensure_parallelism(docs)
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    # each stage is materialized as its own projection: `grams` must be an
-    # attribute (not an inlined subtree) when the window transform slices
-    # it n times, or evaluation goes quadratic in document length
-    with_norm = docs.select("doc_id", norm.alias("_norm"))
-    with_grams = with_norm.select(
-        "doc_id",
-        F.when(
-            F.length("_norm") >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.length("_norm") - k + 1),
-                lambda i: F.xxhash64(F.col("_norm").substr(i, F.lit(k))),
-            ),
-        ).otherwise(F.array().cast("array<long>")).alias("grams"),
+    # polynomial-hash powers B^(k-1-j) mod 2^64, computed in Python ints
+    # (the kernel's uint64 arithmetic wraps mod 2^64 by design)
+    base_mult = 1000003
+    pows = np.array(
+        [pow(base_mult, k - 1 - j, 2**64) for j in range(k)], dtype=np.uint64
     )
-    g = F.col("grams")
-    fps = (
-        F.when(
-            F.size(g) >= window,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(g) - window + 1),
-                    lambda j: F.array_min(F.slice(g, j, window)),
+
+    @F.pandas_udf("array<long>")
+    def fps_udf(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        out = []
+        with np.errstate(over="ignore"):
+            for s in texts:
+                b = np.frombuffer(
+                    (s or "").encode("utf-8"), dtype=np.uint8
+                ).astype(np.uint64)
+                if len(b) < k:
+                    out.append([])
+                    continue
+                grams = (sliding_window_view(b, k) * pows).sum(
+                    axis=1, dtype=np.uint64
                 )
-            ),
-        )
-        # shorter than one full window but ≥1 gram: single global min
-        .when(F.size(g) >= 1, F.array(F.array_min(g)))
-        .otherwise(F.array().cast("array<long>"))
+                if len(grams) >= window:
+                    fp = np.unique(sliding_window_view(grams, window).min(axis=1))
+                else:
+                    fp = grams.min(keepdims=True)
+                out.append(fp.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        ensure_parallelism(docs)
+        .select("doc_id", fps_udf(norm).alias("_fps"))
+        .select("doc_id", F.explode("_fps").alias("fp"))
     )
-    return with_grams.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_near_pairs(
