@@ -39,3 +39,11 @@ def test_every_query_has_oracle_or_documented_rows_only():
 def test_query_callables_take_spark_and_sf_dir():
     for name, fn in entry.queries().items():
         assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_bench_headline_queries_exist_in_registry():
+    import bench
+
+    q = set(entry.queries())
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"bench.py HEADLINE references unknown queries: {missing}"
