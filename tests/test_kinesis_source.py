@@ -262,3 +262,31 @@ def test_partitioned_reader_admission_control(tmp_path):
 
     end3 = r.latestOffset()          # baseline 7 → 10 within cap
     assert end3 == {"shard-000": 10}
+
+
+def test_tipless_client_auto_falls_back_to_simple_tier(monkeypatch, tmp_path):
+    """A shard client without latest_position (the boto3 case) makes the
+    partitioned reader raise PySparkNotImplementedError, which pyspark's
+    resolution catches and falls back to the Simple tier — no option
+    needed. Pinned against pyspark's internal _streamReader resolver."""
+    import pytest as _pytest
+
+    try:
+        from pyspark.sql.datasource_internal import _streamReader
+    except ImportError:
+        _pytest.skip("pyspark internal resolver moved")
+    from pyspark.sql.types import _parse_datatype_string
+
+    from cloudfront_kinesis_log_lambda_spark.sources import kinesis as K
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [("pk0", "x0")])
+    schema = _parse_datatype_string(K.KINESIS_SCHEMA)
+
+    ds = K.KinesisPyDataSource(options={"fake_dir": d})
+    picked = _streamReader(ds, schema)
+    assert "Simple" not in type(picked).__name__  # tip API present → partitioned
+
+    monkeypatch.delattr(K.FakeShardClient, "latest_position")
+    fallback = _streamReader(ds, schema)
+    assert "Simple" in type(fallback).__name__  # tip-less → Simple wrapper
