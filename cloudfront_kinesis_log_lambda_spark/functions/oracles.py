@@ -390,6 +390,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2, 3
     """,
+    # Sliding windows: every event belongs to exactly window/slide = 2
+    # epoch-aligned 5-min-step windows; generate_series unrolls them.
+    "events_sliding_windows": """
+        WITH wins AS (
+          SELECT event_type, value,
+                 UNNEST(generate_series(
+                   CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP),
+                   CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300) AS TIMESTAMP),
+                   INTERVAL 5 MINUTE)) AS window_start
+          FROM events)
+        SELECT window_start,
+               window_start + INTERVAL 10 MINUTE AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM wins
+        GROUP BY 1, 2, 3
+    """,
     # Spark session_window: session = maximal run where each event starts
     # < previous event's ts + gap (end-exclusive); end = last ts + gap.
     "events_session_windows": """
@@ -586,6 +604,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    # forward as-of + tolerance: earliest view at-or-after each purchase,
+    # nulled when it lies more than 1 day ahead (merge_asof forward
+    # semantics; ties at equal ts are inclusive on both engines)
+    "purchases_next_view": """
+        SELECT p.event_id, p.ts, p.user_id, p.value,
+               n.ts    AS ts_next,
+               n.value AS value_next
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN LATERAL (
+          SELECT v.ts, v.value
+          FROM events v
+          WHERE v.event_type = 'view'
+            AND v.user_id = p.user_id
+            AND v.ts >= p.ts
+            AND v.ts <= p.ts + INTERVAL 1 DAY
+          ORDER BY v.ts
+          LIMIT 1) n ON TRUE
     """,
     # --- near-dup (exact variant only; hash-based ops are rows-only) -----
     "near_dup_3gram": r"""

@@ -456,11 +456,26 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 8, text_col: str = "text", n: int = 3
+    docs: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    n: int = 3,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4×16-bit
     chunks (pigeonhole: hamming ≤ 8 pairs are *likely* to agree on ≥1
-    chunk; guaranteed for ≤ 3), bucket-join, verify with bit_count(xor).
+    chunk; guaranteed for ≤ 3), bucket by chunk value, verify with
+    bit_count(xor).
+
+    Pair generation uses the same collect_list + bucket-cap pattern as
+    :func:`minhash_lsh_pairs`: each (chunk, v) bucket's members are
+    collected in ONE aggregate, buckets larger than ``max_bucket_size``
+    are dropped (a 16-bit chunk shared by thousands of docs is
+    boilerplate — its pairs are noise and its pairwise expansion is the
+    only quadratic risk in this plan), and ordered pairs are emitted by
+    a nested transform — so the pairwise work is bounded per bucket and
+    there is no self-join anywhere. The trailing distinct dedups pairs
+    that agree on several chunks and carries only three scalars.
     """
     sig = simhash(docs, text_col, n)
     chunks = sig.select(
@@ -476,14 +491,37 @@ def simhash_near_pairs(
             ])
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk", "c.v")
-    a = chunks.select(F.col("chunk"), F.col("v"), F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
-    b = chunks.select(F.col("chunk"), F.col("v"), F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    # array_sort over struct(doc_id, simhash) orders by doc_id, so every
+    # emitted pair already satisfies doc_a < doc_b
+    members = (
+        chunks.groupBy("chunk", "v")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            x["simhash"].alias("sig_a"),
+                            y["simhash"].alias("sig_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(b, ["chunk", "v"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        pairs.select(
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

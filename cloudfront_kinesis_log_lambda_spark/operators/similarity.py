@@ -352,6 +352,7 @@ def cosine_self_join_above(
     tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -362,23 +363,50 @@ def cosine_self_join_above(
     embedding-level dedup of training corpora. Bucket assignment is one
     Arrow/numpy UDF call per row (then posexplode to (table, bucket)
     rows); candidate verification is the pairwise numpy cosine.
+
+    Scale shape (same discipline as ``dedup.minhash_lsh_pairs``): each
+    (table, bucket) cell's members are collected in ONE aggregate,
+    cells larger than ``max_bucket_size`` are dropped (a dense LSH cell
+    means near-parallel boilerplate vectors; its pairwise expansion is
+    the only quadratic risk here), ordered candidate pairs come from a
+    nested transform, and the cross-table dedup runs on *ids only* —
+    embedding vectors never pass through the distinct's exchange; they
+    re-attach by two id-equi joins afterwards.
     """
     buckets = lsh_buckets_udf(dim, bits, tables, seed)
     tagged = (
         ensure_parallelism(embeddings)
-        .select(id_col, vec_col, F.posexplode(buckets(F.col(vec_col))).alias("t", "b"))
+        .select(id_col, F.posexplode(buckets(F.col(vec_col))).alias("t", "b"))
     )
-    a = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
-    b = tagged.select(F.col("t"), F.col("b"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    members = (
+        tagged.groupBy("t", "b")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
+    )
     cand = (
-        a.join(b, ["t", "b"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "vec_a", "vec_b")
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                            lambda y: F.array(x, y),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p")[0].alias("id_a"), F.col("p")[1].alias("id_b"))
         .distinct()
     )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     cos_pair = cos_pair_udf()
     return (
-        cand.withColumn("cos", F.round(cos_pair(F.col("vec_a"), F.col("vec_b")), 4))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", F.round(cos_pair(F.col("vec_a"), F.col("vec_b")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

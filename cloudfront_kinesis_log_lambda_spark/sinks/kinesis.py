@@ -157,7 +157,21 @@ def _put_records_concurrent(
 ) -> PutStats:
     """Threaded variant of :func:`put_records_with_retry`: up to
     ``concurrency`` batches in flight at once. Chunks are still pulled
-    lazily — a new chunk is consumed only when a pool slot frees up."""
+    lazily — a new chunk is consumed only when a pool slot frees up.
+
+    Semantics notes:
+
+    - backoff sleeps run INSIDE pool workers, so a burst of throttled
+      batches can occupy every slot sleeping and stall fresh chunks until
+      a retry completes. Deliberate: it bounds total in-flight work at
+      ``concurrency`` batches, the same role the reference's
+      2×NUM_WORKERS queue cap plays (cloudfront_kinesis_lambda.py:219-220).
+    - a put error fails the whole Spark task (foreachPartition task retry
+      re-sends the partition → at-least-once, matching the reference);
+      before re-raising, every already-completed future in the same wait
+      set is drained so its retry work is submitted and counted — the
+      stats stay faithful to what was actually attempted.
+    """
     stats = PutStats()
     lock = threading.Lock()
 
@@ -196,10 +210,17 @@ def _put_records_concurrent(
             if not pending:
                 break
             done, pending = wait(pending, return_when=FIRST_COMPLETED)
+            first_err: Exception | None = None
             for fut in done:
-                retry = fut.result()  # re-raises put errors → task fails/retries
+                try:
+                    retry = fut.result()
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    first_err = first_err or e
+                    continue
                 if retry:
                     pending.add(pool.submit(do_put, *retry))
+            if first_err is not None:
+                raise first_err  # → task fails → Spark re-runs the partition
     return stats
 
 

@@ -36,6 +36,31 @@ def test_every_query_has_oracle_or_documented_rows_only():
     )
 
 
+def test_gate_order_oracle_backed_before_rows_only():
+    """The external gate walks queries() in order under an entry budget
+    (rounds 1-2: first 50 only). Ordering policy: every oracle-backed
+    query must come before every rows-only one — a budget slot spent on
+    a rows-only entry while an oracle-backed entry waits outside the
+    budget is wasted evidence (VERDICT r2 'What's wrong' #1)."""
+    names = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+    last_oracle_pos = max(i for i, n in enumerate(names) if n in oracles)
+    first_rows_only_pos = min(i for i, n in enumerate(names) if n not in oracles)
+    assert last_oracle_pos < first_rows_only_pos, (
+        "rows-only entries interleaved with oracle-backed ones: "
+        f"{[n for n in names[:last_oracle_pos + 1] if n not in oracles]}"
+    )
+
+
+def test_gate_order_never_verified_entries_lead():
+    """Entries with no driver row for their current implementation must
+    sit inside ANY plausible gate budget — assert they occupy the head
+    of the walk."""
+    names = list(entry.queries())
+    for name in entry._FRONT:
+        assert names.index(name) < len(entry._FRONT), name
+
+
 def test_query_callables_take_spark_and_sf_dir():
     for name, fn in entry.queries().items():
         assert len(inspect.signature(fn).parameters) == 2, name

@@ -112,6 +112,38 @@ def test_centroid_assignment_is_map_only_arrow_kernel(spark, sf_dir):
         assert join_node not in plan
 
 
+def test_simhash_buckets_capped_no_self_join(spark, sf_dir):
+    """Round-3 gate: SimHash pair generation is the collect_list +
+    bucket-cap pattern — the size(ms) <= max_bucket_size filter must be
+    in the plan (boilerplate-chunk guard) and there must be no physical
+    join node at all (pairs come from a nested transform, not a bucket
+    self-join)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import simhash_near_pairs
+
+    docs = R.load(spark, sf_dir, "documents")
+    plan = _plan(simhash_near_pairs(docs, max_hamming=8))
+    assert "size(ms" in plan
+    for join_node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert join_node not in plan
+
+
+def test_embedding_lsh_pairs_capped_and_id_only_distinct(spark, sf_dir):
+    """Round-3 gate: the embedding all-pairs LSH path caps its (table,
+    bucket) cells AND dedups candidates on ids only — no embedding
+    vector may flow through any aggregate (the distinct's exchange);
+    vectors re-attach by join after the dedup."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_self_join_above,
+    )
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = _plan(cosine_self_join_above(emb, threshold=0.3))
+    assert "size(ids" in plan
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            assert "vec_a" not in line and "embedding" not in line
+
+
 def test_streaming_batch_twins_use_native_window_nodes(spark, sf_dir):
     from cloudfront_kinesis_log_lambda_spark.plans.registry import (
         events_session_windows,
