@@ -55,6 +55,7 @@ _FRONT = [
     "near_dup_3gram",
     "events_sliding_windows",   # new in r3
     "purchases_next_view",      # new in r3
+    "events_interval_join",     # new in r3
 ]
 _DEFER = [
     "top_orders",

@@ -52,6 +52,96 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_kinesis_full_loop(spark, sf_dir: str) -> dict:
+    """Streaming headline, reported as its own JSON key (NOT part of the
+    batch total, which stays comparable to BASELINE.md): the engine's
+    full Kinesis loop —
+
+      kinesis_py readStream (fake data plane seeded from events.parquet)
+        → JSON decode → watermarked tumbling windows → wire records
+          → KinesisSink.put_records into a second fake stream.
+
+    Seeding the input shard files is untimed prep; the timed span is
+    stream start → processAllAvailable (all micro-batches drained).
+    """
+    import glob
+    import json as _json
+    import shutil
+    import tempfile
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import KinesisSink
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        FakeKinesisDataPlane,
+        register_kinesis_source,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        tumbling_event_counts,
+    )
+
+    root = tempfile.mkdtemp(prefix="cfkll-bench-loop-")
+    in_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    os.makedirs(in_dir)
+    n_shards = 8
+    rows = duckdb.sql(
+        f"SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, value, "
+        f"event_id FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    shard_files = [
+        open(os.path.join(in_dir, f"shard-{i:03d}.jsonl"), "w")
+        for i in range(n_shards)
+    ]
+    for ts, et, v, eid in rows:
+        shard_files[eid % n_shards].write(
+            _json.dumps(
+                {
+                    "PartitionKey": str(eid),
+                    "Data": _json.dumps({"ts": ts, "event_type": et, "value": v}),
+                }
+            )
+            + "\n"
+        )
+    for f in shard_files:
+        f.close()
+
+    register_kinesis_source(spark)
+    t0 = time.perf_counter()
+    stream = spark.readStream.format("kinesis_py").option("fake_dir", in_dir).load()
+    decoded = stream.select(
+        F.to_timestamp(F.get_json_object("Data", "$.ts")).alias("ts"),
+        F.get_json_object("Data", "$.event_type").alias("event_type"),
+        F.get_json_object("Data", "$.value").cast("double").alias("value"),
+    )
+    wire = tumbling_event_counts(decoded, window="10 minutes").select(
+        F.to_json(F.struct("*")).alias("Data"),
+        F.expr("replace(uuid(),'-','')").alias("PartitionKey"),
+    )
+    sink = KinesisSink(
+        "bench-loop",
+        parallelism=n_shards,
+        client_factory=lambda: FakeKinesisDataPlane(out_dir, n_shards=n_shards),
+    )
+    q = (
+        wire.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    dt = time.perf_counter() - t0
+    n_out = sum(
+        1
+        for p in glob.glob(os.path.join(out_dir, "shard-*.jsonl"))
+        for _ in open(p)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return {"sec": round(dt, 3), "records_in": len(rows), "records_out": n_out}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -77,12 +167,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in reps]})",
               file=sys.stderr)
 
+    loop = bench_kinesis_full_loop(spark, sf_dir)
+    print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming_full_loop": loop,
         "sf": sf,
     }))
 

@@ -408,6 +408,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM wins
         GROUP BY 1, 2, 3
     """,
+    # stream-stream interval join, batch twin: inclusive [ts, ts+6h]
+    "events_interval_join": """
+        SELECT e.event_id AS err_id, e.user_id, e.ts AS err_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND e.event_type = 'error' AND c.event_type = 'click'
+         AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 6 HOUR
+    """,
     # Spark session_window: session = maximal run where each event starts
     # < previous event's ts + gap (end-exclusive); end = last ts + gap.
     "events_session_windows": """

@@ -622,14 +622,16 @@ def sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy contract vs exact is pinned by tests/test_sketches.py.
     """
     e = load(spark, sf_dir, "events")
+    # one t-digest bound to a variable, three getItems — Catalyst's
+    # PhysicalAggregation would dedup three identical approx_percentile
+    # calls anyway, but this makes single-sketch execution structural
+    # rather than optimizer goodwill
+    ap = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[0]
-        .alias("ap50"),
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[1]
-        .alias("ap90"),
-        F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 5000)")[2]
-        .alias("ap99"),
+        ap[0].alias("ap50"),
+        ap[1].alias("ap90"),
+        ap[2].alias("ap99"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

@@ -215,6 +215,28 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SP.session_window_counts(R.load(spark, sf_dir, "events"), gap="30 minutes")
 
 
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``stream_stream_interval_join``: every (error,
+    click) pair for the same user where the click lands within
+    ``[error.ts, error.ts + 6 h]`` (inclusive both ends). In streaming
+    the same function's watermark + interval bound is what makes join
+    state expirable; the batch run gives the join-condition semantics a
+    DuckDB-checked driver row."""
+    ev = R.load(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    return SP.stream_stream_interval_join(
+        errors, clicks, left_key="user_id", right_key="c_user",
+        left_ts="err_ts", right_ts="click_ts", within="6 hours", how="inner",
+    )
+
+
 # --- similarity search ------------------------------------------------------
 
 
@@ -298,6 +320,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_tumbling_windows": events_tumbling_windows,
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,
+    "events_interval_join": events_interval_join,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
     "embedding_pairs_exact": embedding_pairs_exact,
