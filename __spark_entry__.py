@@ -56,6 +56,9 @@ _FRONT = [
     "events_sliding_windows",   # new in r3
     "purchases_next_view",      # new in r3
     "events_interval_join",     # new in r3
+    "doc_dedup_keep",           # new in r3
+    "embedding_quantize_int8",  # new in r3
+    "decimal_revenue_exact",    # new in r3
 ]
 _DEFER = [
     "top_orders",
@@ -113,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_above_brand_avg": R.parts_above_brand_avg,
         "orders_with_max_item": R.orders_with_max_item,
         "order_price_percentiles": R.order_price_percentiles,
+        "decimal_revenue_exact": R.decimal_revenue_exact,
         "sketch_event_stats": R.sketch_event_stats,
         "order_item_arrays": R.order_item_arrays,
         "order_price_histogram": R.order_price_histogram,

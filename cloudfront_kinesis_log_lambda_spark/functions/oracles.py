@@ -705,6 +705,76 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COALESCE(c.canon_id, d.doc_id) AS BIGINT) AS canon_id
         FROM documents d LEFT JOIN canon c USING (doc_id)
     """,
+    # dedup materialization: kept representatives (canonical member per
+    # cluster) + cluster size — canon per the same recursive closure as
+    # near_dup_clusters
+    "doc_dedup_keep": r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        canon AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id FROM reach GROUP BY u),
+        assign AS (
+          SELECT d.doc_id,
+                 CAST(COALESCE(c.canon_id, d.doc_id) AS BIGINT) AS canon_id
+          FROM documents d LEFT JOIN canon c USING (doc_id))
+        SELECT canon_id AS doc_id, COUNT(*) AS cluster_size
+        FROM assign
+        GROUP BY canon_id
+    """,
+    # --- exact-decimal arithmetic ----------------------------------------
+    # integer-scaled DECIMAL sums are exact on both engines; the trailing
+    # CAST to DOUBLE only renders the identical exact value
+    "decimal_revenue_exact": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price_exact,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+                    AS DOUBLE) AS sum_disc_price_exact,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    # --- int8 quantization ------------------------------------------------
+    # floor(x/scale + 0.5) spelled out on both engines: CAST/round()
+    # half-way behavior differs across engines, floor of a double doesn't
+    "embedding_quantize_int8": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale,
+               array_to_string(
+                 list_transform(e, x -> CAST(CASE WHEN scale > 0
+                                                  THEN floor(x / scale + 0.5)
+                                                  ELSE 0 END AS INT)), ',') AS codes
+        FROM s
+    """,
     # --- similarity ------------------------------------------------------
     "embedding_norms": """
         SELECT label,

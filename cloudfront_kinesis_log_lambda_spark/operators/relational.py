@@ -673,3 +673,26 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("hi"),
         F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
     )
+
+
+def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal arithmetic surface: money aggregation in
+    DECIMAL(18,2)/(18,4) — integer-scaled arithmetic with no float
+    rounding anywhere until the final cast, the type discipline a
+    billing/revenue pipeline runs at scale (float partial-agg ordering
+    noise is unrepresentable; every partial sum is exact, so the
+    map-side-combined two-phase aggregate is bit-identical to a serial
+    fold). The end cast to double only renders the exact result.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(18,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(p).cast("double").alias("sum_price_exact"),
+            F.sum(p * (one - disc)).cast("double").alias("sum_disc_price_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

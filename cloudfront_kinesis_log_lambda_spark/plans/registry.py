@@ -146,6 +146,22 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(docs, pairs)
 
 
+def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup MATERIALIZATION: one kept representative per near-dup
+    cluster (the canonical member) with its cluster size — what a
+    training-data pipeline actually writes out after near-dup analysis.
+    Built on the same LSH pair graph as ``near_dup_clusters`` (same
+    coupling invariant); the aggregate over the assignment adds one
+    days-sized shuffle."""
+    docs = _docs(spark, sf_dir)
+    assignment = D.near_dup_clusters(docs, D.minhash_lsh_pairs(docs, n=3, threshold=0.5))
+    return (
+        assignment.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("canon_id").alias("doc_id"), "cluster_size")
+    )
+
+
 # --- UDTF surface -----------------------------------------------------------
 
 
@@ -244,6 +260,18 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_norms_by_label(_emb(spark, sf_dir))
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization codes, oracle-hashed exactly (integer codes +
+    scale rounded at the edge); codes render as CSV so the array payload
+    is hash-comparable across engines."""
+    q = S.quantize_int8(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_join("codes", ",").alias("codes"),
+    )
+
+
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -327,6 +355,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": multimodal_features,
     "near_dup_3gram": near_dup_3gram,
     "near_dup_clusters": near_dup_clusters,
+    "doc_dedup_keep": doc_dedup_keep,
+    "embedding_quantize_int8": embedding_quantize_int8,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

@@ -154,3 +154,20 @@ def test_exact_pairs_is_recall_reference_for_lsh_pairs(spark, emb):
     }
     assert ex  # the cluster produces high-cos pairs
     assert len(got & ex) / len(ex) >= 0.9
+
+
+def test_quantize_int8_reconstruction_contract(emb, emb_py):
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import quantize_int8
+
+    rows = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert rows.keys() == emb_py.keys()
+    for vid, orig in emb_py.items():
+        r = rows[vid]
+        codes, scale = r["codes"], r["scale"]
+        assert len(codes) == len(orig)
+        # symmetric int8 range, max-magnitude element hits ±127 exactly
+        assert all(-127 <= c <= 127 for c in codes)
+        assert max(abs(c) for c in codes) == 127
+        # dequantization error bounded by half a quantization step per dim
+        for c, x in zip(codes, orig):
+            assert abs(c * scale - x) <= scale / 2 + 1e-9
