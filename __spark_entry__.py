@@ -59,6 +59,7 @@ _FRONT = [
     "doc_dedup_keep",           # new in r3
     "embedding_quantize_int8",  # new in r3
     "decimal_revenue_exact",    # new in r3
+    "purchases_asof_cogroup",   # new in r3
 ]
 _DEFER = [
     "top_orders",

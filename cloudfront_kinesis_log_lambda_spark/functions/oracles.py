@@ -614,6 +614,17 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
+    # identical semantics to purchases_asof_view, via the cogrouped
+    # applyInPandas merge_asof path — same oracle on purpose: both engine
+    # formulations must agree with the one ASOF JOIN truth
+    "purchases_asof_cogroup": """
+        SELECT p.event_id, p.ts, p.user_id, p.value,
+               v.ts    AS ts_asof,
+               v.value AS value_asof
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
     # forward as-of + tolerance: earliest view at-or-after each purchase,
     # nulled when it lies more than 1 day ahead (merge_asof forward
     # semantics; ties at equal ts are inclusive on both engines)

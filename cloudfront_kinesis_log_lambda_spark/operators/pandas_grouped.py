@@ -65,6 +65,77 @@ def events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_by_group(e, "user_id", "value", ["event_id"])
 
 
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join via co-grouped ``applyInPandas`` — the
+    cogroup(map) corner of the Pandas-UDF surface (grouped-map,
+    grouped-agg, and UDTF live elsewhere): both sides are shuffled on
+    the key, each key's two pandas frames meet in one task, and
+    ``pandas.merge_asof`` does the per-group point-in-time merge.
+
+    Semantically identical to ``operators.asof.asof_join_backward``
+    (ties inclusive; among equal right timestamps the last in sort
+    order wins — merge_asof's rule and the window formulation's
+    ``last()`` agree), and oracle-checked against the same SQL. The
+    union+window formulation remains the SCALE path: one shuffle, no
+    Python, no per-key frame materialization. This one exists for the
+    cases where the per-group logic genuinely needs pandas (model
+    features around the match, interpolation) — with the usual cogroup
+    contract that each key's rows fit one task's memory.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    rtype = {f.name: f.dataType for f in right.schema.fields}
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField(f"{right_ts}{suffix}", rtype[right_ts])]
+        + [StructField(f"{c}{suffix}", rtype[c]) for c in right_cols]
+    )
+    left_cols = list(left.columns)
+    out_cols = [f.name for f in out_schema.fields]
+    ren = {right_ts: f"{right_ts}{suffix}", **{c: f"{c}{suffix}" for c in right_cols}}
+
+    needed = {right_ts, *right_cols}
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty:
+            return pd.DataFrame(columns=out_cols)
+        # Catalyst may prune either side's data columns down to the
+        # grouping key when the query doesn't consume them (e.g. a bare
+        # count()) — the UDF still owes the right ROW COUNT, which for a
+        # left as-of join is len(l); fill the pruned/unmatched columns
+        # with object-dtype Nones (Arrow maps those to nulls of ANY
+        # declared type; float NaN would fail the timestamp cast)
+        if r.empty or not needed.issubset(r.columns):
+            out = l.copy()
+            for c in out_cols:
+                if c not in out.columns:
+                    out[c] = pd.Series([None] * len(out), index=out.index, dtype="object")
+            return out.reindex(columns=out_cols)
+        r = r[[right_ts, *right_cols]].rename(columns=ren)
+        return pd.merge_asof(
+            l.sort_values(left_ts, kind="stable"),
+            r.sort_values(f"{right_ts}{suffix}", kind="stable"),
+            left_on=left_ts,
+            right_on=f"{right_ts}{suffix}",
+            direction="backward",
+        ).reindex(columns=out_cols)
+
+    return (
+        left.groupBy(on)
+        .cogroup(right.groupBy(on))
+        .applyInPandas(merge, out_schema)
+    )
+
+
 def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas_udf: per-user median of ``value``.
 

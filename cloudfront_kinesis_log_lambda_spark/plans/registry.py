@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from cloudfront_kinesis_log_lambda_spark.operators import asof as A
 from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
+from cloudfront_kinesis_log_lambda_spark.operators import pandas_grouped as PG
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
 from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
@@ -200,6 +201,20 @@ def purchases_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchases_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME backward as-of semantics as ``purchases_asof_view``,
+    through the engine's other as-of path: co-grouped ``applyInPandas``
+    + ``pandas.merge_asof`` per user group — covering the cogroup(map)
+    UDF surface with an operator whose answer is machine-checkable
+    (checked against the identical ASOF JOIN oracle)."""
+    ev = R.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return PG.asof_join_cogroup(purchases, views, on="user_id", right_cols=["value"])
+
+
 # --- streaming operators, batch twins ---------------------------------------
 # The streaming surface (streaming/pipeline.py) is exercised end-to-end by
 # tests/test_streaming.py; these twins run the SAME operator functions over
@@ -345,6 +360,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
     "purchases_next_view": purchases_next_view,
+    "purchases_asof_cogroup": purchases_asof_cogroup,
     "events_tumbling_windows": events_tumbling_windows,
     "events_sliding_windows": events_sliding_windows,
     "events_session_windows": events_session_windows,

@@ -114,3 +114,29 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     assert fwd["px_asof"] is None
     fwd4 = asof_join_forward(left, fwd_right, on="k", tolerance="4 HOUR").collect()[0]
     assert fwd4["px_asof"] == 7.0
+
+
+def test_cogroup_asof_matches_window_formulation(spark, sf_dir):
+    """The cogrouped applyInPandas merge_asof path and the union+window
+    path are two implementations of ONE operator contract — they must
+    agree row-for-row. Also pins the pruned-input contract: a bare
+    count() (Catalyst prunes a cogroup side to its grouping key) must
+    not crash the UDF and must return the left-side row count."""
+    from pyspark.sql import functions as F
+
+    from cloudfront_kinesis_log_lambda_spark.operators import relational as R
+    from cloudfront_kinesis_log_lambda_spark.operators.pandas_grouped import (
+        asof_join_cogroup,
+    )
+
+    ev = R.load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    cg = asof_join_cogroup(purchases, views, on="user_id", right_cols=["value"])
+    w = asof_join_backward(purchases, views, on="user_id", right_cols=["value"])
+    got = {r["event_id"]: r.asDict() for r in cg.collect()}
+    exp = {r["event_id"]: r.asDict() for r in w.collect()}
+    assert got == exp
+    assert cg.count() == purchases.count()

@@ -26,23 +26,6 @@ from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
 from cloudfront_kinesis_log_lambda_spark.testing.fixtures import write_log_tree
 
 
-class ShardFileKinesis:
-    """put_records fake that lands records in kinesis_py's shard-file
-    layout — records hash to shards by PartitionKey, like Kinesis."""
-
-    def __init__(self, dir_: str, n_shards: int = 2) -> None:
-        self.dir = dir_
-        self.n_shards = n_shards
-        os.makedirs(dir_, exist_ok=True)
-
-    def put_records(self, StreamName, Records):
-        for r in Records:
-            shard = hash(r["PartitionKey"]) % self.n_shards
-            with open(os.path.join(self.dir, f"shard-{shard:03d}.jsonl"), "a") as f:
-                f.write(json.dumps({"PartitionKey": r["PartitionKey"], "Data": r["Data"]}) + "\n")
-        return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
-
-
 def test_reference_pipeline_then_stream_analytics(spark, tmp_path):
     landing = str(tmp_path / "landing")
     stream_dir = str(tmp_path / "stream")
