@@ -144,6 +144,19 @@ def test_embedding_lsh_pairs_capped_and_id_only_distinct(spark, sf_dir):
             assert "vec_a" not in line and "embedding" not in line
 
 
+def test_quantize_int8_is_jvm_map_only(spark, sf_dir):
+    """Int8 quantization must stay a single JVM projection pass: no
+    Python eval node (the HOFs are builtin expressions) and no exchange
+    — at 100 TB this op reads and rewrites every row, so anything
+    beyond scan→project→write is waste."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import quantize_int8
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = _plan(quantize_int8(emb))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
 def test_streaming_batch_twins_use_native_window_nodes(spark, sf_dir):
     from cloudfront_kinesis_log_lambda_spark.plans.registry import (
         events_session_windows,
