@@ -60,6 +60,7 @@ _FRONT = [
     "embedding_quantize_int8",  # new in r3
     "decimal_revenue_exact",    # new in r3
     "purchases_asof_cogroup",   # new in r3
+    "ann_quantized_topk",       # new in r3
 ]
 _DEFER = [
     "top_orders",
@@ -75,6 +76,7 @@ _TAIL = [
     "stratified_event_sample",
     "cloudfront_enriched",
     "cloudfront_wire",
+    "cloudfront_status_rollup",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_pairs_lsh",

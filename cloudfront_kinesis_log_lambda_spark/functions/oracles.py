@@ -786,6 +786,31 @@ ORACLE_SQL: dict[str, str] = {
                                                   ELSE 0 END AS INT)), ',') AS codes
         FROM s
     """,
+    # serving path over the quantized codes: integer dot (exact) times
+    # the two scales; same floor(x/scale + 0.5) quantizer as above
+    "ann_quantized_topk": """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+        c AS (
+          SELECT vec_id, scale,
+                 list_transform(e, x -> CAST(CASE WHEN scale > 0
+                                                  THEN floor(x / scale + 0.5)
+                                                  ELSE 0 END AS BIGINT)) AS codes
+          FROM s),
+        q AS (SELECT codes AS q_codes, scale AS q_scale FROM c WHERE vec_id = 0)
+        SELECT c.vec_id,
+               ROUND(list_dot_product(CAST(c.codes AS DOUBLE[]),
+                                      CAST(q.q_codes AS DOUBLE[]))
+                     * c.scale * q.q_scale, 4) AS score
+        FROM c, q
+        WHERE c.vec_id <> 0
+        ORDER BY score DESC, c.vec_id
+        LIMIT 10
+    """,
     # --- similarity ------------------------------------------------------
     "embedding_norms": """
         SELECT label,

@@ -347,6 +347,47 @@ def quantize_int8(
     )
 
 
+def quantized_dot_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k over the int8-quantized codes — the SERVING
+    side of :func:`quantize_int8`: ``dot(codes_a, codes_q) · scale_a ·
+    scale_q`` approximates the float dot product, ranking near-neighbors
+    without touching the float vectors (at scale only the 4×-smaller
+    code table is resident; error per dim ≤ half a quantization step).
+
+    Unlike the float ANN tiers (whose numpy accumulation order makes
+    them rows-only), this path is fully ORACLE-CHECKABLE: the integer
+    dot is exact (|codes| ≤ 127, 64 dims → ≪ 2⁵³) and the rescale is
+    two double multiplies — bit-identical on any engine. Plan shape:
+    map-only quantize projection, broadcast 1-row query codes, integer
+    zip_with/aggregate fold, TakeOrderedAndProject — no shuffle.
+    """
+    q = quantize_int8(embeddings, id_col, vec_col)
+    qq = q.filter(F.col(id_col) == query_vec_id).select(
+        F.col("codes").alias("q_codes"), F.col("scale").alias("q_scale")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("codes"), F.col("q_codes"), lambda x, y: (x * y).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    score = dot.cast("double") * F.col("scale") * F.col("q_scale")
+    return (
+        q.crossJoin(F.broadcast(qq))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col, F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs_exact(
     embeddings: DataFrame,
     threshold: float = 0.3,

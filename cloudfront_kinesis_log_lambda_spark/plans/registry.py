@@ -291,6 +291,12 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by int8-quantized dot product — the serving path over the
+    compressed code table; exactly oracle-checkable (integer dots)."""
+    return S.quantized_dot_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -344,6 +350,26 @@ def cloudfront_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cloudfront_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics over the reference's OWN data: status-class × env
+    traffic rollup on the enriched log records — the kind of question
+    the reference's forward-only pipeline can't answer without a
+    downstream system. Rows-only (the cloudfront fixture isn't an
+    oracle view); the same rollup is value-asserted end-to-end in
+    tests/test_full_loop.py after a sink→source round trip."""
+    enriched = transform_cloudfront(read_cloudfront_logs(spark, _fixture_dir()))
+    return (
+        enriched.groupBy(
+            "env", F.substring("http_status", 1, 1).alias("status_class")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(F.col("bytes_sent").cast("long")).alias("bytes_sent"),
+            F.countDistinct("src_ip").alias("n_client_ips"),
+        )
+    )
+
+
 # Unordered registry of the extension surface; the driver-facing walk
 # order (which decides what the gate's entry budget evaluates) is imposed
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
@@ -373,10 +399,12 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": near_dup_clusters,
     "doc_dedup_keep": doc_dedup_keep,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "ann_quantized_topk": ann_quantized_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
     "cloudfront_wire": cloudfront_wire,
+    "cloudfront_status_rollup": cloudfront_status_rollup,
     # rows-only (hash-seeded; recall-gated in tests)
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,

@@ -22,6 +22,7 @@ ROWS_ONLY = {
     "stratified_event_sample",
     "cloudfront_enriched",
     "cloudfront_wire",
+    "cloudfront_status_rollup",
 }
 
 

@@ -171,3 +171,20 @@ def test_quantize_int8_reconstruction_contract(emb, emb_py):
         # dequantization error bounded by half a quantization step per dim
         for c, x in zip(codes, orig):
             assert abs(c * scale - x) <= scale / 2 + 1e-9
+
+
+def test_quantized_topk_ranking_tracks_exact_dot(emb, emb_py):
+    """Ranking over int8 codes must track the exact float dot-product
+    ranking closely — 127 levels per dim keeps relative error ~1e-2."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    q = emb_py[0]
+    exact = sorted(
+        ((sum(x * y for x, y in zip(v, q)), vid) for vid, v in emb_py.items() if vid != 0),
+        reverse=True,
+    )[:10]
+    exact_ids = {vid for _, vid in exact}
+    got_ids = {r["vec_id"] for r in quantized_dot_topk(emb, query_vec_id=0, k=10).collect()}
+    assert len(got_ids & exact_ids) >= 8
