@@ -331,8 +331,19 @@ _CF_FIXTURE = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v1")
 def _fixture_dir() -> str:
     marker = os.path.join(_CF_FIXTURE, ".complete")
     if not os.path.exists(marker):
-        write_log_tree(_CF_FIXTURE, rows=500, files_per_service=2)
-        open(marker, "w").close()
+        # parallel gate processes can race to build the (deterministic)
+        # fixture; a half-written tree under the final path would poison
+        # every later query. Build under a pid-scoped path, then rename —
+        # atomic on POSIX; the loser's rename fails and it cleans up.
+        import shutil
+
+        tmp = f"{_CF_FIXTURE}.tmp-{os.getpid()}"
+        write_log_tree(tmp, rows=500, files_per_service=2)
+        open(os.path.join(tmp, ".complete"), "w").close()
+        try:
+            os.rename(tmp, _CF_FIXTURE)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another process won
     return _CF_FIXTURE
 
 

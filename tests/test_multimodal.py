@@ -112,3 +112,15 @@ def test_multimodal_features_compose_with_similarity_search(spark, sf_dir):
     cs = [r["cos"] for r in top]
     assert cs == sorted(cs, reverse=True)
     assert all(-1.0001 <= c <= 1.0001 for c in cs)
+
+
+def test_decode_seam_raises_until_decoder_installed():
+    """decode_image is an explicit production seam: in an environment
+    without a decoder library it must fail loudly (NotImplementedError
+    citing the missing dependency), never silently fake."""
+    import pytest
+
+    from cloudfront_kinesis_log_lambda_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\x89PNG fake bytes")
