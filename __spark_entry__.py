@@ -61,6 +61,7 @@ _FRONT = [
     "decimal_revenue_exact",    # new in r3
     "purchases_asof_cogroup",   # new in r3
     "ann_quantized_topk",       # new in r3
+    "parquet_roundtrip_daily",  # impl changed in r3 (eager rollup + tmp cleanup)
 ]
 _DEFER = [
     "top_orders",

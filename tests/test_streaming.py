@@ -210,3 +210,24 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r["ad_id"], str(r["click_ts"])) for r in rows] == [
         (1, "2024-01-01 00:03:00")
     ]
+
+
+def test_sliding_window_streaming(spark, tmp_path):
+    """The slide path in streaming mode: 10-min windows every 5 min —
+    each event lands in exactly window/slide = 2 overlapping windows."""
+    land = str(tmp_path / "events_slide")
+    _write_batch(land, "b0.json", [
+        {"event_id": 1, "ts": "2024-01-01 00:01:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:06:00", "user_id": 1, "event_type": "click", "value": 2.0},
+    ])
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(land)
+    agg = tumbling_event_counts(stream, window="10 minutes", slide="5 minutes")
+    rows = _run_to_memory(agg, spark, "sliding_t", "complete")
+    got = {
+        (str(r["window_start"]), r["n_events"], r["sum_value"]) for r in rows
+    }
+    assert got == {
+        ("2023-12-31 23:55:00", 1, 1.0),   # covers [23:55, 00:05) → event 1
+        ("2024-01-01 00:00:00", 2, 3.0),   # covers [00:00, 00:10) → both
+        ("2024-01-01 00:05:00", 1, 2.0),   # covers [00:05, 00:15) → event 2
+    }
