@@ -144,6 +144,20 @@ def test_embedding_lsh_pairs_capped_and_id_only_distinct(spark, sf_dir):
             assert "vec_a" not in line and "embedding" not in line
 
 
+def test_quantized_topk_is_broadcast_take_ordered(spark, sf_dir):
+    """The quantized serving path must plan as scan → codegen quantize +
+    integer dot → TakeOrderedAndProject with the 1-row query side
+    broadcast — no shuffle join, no global sort."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        quantized_dot_topk,
+    )
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    plan = _plan(quantized_dot_topk(emb, query_vec_id=0, k=10))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_quantize_int8_is_jvm_map_only(spark, sf_dir):
     """Int8 quantization must stay a single JVM projection pass: no
     Python eval node (the HOFs are builtin expressions) and no exchange
