@@ -145,3 +145,55 @@ def test_pii_scrub_idempotent_and_total(spark, texts):
     assert {r["doc_id"]: r["scrubbed"] for r in twice} == {
         r["doc_id"]: r["scrubbed"] for r in rows
     }
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(  # left events: (key, ts-seconds)
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(  # right events: (key, ts-seconds, value)
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 10_000),
+            st.floats(-100, 100, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+)
+def test_asof_backward_matches_bruteforce_oracle(spark, lefts, rights):
+    """asof_join_backward against a brute-force Python oracle on random
+    keyed event sets: the matched value is the right row with the
+    greatest ts <= left ts for the same key (ties on ts collapse to one
+    row by construction: dedupe right on (key, ts) keeping max value)."""
+    import datetime as dt
+
+    from cloudfront_kinesis_log_lambda_spark.operators.asof import asof_join_backward
+
+    epoch = dt.datetime(2024, 1, 1)
+    # dedupe right side on (key, ts) so the expected match is unique
+    rmap = {}
+    for k, ts, v in rights:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), float("-inf")))
+    rights_u = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    left = spark.createDataFrame(
+        [(i, k, epoch + dt.timedelta(seconds=ts)) for i, (k, ts) in enumerate(lefts)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, epoch + dt.timedelta(seconds=ts), v) for k, ts, v in rights_u],
+        "k long, ts timestamp, px double",
+    ) if rights_u else spark.createDataFrame([], "k long, ts timestamp, px double")
+
+    got = {
+        r["lid"]: r["px_asof"]
+        for r in asof_join_backward(left, right, on="k", right_cols=["px"]).collect()
+    }
+    for i, (k, ts) in enumerate(lefts):
+        cands = [(rts, v) for rk, rts, v in rights_u if rk == k and rts <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, ts, cands)
