@@ -153,12 +153,37 @@ ORACLE_SQL: dict[str, str] = {
                  AS running_spend
         FROM orders
     """,
+    "events_moving_hour_sum": """
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               ROUND(SUM(value) OVER w, 2) AS moving_sum_1h,
+               COUNT(*) OVER w             AS n_events_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    "customer_value_ntile": """
+        SELECT c_custkey, c_mktsegment,
+               CAST(NTILE(4) OVER w AS BIGINT)   AS balance_quartile,
+               ROUND(PERCENT_RANK() OVER w, 6)   AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6)      AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
     # --- sort / limit / set ops -----------------------------------------
     "top_orders": """
         SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice
         FROM orders
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 10
+    """,
+    "region_nations_agg": """
+        SELECT r_name,
+               STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*)                                AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     "nation_set_ops": """
         WITH c AS (SELECT c_nationkey AS nationkey FROM customer),

@@ -326,6 +326,45 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_moving_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the trailing-1-hour sum /
+    count of event values (RANGE BETWEEN 3599s PRECEDING AND CURRENT ROW
+    over epoch seconds). The one frame kind the ROWS-based windows above
+    don't exercise; equal timestamps are frame peers so the summed set is
+    order-independent. One hash exchange on user_id, sort within
+    partitions — same shuffle shape at 100 TB as any per-entity window."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        # parquet TIMESTAMP_NTZ casts to epoch seconds only via TIMESTAMP
+        # (session tz is pinned UTC, so the hop is value-preserving)
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round(F.sum("value").over(w), 2).alias("moving_sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+    )
+
+
+def customer_value_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical ranking family (NTILE / PERCENT_RANK / CUME_DIST) —
+    quartile assignment of customers by account balance within market
+    segment. Deterministic under the unique (acctbal, custkey) order."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # --- sort / limit / set ops -------------------------------------------------
 
 
@@ -336,6 +375,24 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice"))
         .limit(10)
+    )
+
+
+def region_nations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / STRING_AGG): nations per
+    region as a comma-joined, alphabetically sorted list. collect_list is
+    shuffle-order-nondeterministic, so the sort happens INSIDE the
+    aggregate output (array_sort) — the only way a distributed listagg
+    can be deterministic without a global sort."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
     )
 
 

@@ -66,6 +66,26 @@ def test_aggregates_have_partial_final_split(spark, sf_dir, query):
     assert "partial_" in plan and "HashAggregate" in plan
 
 
+def test_range_frame_window_single_exchange(spark, sf_dir):
+    plan = _plan(R.events_moving_hour_sum(spark, sf_dir))
+    # one hash exchange on user_id feeding a native Window node; the
+    # RANGE frame must not degrade to a join or a second shuffle
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_listagg_broadcasts_dim_and_sorts_inside_agg(spark, sf_dir):
+    plan = _plan(R.region_nations_agg(spark, sf_dir))
+    # nation⋈region is two tiny tables — broadcast, never a shuffle join;
+    # determinism comes from array_sort inside the aggregate output, so
+    # no global Sort node is needed; collect_list still gets Catalyst's
+    # partial/final split (ObjectHashAggregate)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_collect_list" in plan and "Sort " not in plan
+
+
 def test_minhash_signature_is_codegen_hash_aggregate(spark, sf_dir):
     """Round-2 rewrite gate: MinHash signatures come from ONE two-phase
     hash aggregate (explode + 64 min() columns, map-side combined), not
