@@ -64,8 +64,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # as epoch-nanos. Integer-divide (DIV keeps long precision — a double
     # roundtrip would lose sub-ms bits at 1e18 magnitudes) down to micros,
     # matching DuckDB's own nanos→micros truncation.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # round-4 testdata regenerated events.ts as TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false) → TIMESTAMP_NTZ. Normalize to the
+        # session-tz TIMESTAMP every operator was written against
+        # (session is pinned UTC, so the hop is value-preserving);
+        # without this, time functions like unix_micros reject the col.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -336,9 +344,7 @@ def events_moving_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        # parquet TIMESTAMP_NTZ casts to epoch seconds only via TIMESTAMP
-        # (session tz is pinned UTC, so the hop is value-preserving)
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .orderBy(F.col("ts").cast("long"))
         .rangeBetween(-3599, Window.currentRow)
     )
     return e.select(
