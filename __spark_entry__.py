@@ -94,6 +94,7 @@ _TAIL = [
     "cloudfront_status_rollup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
     "near_dup_minhash_lsh",
     "simhash_near_pairs",

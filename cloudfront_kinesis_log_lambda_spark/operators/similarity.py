@@ -314,6 +314,135 @@ def ivf_topk(
     )
 
 
+def _pq_codebooks(
+    X: "np.ndarray", m: int, ksub: int, iters: int
+) -> "np.ndarray":
+    """(m, ksub, dsub) product-quantization codebooks via per-subspace
+    Lloyd k-means on a training sample. Deterministic: init is the first
+    ``ksub`` sample subvectors, ties in assignment take the lowest code
+    (np.argmin first-minimum), empty codes keep their previous centroid.
+    """
+    n, dim = X.shape
+    dsub = dim // m
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode(X: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(n, m) uint8 code matrix: nearest codeword per subspace."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    train_rows: int = 256,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse cells prune the scan (as in
+    :func:`ivf_topk`), and inside the probed cells vectors are scored
+    from their PRODUCT-QUANTIZATION codes only — ``m_subvectors`` bytes
+    + one float norm per vector instead of the float array.
+
+    The compressed-serving tier of the ANN stack: at 100 TB a 64-dim
+    float32 corpus is 256 B/vector; the (cid, codes, norm) table is
+    ~12 B/vector (~21×), small enough to keep resident while the float
+    vectors stay in cold storage. Scoring is FAISS-style ADC: the query
+    is cut into subvectors, a (m × n_codes) inner-product lookup table
+    is built driver-side, and each candidate's approximate dot is m
+    table lookups summed — no float-vector I/O on the query path.
+
+    Plan shape: codebooks train on a driver-side sample (the
+    ``train_rows`` lowest-id vectors — deterministic, the FAISS
+    training-sample pattern); encode + score are captured-numpy Arrow
+    UDFs, map-only; candidate filter is ``cid IN probes``; top-k is
+    TakeOrderedAndProject. Zero shuffles on the query path (the only
+    shuffles are inside k-means training, amortized across queries at
+    real scale where the index is built once and persisted with cid as
+    a partition column).
+
+    Rows-only by design (numpy accumulation + k-means codebooks aren't
+    SQL-expressible); recall-gated in tests/test_similarity.py.
+    """
+    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    sample = (
+        embeddings.orderBy(id_col).limit(train_rows).select(vec_col).collect()
+    )
+    Xtrain = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
+    books = _pq_codebooks(Xtrain, m_subvectors, n_codes, iters)
+
+    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    qv = np.asarray([float(x) for x in qrow[0]], dtype=np.float64)
+    qn = float(np.linalg.norm(qv)) or 1.0
+
+    def cos_py(c: list[float]) -> float:
+        cc = np.asarray(c, dtype=np.float64)
+        nc = float(np.linalg.norm(cc)) or 1.0
+        return float(cc @ qv) / (nc * qn)
+
+    probe = sorted(range(len(centroids)), key=lambda i: -cos_py(centroids[i]))[:nprobe]
+
+    m, ksub, dsub = books.shape
+    # ADC lookup table: lut[j, c] = <q_subvector_j, codeword_jc>
+    lut = np.einsum("jd,jcd->jc", qv.reshape(m, dsub), books)  # (m, ksub)
+
+    @F.pandas_udf("array<int>")
+    def pq_codes(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(list(_pq_encode(X, books).astype(np.int32)))
+
+    @F.pandas_udf("double")
+    def adc_dot(codes_s: pd.Series) -> pd.Series:
+        C = np.stack(codes_s.to_numpy()).astype(np.int64)
+        return pd.Series(lut[np.arange(m)[None, :], C].sum(axis=1))
+
+    # the INDEX: (id, cid, codes, nrm) — what's persisted at real scale;
+    # the float vector column is dropped before the query path begins
+    index = (
+        assign_centroids(ensure_parallelism(embeddings), centroids, id_col, vec_col)
+        .select(
+            id_col,
+            "cid",
+            pq_codes(F.col(vec_col)).alias("codes"),
+            _norm(F.col(vec_col)).alias("nrm"),
+        )
+    )
+    score = adc_dot(F.col("codes")) / (
+        F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0)) * F.lit(qn)
+    )
+    return (
+        index.filter(F.col("cid").isin([int(p) for p in probe]))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(id_col, F.round(score, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def quantize_int8(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -305,6 +305,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.ivf_pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
 def embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_self_join_above(_emb(spark, sf_dir), threshold=0.3)
 
@@ -419,6 +423,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (hash-seeded; recall-gated in tests)
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "embedding_pairs_lsh": embedding_pairs_lsh,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "simhash_near_pairs": simhash_near_pairs,

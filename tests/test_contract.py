@@ -17,6 +17,7 @@ ROWS_ONLY = {
     "winnow_near_pairs",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
     "sketch_event_stats",
     "stratified_event_sample",

@@ -66,6 +66,19 @@ def test_aggregates_have_partial_final_split(spark, sf_dir, query):
     assert "partial_" in plan and "HashAggregate" in plan
 
 
+def test_ivf_pq_query_path_is_map_only_over_code_table(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import ivf_pq_topk
+
+    plan = _plan(ivf_pq_topk(R.load(spark, sf_dir, "embeddings"), 0, 10))
+    # serving path: cell filter + Arrow encode/ADC UDFs + top-k — no
+    # join, no hash shuffle (the only exchange is the round-robin
+    # ensure_parallelism repartition), TakeOrderedAndProject not a sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_node not in plan
+
+
 def test_range_frame_window_single_exchange(spark, sf_dir):
     plan = _plan(R.events_moving_hour_sum(spark, sf_dir))
     # one hash exchange on user_id feeding a native Window node; the

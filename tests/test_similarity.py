@@ -116,6 +116,46 @@ def test_ivf_on_corpus_returns_ordered_topk(emb):
     assert cos_vals == sorted(cos_vals, reverse=True)
 
 
+def test_ivf_pq_recall_on_planted_neighbors(spark):
+    """IVF-PQ (coarse cells + product-quantization ADC scoring) must
+    recover a planted angular cluster: the cluster lands in one probed
+    cell, and m=8 × 16-codeword PQ resolution easily separates cos≈0.95
+    planted neighbors from cos≈0 noise."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import ivf_pq_topk
+
+    rng = random.Random(13)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, [float(x) for x in base], 0)]
+    for i in range(1, 21):
+        rows.append((i, [float(x + rng.gauss(0, 0.15)) for x in base], 0))
+    for i in range(21, 400):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    approx = [r["vec_id"] for r in ivf_pq_topk(emb, 0, 10).collect()]
+    # PQ's contract is coarser than exact-scoring IVF's: ADC error (~a
+    # quantization step) dwarfs the ~0.001 cosine spread BETWEEN planted
+    # members, so exact top-10 identity is scrambled by design — but
+    # every returned neighbor must come from the planted cluster
+    # (cos≈0.99 vs cos≈0 noise), which is the separation PQ exists for.
+    assert set(approx) <= set(range(1, 21))
+    assert len(approx) == 10
+
+
+def test_ivf_pq_on_corpus_returns_ordered_topk_and_bounded_scores(emb):
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import ivf_pq_topk
+
+    got = ivf_pq_topk(emb, 0, 10).collect()
+    assert len(got) == 10
+    scores = [r["score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
+    # ADC approximates a cosine — quantization error can push it
+    # slightly outside [-1, 1] but not far
+    assert all(-1.5 <= s <= 1.5 for s in scores)
+
+
 def test_exact_pairs_is_recall_reference_for_lsh_pairs(spark, emb):
     """cosine_pairs_exact (brute force, the oracle twin) vs the
     LSH-bucketed all-pairs path.
