@@ -66,9 +66,13 @@ _FRONT = [
     "events_moving_hour_sum",
     "customer_value_ntile",
     "region_nations_agg",
+    "events_metric_map",
 ]
 _DEFER = [
-    # r3's front: all 16 hash-matched in CORRECTNESS_r03, code unchanged
+    # r3-green entries, code unchanged — freshest evidence, safest to
+    # fall past the 50-entry budget (r3's front + one middle entry to
+    # balance the r4 additions)
+    "sql_market_share",
     "near_dup_clusters",
     "events_session_windows",
     "cosine_topk_bruteforce",
@@ -150,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_event_sample": RS.stratified_event_sample,
         # events
         "events_hourly": R.events_hourly,
+        "events_metric_map": R.events_metric_map,
         "events_gapfill": R.events_gapfill,
         "events_json_props": R.events_json_props,
         "sessionize_events": R.sessionize_events,

@@ -211,6 +211,25 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "events_metric_map": """
+        WITH a AS (
+          SELECT event_type,
+                 CAST(COUNT(*) AS DOUBLE)        AS n_events,
+                 SUM(value)                      AS sum_value,
+                 AVG(value)                      AS avg_value,
+                 CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, metric, ROUND(value, 4) AS value FROM (
+          SELECT event_type, 'n_events'  AS metric, n_events  AS value FROM a
+          UNION ALL
+          SELECT event_type, 'sum_value' AS metric, sum_value AS value FROM a
+          UNION ALL
+          SELECT event_type, 'avg_value' AS metric, avg_value AS value FROM a
+          UNION ALL
+          SELECT event_type, 'n_users'   AS metric, n_users   AS value FROM a
+        ) WHERE value <> 0.0
+    """,
     "sessionize_events": """
         WITH gaps AS (
           SELECT user_id, event_id, ts,

@@ -565,6 +565,33 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_metric_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-event-type metrics assembled into a
+    map<string,double> (map_from_arrays + map_concat), values normalized
+    with transform_values, zero-valued entries dropped with map_filter,
+    then exploded back to (event_type, metric, value) rows — the shape a
+    SQL oracle can check even though the map machinery itself is
+    Spark-only. Map columns never cross a shuffle here: the maps are
+    built and exploded in the same post-aggregate projection."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.avg("value").alias("avg_value"),
+        F.countDistinct("user_id").cast("double").alias("n_users"),
+    )
+    base = F.map_from_arrays(
+        F.array(F.lit("n_events"), F.lit("sum_value"), F.lit("avg_value")),
+        F.array(F.col("n_events"), F.col("sum_value"), F.col("avg_value")),
+    )
+    m = F.map_concat(
+        base, F.create_map(F.lit("n_users"), F.col("n_users"))
+    )
+    m = F.map_filter(m, lambda _, v: v != 0.0)
+    m = F.transform_values(m, lambda _, v: F.round(v, 4))
+    return agg.select("event_type", F.explode(m).alias("metric", "value"))
+
+
 # --- scalar-function / subquery / grouping-set surface ----------------------
 
 
