@@ -67,12 +67,14 @@ _FRONT = [
     "customer_value_ntile",
     "region_nations_agg",
     "events_metric_map",
+    "cosine_topk_multi_query",
 ]
 _DEFER = [
     # r3-green entries, code unchanged — freshest evidence, safest to
     # fall past the 50-entry budget (r3's front + one middle entry to
     # balance the r4 additions)
     "sql_market_share",
+    "grouping_sets_revenue",
     "near_dup_clusters",
     "events_session_windows",
     "cosine_topk_bruteforce",

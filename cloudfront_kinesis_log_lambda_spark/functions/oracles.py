@@ -873,6 +873,20 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY cos DESC, b.vec_id
         LIMIT 10
     """,
+    "cosine_topk_multi_query": """
+        SELECT q_id, vec_id, cos, rn FROM (
+          SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                 ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])), 4) AS cos,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                    ORDER BY ROUND(list_cosine_similarity(
+                                      CAST(b.embedding AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])), 4) DESC,
+                                    b.vec_id) AS rn
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id IN (0, 1, 2) AND b.vec_id <> a.vec_id
+        ) WHERE rn <= 5
+    """,
     # --- multimodal (scalar face of the Arrow UDF) -----------------------
     "multimodal_features": """
         SELECT doc_id AS asset_id,

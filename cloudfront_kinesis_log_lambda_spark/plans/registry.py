@@ -291,6 +291,10 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def cosine_topk_multi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_topk_multi(_emb(spark, sf_dir), query_vec_ids=[0, 1, 2], k=5)
+
+
 def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by int8-quantized dot product — the serving path over the
     compressed code table; exactly oracle-checkable (integer dots)."""
@@ -408,6 +412,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_interval_join": events_interval_join,
     "embedding_norms": embedding_norms,
     "cosine_topk_bruteforce": cosine_topk_bruteforce,
+    "cosine_topk_multi_query": cosine_topk_multi_query,
     "embedding_pairs_exact": embedding_pairs_exact,
     "multimodal_features": multimodal_features,
     "near_dup_3gram": near_dup_3gram,
