@@ -41,6 +41,26 @@ def test_cosine_topk_matches_numpy_free_python(emb, emb_py):
     ]
 
 
+def test_cosine_topk_multi_matches_per_query_topk(emb, emb_py):
+    """The batched path must return, per query id, exactly what the
+    single-query operator returns (same rounding, same tie-break)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_topk_multi,
+    )
+
+    got = cosine_topk_multi(emb, query_vec_ids=[0, 1, 2], k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rn"])):
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["cos"]))
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        single = [
+            (r["vec_id"], r["cos"])
+            for r in cosine_topk(emb, query_vec_id=qid, k=5).collect()
+        ]
+        assert rows == single
+
+
 def test_ann_lsh_recall_on_planted_neighbors(spark):
     """Hyperplane LSH's contract is high recall for *angularly close*
     neighbors. Plant a cluster around a query vector (cos ≈ 0.95+) in
