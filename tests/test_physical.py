@@ -13,7 +13,13 @@ from cloudfront_kinesis_log_lambda_spark.operators.physical import (
 
 
 @pytest.fixture()
-def no_broadcast(spark):
+def no_broadcast(spark, sf_dir):
+    # force _tune_session to run BEFORE we pin the threshold: the first
+    # load() in a session applies the engine confs (incl. a 64m broadcast
+    # threshold), which would silently undo the -1 below if this test
+    # happened to be the session's first load (order-dependent failure
+    # when the file runs standalone)
+    R.load(spark, sf_dir, "region")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     yield
@@ -65,3 +71,43 @@ def test_salted_left_join_keeps_misses(spark):
     right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k long, rv string")
     rows = {r["k"]: r["rv"] for r in salted_join(left, right, "k", how="left").collect()}
     assert rows == {1: "r1", 2: "r2", 99: None}
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, sf_dir, tmp_path):
+    """The 100 TB read-path contract for the partitioned log store: a
+    join against a filtered dimension must prune fact partitions at
+    RUNTIME (dynamic partition pruning), not scan all days and filter
+    after the join.
+
+    Two heuristics had to be learned the hard way and are pinned here:
+    (1) the dim-side predicate must be one Catalyst's isLikelySelective
+    accepts (a comparison like ``n > 300`` — a bare boolean column is
+    NOT considered selective and silently disables DPP); (2) the dim
+    join key must match the inferred partition-column type (DATE here —
+    a string key inserts a cast on the partition attribute and the
+    pruning rule no longer recognizes the scan)."""
+    e = R.load(spark, sf_dir, "events")
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    ed = e.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
+    ed.write.mode("overwrite").partitionBy("log_day").parquet(fact_dir)
+    (
+        ed.groupBy("log_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("log_day", F.to_date("log_day"))
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("n") > 300)
+    j = (
+        fact.join(F.broadcast(dim), "log_day")
+        .groupBy("log_day")
+        .agg(F.sum("value").alias("s"))
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    # and the pruned result equals the unpruned semantics
+    hot_days = {r["log_day"] for r in dim.collect()}
+    got = {r["log_day"] for r in j.collect()}
+    assert got == hot_days
