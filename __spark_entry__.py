@@ -103,6 +103,7 @@ _TAIL = [
     "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
     "near_dup_minhash_lsh",
+    "near_dup_incremental",
     "simhash_near_pairs",
     "winnow_near_pairs",
 ]

@@ -113,6 +113,56 @@ def near_dup_pairs_exact(
     )
 
 
+def minhash_band_rows(
+    grams_df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, band, h) LSH bucket rows from a (doc_id, grams) table —
+    the shared signature/banding core of :func:`minhash_lsh_pairs` and
+    the streaming incremental detector (streaming/dedup.py), so batch
+    and stream bucket IDENTICALLY for the same (num_hashes, bands, seed).
+
+    Signature computation stays in whole-stage codegen: explode grams,
+    hash each once, then ONE hash-aggregate with ``num_hashes`` min()
+    columns. Map-side partial aggregation collapses each doc to a single
+    signature row before the exchange (every doc's grams live in one
+    input row → one partition), so the shuffle carries exactly the
+    signature table — 1 row/doc — at any scale. A per-doc HOF-fold
+    formulation was shuffle-free but ~3× slower: higher-order-function
+    lambdas evaluate interpreted, outside codegen.
+    """
+    import random
+
+    rows = num_hashes // bands
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+
+    exploded = grams_df.select("doc_id", F.explode("grams").alias("g")).withColumn(
+        "h", F.pmod(F.xxhash64("g"), F.lit(_P))
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*mins)
+
+    band_cols = [
+        F.xxhash64(
+            F.lit(i), *[F.col(f"h{i * rows + j}") for j in range(rows)]
+        ).alias(f"band_{i}")
+        for i in range(bands)
+    ]
+    banded = sig.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("h")) for i in range(bands)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -133,48 +183,12 @@ def minhash_lsh_pairs(
     pair generation bounded by bucket size → exact Jaccard on candidates
     via gram-array intersection → threshold filter.
     """
-    import random
-
-    rows = num_hashes // bands
-    rng = random.Random(seed)
-    coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
-
-    # signature computation stays in whole-stage codegen: explode grams,
-    # hash each once, then ONE hash-aggregate with 64 min() columns.
-    # Map-side partial aggregation collapses each doc to a single
-    # signature row before the exchange (every doc's grams live in one
-    # input row → one partition), so the shuffle carries exactly the
-    # signature table — 1 row/doc — at any scale. The previous
-    # formulation (64 F.aggregate HOF folds over a per-doc hash array)
-    # was shuffle-free but ~3× slower wall-clock: higher-order-function
-    # lambdas evaluate interpreted, outside codegen.
     hashed = (
         ensure_parallelism(docs.filter(has_min_tokens(text_col, n)))
         .select("doc_id", gram_array(text_col, n).alias("grams"))
         .cache()
     )
-    exploded = hashed.select("doc_id", F.explode("grams").alias("g")).withColumn(
-        "h", F.pmod(F.xxhash64("g"), F.lit(_P))
-    )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*mins)
-
-    band_cols = [
-        F.xxhash64(
-            F.lit(i), *[F.col(f"h{i * rows + j}") for j in range(rows)]
-        ).alias(f"band_{i}")
-        for i in range(bands)
-    ]
-    banded = sig.select("doc_id", *band_cols)
-    buckets = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(i).alias("band"), F.col(f"band_{i}").alias("h")) for i in range(bands)])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.h")
+    buckets = minhash_band_rows(hashed, num_hashes, bands, seed)
 
     # pair generation inside ONE aggregate: collect each bucket's members,
     # drop degenerate buckets (boilerplate guard), emit ordered pairs with

@@ -125,6 +125,37 @@ def winnow_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.winnow_near_pairs(_docs(spark, sf_dir), threshold=0.5)
 
 
+def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING incremental detector (streaming/dedup.py) driven
+    over the documents table as two arrival waves: odd doc_ids land in
+    micro-batch 0, even in micro-batch 1, so every cross-parity near-dup
+    pair is only discoverable via the persisted band/gram index. Returns
+    the accumulated pair log (rows-only: MinHash buckets are
+    hash-seeded; batch-equivalence is proven in test_streaming_dedup)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.dedup import (
+        StreamingNearDup,
+        near_dup_pair_log,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"cfkll-stream-dedup-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    detector = StreamingNearDup(
+        os.path.join(root, "store"), os.path.join(root, "out"), threshold=0.5
+    )
+    docs = _docs(spark, sf_dir)
+    detector(docs.filter(F.col("doc_id") % 2 == 1), 0)
+    detector(docs.filter(F.col("doc_id") % 2 == 0), 1)
+    log = near_dup_pair_log(spark, os.path.join(root, "out")).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return log
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
     the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
@@ -431,6 +462,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "embedding_pairs_lsh": embedding_pairs_lsh,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
+    "near_dup_incremental": near_dup_incremental,
     "simhash_near_pairs": simhash_near_pairs,
     "winnow_near_pairs": winnow_near_pairs,
 }

@@ -13,6 +13,7 @@ import __spark_entry__ as entry
 #: decision (the driver records only a weak rows-only check for these).
 ROWS_ONLY = {
     "near_dup_minhash_lsh",
+    "near_dup_incremental",
     "simhash_near_pairs",
     "winnow_near_pairs",
     "ann_lsh_topk",
