@@ -1,13 +1,14 @@
 """Near-duplicate detection: shingle Jaccard, MinHash-LSH, SimHash.
 
-Spark-first design (no MLlib, no Python UDFs — everything is DataFrame
-ops + higher-order functions, so the whole path stays in codegen):
+Spark-first design (no MLlib; DataFrame ops + higher-order functions,
+with one Arrow-batched numpy kernel where vectorization wins):
 
 - shingling: ``split`` → ``transform(sequence(...))`` n-grams per doc
-- MinHash: per-doc gram-hash array, then k universal-hash permutations
-  ``(a_i·h + b_i) mod p`` as ``array_min`` folds — signatures need NO
-  shuffle at all (the exploded-shingle formulation exists only where the
-  SQL oracle needs it, in ``near_dup_pairs_exact``)
+- MinHash: gram strings hash JVM-side, then all k universal-hash
+  permutation minima ``(a_i·h + b_i) mod p`` compute in one vectorized
+  numpy kernel per Arrow batch — map-only, signatures need NO shuffle
+  (the exploded-shingle formulation exists only where the SQL oracle
+  needs it, in ``near_dup_pairs_exact``)
 - LSH banding: signature sliced into b bands, band-hash bucket groupBy —
   candidate generation cost ~ O(docs·b), never O(docs²)
 - verification: exact Jaccard on candidates only, via array_intersect
@@ -124,33 +125,63 @@ def minhash_band_rows(
     the streaming incremental detector (streaming/dedup.py), so batch
     and stream bucket IDENTICALLY for the same (num_hashes, bands, seed).
 
-    Signature computation stays in whole-stage codegen: explode grams,
-    hash each once, then ONE hash-aggregate with ``num_hashes`` min()
-    columns. Map-side partial aggregation collapses each doc to a single
-    signature row before the exchange (every doc's grams live in one
-    input row → one partition), so the shuffle carries exactly the
-    signature table — 1 row/doc — at any scale. A per-doc HOF-fold
-    formulation was shuffle-free but ~3× slower: higher-order-function
-    lambdas evaluate interpreted, outside codegen.
+    Signatures are MAP-ONLY: gram strings hash JVM-side (one
+    ``transform`` pass of ``xxhash64 mod p`` — the strings never reach
+    Python), then an Arrow-batched numpy kernel computes all
+    ``num_hashes`` permutation minima per doc in one vectorized
+    ``(grams × hashes)`` product + ``minimum.reduceat``. Zero shuffle to
+    the signature table (the previous explode + 64-min() hash-aggregate
+    carried 1 row/doc through an exchange and measured ~1.5× slower at
+    sf0.1; per-element HOF folds measured ~3× slower than that). All
+    arithmetic is int64 with a,b,h < p = 2³¹−1 (products < 2⁶²), so the
+    kernel's buckets are BIT-IDENTICAL to the JVM formulation — the
+    recall-1.0 coupling that lets near_dup_clusters hash-match its exact
+    oracle is untouched. Banding hashes signature slices back JVM-side
+    (``xxhash64`` over long columns, unchanged values).
     """
     import random
 
     rows = num_hashes // bands
     rng = random.Random(seed)
     coeffs = [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)]
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)
+    B = np.array([b for _, b in coeffs], dtype=np.int64)
 
-    exploded = grams_df.select("doc_id", F.explode("grams").alias("g")).withColumn(
-        "h", F.pmod(F.xxhash64("g"), F.lit(_P))
+    @F.pandas_udf("array<long>")
+    def sig_kernel(hvecs: pd.Series) -> pd.Series:
+        if not len(hvecs):
+            return pd.Series([], dtype=object)
+        lens = hvecs.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hvecs.to_numpy()]
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        n = len(lens)
+        out = np.empty((n, len(A)), dtype=np.int64)
+        # chunk by ~64k grams: bounds the (grams × num_hashes) int64
+        # temporary at ~32 MB regardless of Arrow batch size, so a 10k-doc
+        # batch of long documents can't allocate gigabytes
+        chunk = 65536
+        d0 = 0
+        while d0 < n:
+            d1 = int(np.searchsorted(ends, starts[d0] + chunk, side="left")) + 1
+            d1 = min(max(d1, d0 + 1), n)
+            g0, g1 = int(starts[d0]), int(ends[d1 - 1])
+            prod = (flat[g0:g1, None] * A[None, :] + B[None, :]) % _P
+            offs = (starts[d0:d1] - g0).astype(np.int64)
+            out[d0:d1] = np.minimum.reduceat(prod, offs, axis=0)
+            d0 = d1
+        return pd.Series(list(out))
+
+    hvec = grams_df.select(
+        "doc_id",
+        F.transform("grams", lambda g: F.pmod(F.xxhash64(g), F.lit(_P))).alias("hv"),
     )
-    mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*mins)
-
+    sig = hvec.select("doc_id", sig_kernel(F.col("hv")).alias("sig"))
     band_cols = [
         F.xxhash64(
-            F.lit(i), *[F.col(f"h{i * rows + j}") for j in range(rows)]
+            F.lit(i), *[F.element_at("sig", i * rows + j + 1) for j in range(rows)]
         ).alias(f"band_{i}")
         for i in range(bands)
     ]

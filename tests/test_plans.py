@@ -99,17 +99,30 @@ def test_listagg_broadcasts_dim_and_sorts_inside_agg(spark, sf_dir):
     assert "partial_collect_list" in plan and "Sort " not in plan
 
 
-def test_minhash_signature_is_codegen_hash_aggregate(spark, sf_dir):
-    """Round-2 rewrite gate: MinHash signatures come from ONE two-phase
-    hash aggregate (explode + 64 min() columns, map-side combined), not
-    interpreted higher-order aggregate() folds — and no shingle
-    self-join anywhere in the LSH plan (that's the quadratic exact
-    baseline's shape, not the scale path's)."""
+def test_minhash_signature_is_map_only_arrow_kernel(spark, sf_dir):
+    """Round-4 rewrite gate: MinHash signatures are MAP-ONLY — JVM-side
+    gram hashing feeding one Arrow numpy kernel, with NO exchange
+    between the scan and the signature table (the round-2 explode +
+    64-min() hash-aggregate carried 1 row/doc through a shuffle and
+    measured ~1.5× slower; interpreted aggregate() HOF folds slower
+    still) — and no shingle self-join anywhere in the LSH plan (that's
+    the quadratic exact baseline's shape, not the scale path's)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        ensure_parallelism,
+        gram_array,
+        has_min_tokens,
+        minhash_band_rows,
+    )
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import minhash_lsh_pairs
 
     docs = R.load(spark, sf_dir, "documents")
+    hashed = ensure_parallelism(docs.filter(has_min_tokens("text", 3))).select(
+        "doc_id", gram_array("text", 3).alias("grams")
+    )
+    sig_plan = _plan(minhash_band_rows(hashed, 64, 16, 42))
+    assert "ArrowEvalPython" in sig_plan
+    assert "Exchange hashpartitioning" not in sig_plan  # signatures never shuffle
     plan = _plan(minhash_lsh_pairs(docs, n=3, threshold=0.5))
-    assert "partial_min" in plan  # map-side combine of the signature agg
     # HOF folds would appear as aggregate(... lambdafunction ...); the
     # only remaining lambdas belong to shingling transform()s
     assert "aggregate(" not in plan
