@@ -119,6 +119,7 @@ def minhash_band_rows(
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    kernel_chunk_grams: int = 65536,
 ) -> DataFrame:
     """(doc_id, band, h) LSH bucket rows from a (doc_id, grams) table —
     the shared signature/banding core of :func:`minhash_lsh_pairs` and
@@ -159,10 +160,11 @@ def minhash_band_rows(
         starts = ends - lens
         n = len(lens)
         out = np.empty((n, len(A)), dtype=np.int64)
-        # chunk by ~64k grams: bounds the (grams × num_hashes) int64
-        # temporary at ~32 MB regardless of Arrow batch size, so a 10k-doc
-        # batch of long documents can't allocate gigabytes
-        chunk = 65536
+        # chunk by ~64k grams (parameterized so tests can force tiny
+        # chunks across doc boundaries): bounds the (grams × num_hashes)
+        # int64 temporary at ~32 MB regardless of Arrow batch size, so a
+        # 10k-doc batch of long documents can't allocate gigabytes
+        chunk = kernel_chunk_grams
         d0 = 0
         while d0 < n:
             d1 = int(np.searchsorted(ends, starts[d0] + chunk, side="left")) + 1

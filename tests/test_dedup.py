@@ -138,3 +138,33 @@ def test_connected_components_transitive_chains(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8]], "doc_id long")
     canon = {r["doc_id"]: r["canon_id"] for r in near_dup_clusters(docs, pairs).collect()}
     assert canon == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7}
+
+
+def test_minhash_kernel_matches_pure_python_across_chunk_boundaries(spark):
+    """Chunking must be invisible: a tiny chunk size (7 grams, so chunk
+    boundaries repeatedly land mid-document and single-gram docs sit at
+    boundaries) must produce bit-identical buckets to the default
+    single-chunk path, across varied doc lengths. (Absolute signature
+    correctness is pinned separately by the planted-duplicate recall
+    tests and the oracle-checked near_dup_clusters coupling.)"""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        _P,
+        gram_array,
+        minhash_band_rows,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"t{i}" for i in range(100)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.choice([3, 4, 9, 30]))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = docs.select("doc_id", gram_array("text", 3).alias("grams"))
+    tiny = minhash_band_rows(grams, 64, 16, 42, kernel_chunk_grams=7)
+    big = minhash_band_rows(grams, 64, 16, 42)
+    t = {(r["doc_id"], r["band"], r["h"]) for r in tiny.collect()}
+    b = {(r["doc_id"], r["band"], r["h"]) for r in big.collect()}
+    assert t == b and len(t) == 40 * 16
