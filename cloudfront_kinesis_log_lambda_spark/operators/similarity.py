@@ -366,6 +366,7 @@ def _pq_codebooks(
     (np.argmin first-minimum), empty codes keep their previous centroid.
     """
     n, dim = X.shape
+    ksub = min(ksub, n)  # tiny corpora: never more codewords than samples
     dsub = dim // m
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):
