@@ -68,6 +68,7 @@ _FRONT = [
     "region_nations_agg",
     "events_metric_map",
     "cosine_topk_multi_query",
+    "doc_curation_funnel",
 ]
 _DEFER = [
     # r3-green entries, code unchanged — freshest evidence, safest to
@@ -75,6 +76,7 @@ _DEFER = [
     # balance the r4 additions)
     "sql_market_share",
     "grouping_sets_revenue",
+    "parts_above_brand_avg",
     "near_dup_clusters",
     "events_session_windows",
     "cosine_topk_bruteforce",

@@ -887,6 +887,62 @@ ORACLE_SQL: dict[str, str] = {
           WHERE a.vec_id IN (0, 1, 2) AND b.vec_id <> a.vec_id
         ) WHERE rn <= 5
     """,
+    # the full curation pipeline's stage funnel: quality gate (the
+    # doc_quality score fragment) → md5 exact dedup → exact-Jaccard
+    # transitive-closure near dedup (the near_dup_clusters fragment,
+    # restricted to exact-dedup survivors). Same LSH-recall coupling as
+    # near_dup_clusters: the Spark side clusters via MinHash-LSH pairs.
+    "doc_curation_funnel": """
+        WITH RECURSIVE
+        q AS (
+          SELECT doc_id, text,
+                 ROUND(0.4 * LEAST(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * LEAST((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) > 0
+                                         THEN CAST(len(regexp_extract_all(lower(text), '\\b(the|a|of|to|and|in)\\b')) AS DOUBLE)
+                                            / CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE)
+                                         ELSE 0.0 END) * 4.0, 1.0)
+                     + 0.3 * (1.0 - LEAST((CASE WHEN length(text) > 0
+                                                THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                                                   / CAST(length(text) AS DOUBLE)
+                                                ELSE 0.0 END) * 10.0, 1.0)), 4) AS quality
+          FROM documents),
+        passed AS (SELECT doc_id, text FROM q WHERE quality >= 0.3),
+        keep_exact AS (SELECT MIN(doc_id) AS doc_id FROM passed GROUP BY md5(text)),
+        exact_kept AS (SELECT p.doc_id, p.text FROM passed p JOIN keep_exact USING (doc_id)),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM exact_kept),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b
+          FROM common
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+          WHERE n_common / (na.n_sh + nb.n_sh - n_common) >= 0.5),
+        edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+        reach(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+        canon AS (
+          SELECT u AS doc_id, LEAST(u, MIN(v)) AS canon_id FROM reach GROUP BY u),
+        survivors AS (
+          SELECT d.doc_id FROM exact_kept d LEFT JOIN canon c USING (doc_id)
+          WHERE COALESCE(c.canon_id, d.doc_id) = d.doc_id)
+        SELECT '1_raw' AS stage, COUNT(*) AS n_docs FROM documents
+        UNION ALL SELECT '2_quality_gate', COUNT(*) FROM passed
+        UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM exact_kept
+        UNION ALL SELECT '4_near_dedup_scrubbed', COUNT(*) FROM survivors
+    """,
     # --- multimodal (scalar face of the Arrow UDF) -----------------------
     "multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -1,0 +1,4 @@
+from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (  # noqa: F401
+    curate_documents,
+    curation_report,
+)

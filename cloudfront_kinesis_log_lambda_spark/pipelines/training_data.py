@@ -1,0 +1,108 @@
+"""End-to-end training-data curation: the operators composed as the
+pipeline a user would actually run over a raw document corpus.
+
+The individual operators (operators/text.py, operators/dedup.py) are
+each verified in isolation by the driver gate; this module is the
+COMPOSITION story — one lazy DataFrame flow from raw documents to a
+curated, deduplicated, PII-scrubbed corpus with per-stage accounting:
+
+  raw documents
+    → annotate: token stats + quality score + language ID  (1 projection)
+    → quality gate: score ≥ min_quality                     (filter)
+    → exact dedup: md5 fingerprint, keep lowest doc_id      (1 shuffle)
+    → near dedup: MinHash-LSH clusters, keep canonical      (LSH path)
+    → PII scrub: typed placeholder redaction                (projection)
+
+Everything stays one lazy plan per output: Catalyst fuses the
+projections, pushes the quality filter below the dedup shuffles, and the
+near-dup stage reuses the capped-bucket LSH plan — running the pipeline
+costs the same as running its most expensive stage, not the sum of five
+scans. At 100 TB each stage's non-filter output is written partitioned
+(the caller picks where); nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
+from cloudfront_kinesis_log_lambda_spark.operators import text as T
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The curated corpus: documents that survive the quality gate,
+    exact dedup (lowest-doc_id representative per md5 fingerprint), and
+    near-dup cluster dedup (canonical member per MinHash-LSH cluster),
+    with PII scrubbed from the surviving text.
+
+    Returns (doc_id, lang, quality, n_tokens, text) where ``text`` is
+    the scrubbed text — the schema a downstream tokenizer consumes.
+    """
+    annotated = T.quality_score(docs).join(
+        docs.select("doc_id", text_col, "lang"), "doc_id"
+    )
+    passed = annotated.filter(F.col("quality") >= min_quality)
+
+    # exact dedup: fingerprint → keep the lowest doc_id per fingerprint
+    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
+    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+
+    # near dedup on the exact-kept survivors: cluster assignment keeps
+    # only canonical members (canon_id == doc_id); docs too short to
+    # shingle never enter the pair graph and are kept as-is
+    pairs = D.minhash_lsh_pairs(
+        exact_kept, n=3, threshold=near_dup_threshold, text_col=text_col
+    )
+    clusters = D.near_dup_clusters(exact_kept, pairs)
+    near_kept = exact_kept.join(
+        clusters.filter(F.col("canon_id") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    scrubbed = T.pii_scrub(near_kept).select("doc_id", "scrubbed")
+    return (
+        near_kept.join(scrubbed, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.round("quality", 4).alias("quality"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("scrubbed").alias(text_col),
+        )
+    )
+
+
+def curation_report(
+    docs: DataFrame,
+    min_quality: float = 0.3,
+    near_dup_threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stage retention accounting: one row per pipeline stage with
+    the surviving document count — the funnel a data-curation run logs.
+    Deterministic given the corpus (stage counts don't depend on hash
+    seeds as long as LSH recall holds, which the recall gates pin)."""
+    spark = docs.sparkSession
+    annotated = T.quality_score(docs).join(
+        docs.select("doc_id", text_col, "lang"), "doc_id"
+    )
+    passed = annotated.filter(F.col("quality") >= min_quality)
+    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
+    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    curated = curate_documents(docs, min_quality, near_dup_threshold, text_col)
+    counts = [
+        ("1_raw", docs.count()),
+        ("2_quality_gate", passed.count()),
+        ("3_exact_dedup", exact_kept.count()),
+        ("4_near_dedup_scrubbed", curated.count()),
+    ]
+    return spark.createDataFrame(counts, "stage string, n_docs long")

@@ -178,6 +178,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.near_dup_clusters(docs, pairs)
 
 
+def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline (pipelines/training_data.py):
+    quality gate → exact dedup → MinHash-LSH near dedup → PII scrub,
+    reported as the per-stage retention funnel. Oracle-checked end to
+    end (the DuckDB twin recomputes the funnel with the exact-Jaccard
+    transitive closure — same LSH-recall coupling as near_dup_clusters)."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import curation_report
+
+    return curation_report(_docs(spark, sf_dir))
+
+
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup MATERIALIZATION: one kept representative per near-dup
     cluster (the canonical member) with its cluster size — what a
@@ -449,6 +460,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_3gram": near_dup_3gram,
     "near_dup_clusters": near_dup_clusters,
     "doc_dedup_keep": doc_dedup_keep,
+    "doc_curation_funnel": doc_curation_funnel,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an

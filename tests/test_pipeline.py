@@ -1,0 +1,63 @@
+"""End-to-end curation pipeline: quality gate → exact dedup → near-dup
+cluster dedup → PII scrub, composed as one flow with per-stage
+accounting (pipelines/training_data.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from cloudfront_kinesis_log_lambda_spark.pipelines import (
+    curate_documents,
+    curation_report,
+)
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _good_text(rng, vocab):
+    """~40 words with woven stopwords: quality ≈ 0.6+, well above 0.3."""
+    words = []
+    for _ in range(13):
+        words += [rng.choice(vocab), "the", rng.choice(vocab)]
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(21)
+    docs = {}
+    for i in range(1, 7):  # 6 good, mutually dissimilar docs
+        vocab = [f"w{i}_{j}" for j in range(200)]
+        docs[i] = _good_text(rng, vocab)
+    docs[3] = docs[3] + " contact bob@example.com for details"
+    docs[7] = docs[1]  # exact duplicate of doc 1
+    toks = docs[2].split()
+    toks[5], toks[15], toks[25] = "z1", "z2", "z3"
+    docs[8] = " ".join(toks)  # near-dup of doc 2 (3 of ~40 words changed)
+    docs[9] = "$$$ %%% ###"  # fails the quality gate
+    rows = [(i, t, "en", "synth", len(t)) for i, t in sorted(docs.items())]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_curated_corpus_keeps_exactly_the_survivors(spark, corpus):
+    kept = curate_documents(corpus).collect()
+    by_id = {r["doc_id"]: r for r in kept}
+    # 9 fails quality; 7 loses exact dedup to 1; 8 loses near dedup to 2
+    assert set(by_id) == {1, 2, 3, 4, 5, 6}
+    # PII scrubbed in the surviving text
+    assert "<EMAIL>" in by_id[3]["text"]
+    assert "bob@example.com" not in by_id[3]["text"]
+    # annotations survive the flow
+    assert all(r["quality"] >= 0.3 and r["n_tokens"] > 0 for r in kept)
+
+
+def test_curation_report_funnel(spark, corpus):
+    rep = {r["stage"]: r["n_docs"] for r in curation_report(corpus).collect()}
+    assert rep == {
+        "1_raw": 9,
+        "2_quality_gate": 8,
+        "3_exact_dedup": 7,
+        "4_near_dedup_scrubbed": 6,
+    }
