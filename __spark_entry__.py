@@ -69,6 +69,8 @@ _FRONT = [
     "events_metric_map",
     "cosine_topk_multi_query",
     "doc_curation_funnel",
+    "shipping_priority",
+    "doc_split_assign",
 ]
 _DEFER = [
     # r3-green entries, code unchanged — freshest evidence, safest to
@@ -77,6 +79,8 @@ _DEFER = [
     "sql_market_share",
     "grouping_sets_revenue",
     "parts_above_brand_avg",
+    "orders_with_max_item",
+    "order_price_percentiles",
     "near_dup_clusters",
     "events_session_windows",
     "cosine_topk_bruteforce",
@@ -129,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": R.customers_without_orders,
         "supplier_nation_outer": R.supplier_nation_outer,
         "theta_join_price_band": R.theta_join_price_band,
+        "shipping_priority": R.shipping_priority,
         # windows
         "top_orders_per_customer": R.top_orders_per_customer,
         "order_price_delta": R.order_price_delta,

@@ -211,6 +211,30 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-06-01'
+          AND l_shipdate  > TIMESTAMP '1997-06-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "doc_split_assign": """
+        SELECT CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
+        FROM (SELECT text, (doc_id * 2654435761) % 4294967296 % 100 AS b
+              FROM documents)
+        GROUP BY 1
+    """,
     "events_metric_map": """
         WITH a AS (
           SELECT event_type,

@@ -565,6 +565,34 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by in-window revenue for
+    one market segment — selective dim filter (broadcast) → fact⋈fact
+    equi-join → hash aggregate → TakeOrderedAndProject. The classic
+    'filter early, broadcast the small side' plan."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1997-06-01"
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1997-06-01"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def events_metric_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: per-event-type metrics assembled into a
     map<string,double> (map_from_arrays + map_concat), values normalized

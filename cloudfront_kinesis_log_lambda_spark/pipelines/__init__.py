@@ -1,4 +1,5 @@
 from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (  # noqa: F401
     curate_documents,
     curation_report,
+    split_assign,
 )

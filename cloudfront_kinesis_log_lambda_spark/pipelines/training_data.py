@@ -80,6 +80,40 @@ def curate_documents(
     )
 
 
+def split_assign(
+    docs: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test assignment + per-split token budget.
+
+    Split by a Knuth multiplicative hash of doc_id —
+    ``(doc_id · 2654435761) mod 2³² mod 100`` — pure BIGINT arithmetic,
+    so the assignment is engine-portable and exactly oracle-checkable
+    (unlike xxhash/md5-bucket splits), stable under reruns and corpus
+    growth (a doc's split never depends on other docs), and unbiased
+    with respect to ingestion order. Returns one row per split with
+    document and whitespace-token counts — the accounting a training
+    run reads before building shards.
+    """
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    return (
+        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
 def curation_report(
     docs: DataFrame,
     min_quality: float = 0.3,

@@ -189,6 +189,15 @@ def doc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(_docs(spark, sf_dir))
 
 
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting
+    (pipelines/training_data.py::split_assign) — exact-arithmetic hash
+    split, oracle-checked."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import split_assign
+
+    return split_assign(_docs(spark, sf_dir))
+
+
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup MATERIALIZATION: one kept representative per near-dup
     cluster (the canonical member) with its cluster size — what a
@@ -461,6 +470,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": near_dup_clusters,
     "doc_dedup_keep": doc_dedup_keep,
     "doc_curation_funnel": doc_curation_funnel,
+    "doc_split_assign": doc_split_assign,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an

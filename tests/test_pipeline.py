@@ -61,3 +61,19 @@ def test_curation_report_funnel(spark, corpus):
         "3_exact_dedup": 7,
         "4_near_dedup_scrubbed": 6,
     }
+
+
+def test_split_assign_is_deterministic_partition(spark, corpus):
+    from cloudfront_kinesis_log_lambda_spark.pipelines import split_assign
+
+    rows = {r["split"]: (r["n_docs"], r["sum_tokens"]) for r in split_assign(corpus).collect()}
+    # a partition of the corpus: splits cover every doc exactly once
+    assert sum(n for n, _ in rows.values()) == corpus.count()
+    # deterministic: identical on rerun
+    again = {r["split"]: (r["n_docs"], r["sum_tokens"]) for r in split_assign(corpus).collect()}
+    assert rows == again
+    # assignment depends only on doc_id: a corpus subset keeps each
+    # doc's split (re-assign half the corpus, counts can only shrink)
+    half = corpus.filter("doc_id <= 5")
+    half_rows = {r["split"]: r["n_docs"] for r in split_assign(half).collect()}
+    assert all(half_rows[s] <= rows[s][0] for s in half_rows)
