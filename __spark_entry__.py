@@ -107,6 +107,7 @@ _TAIL = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
+    "ann_incremental_index",
     "embedding_pairs_lsh",
     "near_dup_minhash_lsh",
     "near_dup_incremental",

@@ -364,6 +364,33 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING vector index (streaming/vector_index.py) driven as
+    two arrival waves over the embeddings table, then a top-k served
+    from the persisted (cid, codes, nrm) code table alone — frozen
+    centroids, partition-pruned probe (rows-only: k-means geometry;
+    exactness bounds in test_streaming_vector_index)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.vector_index import (
+        StreamingVectorIndex,
+        index_topk,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"cfkll-vec-index-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    emb = _emb(spark, sf_dir)
+    idx = StreamingVectorIndex(root)
+    idx(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    idx(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    [qrow] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    out = index_topk(
+        spark, root, [float(x) for x in qrow[0]], k=10, nprobe=4
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_self_join_above(_emb(spark, sf_dir), threshold=0.3)
 
@@ -482,6 +509,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "ann_incremental_index": ann_incremental_index,
     "embedding_pairs_lsh": embedding_pairs_lsh,
     "near_dup_minhash_lsh": near_dup_minhash_lsh,
     "near_dup_incremental": near_dup_incremental,

@@ -1,0 +1,133 @@
+"""Streaming incremental vector index: IVF cells + int8 codes over a
+stream of embeddings.
+
+The batch ANN tiers (operators/similarity.py) build their index inside
+one query. An embedding-ingest pipeline instead maintains the index as
+vectors arrive and serves top-k from it at any point. foreachBatch
+pattern, like streaming/dedup.py:
+
+  micro-batch of (vec_id, embedding)
+    → cell assignment against FROZEN coarse centroids (trained once, on
+      the first batch, persisted next to the index — every later batch
+      and every query uses the same geometry, so the index stays
+      self-consistent as it grows)
+    → per-vector int8 quantization (operators/similarity.quantize_int8,
+      JVM-side) + exact L2 norm
+    → appended to a parquet index PARTITIONED BY cid: a top-k query
+      probes nprobe cells via partition pruning and reads codes only —
+      at 100 TB the float vectors stay in cold storage and a query
+      touches nprobe/n_centroids of a 4×-compressed table.
+
+Writes land under ``batch=<id>`` (then ``cid=…``) with mode=overwrite —
+the same idempotent-retry contract as the dedup index. Centroids are
+written via tmp-file + atomic rename, so a crashed first batch can't
+leave a half-written geometry behind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+    _norm,
+    assign_centroids,
+    kmeans_centroids,
+    quantize_int8,
+)
+
+
+class StreamingVectorIndex:
+    """``foreachBatch`` callable maintaining the (cid, codes, nrm) index."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        n_centroids: int = 16,
+        iters: int = 3,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.store_dir = store_dir
+        self.index_dir = os.path.join(store_dir, "index")
+        self.centroids_path = os.path.join(store_dir, "centroids.json")
+        self.n_centroids = n_centroids
+        self.iters = iters
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def _centroids(self, batch_df: DataFrame) -> list[list[float]]:
+        if os.path.exists(self.centroids_path):
+            with open(self.centroids_path) as f:
+                return json.load(f)
+        cents = kmeans_centroids(
+            batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
+        )
+        tmp = f"{self.centroids_path}.tmp-{os.getpid()}"
+        os.makedirs(self.store_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(cents, f)
+        os.replace(tmp, self.centroids_path)  # atomic; last writer wins
+        with open(self.centroids_path) as f:
+            return json.load(f)  # re-read: every process uses the winner
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        cents = self._centroids(batch_df)
+        assigned = assign_centroids(batch_df, cents, self.id_col, self.vec_col)
+        q = quantize_int8(assigned, self.id_col, self.vec_col)
+        entry = (
+            assigned.select(self.id_col, "cid", _norm(F.col(self.vec_col)).alias("nrm"))
+            .join(q, self.id_col)
+        )
+        (
+            entry.select(self.id_col, "cid", "scale", "codes", "nrm")
+            .write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(os.path.join(self.index_dir, f"batch={batch_id}"))
+        )
+
+
+def index_topk(
+    spark: SparkSession,
+    store_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k served FROM THE INDEX ALONE: probe the
+    ``nprobe`` cells nearest the query (partition pruning on ``cid``),
+    score each entry by its dequantized-int8 dot against the query
+    (JVM integer zip_with fold × scale), normalize by the stored norms.
+    The float embedding column is never read."""
+    import math
+
+    with open(os.path.join(store_dir, "centroids.json")) as f:
+        cents = json.load(f)
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+
+    def cos_c(c: list[float]) -> float:
+        nc = math.sqrt(sum(x * x for x in c)) or 1.0
+        return sum(a * b for a, b in zip(query_vec, c)) / (nc * qn)
+
+    probe = sorted(range(len(cents)), key=lambda i: -cos_c(cents[i]))[:nprobe]
+
+    index = spark.read.parquet(os.path.join(store_dir, "index"))
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dot = F.aggregate(
+        F.zip_with(F.col("codes"), qlit, lambda c, x: c.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = (dot * F.col("scale")) / (
+        F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0)) * F.lit(qn)
+    )
+    return (
+        index.filter(F.col("cid").isin([int(p) for p in probe]))
+        .select(id_col, F.round(score, 4).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

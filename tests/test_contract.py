@@ -19,6 +19,7 @@ ROWS_ONLY = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
+    "ann_incremental_index",
     "embedding_pairs_lsh",
     "sketch_event_stats",
     "stratified_event_sample",
