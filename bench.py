@@ -221,7 +221,9 @@ def main() -> None:
             reps.append(time.perf_counter() - t0)
         reps.sort()
         timings[name] = round(reps[0], 3)
-        medians[name] = round(reps[len(reps) // 2], 3)
+        mid = len(reps) // 2
+        med = reps[mid] if len(reps) % 2 else (reps[mid - 1] + reps[mid]) / 2
+        medians[name] = round(med, 3)
         print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in reps]})",
               file=sys.stderr)
 

@@ -139,8 +139,15 @@ def minhash_band_rows(
     recall-1.0 coupling that lets near_dup_clusters hash-match its exact
     oracle is untouched. Banding hashes signature slices back JVM-side
     (``xxhash64`` over long columns, unchanged values).
+
+    Empty gram arrays (docs shorter than n tokens) are dropped here — a
+    doc with no grams has no signature; callers that pre-filter with
+    ``has_min_tokens`` make this filter a no-op the optimizer removes
+    from the hot path's effective work.
     """
     import random
+
+    grams_df = grams_df.filter(F.size("grams") > 0)
 
     rows = num_hashes // bands
     rng = random.Random(seed)
@@ -159,21 +166,25 @@ def minhash_band_rows(
         ends = np.cumsum(lens)
         starts = ends - lens
         n = len(lens)
-        out = np.empty((n, len(A)), dtype=np.int64)
-        # chunk by ~64k grams (parameterized so tests can force tiny
-        # chunks across doc boundaries): bounds the (grams × num_hashes)
-        # int64 temporary at ~32 MB regardless of Arrow batch size, so a
-        # 10k-doc batch of long documents can't allocate gigabytes
+        # accumulate partial minima per GRAM-RANGE chunk (~64k grams,
+        # parameterized so tests can force tiny chunks): bounds the
+        # (grams × num_hashes) int64 temporary at ~32 MB regardless of
+        # Arrow batch size OR single-document length — a 10M-gram doc is
+        # split across chunks and combined with np.minimum, it cannot
+        # allocate a multi-GB product matrix
+        out = np.full((n, len(A)), _P, dtype=np.int64)
         chunk = kernel_chunk_grams
-        d0 = 0
-        while d0 < n:
-            d1 = int(np.searchsorted(ends, starts[d0] + chunk, side="left")) + 1
-            d1 = min(max(d1, d0 + 1), n)
-            g0, g1 = int(starts[d0]), int(ends[d1 - 1])
+        for g0 in range(0, int(ends[-1]), chunk):
+            g1 = min(g0 + chunk, int(ends[-1]))
+            # docs intersecting [g0, g1): first with end > g0 .. last with start < g1
+            d0 = int(np.searchsorted(ends, g0, side="right"))
+            d1 = int(np.searchsorted(starts, g1, side="left"))
+            if d0 >= d1:
+                continue
             prod = (flat[g0:g1, None] * A[None, :] + B[None, :]) % _P
-            offs = (starts[d0:d1] - g0).astype(np.int64)
-            out[d0:d1] = np.minimum.reduceat(prod, offs, axis=0)
-            d0 = d1
+            offs = (np.maximum(starts[d0:d1], g0) - g0).astype(np.int64)
+            part = np.minimum.reduceat(prod, offs, axis=0)
+            np.minimum(out[d0:d1], part, out=out[d0:d1])
         return pd.Series(list(out))
 
     hvec = grams_df.select(

@@ -296,7 +296,10 @@ def kmeans_centroids(
     MLlib KMeans). Init is the k lowest-id vectors — deterministic, no RNG.
     """
     init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init:
+        raise ValueError("kmeans_centroids: empty input, nothing to train on")
     centroids = [[float(x) for x in r[0]] for r in init]
+    k = len(centroids)  # corpora smaller than k: one cell per vector
     dim = len(centroids[0])
     embeddings = ensure_parallelism(embeddings)
     for _ in range(iters):
@@ -367,6 +370,11 @@ def _pq_codebooks(
     """
     n, dim = X.shape
     ksub = min(ksub, n)  # tiny corpora: never more codewords than samples
+    if dim % m:
+        raise ValueError(
+            f"product quantization needs dim divisible by m_subvectors: "
+            f"dim={dim}, m={m} (trailing dims would be silently dropped)"
+        )
     dsub = dim // m
     books = np.empty((m, ksub, dsub), dtype=np.float64)
     for j in range(m):

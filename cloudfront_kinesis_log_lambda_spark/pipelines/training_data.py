@@ -30,6 +30,23 @@ from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
 
 
+def _gate_and_exact_dedup(
+    docs: DataFrame, min_quality: float, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stages 2-3: (quality-gate survivors, exact-dedup
+    survivors). One definition so curate_documents and the
+    oracle-checked curation_report can never drift apart."""
+    annotated = T.quality_score(docs).join(
+        docs.select("doc_id", text_col, "lang"), "doc_id"
+    )
+    passed = annotated.filter(F.col("quality") >= min_quality)
+    # exact dedup: fingerprint → keep the lowest doc_id per fingerprint
+    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
+    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    return passed, exact_kept
+
+
 def curate_documents(
     docs: DataFrame,
     min_quality: float = 0.3,
@@ -44,15 +61,7 @@ def curate_documents(
     Returns (doc_id, lang, quality, n_tokens, text) where ``text`` is
     the scrubbed text — the schema a downstream tokenizer consumes.
     """
-    annotated = T.quality_score(docs).join(
-        docs.select("doc_id", text_col, "lang"), "doc_id"
-    )
-    passed = annotated.filter(F.col("quality") >= min_quality)
-
-    # exact dedup: fingerprint → keep the lowest doc_id per fingerprint
-    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
-    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    passed, exact_kept = _gate_and_exact_dedup(docs, min_quality, text_col)
 
     # near dedup on the exact-kept survivors: cluster assignment keeps
     # only canonical members (canon_id == doc_id); docs too short to
@@ -125,13 +134,7 @@ def curation_report(
     Deterministic given the corpus (stage counts don't depend on hash
     seeds as long as LSH recall holds, which the recall gates pin)."""
     spark = docs.sparkSession
-    annotated = T.quality_score(docs).join(
-        docs.select("doc_id", text_col, "lang"), "doc_id"
-    )
-    passed = annotated.filter(F.col("quality") >= min_quality)
-    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
-    keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    passed, exact_kept = _gate_and_exact_dedup(docs, min_quality, text_col)
     curated = curate_documents(docs, min_quality, near_dup_threshold, text_col)
     counts = [
         ("1_raw", docs.count()),

@@ -385,7 +385,7 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx(emb.filter(F.col("vec_id") % 2 == 1), 1)
     [qrow] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
     out = index_topk(
-        spark, root, [float(x) for x in qrow[0]], k=10, nprobe=4
+        spark, root, [float(x) for x in qrow[0]], k=10, nprobe=4, exclude_id=0
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out

@@ -75,6 +75,12 @@ class StreamingVectorIndex:
             return json.load(f)  # re-read: every process uses the winner
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        # a streaming query's first triggers routinely fire empty (no
+        # files yet); training frozen geometry on an empty/degenerate
+        # batch would poison every later batch — wait for data instead
+        # (kmeans_centroids clamps k for small-but-nonempty batches)
+        if batch_df.isEmpty():
+            return
         cents = self._centroids(batch_df)
         assigned = assign_centroids(batch_df, cents, self.id_col, self.vec_col)
         q = quantize_int8(assigned, self.id_col, self.vec_col)
@@ -97,12 +103,16 @@ def index_topk(
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k served FROM THE INDEX ALONE: probe the
     ``nprobe`` cells nearest the query (partition pruning on ``cid``),
     score each entry by its dequantized-int8 dot against the query
     (JVM integer zip_with fold × scale), normalize by the stored norms.
-    The float embedding column is never read."""
+    The float embedding column is never read. Pass ``exclude_id`` when
+    the query vector is itself an indexed entry (the other top-k
+    operators' ``id != query`` convention) so it doesn't burn a slot on
+    its own ~1.0 self-similarity."""
     import math
 
     with open(os.path.join(store_dir, "centroids.json")) as f:
@@ -125,9 +135,11 @@ def index_topk(
     score = (dot * F.col("scale")) / (
         F.when(F.col("nrm") > 0, F.col("nrm")).otherwise(F.lit(1.0)) * F.lit(qn)
     )
+    probed = index.filter(F.col("cid").isin([int(p) for p in probe]))
+    if exclude_id is not None:
+        probed = probed.filter(F.col(id_col) != exclude_id)
     return (
-        index.filter(F.col("cid").isin([int(p) for p in probe]))
-        .select(id_col, F.round(score, 4).alias("cos"))
+        probed.select(id_col, F.round(score, 4).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )

@@ -161,6 +161,7 @@ def test_minhash_kernel_matches_pure_python_across_chunk_boundaries(spark):
         (i, " ".join(rng.choice(vocab) for _ in range(rng.choice([3, 4, 9, 30]))))
         for i in range(40)
     ]
+    rows.append((40, "too short"))  # < n tokens → empty grams → no signature
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     grams = docs.select("doc_id", gram_array("text", 3).alias("grams"))
     tiny = minhash_band_rows(grams, 64, 16, 42, kernel_chunk_grams=7)
@@ -168,3 +169,4 @@ def test_minhash_kernel_matches_pure_python_across_chunk_boundaries(spark):
     t = {(r["doc_id"], r["band"], r["h"]) for r in tiny.collect()}
     b = {(r["doc_id"], r["band"], r["h"]) for r in big.collect()}
     assert t == b and len(t) == 40 * 16
+    assert not any(d == 40 for d, _, _ in t)  # gram-less doc dropped, not corrupted

@@ -43,8 +43,7 @@ def test_index_topk_tracks_exact_cosine(spark, built):
     # exact cosine; demand high top-10 agreement
     got = [
         r["vec_id"]
-        for r in index_topk(spark, store, qv, k=10, nprobe=16).collect()
-        if r["vec_id"] != 0
+        for r in index_topk(spark, store, qv, k=10, nprobe=16, exclude_id=0).collect()
     ]
     exact = [r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()]
     assert len(set(got) & set(exact)) >= 8
