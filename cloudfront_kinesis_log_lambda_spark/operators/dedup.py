@@ -114,6 +114,24 @@ def near_dup_pairs_exact(
     )
 
 
+def _gram_chunks(starts, ends, chunk):
+    """Yield (d0, d1, g0, g1, offs) gram-range chunks over a batch of
+    ragged per-doc arrays flattened to [starts[i], ends[i]) spans:
+    bounded at ~``chunk`` grams per piece, splitting WITHIN oversized
+    docs (callers combine partial reductions), with reduceat offsets
+    relative to the chunk. Shared by the MinHash and SimHash kernels —
+    the boundary arithmetic is the subtle part and exists once."""
+    total = int(ends[-1])
+    for g0 in range(0, total, chunk):
+        g1 = min(g0 + chunk, total)
+        d0 = int(np.searchsorted(ends, g0, side="right"))
+        d1 = int(np.searchsorted(starts, g1, side="left"))
+        if d0 >= d1:
+            continue
+        offs = (np.maximum(starts[d0:d1], g0) - g0).astype(np.int64)
+        yield d0, d1, g0, g1, offs
+
+
 def minhash_band_rows(
     grams_df: DataFrame,
     num_hashes: int = 64,
@@ -173,16 +191,8 @@ def minhash_band_rows(
         # split across chunks and combined with np.minimum, it cannot
         # allocate a multi-GB product matrix
         out = np.full((n, len(A)), _P, dtype=np.int64)
-        chunk = kernel_chunk_grams
-        for g0 in range(0, int(ends[-1]), chunk):
-            g1 = min(g0 + chunk, int(ends[-1]))
-            # docs intersecting [g0, g1): first with end > g0 .. last with start < g1
-            d0 = int(np.searchsorted(ends, g0, side="right"))
-            d1 = int(np.searchsorted(starts, g1, side="left"))
-            if d0 >= d1:
-                continue
+        for d0, d1, g0, g1, offs in _gram_chunks(starts, ends, kernel_chunk_grams):
             prod = (flat[g0:g1, None] * A[None, :] + B[None, :]) % _P
-            offs = (np.maximum(starts[d0:d1], g0) - g0).astype(np.int64)
             part = np.minimum.reduceat(prod, offs, axis=0)
             np.minimum(out[d0:d1], part, out=out[d0:d1])
         return pd.Series(list(out))
@@ -475,15 +485,23 @@ def near_dup_clusters(
     )
 
 
-def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    kernel_chunk_grams: int = 65536,
+) -> DataFrame:
     """64-bit SimHash per document: n-gram hashes → per-bit ±1 vote sums
     → sign bits packed into a long.
 
-    Shape: explode grams, hash once, one hash-aggregate with 64 sum()
-    vote columns (codegen + map-side combine → the shuffle carries one
-    64-int row per doc), then the bit pack as a single projection. The
-    HOF-fold formulation (64 F.aggregate lambdas per doc) was shuffle-
-    free but interpreted — measurably slower than this codegen plan.
+    MAP-ONLY, same design as the MinHash kernel (minhash_band_rows):
+    gram strings hash JVM-side (``transform`` + ``xxhash64``), then one
+    Arrow numpy kernel extracts the 64 sign bits and sums the ±1 votes
+    per doc with ``add.reduceat`` over gram-range chunks — zero shuffle
+    to the signature table (the previous explode + 64-sum() hash-
+    aggregate carried 1 row/doc through an exchange). Bit arithmetic is
+    int64 with arithmetic shifts on both sides, so signatures are
+    bit-identical to the JVM formulation.
 
     Docs shorter than n tokens are excluded up front (their signature
     would be 0 and every such unrelated doc would pair at hamming 0);
@@ -492,25 +510,35 @@ def simhash(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     feature sets overlap heavily across unrelated docs, washing out the
     signature.
     """
-    base = (
+    shifts = np.arange(64, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def sim_kernel(hvecs: pd.Series) -> pd.Series:
+        if not len(hvecs):
+            return pd.Series([], dtype=np.int64)
+        lens = hvecs.map(len).to_numpy(dtype=np.int64)
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hvecs.to_numpy()]
+        )
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        votes = np.zeros((len(lens), 64), dtype=np.int64)
+        for d0, d1, g0, g1, offs in _gram_chunks(starts, ends, kernel_chunk_grams):
+            bits = ((flat[g0:g1, None] >> shifts[None, :]) & 1) * 2 - 1
+            votes[d0:d1] += np.add.reduceat(bits, offs, axis=0)
+        sig = np.bitwise_or.reduce(
+            np.left_shift((votes > 0).astype(np.int64), shifts[None, :]), axis=1
+        )
+        return pd.Series(sig)
+
+    hvec = (
         ensure_parallelism(docs.filter(has_min_tokens(text_col, n)))
-        .select("doc_id", F.explode(gram_array(text_col, n)).alias("g"))
-        .withColumn("h", F.xxhash64("g"))
+        .select(
+            "doc_id",
+            F.transform(gram_array(text_col, n), lambda g: F.xxhash64(g)).alias("hv"),
+        )
     )
-    votes = [
-        F.sum(
-            F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        ).alias(f"v{i}")
-        for i in range(64)
-    ]
-    per_doc = base.groupBy("doc_id").agg(*votes)
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        bit = F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = sig.bitwiseOR(bit)
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    return hvec.select("doc_id", sim_kernel(F.col("hv")).alias("simhash"))
 
 
 def simhash_near_pairs(
