@@ -317,6 +317,12 @@ def winnow_fingerprints(
     def fps_udf(texts: pd.Series) -> pd.Series:
         from numpy.lib.stride_tricks import sliding_window_view
 
+        # per-piece bound for the (n, k)/(n, window) sliding-window
+        # temporaries: ~64 MB worst case regardless of document length —
+        # a multi-MB document is processed in overlapped pieces (k-1 /
+        # window-1 byte/gram overlap keeps every gram and every window
+        # represented exactly once)
+        piece = 1 << 20
         out = []
         with np.errstate(over="ignore"):
             for s in texts:
@@ -326,11 +332,23 @@ def winnow_fingerprints(
                 if len(b) < k:
                     out.append([])
                     continue
-                grams = (sliding_window_view(b, k) * pows).sum(
-                    axis=1, dtype=np.uint64
-                )
+                gparts = [
+                    (sliding_window_view(b[st : min(st + piece + k - 1, len(b))], k)
+                     * pows).sum(axis=1, dtype=np.uint64)
+                    for st in range(0, len(b) - k + 1, piece)
+                ]
+                grams = np.concatenate(gparts) if len(gparts) > 1 else gparts[0]
                 if len(grams) >= window:
-                    fp = np.unique(sliding_window_view(grams, window).min(axis=1))
+                    mparts = [
+                        sliding_window_view(
+                            grams[st : min(st + piece + window - 1, len(grams))],
+                            window,
+                        ).min(axis=1)
+                        for st in range(0, len(grams) - window + 1, piece)
+                    ]
+                    fp = np.unique(
+                        np.concatenate(mparts) if len(mparts) > 1 else mparts[0]
+                    )
                 else:
                     fp = grams.min(keepdims=True)
                 out.append(fp.astype(np.int64).tolist())
