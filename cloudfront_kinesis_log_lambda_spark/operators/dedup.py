@@ -114,13 +114,32 @@ def near_dup_pairs_exact(
     )
 
 
+def _flatten_ragged(hvecs: "pd.Series"):
+    """(lens, flat, ends, starts) for a pandas Series of per-doc int
+    arrays — the shared kernel prologue. Every doc must be non-empty
+    (enforced; see :func:`_gram_chunks`)."""
+    lens = hvecs.map(len).to_numpy(dtype=np.int64)
+    if not (lens > 0).all():
+        raise ValueError(
+            "ragged kernel input contains an empty per-doc array; filter "
+            "gram-less docs first (reduceat with repeated offsets would "
+            "silently hand the empty doc its neighbor's reduction)"
+        )
+    flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in hvecs.to_numpy()])
+    ends = np.cumsum(lens)
+    return lens, flat, ends, ends - lens
+
+
 def _gram_chunks(starts, ends, chunk):
     """Yield (d0, d1, g0, g1, offs) gram-range chunks over a batch of
     ragged per-doc arrays flattened to [starts[i], ends[i]) spans:
     bounded at ~``chunk`` grams per piece, splitting WITHIN oversized
     docs (callers combine partial reductions), with reduceat offsets
     relative to the chunk. Shared by the MinHash and SimHash kernels —
-    the boundary arithmetic is the subtle part and exists once."""
+    the boundary arithmetic is the subtle part and exists once.
+    PRECONDITION: every span non-empty (``_flatten_ragged`` enforces it
+    — a zero-length span would repeat an offset and reduceat would
+    silently assign the next doc's reduction to the empty one)."""
     total = int(ends[-1])
     for g0 in range(0, total, chunk):
         g1 = min(g0 + chunk, total)
@@ -177,20 +196,14 @@ def minhash_band_rows(
     def sig_kernel(hvecs: pd.Series) -> pd.Series:
         if not len(hvecs):
             return pd.Series([], dtype=object)
-        lens = hvecs.map(len).to_numpy(dtype=np.int64)
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in hvecs.to_numpy()]
-        )
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        n = len(lens)
+        lens, flat, ends, starts = _flatten_ragged(hvecs)
         # accumulate partial minima per GRAM-RANGE chunk (~64k grams,
         # parameterized so tests can force tiny chunks): bounds the
         # (grams × num_hashes) int64 temporary at ~32 MB regardless of
         # Arrow batch size OR single-document length — a 10M-gram doc is
         # split across chunks and combined with np.minimum, it cannot
         # allocate a multi-GB product matrix
-        out = np.full((n, len(A)), _P, dtype=np.int64)
+        out = np.full((len(lens), len(A)), _P, dtype=np.int64)
         for d0, d1, g0, g1, offs in _gram_chunks(starts, ends, kernel_chunk_grams):
             prod = (flat[g0:g1, None] * A[None, :] + B[None, :]) % _P
             part = np.minimum.reduceat(prod, offs, axis=0)
@@ -266,9 +279,13 @@ def minhash_lsh_pairs(
             )
         ).alias("p")
     )
-    candidates = pairs.select(
-        F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b")
-    ).distinct()
+    candidates = (
+        pairs.select(F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b"))
+        # dirty input containing duplicate doc_id rows yields duplicate
+        # ids inside a bucket; never let that surface as an (x, x) pair
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
 
     sets = hashed.select("doc_id", "grams")
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("set_a"))
@@ -289,6 +306,7 @@ def winnow_fingerprints(
     k: int = 8,
     window: int = 4,
     text_col: str = "text",
+    kernel_piece: int = 1 << 20,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
     rolling byte k-gram hashes over whitespace-normalized lowercase text,
@@ -317,12 +335,24 @@ def winnow_fingerprints(
     def fps_udf(texts: pd.Series) -> pd.Series:
         from numpy.lib.stride_tricks import sliding_window_view
 
-        # per-piece bound for the (n, k)/(n, window) sliding-window
-        # temporaries: ~64 MB worst case regardless of document length —
-        # a multi-MB document is processed in overlapped pieces (k-1 /
-        # window-1 byte/gram overlap keeps every gram and every window
-        # represented exactly once)
-        piece = 1 << 20
+        def windowed(arr, width, reduce_fn):
+            # overlapped pieces: width-1 overlap keeps every window
+            # represented exactly once; the (piece, width) temporary is
+            # kernel_piece*width*8 bytes (64 MB at the k=8 default —
+            # the bound scales with width, shrink kernel_piece for
+            # unusually large k). One definition — the overlap
+            # arithmetic is the subtle part.
+            parts = [
+                reduce_fn(
+                    sliding_window_view(
+                        arr[st : min(st + kernel_piece + width - 1, len(arr))],
+                        width,
+                    )
+                )
+                for st in range(0, len(arr) - width + 1, kernel_piece)
+            ]
+            return np.concatenate(parts) if len(parts) > 1 else parts[0]
+
         out = []
         with np.errstate(over="ignore"):
             for s in texts:
@@ -332,23 +362,11 @@ def winnow_fingerprints(
                 if len(b) < k:
                     out.append([])
                     continue
-                gparts = [
-                    (sliding_window_view(b[st : min(st + piece + k - 1, len(b))], k)
-                     * pows).sum(axis=1, dtype=np.uint64)
-                    for st in range(0, len(b) - k + 1, piece)
-                ]
-                grams = np.concatenate(gparts) if len(gparts) > 1 else gparts[0]
+                grams = windowed(
+                    b, k, lambda w: (w * pows).sum(axis=1, dtype=np.uint64)
+                )
                 if len(grams) >= window:
-                    mparts = [
-                        sliding_window_view(
-                            grams[st : min(st + piece + window - 1, len(grams))],
-                            window,
-                        ).min(axis=1)
-                        for st in range(0, len(grams) - window + 1, piece)
-                    ]
-                    fp = np.unique(
-                        np.concatenate(mparts) if len(mparts) > 1 else mparts[0]
-                    )
+                    fp = np.unique(windowed(grams, window, lambda w: w.min(axis=1)))
                 else:
                     fp = grams.min(keepdims=True)
                 out.append(fp.astype(np.int64).tolist())
@@ -534,12 +552,7 @@ def simhash(
     def sim_kernel(hvecs: pd.Series) -> pd.Series:
         if not len(hvecs):
             return pd.Series([], dtype=np.int64)
-        lens = hvecs.map(len).to_numpy(dtype=np.int64)
-        flat = np.concatenate(
-            [np.asarray(v, dtype=np.int64) for v in hvecs.to_numpy()]
-        )
-        ends = np.cumsum(lens)
-        starts = ends - lens
+        lens, flat, ends, starts = _flatten_ragged(hvecs)
         votes = np.zeros((len(lens), 64), dtype=np.int64)
         for d0, d1, g0, g1, offs in _gram_chunks(starts, ends, kernel_chunk_grams):
             bits = ((flat[g0:g1, None] >> shifts[None, :]) & 1) * 2 - 1
@@ -626,6 +639,9 @@ def simhash_near_pairs(
             F.col("p.doc_b").alias("doc_b"),
             F.bit_count(F.col("p.sig_a").bitwiseXOR(F.col("p.sig_b"))).alias("hamming"),
         )
+        # duplicate doc_id rows in dirty input must not become (x, x)
+        # hamming-0 self-pairs
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

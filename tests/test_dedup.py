@@ -170,3 +170,51 @@ def test_minhash_kernel_matches_pure_python_across_chunk_boundaries(spark):
     b = {(r["doc_id"], r["band"], r["h"]) for r in big.collect()}
     assert t == b and len(t) == 40 * 16
     assert not any(d == 40 for d, _, _ in t)  # gram-less doc dropped, not corrupted
+
+
+def test_simhash_and_winnow_kernels_chunk_invariant(spark):
+    """The SimHash vote accumulation (+= of partial add.reduceat across
+    gram chunks) and the winnow overlapped-piece slicing must be
+    invisible: forcing tiny chunks/pieces (docs split repeatedly) must
+    match the single-chunk defaults bit-for-bit."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        simhash,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(60)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.choice([3, 9, 40]))))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sim_tiny = {(r["doc_id"], r["simhash"]) for r in simhash(docs, kernel_chunk_grams=7).collect()}
+    sim_big = {(r["doc_id"], r["simhash"]) for r in simhash(docs).collect()}
+    assert sim_tiny == sim_big and len(sim_big) == 30
+    win_tiny = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(docs, kernel_piece=5).collect()}
+    win_big = {(r["doc_id"], r["fp"]) for r in winnow_fingerprints(docs).collect()}
+    assert win_tiny == win_big and len(win_big) > 0
+
+
+def test_duplicate_doc_id_rows_never_emit_self_pairs(spark):
+    """Dirty input with duplicate doc_id rows: the per-row signature
+    kernels put the id in one bucket twice — the pair generators must
+    not surface that as an (x, x) self-pair."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (1, text), (2, text + " extra tail words here")],
+        "doc_id long, text string",
+    )
+    mh = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    sh = simhash_near_pairs(docs, max_hamming=8).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in mh)
+    assert all(r["doc_a"] != r["doc_b"] for r in sh)
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(1, 2)}
