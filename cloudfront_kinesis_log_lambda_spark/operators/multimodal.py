@@ -87,6 +87,22 @@ def decode_image(payload: bytes) -> object:
     return Image.open(io.BytesIO(payload))
 
 
+def decoded_image_features(payload: bytes, dim: int = 16) -> list[float]:
+    """REAL-decode features: grayscale-pixel histogram of the decoded,
+    16×16-thumbnailed image — the feature vector actually derived from
+    :func:`decode_image`'s output (same ``dim``-float shape as the fake
+    path, so downstream similarity ops are oblivious to which path ran).
+    Raises the decode seam's NotImplementedError when no decoder
+    library is present."""
+    img = decode_image(payload)
+    g = img.convert("L").resize((16, 16))
+    px = list(g.getdata())
+    counts = [0] * dim
+    for p in px:
+        counts[int(p) * dim // 256] += 1
+    return [c / float(len(px)) for c in counts]
+
+
 def byte_histogram_features(payload: bytes, dim: int = 16) -> list[float]:
     """Deterministic fake 'embedding': normalized byte histogram folded
     to ``dim`` buckets. Stable across runs/machines — the stand-in for a
@@ -114,9 +130,12 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        # real_decode actually USES the decode: features come from the
+        # decoded pixels (decoded_image_features), not the raw-byte
+        # fake — with no decoder installed this raises the seam's
+        # NotImplementedError instead of silently serving stub features
+        feat_fn = decoded_image_features if real_decode else byte_histogram_features
         for pdf in batches:
-            if real_decode:
-                pdf["payload"].map(decode_image)  # raises the stub error
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -125,9 +144,7 @@ def extract_features(
                     "checksum": pdf["payload"].map(
                         lambda b: hashlib.md5(b or b"").hexdigest()
                     ),
-                    "features": pdf["payload"].map(
-                        lambda b: byte_histogram_features(b, dim)
-                    ),
+                    "features": pdf["payload"].map(lambda b: feat_fn(b, dim)),
                 }
             )
 

@@ -140,9 +140,10 @@ def _failed_records(
     failed = []
     for i, result in enumerate(response["Records"]):
         if result.get("ErrorCode"):
-            record = batch[i]
-            record["PartitionKey"] = uuid.uuid4().hex
-            failed.append(record)
+            # copy, don't mutate: callers of the public retry API may
+            # hold references to their record dicts (audit, re-send) and
+            # must not see PartitionKey silently rewritten under them
+            failed.append({**batch[i], "PartitionKey": uuid.uuid4().hex})
     return failed
 
 

@@ -32,10 +32,18 @@ def write_log_store(
     df = enriched.withColumn("ts", F.to_timestamp(F.col("`@timestamp`")))
     df = df.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
     parts = [F.col("env"), F.col("log_day")]
+    # sortWithinPartitions must LEAD with the partition columns: the
+    # dynamic-partition writer requires an (env, log_day) ordering and
+    # inserts its own sort (scrambling ts) unless the existing ordering
+    # already satisfies it by prefix. repartitionByRange alone only
+    # range-partitions — it does not order rows within a partition, so
+    # both branches need the explicit sort for the row-group min/max
+    # stats the module docstring promises.
     if target_file_partitions:
-        df = df.repartition(target_file_partitions, *parts).sortWithinPartitions("ts")
+        df = df.repartition(target_file_partitions, *parts)
     else:
         df = df.repartitionByRange(F.col("env"), F.col("log_day"), F.col("ts"))
+    df = df.sortWithinPartitions("env", "log_day", "ts")
     (
         df.write.mode(mode)
         .partitionBy("env", "log_day")

@@ -330,7 +330,15 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # capping against a guess below the checkpointed position would
         # REWIND the offset log and replay records (at-most-once lost).
         # So the first batch of a (re)started query is uncapped.
-        if self.max_per_shard and self._last_end is not None:
+        # bound_advance is an OPTIONAL client capability (the documented
+        # protocol is initial_position/list_shards/read_between/
+        # latest_position): a custom client without it runs uncapped
+        # rather than dying with AttributeError on the first batch.
+        if (
+            self.max_per_shard
+            and self._last_end is not None
+            and hasattr(self.client, "bound_advance")
+        ):
             init = self.client.initial_position
             tips = {
                 s: self.client.bound_advance(
@@ -390,9 +398,15 @@ class KinesisStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        # replay for recovery: deterministic because shards are append-only
-        for shard_id, pos in start.items():
-            stop = end.get(shard_id, pos)
+        # replay for recovery: deterministic because shards are append-only.
+        # Iterate END's shards, not start's: a shard that appeared
+        # mid-stream (resharding) exists in the committed end offsets but
+        # not in the checkpointed start — iterating start would silently
+        # drop that shard's first batch on crash recovery (the
+        # partitioned tier's partitions() already gets this right)
+        init = self.client.initial_position
+        for shard_id, stop in end.items():
+            pos = start.get(shard_id, init)
             for s, rec in self.client.read_between(shard_id, pos, stop):
                 yield (shard_id, str(s), rec["PartitionKey"], rec["Data"])
 
@@ -404,6 +418,14 @@ class KinesisPyDataSource(DataSource):
     the file-backed test harness; ``max_records_per_shard`` caps a
     micro-batch (backpressure — the streaming analogue of the
     reference's producer sleep loop, cloudfront_kinesis_lambda.py:219).
+
+    Tier-dependent DEFAULT for ``max_records_per_shard``: the
+    partitioned reader defaults to 0 (uncapped — it plans against shard
+    tips, so a batch is naturally bounded by the data present), while
+    the Simple driver-prefetch reader defaults to 10000 (it materializes
+    the batch on the driver, which must stay bounded). Switching tiers
+    on one checkpoint is offset-compatible but changes batch sizing
+    unless the option is set explicitly.
     """
 
     @classmethod

@@ -84,19 +84,23 @@ def tumbling_event_counts(
     evicted — bounded state at any scale.
     """
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    # the value sum is emitted only when the stream HAS the column —
+    # count-only streams (e.g. the CloudFront wire stream keyed by env)
+    # get windowed counts instead of an unresolved-column error
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    cols = ["n_events"]
+    if "value" in events.columns:
+        aggs.append(F.round(F.sum("value"), 2).alias("sum_value"))
+        cols.append("sum_value")
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(win.alias("w"), F.col(key_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
+        .agg(*aggs)
         .select(
             F.col("w.start").alias("window_start"),
             F.col("w.end").alias("window_end"),
             key_col,
-            "n_events",
-            "sum_value",
+            *cols,
         )
     )
 
@@ -141,8 +145,8 @@ def stream_static_enrich(
 
 def running_user_totals(
     events: DataFrame,
-    ts_col: str = "ts",
     key_col: str = "user_id",
+    value_col: str = "value",
     timeout_minutes: int | None = None,
 ) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-key running
@@ -152,12 +156,15 @@ def running_user_totals(
     State per key is two scalars (count, sum) → state-store size is
     O(distinct keys), independent of stream length. An optional
     processing-time timeout evicts idle keys, bounding state for
-    unbounded key universes (the 100 TB safety valve).
+    unbounded key universes (the 100 TB safety valve). The key's output
+    type follows the input schema (not a hardcoded long), so string keys
+    work; the summed column is ``value_col``.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = f"{key_col} long, n_events long, total_value double"
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, n_events long, total_value double"
     state_schema = "n long, s double"
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -172,7 +179,7 @@ def running_user_totals(
         n, s = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             n += int(len(pdf))
-            s += float(pdf["value"].sum())
+            s += float(pdf[value_col].sum())
         state.update((n, s))
         if timeout_minutes:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
@@ -212,15 +219,25 @@ def stream_stream_interval_join(
     null-padded rows only once the opposing watermark closes the window.
     """
     lw = left.withWatermark(left_ts, watermark)
-    rw = right.withColumnRenamed(right_key, "__rk").withWatermark(
-        right_ts, watermark
+    # rename BOTH right-side join columns to sentinels: with only the
+    # key renamed, left_ts == right_ts (the natural call on two streams
+    # of the same schema) makes the condition's F.col(right_ts)
+    # ambiguous and the join fails at construction
+    rw = (
+        right.withColumnRenamed(right_key, "__rk")
+        .withColumnRenamed(right_ts, "__rts")
+        .withWatermark("__rts", watermark)
     )
     cond = (
         (F.col(left_key) == F.col("__rk"))
-        & (F.col(right_ts) >= F.col(left_ts))
-        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
+        & (F.col("__rts") >= F.col(left_ts))
+        & (F.col("__rts") <= F.col(left_ts) + F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, cond, how).drop("__rk")
+    joined = lw.join(rw, cond, how).drop("__rk")  # key is redundant post-join
+    # restore the caller's right-ts name; when both sides share the name
+    # (the case the sentinel exists for) disambiguate with a suffix
+    out_ts = right_ts if right_ts not in joined.columns else f"{right_ts}_right"
+    return joined.withColumnRenamed("__rts", out_ts)
 
 
 def dedup_within_watermark(

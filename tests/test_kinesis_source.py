@@ -290,3 +290,30 @@ def test_tipless_client_auto_falls_back_to_simple_tier(monkeypatch, tmp_path):
     monkeypatch.delattr(K.FakeShardClient, "latest_position")
     fallback = _streamReader(ds, schema)
     assert "Simple" in type(fallback).__name__  # tip-less → Simple wrapper
+
+
+def test_simple_reader_replay_covers_shards_born_midstream(tmp_path):
+    """Crash-recovery replay (readBetweenOffsets) must iterate END's
+    shards: a shard that appeared between two batches (resharding)
+    exists in the committed end offsets but not in the checkpointed
+    start — iterating start's shards silently dropped that shard's
+    first committed batch on recovery (data loss)."""
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        KinesisStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [("pk0", "a0"), ("pk1", "a1")])
+    reader = KinesisStreamReader({"fake_dir": d})
+    start = reader.initialOffset()
+    rows1, end1 = reader.read(start)
+    assert len(list(rows1)) == 2 and "shard-001" not in end1
+    # resharding: a new shard appears with records before the next batch
+    _write_shard(d, "shard-001", [("pk2", "b0"), ("pk3", "b1")])
+    rows2, end2 = reader.read(end1)
+    assert len(list(rows2)) == 2 and "shard-001" in end2
+    # crash between commit and process → Spark replays (end1, end2):
+    # the new shard's batch must be in the replay even though end1
+    # (the checkpointed start) has never heard of shard-001
+    replayed = list(reader.readBetweenOffsets(end1, end2))
+    assert sorted(r[3] for r in replayed) == ["b0", "b1"]
