@@ -235,6 +235,52 @@ ORACLE_SQL: dict[str, str] = {
               FROM documents)
         GROUP BY 1
     """,
+    # sequence packing: recursive CTE replays the engine's deterministic
+    # next-fit scan (doc_id order within Knuth-hash pack groups, running
+    # token sum resetting when 256 would be exceeded) — the recursion
+    # advances every group by one document per step
+    "doc_pack_sequences": r"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, pack_group, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents)),
+        pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
+          SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.pack_group, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN b.n_tokens ELSE p.seq_tokens + b.n_tokens END
+          FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
+        SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
+    """,
+    # benchmark contamination: distinct 3-gram leak fraction against the
+    # doc_id % 10 == 7 held-out set (same gram extraction as near_dup_3gram)
+    "doc_contamination": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 = 7),
+        stats AS (
+          SELECT c.doc_id,
+                 COUNT(*) AS n_grams,
+                 COUNT(b.shingle) AS n_contaminated
+          FROM (SELECT * FROM sh WHERE doc_id % 10 <> 7) c
+          LEFT JOIN bench b USING (shingle)
+          GROUP BY 1)
+        SELECT doc_id,
+               CAST(n_grams AS BIGINT)        AS n_grams,
+               CAST(n_contaminated AS BIGINT) AS n_contaminated,
+               ROUND(n_contaminated / n_grams, 4) AS contamination,
+               CAST(n_contaminated / n_grams >= 0.2 AS INT) AS is_contaminated
+        FROM stats
+    """,
     "events_metric_map": """
         WITH a AS (
           SELECT event_type,

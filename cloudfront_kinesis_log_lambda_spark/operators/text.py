@@ -51,7 +51,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic document quality: length, mean token length, stopword
     ratio, punctuation density → composite [0,1] score.
 
@@ -60,7 +60,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     is reproducible across engines.
     """
     docs = ensure_parallelism(docs)
-    t = F.col("text")
+    t = F.col(text_col)
     n_tok = F.size(_tokens(t)).cast("double")
     n_chars = F.length(t).cast("double")
     n_stop = F.regexp_count(
@@ -231,6 +231,58 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     return arr_stats.join(top, "doc_id")
 
 
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination check: per-document fraction of distinct
+    word n-grams that also appear anywhere in a held-out benchmark set
+    (the decontamination gate an LLM training pipeline runs before a
+    corpus ships — see e.g. the GPT-3/PaLM appendix n-gram overlap
+    procedures).
+
+    Returns (doc_id, n_grams, n_contaminated, contamination,
+    is_contaminated) for every corpus document with at least ``n``
+    tokens; ``is_contaminated`` is an int flag (``contamination >=
+    threshold``) so the result stays hash-comparable across engines.
+
+    Scale shape: the benchmark gram set is tiny next to the corpus
+    (benchmarks are a fixed few MB; the corpus is the 100 TB side), so it
+    is BROADCAST — the corpus side stays map-only: explode grams, probe
+    the broadcast set, re-aggregate per doc_id (one shuffle, keyed by
+    doc_id so boilerplate grams can't skew it). Grams join as strings
+    here for oracle parity; at production scale hash them to int64
+    (``xxhash64``) first to shrink the broadcast and the probe.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
+
+    corpus_grams = shingles(corpus, n, text_col)
+    bench_grams = (
+        shingles(benchmark, n, text_col).select("shingle").distinct()
+    )
+    hit = corpus_grams.join(
+        F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    frac = F.col("n_contaminated") / F.col("n_grams")
+    return (
+        hit.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            F.round(frac, 4).alias("contamination"),
+            (frac >= threshold).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
 #: PII patterns chosen for regex-dialect parity: plain character classes
 #: + bounded quantifiers only, identical semantics in Java regex (Spark)
 #: and RE2 (DuckDB oracle)
@@ -238,7 +290,7 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
 
-def pii_scrub(docs: DataFrame) -> DataFrame:
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction for training corpora: replace email/phone spans with
     typed placeholder tokens and count what was removed.
 
@@ -247,7 +299,7 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     phone). Pure regexp_replace/extract_all projections — codegen'd,
     zero shuffle, scan-parallel at any scale.
     """
-    t = F.col("text")
+    t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     return docs.select(
         "doc_id",

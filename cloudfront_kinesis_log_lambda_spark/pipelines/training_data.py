@@ -36,7 +36,7 @@ def _gate_and_exact_dedup(
     """Shared stages 2-3: (quality-gate survivors, exact-dedup
     survivors). One definition so curate_documents and the
     oracle-checked curation_report can never drift apart."""
-    annotated = T.quality_score(docs).join(
+    annotated = T.quality_score(docs, text_col).join(
         docs.select("doc_id", text_col, "lang"), "doc_id"
     )
     passed = annotated.filter(F.col("quality") >= min_quality)
@@ -76,7 +76,7 @@ def curate_documents(
         "left_semi",
     )
 
-    scrubbed = T.pii_scrub(near_kept).select("doc_id", "scrubbed")
+    scrubbed = T.pii_scrub(near_kept, text_col).select("doc_id", "scrubbed")
     return (
         near_kept.join(scrubbed, "doc_id")
         .select(
@@ -120,6 +120,68 @@ def split_assign(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("sum_tokens"),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 256,
+    n_groups: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing: assign every document to a fixed token-budget
+    training sequence — the step between a curated corpus and tokenizer
+    shards, where documents are concatenated until the context budget
+    would overflow and the next sequence begins.
+
+    Deterministic next-fit: documents are split into ``n_groups`` pack
+    groups by the same Knuth multiplicative hash as :func:`split_assign`
+    (pure BIGINT arithmetic — engine-portable), then packed in doc_id
+    order within each group: a document whose whitespace-token count
+    would push the running sequence past ``budget`` starts a new
+    sequence (a single over-budget document occupies — and overflows —
+    its own sequence; real pipelines truncate or split those upstream).
+
+    Returns (doc_id, pack_group, n_tokens, seq_id). The per-sequence
+    accounting (Σ n_tokens ≤ budget except single-doc overflows, every
+    doc packed exactly once) follows from the assignment and is gated in
+    tests; the assignment itself is exactly oracle-checkable (recursive
+    CTE replaying the same scan).
+
+    Scale shape: packing is inherently sequential, so the parallelism
+    unit is the pack group — at production scale use thousands of groups
+    (one per output shard). The only shuffle is the groupBy(pack_group);
+    the kernel sees just (doc_id, n_tokens) pairs — a group costs ~16
+    bytes/doc in executor memory, the text never enters the Arrow batch
+    (shard writers join text back by doc_id afterwards).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side type only
+
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(n_groups))
+        .cast("int")
+        .alias("pack_group"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids = []
+        seq, running = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if running > 0 and running + t > budget:
+                seq += 1
+                running = 0
+            running += t
+            seq_ids.append(seq)
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        return pdf
+
+    return base.groupBy("pack_group").applyInPandas(
+        pack, "doc_id long, pack_group int, n_tokens long, seq_id long"
     )
 
 

@@ -198,6 +198,30 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(_docs(spark, sf_dir))
 
 
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination gate (operators/text.py::contamination):
+    docs with ``doc_id % 10 == 7`` play the held-out benchmark set; every
+    other document reports the fraction of its 3-grams that leak from
+    it. Fully oracle-checked (string-gram semi-probe is plain SQL)."""
+    docs = _docs(spark, sf_dir)
+    return T.contamination(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        n=3,
+        threshold=0.2,
+    )
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pipelines/training_data.py::pack_sequences):
+    deterministic next-fit into 256-token training sequences within
+    Knuth-hash pack groups — exactly oracle-checked by a recursive CTE
+    replaying the same in-order scan."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256, n_groups=8)
+
+
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup MATERIALIZATION: one kept representative per near-dup
     cluster (the canonical member) with its cluster size — what a
@@ -498,6 +522,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_keep": doc_dedup_keep,
     "doc_curation_funnel": doc_curation_funnel,
     "doc_split_assign": doc_split_assign,
+    "doc_contamination": doc_contamination,
+    "doc_pack_sequences": doc_pack_sequences,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
