@@ -257,6 +257,18 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    # exactly-once gate: the engine's result comes through fake-Kinesis
+    # replay WITH injected duplicate deliveries + streaming dedup +
+    # parquet store round trip; the oracle rolls up the ORIGINAL table —
+    # they hash-match only if the duplicates collapsed losslessly
+    "kinesis_exactly_once_rollup": """
+        SELECT event_type,
+               COUNT(*)                 AS n_events,
+               COUNT(DISTINCT event_id) AS n_ids,
+               ROUND(SUM(value), 2)     AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
     # benchmark contamination: distinct 3-gram leak fraction against the
     # doc_id % 10 == 7 held-out set (same gram extraction as near_dup_3gram)
     "doc_contamination": r"""

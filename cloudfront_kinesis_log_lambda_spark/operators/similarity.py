@@ -665,3 +665,58 @@ def cosine_self_join_above(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.92,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    document embeddings into IVF cells, find above-threshold cosine pairs
+    WITHIN each cell only, and assign every document to the canonical
+    (minimum-id) member of its semantic-duplicate component.
+
+    Returns (``id_col``, canon_id): ``canon_id == id`` for documents to
+    keep, the canonical representative's id otherwise — the same
+    materialization contract as ``dedup.near_dup_clusters``, so the keep
+    step downstream is identical (``filter(id == canon_id)``).
+
+    Scale shape: the pairwise stage is confined to cells (corpus/k rows
+    each), so work is O(N²/k) worst-case and embarrassingly parallel by
+    ``cid`` — the SemDeDup paper's exact trick; the self-join keys on
+    ``cid`` so each cell's pairs build in one partition. At production
+    scale raise ``n_centroids`` to keep cells ~10⁴ rows (k ≈ N/10⁴) and
+    persist the assignment as a partition column; duplicates that
+    straddle a cell boundary are the documented recall loss (the paper's
+    too — mitigate with multi-probe assignment if it matters). K-means
+    topology: only the k×dim centroid table touches the driver.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    assigned = assign_centroids(
+        ensure_parallelism(embeddings), centroids, id_col, vec_col
+    ).select(F.col(id_col), F.col(vec_col), "cid")
+    a = assigned.select(
+        "cid", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = assigned.select(
+        "cid", F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b")
+    )
+    cos_pair = cos_pair_udf()
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("cos", cos_pair(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    return near_dup_clusters(
+        embeddings.select(F.col(id_col).alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias(id_col), "canon_id")

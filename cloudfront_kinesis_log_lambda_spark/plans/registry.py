@@ -423,6 +423,22 @@ def embedding_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_exact(_emb(spark, sf_dir), threshold=0.3)
 
 
+def doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster (SemDeDup-style) dedup materialization: IVF-cell
+    assignment → within-cell above-threshold cosine pairs → one kept
+    representative per semantic component with its cluster size — the
+    same keep shape as doc_dedup_keep, over the embedding space instead
+    of the n-gram space. Rows-only (k-means geometry is seed/corpus
+    dependent); planted-duplicate recall is gated in
+    tests/test_similarity.py."""
+    assignment = S.semantic_dedup(_emb(spark, sf_dir), threshold=0.92)
+    return (
+        assignment.groupBy("canon_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("canon_id").alias("vec_id"), "cluster_size")
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 
@@ -431,6 +447,114 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar projection is the oracle-checkable face of the Arrow UDF;
     # the features vector itself is covered by tests/test_multimodal.py
     return feats.select("asset_id", "modality", "n_bytes", "checksum")
+
+
+def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once materialization, end to end: the events table is
+    played through the fake Kinesis data plane WITH duplicate deliveries
+    injected (every 7th event re-sent on its own shard, every 13th
+    re-sent on a different shard — the at-least-once failure modes of
+    the reference's retry loop), streamed through
+    ``dedup_within_watermark`` on event_id, written to a parquet store
+    via the idempotent ``batch=<id>`` overwrite pattern, read back, and
+    rolled up. The oracle is the rollup over the ORIGINAL events table —
+    it hash-matches only if every injected duplicate collapsed and no
+    real record was lost.
+
+    ``max_records_per_shard`` forces multiple micro-batches, so the
+    dedup state must survive across batches (a within-batch distinct
+    would fail the oracle).
+    """
+    import json as _json
+    import shutil
+
+    import duckdb
+
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        register_kinesis_source,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.pipeline import (
+        dedup_within_watermark,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"cfkll-eo-rollup-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    in_dir = os.path.join(root, "in")
+    store = os.path.join(root, "store")
+    os.makedirs(in_dir)
+    n_shards = 4
+    rows = duckdb.sql(
+        f"SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, "
+        f"value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    files = [
+        open(os.path.join(in_dir, f"shard-{i:03d}.jsonl"), "w")
+        for i in range(n_shards)
+    ]
+
+    def rec(eid, ts, et, v) -> str:
+        return (
+            _json.dumps(
+                {
+                    "PartitionKey": str(eid),
+                    "Data": _json.dumps(
+                        {"event_id": eid, "ts": ts, "event_type": et, "value": v}
+                    ),
+                }
+            )
+            + "\n"
+        )
+
+    for eid, ts, et, v in rows:
+        line = rec(eid, ts, et, v)
+        files[eid % n_shards].write(line)
+        if eid % 7 == 0:  # duplicate delivery, same shard
+            files[eid % n_shards].write(line)
+        if eid % 13 == 0:  # duplicate delivery, different shard
+            files[(eid + 1) % n_shards].write(line)
+    for f in files:
+        f.close()
+
+    register_kinesis_source(spark)
+    stream = (
+        spark.readStream.format("kinesis_py")
+        .option("fake_dir", in_dir)
+        .option("max_records_per_shard", "1000")
+        .load()
+    )
+    decoded = stream.select(
+        F.get_json_object("Data", "$.event_id").cast("long").alias("event_id"),
+        F.to_timestamp(F.get_json_object("Data", "$.ts")).alias("ts"),
+        F.get_json_object("Data", "$.event_type").alias("event_type"),
+        F.get_json_object("Data", "$.value").cast("double").alias("value"),
+    )
+    deduped = dedup_within_watermark(decoded, ["event_id"], watermark="3650 days")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(store, f"batch={batch_id}")
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    back = spark.read.parquet(store)
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # --- CloudFront pipeline on a deterministic fixture -------------------------
@@ -524,6 +648,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_assign": doc_split_assign,
     "doc_contamination": doc_contamination,
     "doc_pack_sequences": doc_pack_sequences,
+    "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
@@ -532,6 +657,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cloudfront_wire": cloudfront_wire,
     "cloudfront_status_rollup": cloudfront_status_rollup,
     # rows-only (hash-seeded; recall-gated in tests)
+    "doc_semantic_dedup": doc_semantic_dedup,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,

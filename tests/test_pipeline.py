@@ -77,3 +77,48 @@ def test_split_assign_is_deterministic_partition(spark, corpus):
     half = corpus.filter("doc_id <= 5")
     half_rows = {r["split"]: r["n_docs"] for r in split_assign(half).collect()}
     assert all(half_rows[s] <= rows[s][0] for s in half_rows)
+
+
+def test_pack_sequences_accounting(spark, corpus):
+    """Sequence packing invariants: every doc packed exactly once; no
+    multi-doc sequence exceeds the budget; packing is greedy (a doc in
+    sequence s+1 would NOT have fit at the end of sequence s)."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
+
+    budget = 50
+    out = pack_sequences(corpus, budget=budget, n_groups=2).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in corpus.collect()
+    )
+    by_seq: dict[tuple, list] = {}
+    for r in out:
+        by_seq.setdefault((r["pack_group"], r["seq_id"]), []).append(r)
+    for (g, s), members in by_seq.items():
+        total = sum(r["n_tokens"] for r in members)
+        if len(members) > 1:
+            assert total <= budget, (g, s, total)
+        if (g, s + 1) in by_seq:
+            nxt = min(by_seq[(g, s + 1)], key=lambda r: r["doc_id"])
+            assert total + nxt["n_tokens"] > budget, (g, s)
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    """A single document over the budget occupies (and overflows) its
+    own sequence; neighbors before/after pack normally around it."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
+
+    rows = [
+        (0, "a " * 10, "en", "s", 20),
+        (2, "b " * 99, "en", "s", 200),  # over budget=30 on its own
+        (4, "c " * 10, "en", "s", 20),
+        (6, "d " * 10, "en", "s", 20),
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, budget=30, n_groups=1).collect()
+    }
+    assert out[2]["n_tokens"] == 99
+    seqs = [out[i]["seq_id"] for i in (0, 2, 4, 6)]
+    # doc 2 alone in its sequence; 4 and 6 share the next one
+    assert seqs[0] != seqs[1] and seqs[1] != seqs[2] and seqs[2] == seqs[3]

@@ -248,3 +248,47 @@ def test_quantized_topk_ranking_tracks_exact_dot(emb, emb_py):
     exact_ids = {vid for _, vid in exact}
     got_ids = {r["vec_id"] for r in quantized_dot_topk(emb, query_vec_id=0, k=10).collect()}
     assert len(got_ids & exact_ids) >= 8
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup contract: exact embedding duplicates always land in the
+    same IVF cell (identical vectors share an argmax centroid) and merge
+    into one component; noisy copies (cos ≈ 0.99) merge when co-located;
+    unrelated random vectors (cos ≈ 0 at dim 64) never merge."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    rows = []
+    planted_exact, planted_noisy = [], []
+    for i in range(300):  # background corpus
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 0))
+    for j in range(10):  # 10 exact duplicate pairs
+        src = rows[j * 3][1]
+        rows.append((1000 + j, list(src), 0))
+        planted_exact.append((j * 3, 1000 + j))
+    for j in range(10):  # 10 noisy duplicate pairs (cos ≈ 0.995)
+        src = rows[100 + j * 3][1]
+        rows.append(
+            (2000 + j, [float(x + rng.gauss(0, 0.05)) for x in src], 0)
+        )
+        planted_noisy.append((100 + j * 3, 2000 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    canon = {
+        r["vec_id"]: r["canon_id"]
+        for r in semantic_dedup(emb, threshold=0.92).collect()
+    }
+    # exact dups: guaranteed same cell, cos = 1.0 → always merged
+    assert all(canon[a] == canon[b] for a, b in planted_exact)
+    # noisy dups: recall-gated (cell-boundary straddles are the known loss)
+    noisy_hits = sum(1 for a, b in planted_noisy if canon[a] == canon[b])
+    assert noisy_hits >= 8
+    # precision: merged non-planted pairs would need cos >= 0.92 between
+    # independent gaussians — background vectors stay singletons
+    background = list(range(300))
+    planted_lows = {a for a, _ in planted_exact} | {a for a, _ in planted_noisy}
+    assert all(canon[i] == i for i in background if i not in planted_lows)

@@ -121,3 +121,30 @@ def test_pii_scrub_redacts_emails_then_phones(spark):
     assert got[3]["scrubbed"] == "<EMAIL> and <PHONE> both"
     assert got[4]["scrubbed"] == "clean text, no pii at all"
     assert got[4]["n_emails"] == 0 and got[4]["n_phones"] == 0
+
+
+def test_contamination_flags_planted_overlap(spark):
+    """A corpus doc sharing a contiguous half with a benchmark doc gets
+    a high contaminated-gram fraction and the flag; an unrelated doc
+    gets zero."""
+    from cloudfront_kinesis_log_lambda_spark.operators.text import contamination
+
+    bench_words = [f"b{i}" for i in range(40)]
+    clean_words = [f"c{i}" for i in range(40)]
+    leaky = bench_words[:20] + [f"x{i}" for i in range(20)]
+    mk = lambda i, ws: (i, " ".join(ws), "en", "s", 0)  # noqa: E731
+    corpus = spark.createDataFrame(
+        [mk(1, leaky), mk(2, clean_words)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bench = spark.createDataFrame(
+        [mk(100, bench_words)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in contamination(corpus, bench, n=3).collect()}
+    # leaky doc: grams fully inside the copied half are contaminated =
+    # 18 of its 38 distinct 3-grams
+    assert out[1]["n_grams"] == 38 and out[1]["n_contaminated"] == 18
+    assert abs(out[1]["contamination"] - round(18 / 38, 4)) < 1e-9
+    assert out[1]["is_contaminated"] == 1
+    assert out[2]["n_contaminated"] == 0 and out[2]["is_contaminated"] == 0
