@@ -450,17 +450,28 @@ def winnow_near_pairs(
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
-    """Connected components of an undirected pair graph via iterative
-    min-label propagation: every node's label converges to the minimum
-    doc_id in its component. Returns (node, label).
+    """Connected components of an undirected pair graph: min-label
+    propagation accelerated with POINTER JUMPING — each iteration every
+    node takes the minimum of its neighbors' labels (propagation), then
+    its label's own label (shortcut, label := label[label]). Returns
+    (node, label); every label converges to the minimum doc_id in its
+    component.
 
-    Scale shape: each iteration is one join + one aggregate (2 shuffles)
-    over the EDGE set, and the iteration count is the graph diameter —
-    for near-dup graphs that's tiny (dup clusters are cliques or short
-    chains), so the loop runs ~2-4 times regardless of corpus size.
-    ``localCheckpoint`` truncates the lineage each round; without it the
-    plan doubles per iteration and Catalyst analysis time explodes long
-    before data size matters.
+    Scale shape: propagation alone converges in O(diameter) rounds —
+    fine for near-dup cliques (diameter ≤ 2-3), pathological on long
+    chains (a 10⁶-node chain would need 10⁶ joins). The shortcut step
+    composes label paths, halving the remaining distance-to-root each
+    round (same doubling idea as the large-star/small-star contraction
+    of Kiveris et al., "Connected Components in MapReduce and Beyond",
+    expressed as one extra self-join instead of an edge rewrite), so the
+    loop is O(log n) rounds on ANY graph shape — gated by the 64-node
+    chain test in tests/test_dedup.py. Each round is 3 bounded shuffles
+    (edge-join + aggregate, label self-join); ``localCheckpoint``
+    truncates lineage so plans don't grow per round. Labels only ever
+    decrease and label values are always node ids within the component,
+    so the fixpoint (no change through BOTH steps ⇒ propagation alone is
+    at fixpoint) is the same component-minimum labeling as pure
+    propagation.
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = edges.union(
@@ -478,13 +489,28 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
+        propagated = labels.join(nbr, labels.node == nbr.u, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer jump: label := min(label, label[label]) — label values
+        # are node ids, so every label resolves in the labels table
         new_labels = (
-            labels.join(nbr, labels.node == nbr.u, "left")
+            propagated.alias("p")
+            .join(
+                propagated.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ),
+                F.col("p.label") == F.col("_ln"),
+                "left",
+            )
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+                F.least(F.col("label"), F.coalesce("_ll", "label")).alias(
+                    "label"
+                ),
             )
             .localCheckpoint(eager=True)
         )

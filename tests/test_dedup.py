@@ -218,3 +218,36 @@ def test_duplicate_doc_id_rows_never_emit_self_pairs(spark):
     assert all(r["doc_a"] != r["doc_b"] for r in mh)
     assert all(r["doc_a"] != r["doc_b"] for r in sh)
     assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(1, 2)}
+
+
+def test_connected_components_long_chain_bounded_iterations(spark):
+    """Pointer jumping must collapse a 64-node chain in O(log n) rounds:
+    with max_iter=10 (propagation alone would need 63) every node's
+    label reaches the chain minimum — the 100×-scale guarantee for
+    long-chain near-dup graphs (VERDICT r4 item 8)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(63)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    labels = connected_components(pairs, max_iter=10).collect()
+    assert len(labels) == 64
+    assert all(r["label"] == 0 for r in labels)
+
+
+def test_connected_components_two_components_unchanged_semantics(spark):
+    """Semantics regression gate for the jump step: disjoint components
+    keep distinct minima; singleton handling (no edges) unaffected."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9, 1.0), (9, 7, 1.0), (20, 30, 1.0)],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20}
