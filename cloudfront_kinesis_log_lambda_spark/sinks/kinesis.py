@@ -234,6 +234,95 @@ def _default_client_factory(region_name: str | None = None) -> Callable[[], Any]
     return make
 
 
+class AssumeRoleClientFactory:
+    """Cross-account ``client_factory`` for :class:`KinesisSink` — the
+    reference parity piece for its auto-refreshing assume-role producer
+    credentials (cloudfront_kinesis_lambda.py:57-71, which swaps
+    STS-backed ``DeferredRefreshableCredentials`` into the Kinesis
+    client so a Lambda in account A can write a stream in account B).
+
+    Zero-arg callable: each call returns a Kinesis client built from
+    AssumeRole credentials, re-assumed whenever the cached grant is
+    within ``refresh_margin_seconds`` of expiry (or absent). The sink
+    builds one client per partition task, so on an executor this
+    refreshes at task granularity — the same refresh-on-use behavior the
+    reference's deferred credentials give, without holding a mutable
+    botocore session across pickling boundaries (the cached grant is
+    process-local transient state and is never serialized).
+
+    ``sts_client_factory`` / ``kinesis_client_factory`` are seams: tests
+    inject a fake STS (no AWS, no boto3 import); production leaves them
+    None and gets boto3. Usage::
+
+        sink = KinesisSink(
+            "cross-account-stream",
+            client_factory=AssumeRoleClientFactory(
+                "arn:aws:iam::<TARGET_ACCOUNT>:role/<WRITER_ROLE>"
+            ),
+        )
+    """
+
+    def __init__(
+        self,
+        role_arn: str,
+        session_name: str = "cfkll-kinesis-producer",
+        region_name: str | None = None,
+        duration_seconds: int = 3600,
+        refresh_margin_seconds: int = 300,
+        sts_client_factory: Callable[[], Any] | None = None,
+        kinesis_client_factory: Callable[[dict], Any] | None = None,
+    ) -> None:
+        self.role_arn = role_arn
+        self.session_name = session_name
+        self.region_name = region_name
+        self.duration_seconds = duration_seconds
+        self.refresh_margin_seconds = refresh_margin_seconds
+        self.sts_client_factory = sts_client_factory
+        self.kinesis_client_factory = kinesis_client_factory
+        self._creds: dict | None = None
+
+    def __getstate__(self) -> dict:
+        state = dict(self.__dict__)
+        state["_creds"] = None  # a grant never crosses process boundaries
+        return state
+
+    def _credentials(self) -> dict:
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
+        if (
+            self._creds is None
+            or (self._creds["Expiration"] - now).total_seconds()
+            <= self.refresh_margin_seconds
+        ):
+            if self.sts_client_factory is not None:
+                sts = self.sts_client_factory()
+            else:
+                import boto3  # deferred: executors without AWS never pay it
+
+                sts = boto3.client("sts", region_name=self.region_name)
+            self._creds = sts.assume_role(
+                RoleArn=self.role_arn,
+                RoleSessionName=self.session_name,
+                DurationSeconds=self.duration_seconds,
+            )["Credentials"]
+        return self._creds
+
+    def __call__(self) -> Any:
+        creds = self._credentials()
+        if self.kinesis_client_factory is not None:
+            return self.kinesis_client_factory(creds)
+        import boto3
+
+        return boto3.client(
+            "kinesis",
+            region_name=self.region_name,
+            aws_access_key_id=creds["AccessKeyId"],
+            aws_secret_access_key=creds["SecretAccessKey"],
+            aws_session_token=creds["SessionToken"],
+        )
+
+
 class KinesisSink:
     """``foreachBatch``-compatible Kinesis sink.
 

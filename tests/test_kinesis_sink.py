@@ -234,3 +234,121 @@ def test_concurrency_overlaps_put_latency():
     seq = run(1)   # 8 puts × 40 ms ≈ 320 ms
     par = run(4)   # ≈ 2 waves ≈ 80-120 ms
     assert par < seq / 1.5
+
+
+class FakeSTS:
+    """assume_role stub: hands out numbered keys with a scriptable
+    expiration per grant."""
+
+    def __init__(self, expirations):
+        self.expirations = list(expirations)
+        self.calls = 0
+
+    def assume_role(self, RoleArn, RoleSessionName, DurationSeconds):
+        exp = self.expirations[min(self.calls, len(self.expirations) - 1)]
+        self.calls += 1
+        return {
+            "Credentials": {
+                "AccessKeyId": f"AKID{self.calls}",
+                "SecretAccessKey": f"SECRET{self.calls}",
+                "SessionToken": f"TOKEN{self.calls}",
+                "Expiration": exp,
+            }
+        }
+
+
+def test_assume_role_factory_caches_and_refreshes():
+    """Reference parity (cloudfront_kinesis_lambda.py:57-71): the
+    factory assumes once, reuses the grant while it is valid, and
+    re-assumes when the grant is within the refresh margin — the fresh
+    keys reaching the Kinesis client factory."""
+    from datetime import datetime, timedelta, timezone
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import (
+        AssumeRoleClientFactory,
+    )
+
+    now = datetime.now(timezone.utc)
+    sts = FakeSTS([now + timedelta(hours=1), now + timedelta(hours=2)])
+    seen_keys = []
+    factory = AssumeRoleClientFactory(
+        "arn:aws:iam::000000000000:role/writer",
+        sts_client_factory=lambda: sts,
+        kinesis_client_factory=lambda c: seen_keys.append(c["AccessKeyId"])
+        or FakeKinesis(),
+    )
+    factory(); factory()
+    assert sts.calls == 1 and seen_keys == ["AKID1", "AKID1"]
+    # age the grant into the refresh margin → next call re-assumes
+    factory._creds["Expiration"] = now + timedelta(seconds=10)
+    factory()
+    assert sts.calls == 2 and seen_keys[-1] == "AKID2"
+
+
+def test_assume_role_factory_never_pickles_grant():
+    """The cached grant is process-local: a pickled factory (what Spark
+    ships to executors) arrives credential-less and re-assumes there."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark import cloudpickle as pickle  # what Spark actually uses
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import (
+        AssumeRoleClientFactory,
+    )
+
+    sts = FakeSTS([datetime.now(timezone.utc) + timedelta(hours=1)])
+    factory = AssumeRoleClientFactory(
+        "arn:aws:iam::000000000000:role/writer",
+        sts_client_factory=lambda: sts,
+        kinesis_client_factory=lambda c: FakeKinesis(),
+    )
+    factory()
+    assert factory._creds is not None
+    clone = pickle.loads(pickle.dumps(factory))
+    assert clone._creds is None
+
+
+def test_sink_with_assume_role_factory_delivers(spark, tmp_path):
+    """End to end through the sink seam: KinesisSink(client_factory=
+    AssumeRoleClientFactory(...)) ships every record using STS-derived
+    clients (file-backed data plane, one client per partition)."""
+    import json
+    from datetime import datetime, timedelta, timezone
+    from glob import glob
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.kinesis import (
+        AssumeRoleClientFactory,
+    )
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        FakeKinesisDataPlane,
+    )
+
+    out_dir = str(tmp_path / "plane")
+
+    class LocalSTS:  # function-local → cloudpickle ships it by value
+        def assume_role(self, RoleArn, RoleSessionName, DurationSeconds):
+            return {
+                "Credentials": {
+                    "AccessKeyId": "AKID",
+                    "SecretAccessKey": "SECRET",
+                    "SessionToken": "TOKEN",
+                    "Expiration": datetime.now(timezone.utc)
+                    + timedelta(hours=1),
+                }
+            }
+
+    factory = AssumeRoleClientFactory(
+        "arn:aws:iam::000000000000:role/writer",
+        sts_client_factory=LocalSTS,
+        kinesis_client_factory=lambda c: FakeKinesisDataPlane(out_dir, n_shards=2),
+    )
+    df = spark.createDataFrame(
+        [(f"d{i}", f"k{i}") for i in range(40)], "Data string, PartitionKey string"
+    )
+    KinesisSink("cross", parallelism=4, client_factory=factory).write(df)
+    got = sorted(
+        json.loads(line)["Data"]
+        for p in glob(f"{out_dir}/shard-*.jsonl")
+        for line in open(p)
+    )
+    assert got == sorted(f"d{i}" for i in range(40))
