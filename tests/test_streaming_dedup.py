@@ -117,3 +117,39 @@ def test_retry_of_last_batch_is_idempotent(spark, streamed):
         for r in near_dup_pair_log(spark, out).collect()
     )
     assert after == before
+
+
+def test_over_cap_bucket_documents_intended_stream_batch_divergence(
+    spark, tmp_path
+):
+    """INTENDED divergence above max_bucket_size (streaming/dedup.py
+    module docstring, 'Semantics note'; ADVICE r4): the stream caps a
+    bucket at DETECTION time — pairs emitted while the bucket was under
+    the cap stay in the log after it grows past the cap — while the
+    batch operator sees only the final size and suppresses the bucket
+    entirely. Both are boilerplate guards, not recall contracts; this
+    test pins the asymmetry so it can't drift silently.
+
+    Six identical docs, cap 4: batch 0 (docs 1-3) has every band bucket
+    at size 3 → 3 pairs emitted; batch 1 (docs 4-6) grows the cumulative
+    buckets to 6 > cap → zero NEW pairs; the batch operator over all six
+    suppresses everything."""
+    text = " ".join(f"tok{i}" for i in range(30))
+    store, out = str(tmp_path / "store"), str(tmp_path / "pairs")
+    detector = StreamingNearDup(store, out, threshold=0.5, max_bucket_size=4)
+    detector(
+        spark.createDataFrame([(i, text) for i in (1, 2, 3)], DOC_SCHEMA), 0
+    )
+    detector(
+        spark.createDataFrame([(i, text) for i in (4, 5, 6)], DOC_SCHEMA), 1
+    )
+    stream_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pair_log(spark, out).collect()
+    }
+    assert stream_pairs == {(1, 2), (1, 3), (2, 3)}  # early pairs survive
+    batch_pairs = minhash_lsh_pairs(
+        spark.createDataFrame([(i, text) for i in range(1, 7)], DOC_SCHEMA),
+        max_bucket_size=4,
+    ).collect()
+    assert batch_pairs == []  # final-size cap suppresses the whole bucket
