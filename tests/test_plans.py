@@ -227,3 +227,37 @@ def test_streaming_batch_twins_use_native_window_nodes(spark, sf_dir):
     assert "HashAggregate" in tumbling and "partial_" in tumbling
     session = _plan(events_session_windows(spark, sf_dir))
     assert "session_window" in session
+
+
+def test_pack_sequences_single_exchange_no_text_in_shuffle(spark, sf_dir):
+    """Sequence packing's scale contract: exactly ONE exchange (on
+    pack_group) feeding the Arrow kernel, and the text column must be
+    projected away BEFORE it — the shuffle carries ~16 bytes/doc, not
+    the corpus."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
+
+    plan = _plan(pack_sequences(R.load(spark, sf_dir, "documents")))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    ex = plan.index("Exchange hashpartitioning")
+    # the exchange's input attribute list must not include the raw text
+    assert "text" not in plan[ex : plan.index("]", ex) + 1]
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    """Contamination's scale contract: the benchmark gram set is the
+    BROADCAST side (a fixed few MB at production scale) and the corpus
+    side re-aggregates per doc_id with a partial/final split — never a
+    shuffle join keyed on gram strings."""
+    from cloudfront_kinesis_log_lambda_spark.operators.text import contamination
+    from pyspark.sql import functions as F
+
+    docs = R.load(spark, sf_dir, "documents")
+    plan = _plan(
+        contamination(
+            docs.filter(F.col("doc_id") % 10 != 7),
+            docs.filter(F.col("doc_id") % 10 == 7),
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "partial_count" in plan  # map-side combine before the doc_id agg
