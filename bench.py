@@ -88,10 +88,7 @@ def canary_run(spark) -> float:
     return time.perf_counter() - t0
 
 
-def _median(xs: list[float]) -> float:
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+from statistics import median as _median  # noqa: E402
 
 
 def bench_kinesis_full_loop(spark, sf_dir: str) -> dict:

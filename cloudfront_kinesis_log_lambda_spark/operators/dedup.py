@@ -489,11 +489,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        propagated = labels.join(nbr, labels.node == nbr.u, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                "label"
-            ),
+        propagated = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            # materialize before the self-join: both join sides read this
+            # subtree — un-checkpointed, the edge-join + aggregate would
+            # execute twice per round
+            .localCheckpoint(eager=True)
         )
         # pointer jump: label := min(label, label[label]) — label values
         # are node ids, so every label resolves in the labels table

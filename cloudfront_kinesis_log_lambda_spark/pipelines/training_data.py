@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
 
+# Shared by split_assign and pack_sequences — and hard-coded in their
+# DuckDB oracles (functions/oracles.py), so each expression must exist
+# exactly ONCE engine-side or the copies drift apart from the oracles.
+
+
+def _knuth_bucket(mod: int):
+    """Knuth multiplicative-hash bucket of doc_id: pure BIGINT
+    arithmetic, engine-portable, exactly oracle-checkable."""
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(mod)
+
+
+def _n_tokens(text_col: str):
+    """Whitespace token count as BIGINT (the corpus accounting unit)."""
+    return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+
 
 def _gate_and_exact_dedup(
     docs: DataFrame, min_quality: float, text_col: str
@@ -106,15 +121,14 @@ def split_assign(
     document and whitespace-token counts — the accounting a training
     run reads before building shards.
     """
-    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+    bucket = _knuth_bucket(100)
     split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     return (
-        docs.select(split.alias("split"), n_tokens.alias("n_tokens"))
+        docs.select(split.alias("split"), _n_tokens(text_col).alias("n_tokens"))
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -157,13 +171,10 @@ def pack_sequences(
     """
     import pandas as pd  # noqa: PLC0415 — executor-side type only
 
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
     base = docs.select(
         "doc_id",
-        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(n_groups))
-        .cast("int")
-        .alias("pack_group"),
-        n_tokens.alias("n_tokens"),
+        _knuth_bucket(n_groups).cast("int").alias("pack_group"),
+        _n_tokens(text_col).alias("n_tokens"),
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
