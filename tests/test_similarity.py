@@ -292,3 +292,27 @@ def test_semantic_dedup_planted_duplicates(spark):
     background = list(range(300))
     planted_lows = {a for a, _ in planted_exact} | {a for a, _ in planted_noisy}
     assert all(canon[i] == i for i in background if i not in planted_lows)
+
+
+def test_semantic_dedup_oversized_cell_capped_not_quadratic(spark):
+    """The max_cell_size guard (same contract as the dedup bucket caps):
+    a degenerate corpus whose vectors all land in ONE cell must not
+    expand O(N²) — the oversized cell is excluded from pair generation
+    and every member keeps itself."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 60 IDENTICAL vectors: identical centroids → argmax ties break to
+    # the first cell → one cell of 60, over the cap of 50
+    base = [1.0] * 16
+    rows = [(i, list(base), 0) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    canon = {
+        r["vec_id"]: r["canon_id"]
+        for r in semantic_dedup(
+            emb, threshold=0.9, n_centroids=4, max_cell_size=50
+        ).collect()
+    }
+    assert len(canon) == 60
+    assert all(canon[i] == i for i in canon)  # capped cell: no merges
