@@ -708,16 +708,20 @@ def semantic_dedup(
         near_dup_clusters,
     )
 
-    from pyspark.sql import Window
-
     centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
     assigned = assign_centroids(
         ensure_parallelism(embeddings), centroids, id_col, vec_col
     ).select(F.col(id_col), F.col(vec_col), "cid")
-    cell_n = Window.partitionBy("cid")
-    assigned = assigned.withColumn(
-        "_cell_n", F.count(F.lit(1)).over(cell_n)
-    ).filter(F.col("_cell_n") <= max_cell_size).drop("_cell_n")
+    # cell-size gate via a k-row aggregate broadcast back — NOT a
+    # window count, which would drag the vectors through an extra
+    # exchange+sort just to count rows
+    small_cells = (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") <= max_cell_size)
+        .select("cid")
+    )
+    assigned = assigned.join(F.broadcast(small_cells), "cid", "left_semi")
     a = assigned.select(
         "cid", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
     )
