@@ -82,6 +82,7 @@ _FRONT = [
     # new oracle-backed entries this round
     "doc_pack_sequences",
     "doc_contamination",
+    "doc_table_profile",
     "kinesis_exactly_once_rollup",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
@@ -114,7 +115,6 @@ _FILL = [
     "theta_join_price_band",
     "top_orders_per_customer",
     "running_customer_spend",
-    "pivot_qty_by_linestatus",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)

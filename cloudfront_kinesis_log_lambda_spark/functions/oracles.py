@@ -257,6 +257,37 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    # corpus QA profile: per-column stats, one UNION ALL branch per
+    # column (the engine computes them in ONE scan via stack-unpivot)
+    "doc_table_profile": """
+        SELECT 'doc_id' AS column, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT doc_id) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_value
+        FROM documents
+        UNION ALL
+        SELECT 'text', COUNT(*),
+               CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT text), MIN(text), MAX(text)
+        FROM documents
+        UNION ALL
+        SELECT 'lang', COUNT(*),
+               CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT lang), MIN(lang), MAX(lang)
+        FROM documents
+        UNION ALL
+        SELECT 'source', COUNT(*),
+               CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT source), MIN(source), MAX(source)
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars', COUNT(*),
+               CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT n_chars),
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+        FROM documents
+    """,
     # exactly-once gate: the engine's result comes through fake-Kinesis
     # replay WITH injected duplicate deliveries + streaming dedup +
     # parquet store round trip; the oracle rolls up the ORIGINAL table —

@@ -231,6 +231,44 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     return arr_stats.join(top, "doc_id")
 
 
+def table_profile(docs: DataFrame, cols: list[str]) -> DataFrame:
+    """Column profile — the corpus-QA pass a curation pipeline runs
+    before anything else: per column, row/null/distinct counts and
+    min/max (stringified so heterogeneous columns stack into one
+    result). One row per profiled column.
+
+    Scale shape: ALL columns profile in a SINGLE scan + single
+    partial/final aggregate (every stat is algebraic or a countDistinct
+    Spark splits into partial sketches) producing ONE row, which then
+    unpivots driver-free via ``stack`` — profiling k columns costs one
+    pass over the table, not k. The stringified min/max keeps the
+    output schema fixed regardless of column types (and the oracle
+    hash comparable; avoid float columns here — engines render doubles
+    differently).
+    """
+    docs = ensure_parallelism(docs)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            # aggregate in the column's OWN type, stringify after —
+            # casting first would turn numeric min/max lexicographic
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
 def contamination(
     corpus: DataFrame,
     benchmark: DataFrame,

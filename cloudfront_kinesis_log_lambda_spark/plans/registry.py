@@ -198,6 +198,15 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(_docs(spark, sf_dir))
 
 
+def doc_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus QA profile (operators/text.py::table_profile): one-scan
+    per-column row/null/distinct/min/max over the documents table —
+    fully oracle-checked (plain SQL aggregates)."""
+    return T.table_profile(
+        _docs(spark, sf_dir), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination gate (operators/text.py::contamination):
     docs with ``doc_id % 10 == 7`` play the held-out benchmark set; every
@@ -648,6 +657,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_assign": doc_split_assign,
     "doc_contamination": doc_contamination,
     "doc_pack_sequences": doc_pack_sequences,
+    "doc_table_profile": doc_table_profile,
     "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,

@@ -148,3 +148,22 @@ def test_contamination_flags_planted_overlap(spark):
     assert abs(out[1]["contamination"] - round(18 / 38, 4)) < 1e-9
     assert out[1]["is_contaminated"] == 1
     assert out[2]["n_contaminated"] == 0 and out[2]["is_contaminated"] == 0
+
+
+def test_table_profile_counts_nulls_and_numeric_minmax(spark):
+    """Profile stats: nulls counted per column, min/max aggregate in the
+    column's own type (numeric 99 < 100 — not lexicographic) and
+    stringify at the edge; one row per profiled column."""
+    from cloudfront_kinesis_log_lambda_spark.operators.text import table_profile
+
+    df = spark.createDataFrame(
+        [(99, "b", None), (100, "a", "x"), (7, None, "x")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["column"]: r for r in table_profile(df, ["doc_id", "text", "lang"]).collect()}
+    assert set(out) == {"doc_id", "text", "lang"}
+    assert out["doc_id"]["min_value"] == "7" and out["doc_id"]["max_value"] == "100"
+    assert out["doc_id"]["n_nulls"] == 0 and out["doc_id"]["n_distinct"] == 3
+    assert out["text"]["n_nulls"] == 1 and out["text"]["n_distinct"] == 2
+    assert out["lang"]["n_nulls"] == 1 and out["lang"]["n_distinct"] == 1
+    assert all(r["n_rows"] == 3 for r in out.values())
