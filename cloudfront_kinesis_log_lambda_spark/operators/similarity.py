@@ -667,12 +667,50 @@ def cosine_self_join_above(
     )
 
 
+def assign_centroids_topp(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe cell assignment: one output row per (vector, cell)
+    for the vector's ``nprobe`` most-cosine-similar centroids — the
+    standard mitigation for duplicates that straddle a single-argmax
+    cell boundary (each vector is visible in its runner-up cells too).
+
+    Same map-only Arrow kernel shape as :func:`assign_centroids`; ties
+    rank deterministically (stable argsort → lowest cid first). The
+    explode multiplies downstream pair-generation input by ``nprobe``,
+    not the corpus storage — callers dedup pairs found in several
+    shared cells.
+    """
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    p = min(nprobe, len(centroids))
+
+    @F.pandas_udf("array<int>")
+    def nearest_p(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        n = np.linalg.norm(X, axis=1)
+        n[n == 0.0] = 1.0
+        sims = (X @ C.T) / (n[:, None] * cn[None, :])
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return embeddings.withColumn(
+        "cid", F.explode(nearest_p(F.col(vec_col)))
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.92,
     n_centroids: int = 16,
     iters: int = 3,
     max_cell_size: int = 4096,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -709,9 +747,16 @@ def semantic_dedup(
     )
 
     centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
-    assigned = assign_centroids(
-        ensure_parallelism(embeddings), centroids, id_col, vec_col
-    ).select(F.col(id_col), F.col(vec_col), "cid")
+    if nprobe > 1:
+        # multi-probe: vectors visible in their runner-up cells too, so
+        # boundary-straddling duplicates still meet in SOME shared cell
+        assigned = assign_centroids_topp(
+            ensure_parallelism(embeddings), centroids, nprobe, id_col, vec_col
+        ).select(F.col(id_col), F.col(vec_col), "cid")
+    else:
+        assigned = assign_centroids(
+            ensure_parallelism(embeddings), centroids, id_col, vec_col
+        ).select(F.col(id_col), F.col(vec_col), "cid")
     # cell-size gate via a k-row aggregate broadcast back — NOT a
     # window count, which would drag the vectors through an extra
     # exchange+sort just to count rows
@@ -736,6 +781,8 @@ def semantic_dedup(
         .filter(F.col("cos") >= threshold)
         .select("doc_a", "doc_b")
     )
+    if nprobe > 1:  # a pair can meet in several shared cells
+        pairs = pairs.distinct()
     return near_dup_clusters(
         embeddings.select(F.col(id_col).alias("doc_id")), pairs
     ).select(F.col("doc_id").alias(id_col), "canon_id")

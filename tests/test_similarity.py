@@ -316,3 +316,40 @@ def test_semantic_dedup_oversized_cell_capped_not_quadratic(spark):
     }
     assert len(canon) == 60
     assert all(canon[i] == i for i in canon)  # capped cell: no merges
+
+
+def test_semantic_dedup_multi_probe_recall_dominates_single(spark):
+    """nprobe=2 (multi-probe) must recover at least every pair nprobe=1
+    finds — boundary-straddling duplicates are the difference — and
+    pairs meeting in several shared cells must not double-merge."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = random.Random(29)
+    dim = 32
+    rows = []
+    for i in range(200):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 0))
+    planted = []
+    for j in range(15):  # noisy duplicate pairs
+        src = rows[j * 13][1]
+        rows.append((500 + j, [float(x + rng.gauss(0, 0.06)) for x in src], 0))
+        planted.append((j * 13, 500 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    def merged(nprobe):
+        canon = {
+            r["vec_id"]: r["canon_id"]
+            for r in semantic_dedup(
+                emb, threshold=0.92, n_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        assert len(canon) == len(rows)  # one row per vector, no dup output
+        return {(a, b) for a, b in planted if canon[a] == canon[b]}
+
+    single, multi = merged(1), merged(2)
+    assert single <= multi
+    assert len(multi) >= 13  # near-full recall with runner-up cells probed
