@@ -83,6 +83,7 @@ _FRONT = [
     "doc_pack_sequences",
     "doc_contamination",
     "doc_table_profile",
+    "training_shards_roundtrip",
     "kinesis_exactly_once_rollup",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
@@ -114,7 +115,6 @@ _FILL = [
     "supplier_nation_outer",
     "theta_join_price_band",
     "top_orders_per_customer",
-    "running_customer_spend",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)

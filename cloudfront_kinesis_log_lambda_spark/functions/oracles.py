@@ -257,6 +257,38 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    # shard roundtrip: split + per-(split, pack_group) next-fit replayed
+    # by one recursive CTE, rolled up per split — matches only if the
+    # partitioned shard write/read lost nothing and packing is identical
+    "training_shards_roundtrip": r"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, split, pack_group, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY split, pack_group ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                       CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split,
+                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM (SELECT doc_id, text,
+                             (doc_id * 2654435761) % 4294967296 % 100 AS b
+                      FROM documents))),
+        pack(split, pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
+          SELECT split, pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.split, b.pack_group, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN b.n_tokens ELSE p.seq_tokens + b.n_tokens END
+          FROM pack p JOIN base b
+            ON b.split = p.split AND b.pack_group = p.pack_group AND b.rn = p.rn + 1)
+        SELECT split,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT pack_group * 1000000 + seq_id) AS n_seqs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM pack
+        GROUP BY split
+    """,
     # corpus QA profile: per-column stats, one UNION ALL branch per
     # column (the engine computes them in ONE scan via stack-unpivot)
     "doc_table_profile": """

@@ -3,4 +3,5 @@ from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (  # noq
     curation_report,
     pack_sequences,
     split_assign,
+    split_column,
 )

@@ -45,6 +45,17 @@ def _n_tokens(text_col: str):
     return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
 
 
+def split_column(train_pct: int = 80, val_pct: int = 10):
+    """The train/val/test label expression (Knuth-hash bucket of doc_id)
+    — shared by split_assign and the shard-writing compositions."""
+    bucket = _knuth_bucket(100)
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def _gate_and_exact_dedup(
     docs: DataFrame, min_quality: float, text_col: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -121,12 +132,7 @@ def split_assign(
     document and whitespace-token counts — the accounting a training
     run reads before building shards.
     """
-    bucket = _knuth_bucket(100)
-    split = (
-        F.when(bucket < train_pct, "train")
-        .when(bucket < train_pct + val_pct, "val")
-        .otherwise("test")
-    )
+    split = split_column(train_pct, val_pct)
     return (
         docs.select(split.alias("split"), _n_tokens(text_col).alias("n_tokens"))
         .groupBy("split")

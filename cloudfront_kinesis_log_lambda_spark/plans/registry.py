@@ -458,6 +458,55 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "modality", "n_bytes", "checksum")
 
 
+def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-pipeline capstone composition, sink evidence included:
+    documents → deterministic train/val/test split → per-split sequence
+    packing (256-token budget) → parquet shards PARTITIONED BY split
+    (what a tokenizer job consumes, pruned per split) → read back →
+    per-split accounting (docs, sequences, tokens). Every stage is exact
+    arithmetic, so the whole composition hash-checks against a recursive
+    CTE replaying split + pack in DuckDB — a lost/duplicated row, a
+    mis-partitioned shard, or a packing drift all break the oracle.
+
+    The per-split packing here is three filtered passes of the one-group
+    operator (honest composition, fine at gate scale); a production run
+    packs once with (split, pack_group) as the group key — identical
+    semantics, one scan.
+    """
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.pipelines import (
+        pack_sequences,
+        split_column,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("split", split_column())
+    parts = [
+        pack_sequences(docs.filter(F.col("split") == s).drop("split"))
+        .withColumn("split", F.lit(s))
+        for s in ("train", "val", "test")
+    ]
+    packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+
+    out = os.path.join(tempfile.gettempdir(), f"cfkll-shards-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    packed.repartition("split").write.partitionBy("split").parquet(out)
+    back = spark.read.parquet(out)
+    agg = (
+        back.groupBy(F.col("split").cast("string").alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(
+                F.col("pack_group").cast("long") * 1000000 + F.col("seq_id")
+            ).alias("n_seqs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return agg
+
+
 def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once materialization, end to end: the events table is
     played through the fake Kinesis data plane WITH duplicate deliveries
@@ -658,6 +707,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_contamination": doc_contamination,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
+    "training_shards_roundtrip": training_shards_roundtrip,
     "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
