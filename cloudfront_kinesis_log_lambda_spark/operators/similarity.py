@@ -699,8 +699,11 @@ def assign_centroids_topp(
         idx = np.argsort(-sims, axis=1, kind="stable")[:, :p]
         return pd.Series(list(idx.astype(np.int32)))
 
-    return embeddings.withColumn(
-        "cid", F.explode(nearest_p(F.col(vec_col)))
+    # posexplode keeps the probe rank: rank 0 is the argmax (primary)
+    # cell — callers that need population counts must count primaries
+    # only, or multi-probe inflation skews them
+    return embeddings.select(
+        "*", F.posexplode(nearest_p(F.col(vec_col))).alias("probe_rank", "cid")
     )
 
 
@@ -752,16 +755,25 @@ def semantic_dedup(
         # boundary-straddling duplicates still meet in SOME shared cell
         assigned = assign_centroids_topp(
             ensure_parallelism(embeddings), centroids, nprobe, id_col, vec_col
-        ).select(F.col(id_col), F.col(vec_col), "cid")
+        ).select(F.col(id_col), F.col(vec_col), "probe_rank", "cid")
     else:
         assigned = assign_centroids(
             ensure_parallelism(embeddings), centroids, id_col, vec_col
-        ).select(F.col(id_col), F.col(vec_col), "cid")
-    # cell-size gate via a k-row aggregate broadcast back — NOT a
-    # window count, which would drag the vectors through an extra
-    # exchange+sort just to count rows
+        ).select(
+            F.col(id_col), F.col(vec_col), F.lit(0).alias("probe_rank"), "cid"
+        )
+    # materialize once: the size aggregate, the semi-join probe, and
+    # BOTH pair-join branches read this subtree — un-checkpointed, the
+    # full-corpus assignment kernel would re-execute per consumer
+    assigned = assigned.localCheckpoint(eager=True)
+    # cell-size gate via a k-row aggregate broadcast back (NOT a window
+    # count, which would drag vectors through an extra exchange+sort),
+    # counting PRIMARY (probe_rank 0) members only — the cell's actual
+    # population. Counting multi-probe visitors too would let nprobe=2
+    # drop a cell nprobe=1 kept, silently inverting the recall gain.
     small_cells = (
-        assigned.groupBy("cid")
+        assigned.filter(F.col("probe_rank") == 0)
+        .groupBy("cid")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_cell_size)
         .select("cid")

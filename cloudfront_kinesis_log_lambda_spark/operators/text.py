@@ -231,28 +231,35 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     return arr_stats.join(top, "doc_id")
 
 
-def table_profile(docs: DataFrame, cols: list[str]) -> DataFrame:
+def table_profile(
+    docs: DataFrame, cols: list[str], approx: bool = False
+) -> DataFrame:
     """Column profile — the corpus-QA pass a curation pipeline runs
     before anything else: per column, row/null/distinct counts and
     min/max (stringified so heterogeneous columns stack into one
     result). One row per profiled column.
 
-    Scale shape: ALL columns profile in a SINGLE scan + single
-    partial/final aggregate (every stat is algebraic or a countDistinct
-    Spark splits into partial sketches) producing ONE row, which then
-    unpivots driver-free via ``stack`` — profiling k columns costs one
-    pass over the table, not k. The stringified min/max keeps the
-    output schema fixed regardless of column types (and the oracle
-    hash comparable; avoid float columns here — engines render doubles
+    Scale shape: ALL columns profile in ONE scan producing ONE row that
+    unpivots driver-free via ``stack``. Honest cost note: with exact
+    ``countDistinct`` over k different columns, Catalyst's
+    RewriteDistinctAggregates plans an Expand that multiplies aggregate
+    input ~(k+1)× (still one scan, but not one-row-per-input through
+    the aggregate). At 100 TB pass ``approx=True``: HyperLogLog++
+    ``approx_count_distinct`` IS a partial-aggregable sketch, no Expand,
+    true single-pass cost — the exact mode exists for oracle-checkable
+    gates and modest tables. The stringified min/max keeps the output
+    schema fixed regardless of column types (and the oracle hash
+    comparable; avoid float columns here — engines render doubles
     differently).
     """
     docs = ensure_parallelism(docs)
+    distinct = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
+            distinct(c).alias(f"{c}__distinct"),
             # aggregate in the column's OWN type, stringify after —
             # casting first would turn numeric min/max lexicographic
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),

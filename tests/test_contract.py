@@ -86,9 +86,8 @@ def test_gate_order_oracle_backed_before_rows_only():
         "one-time rows-only entries fell outside the gate window: "
         f"{sorted(ROWS_ONLY_ONE_TIME_WINDOW - window)}"
     )
-    # window composition is load-bearing: a 35th _FRONT / 17th _FILL
-    # entry would push the window past 50 and silently cost the last
-    # entry its driver row
+    # window composition is load-bearing: an unbalanced _FRONT/_FILL
+    # edit that sums past 50 silently costs the last entry its driver row
     assert len(entry._FRONT) + len(entry._FILL) == 50, (
         len(entry._FRONT),
         len(entry._FILL),
