@@ -148,6 +148,7 @@ def pack_sequences(
     budget: int = 256,
     n_groups: int = 8,
     text_col: str = "text",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Sequence packing: assign every document to a fixed token-budget
     training sequence — the step between a curated corpus and tokenizer
@@ -170,15 +171,24 @@ def pack_sequences(
 
     Scale shape: packing is inherently sequential, so the parallelism
     unit is the pack group — at production scale use thousands of groups
-    (one per output shard). The only shuffle is the groupBy(pack_group);
-    the kernel sees just (doc_id, n_tokens) pairs — a group costs ~16
-    bytes/doc in executor memory, the text never enters the Arrow batch
-    (shard writers join text back by doc_id afterwards).
+    (one per output shard). The only shuffle is the groupBy on the group
+    key; the kernel sees just (doc_id, n_tokens) pairs — a group costs
+    ~16 bytes/doc in executor memory, the text never enters the Arrow
+    batch (shard writers join text back by doc_id afterwards).
+
+    ``group_cols`` extends the group key: packing runs independently per
+    (``*group_cols``, pack_group) in ONE pass — e.g.
+    ``group_cols=["split"]`` packs train/val/test shards in a single
+    scan + shuffle (a column named in ``group_cols`` must already exist
+    on ``docs`` and is carried into the output).
     """
     import pandas as pd  # noqa: PLC0415 — executor-side type only
 
+    gcols = list(group_cols or [])
+    dtypes = dict(docs.dtypes)
     base = docs.select(
         "doc_id",
+        *gcols,
         _knuth_bucket(n_groups).cast("int").alias("pack_group"),
         _n_tokens(text_col).alias("n_tokens"),
     )
@@ -197,8 +207,9 @@ def pack_sequences(
         pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
         return pdf
 
-    return base.groupBy("pack_group").applyInPandas(
-        pack, "doc_id long, pack_group int, n_tokens long, seq_id long"
+    extra = "".join(f", {c} {dtypes[c]}" for c in gcols)
+    return base.groupBy(*gcols, "pack_group").applyInPandas(
+        pack, f"doc_id long{extra}, pack_group int, n_tokens long, seq_id long"
     )
 
 

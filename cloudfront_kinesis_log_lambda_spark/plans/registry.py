@@ -468,10 +468,10 @@ def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE replaying split + pack in DuckDB — a lost/duplicated row, a
     mis-partitioned shard, or a packing drift all break the oracle.
 
-    The per-split packing here is three filtered passes of the one-group
-    operator (honest composition, fine at gate scale); a production run
-    packs once with (split, pack_group) as the group key — identical
-    semantics, one scan.
+    Packing runs ONCE with (split, pack_group) as the composite group
+    key — one scan, one shuffle (pack_sequences' ``group_cols``); the
+    filter-per-split union formulation is semantics-equivalent and
+    pinned so in tests/test_pipeline.py.
     """
     import shutil
 
@@ -481,12 +481,7 @@ def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir).withColumn("split", split_column())
-    parts = [
-        pack_sequences(docs.filter(F.col("split") == s).drop("split"))
-        .withColumn("split", F.lit(s))
-        for s in ("train", "val", "test")
-    ]
-    packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    packed = pack_sequences(docs, group_cols=["split"])
 
     out = os.path.join(tempfile.gettempdir(), f"cfkll-shards-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)

@@ -122,3 +122,29 @@ def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
     seqs = [out[i]["seq_id"] for i in (0, 2, 4, 6)]
     # doc 2 alone in its sequence; 4 and 6 share the next one
     assert seqs[0] != seqs[1] and seqs[1] != seqs[2] and seqs[2] == seqs[3]
+
+
+def test_pack_sequences_group_cols_one_pass_equals_filter_union(spark, corpus):
+    """The composite-key single-pass path (group_cols=["split"]) must
+    produce exactly the assignment that packing each split subset
+    separately produces — the equivalence the shard roundtrip's oracle
+    and scale story both rest on."""
+    from pyspark.sql import functions as F
+
+    from cloudfront_kinesis_log_lambda_spark.pipelines import (
+        pack_sequences,
+        split_column,
+    )
+
+    docs = corpus.withColumn("split", split_column())
+    one_pass = {
+        (r["split"], r["doc_id"]): (r["pack_group"], r["seq_id"])
+        for r in pack_sequences(docs, budget=60, group_cols=["split"]).collect()
+    }
+    union = {}
+    for s in ("train", "val", "test"):
+        for r in pack_sequences(
+            docs.filter(F.col("split") == s).drop("split"), budget=60
+        ).collect():
+            union[(s, r["doc_id"])] = (r["pack_group"], r["seq_id"])
+    assert one_pass == union
