@@ -282,6 +282,7 @@ def contamination(
     n: int = 3,
     threshold: float = 0.2,
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Benchmark-contamination check: per-document fraction of distinct
     word n-grams that also appear anywhere in a held-out benchmark set
@@ -299,8 +300,11 @@ def contamination(
     is BROADCAST — the corpus side stays map-only: explode grams, probe
     the broadcast set, re-aggregate per doc_id (one shuffle, keyed by
     doc_id so boilerplate grams can't skew it). Grams join as strings
-    here for oracle parity; at production scale hash them to int64
-    (``xxhash64``) first to shrink the broadcast and the probe.
+    by default for oracle parity; ``hash_grams=True`` is the production
+    mode — both sides collapse to ``xxhash64`` int64s BEFORE the join,
+    shrinking the broadcast and the probe ~10× with a 2⁻⁶⁴-per-pair
+    false-positive rate (equality semantics pinned against string mode
+    in tests).
     """
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
 
@@ -308,6 +312,11 @@ def contamination(
     bench_grams = (
         shingles(benchmark, n, text_col).select("shingle").distinct()
     )
+    if hash_grams:
+        corpus_grams = corpus_grams.select(
+            "doc_id", F.xxhash64("shingle").alias("shingle")
+        )
+        bench_grams = bench_grams.select(F.xxhash64("shingle").alias("shingle"))
     hit = corpus_grams.join(
         F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "shingle", "left"
     )

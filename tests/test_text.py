@@ -167,3 +167,18 @@ def test_table_profile_counts_nulls_and_numeric_minmax(spark):
     assert out["text"]["n_nulls"] == 1 and out["text"]["n_distinct"] == 2
     assert out["lang"]["n_nulls"] == 1 and out["lang"]["n_distinct"] == 1
     assert all(r["n_rows"] == 3 for r in out.values())
+
+
+def test_contamination_hashed_mode_matches_string_mode(spark):
+    """hash_grams=True (the production int64-probe mode) must produce
+    the identical result table as the oracle-parity string mode."""
+    from cloudfront_kinesis_log_lambda_spark.operators import relational as RR
+    from cloudfront_kinesis_log_lambda_spark.operators.text import contamination
+    from pyspark.sql import functions as F
+
+    docs = RR.load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    bench = docs.filter(F.col("doc_id") % 10 == 7)
+    s = sorted(map(tuple, contamination(corpus, bench).collect()))
+    h = sorted(map(tuple, contamination(corpus, bench, hash_grams=True).collect()))
+    assert s == h and len(s) > 0
