@@ -53,3 +53,86 @@ def write_log_store(
 
 def read_log_store(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_values: list[tuple[str, str]],
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int:
+    """Small-file compaction for one (env, log_day) partition — the
+    maintenance job a 100 TB store needs after streaming ingest, where
+    every micro-batch appends a sliver file and scans drown in open()
+    overhead. Rewrites the partition's files into
+    ``ceil(bytes / target_file_bytes)`` ts-sorted files (keeping the
+    row-group min/max guarantee of write_log_store) via an
+    overwrite-into-place of ONLY that partition directory; other
+    partitions are untouched, so compaction parallelizes across
+    partitions and never rewrites the store. Returns the output file
+    count.
+
+    Rewrite goes through a SIBLING temp directory then a directory
+    swap — overwriting the directory a lazy plan is still reading
+    deletes its own input mid-scan (FAILED_READ_FILE). The swap is the
+    object-store-friendly shape too (write new prefix, flip). The
+    caller picks WHICH partitions (e.g. yesterday's, once final);
+    compacting a partition still receiving appends is the caller's race
+    to avoid — same contract as Hive/Delta OPTIMIZE of an active
+    partition.
+    """
+    import math
+    import os
+    import shutil
+
+    part_dir = os.path.join(
+        path, *[f"{k}={v}" for k, v in partition_values]
+    )
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(part_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = f"{part_dir}.compacting-{os.getpid()}"
+    (
+        spark.read.parquet(part_dir)
+        .coalesce(n_files)
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    shutil.rmtree(part_dir)
+    os.rename(tmp, part_dir)
+    # drop the _SUCCESS marker etc. Spark wrote into tmp — readers of a
+    # partition dir only care about *.parquet
+    return n_files
+
+
+def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:
+    """Retention: drop log_day partitions older than ``keep_days``
+    before ``today`` (YYYY-MM-DD). Pure directory-level deletes — the
+    partitioned layout makes retention an O(partitions) metadata
+    operation, never a data scan. Returns the deleted partition paths.
+    Dates compare lexicographically in this format, so no parsing.
+    """
+    import datetime
+    import os
+    import shutil
+
+    cutoff = (
+        datetime.date.fromisoformat(today)
+        - datetime.timedelta(days=keep_days)
+    ).isoformat()
+    deleted = []
+    for env_dir, _, _ in [(d, None, None) for d in sorted(os.listdir(path))]:
+        env_path = os.path.join(path, env_dir)
+        if not (os.path.isdir(env_path) and env_dir.startswith("env=")):
+            continue
+        for day_dir in sorted(os.listdir(env_path)):
+            if day_dir.startswith("log_day=") and day_dir.split("=", 1)[1] < cutoff:
+                p = os.path.join(env_path, day_dir)
+                shutil.rmtree(p)
+                deleted.append(p)
+    return deleted

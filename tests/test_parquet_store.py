@@ -31,3 +31,67 @@ def test_log_store_roundtrip_and_pruning(spark, tmp_path):
     # all rows from the pruned read carry the filter values
     vals = pruned.select("env", F.col("log_day").cast("string")).distinct().collect()
     assert [tuple(v) for v in vals] == [("prod", "2019-01-18")]
+
+
+def test_compact_partition_preserves_rows_and_order(spark, tmp_path):
+    """Compaction rewrites ONE partition's sliver files into few
+    ts-sorted files: row set identical, other partitions untouched,
+    within-file ts ordering kept (the row-group min/max contract)."""
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        compact_partitions,
+    )
+
+    src = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    write_log_tree(str(src), rows=60, files_per_service=2)
+    enriched = transform_cloudfront(read_cloudfront_logs(spark, str(src)))
+    # simulate streaming sliver files: several small appends, each
+    # splitting every partition across multiple files
+    for _ in range(4):
+        write_log_store(enriched, store, mode="append",
+                        target_file_partitions=3)
+
+    part = os.path.join(store, "env=prod", "log_day=2019-01-18")
+    before_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(part).select("cf_request_id", "ts").collect())
+    )
+    other = os.path.join(store, "env=dev", "log_day=2019-01-18")
+    other_files = set(os.listdir(other)) if os.path.isdir(other) else None
+
+    n_out = compact_partitions(
+        spark, store, [("env", "prod"), ("log_day", "2019-01-18")]
+    )
+    after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(after_files) == n_out <= len(before_files)
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(part).select("cf_request_id", "ts").collect())
+    )
+    assert after_rows == before_rows
+    if other_files is not None:  # untouched partitions keep their files
+        assert set(os.listdir(other)) == other_files
+    # within-file ordering: each output file individually ts-sorted
+    for f in after_files:
+        ts = [r["ts"] for r in spark.read.parquet(os.path.join(part, f)).select("ts").collect()]
+        assert ts == sorted(ts)
+
+
+def test_expire_partitions_directory_level_retention(spark, tmp_path):
+    """Retention deletes exactly the log_day partitions older than the
+    cutoff — a metadata operation, no scan, newer data intact."""
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        expire_partitions,
+    )
+
+    src = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    write_log_tree(str(src), rows=80, files_per_service=2)  # days 18 & 19
+    enriched = transform_cloudfront(read_cloudfront_logs(spark, str(src)))
+    write_log_store(enriched, store, mode="overwrite")
+
+    deleted = expire_partitions(store, keep_days=1, today="2019-01-20")
+    # cutoff 2019-01-19: day 18 goes, day 19 stays
+    assert deleted and all("log_day=2019-01-18" in p for p in deleted)
+    back = read_log_store(spark, store)
+    days = {r[0] for r in back.select(F.col("log_day").cast("string")).distinct().collect()}
+    assert days == {"2019-01-19"}
