@@ -84,6 +84,7 @@ _FRONT = [
     "doc_contamination",
     "doc_table_profile",
     "training_shards_roundtrip",
+    "events_variant_props",
     "kinesis_exactly_once_rollup",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
@@ -114,7 +115,6 @@ _FILL = [
     "customers_without_orders",
     "supplier_nation_outer",
     "theta_join_price_band",
-    "top_orders_per_customer",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)
@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_metric_map": R.events_metric_map,
         "events_gapfill": R.events_gapfill,
         "events_json_props": R.events_json_props,
+        "events_variant_props": R.events_variant_props,
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,
         # grouped Pandas-UDF surface (applyInPandas / grouped-agg UDAF)

@@ -211,6 +211,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    # variant twin of events_json_props: the engine goes through Spark
+    # 4's binary VARIANT encoding; the oracle re-derives from JSON text —
+    # equal results prove the variant path is lossless
+    "events_variant_props": """
+        SELECT event_type,
+               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events
+        GROUP BY event_type
+    """,
     "shipping_priority": """
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

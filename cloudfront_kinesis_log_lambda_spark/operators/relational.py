@@ -447,6 +447,30 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: props is
+    parsed ONCE into the binary variant encoding (``try_parse_json``),
+    then fields extract via ``variant_get`` — at scale this replaces
+    per-access string re-parsing (``get_json_object`` re-parses the
+    JSON text for every extraction expression) with typed navigation of
+    the shredded binary, the same storage model as Parquet VARIANT /
+    Iceberg v3. Aggregate shape: per-type presence count + min/max of
+    props.k. Malformed JSON → NULL (``try_`` variant), matching the
+    oracle's NULL-skipping aggregates."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the classic batch formulation; the streaming twin is session_window."""
