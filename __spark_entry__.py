@@ -86,6 +86,10 @@ _FRONT = [
     "training_shards_roundtrip",
     "events_variant_props",
     "kinesis_exactly_once_rollup",
+    "doc_unigram_logprob",
+    "doc_source_quota",
+    "doc_mixture_sample",
+    "doc_gram_novelty",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -111,10 +115,6 @@ _FILL = [
     "group_having",
     "revenue_by_segment",
     "customers_per_region",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "supplier_nation_outer",
-    "theta_join_price_band",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)

@@ -1100,6 +1100,69 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM exact_kept
         UNION ALL SELECT '4_near_dedup_scrubbed', COUNT(*) FROM survivors
     """,
+    # --- corpus-level curation (operators/corpus.py) ---------------------
+    "doc_unigram_logprob": r"""
+        WITH toks AS (
+          SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\s+')) AS term
+          FROM documents),
+        t2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        model AS (SELECT term, COUNT(*) AS c FROM t2 GROUP BY 1),
+        n AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM model)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT)            AS n_tokens,
+               ROUND(AVG(LN(c / total)), 4)        AS avg_logprob,
+               ROUND(EXP(-AVG(LN(c / total))), 4)  AS ppl_proxy
+        FROM t2 JOIN model USING (term) CROSS JOIN n
+        GROUP BY doc_id
+    """,
+    "doc_source_quota": """
+        SELECT doc_id, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS quota_rank,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id ASC) <= 10 AS INT) AS kept
+        FROM documents
+    """,
+    "doc_mixture_sample": r"""
+        WITH sized AS (
+          SELECT doc_id, source,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens,
+                 CAST(400 + 50 * (CAST(substr(source, 4) AS INT) % 4) AS BIGINT)
+                   AS budget
+          FROM documents),
+        cum AS (
+          SELECT doc_id, source, n_tokens, budget,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM sized)
+        SELECT doc_id, source, n_tokens, cum_tokens, budget
+        FROM cum WHERE cum_tokens <= budget
+    """,
+    "doc_gram_novelty": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        first AS (
+          SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT)                              AS n_grams,
+               CAST(SUM(CASE WHEN first.first_doc = sh.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT)           AS n_novel,
+               ROUND(SUM(CASE WHEN first.first_doc = sh.doc_id
+                              THEN 1 ELSE 0 END) / COUNT(*), 4)      AS novelty
+        FROM sh JOIN first USING (shingle)
+        GROUP BY sh.doc_id
+    """,
     # --- multimodal (scalar face of the Arrow UDF) -----------------------
     "multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -1,0 +1,200 @@
+"""Corpus-level curation operators for training-data pipelines
+(SURVEY.md §2.6): statistical quality scoring against a corpus language
+model, per-source quota capping, token-budget mixture sampling, and
+n-gram novelty accounting.
+
+These are the *global* curation stages — unlike ``operators/text.py``
+(map-only per-document signals) each of these needs one corpus-wide
+aggregate (a unigram model, a per-source rank, a running token total, a
+gram-first-occurrence index) joined back against the documents. All
+plans keep the wide ``text`` column out of every shuffle: tokens/grams
+are exploded to compact (doc_id, term) rows first, and only aggregated
+integers travel through the final exchange.
+
+Every operator here is deterministic and engine-portable (exact ANSI-SQL
+twins in ``functions/oracles.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
+
+
+def _term_rows(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, term) with empty terms dropped — the shared explode."""
+    return (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under a corpus-trained
+    unigram LM — the classic cheap perplexity proxy used as a quality
+    filter (CCNet / Gopher-style pipelines score documents against an LM
+    and drop the tails; a self-trained unigram model is the deterministic,
+    dependency-free form of that gate).
+
+    Returns (doc_id, n_tokens, avg_logprob, ppl_proxy): ``avg_logprob``
+    is the mean of ln(c_term / N_corpus) over the document's tokens,
+    ``ppl_proxy`` = exp(-avg_logprob) (low = boilerplate / high-frequency
+    filler, high = rare-token soup — both tails are what a curation
+    pipeline cuts).
+
+    Scale shape: two shuffles, both on compact rows — (1) term-count
+    aggregation, partial+final combine on (term), vocabulary-sized
+    output; (2) the per-doc re-aggregate on (doc_id). The token→count
+    join is shuffle-on-term at real scale (the vocabulary of a 100 TB
+    corpus does not broadcast) but AQE downgrades it to broadcast when
+    the vocab side is small. The corpus total N joins as a broadcast
+    scalar. Nothing carries ``text`` past the explode.
+    """
+    toks = _term_rows(docs, text_col)
+    model = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").alias("total"))
+    logp = F.log(F.col("c") / F.col("total"))
+    avg = F.avg(logp)
+    return (
+        toks.join(model, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(avg, 4).alias("avg_logprob"),
+            F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+        )
+    )
+
+
+def source_quota(
+    docs: DataFrame, cap: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Per-source document quota — the domain-cap stage of a web-scale
+    curation pipeline (bound any single domain's share of the corpus
+    before mixing; C4/RefinedWeb-style pipelines cap per-domain page
+    counts so SEO farms can't dominate).
+
+    Keeps the ``cap`` *longest* documents per source (priority =
+    n_chars DESC, doc_id ASC as the deterministic tiebreak) and returns
+    the full accounting table (doc_id, source, n_chars, quota_rank,
+    kept) — downstream materialization is ``filter(kept = 1)``.
+
+    Scale shape: one shuffle — a window rank partitioned by source over
+    (n_chars, doc_id) only; ``text`` never enters the exchange. A
+    pathologically hot source serializes its own rank sort; at 100 TB
+    the cap-only variant of this op would pre-prune with a per-partition
+    top-``cap`` heap (the TakeOrderedAndProject trick per key) before
+    the global rank — not needed while the output contract is the full
+    accounting table, which is inherently one-row-per-doc.
+    """
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("quota_rank"),
+    ).withColumn("kept", (F.col("quota_rank") <= cap).cast("int"))
+
+
+def _source_budget() -> Column:
+    """Deterministic per-source token budget: 400 + 50·(k mod 4) for
+    source ``srcK``. A fixed rational rule instead of float weights so
+    the mixture arithmetic stays exact-integer at every scale factor
+    (the oracle recomputes the same rule)."""
+    k = F.substring(F.col("source"), 4, 10).cast("int")
+    return (F.lit(400) + F.lit(50) * (k % 4)).cast("long")
+
+
+def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-budget mixture sampling — build a training mix by taking
+    documents from each source, in deterministic doc_id order, until that
+    source's token budget is exhausted (the static form of a DoReMi /
+    Pile-style source-mixture: per-source budgets are the weights × total
+    token target).
+
+    Returns the kept documents only: (doc_id, source, n_tokens,
+    cum_tokens, budget) where ``cum_tokens`` is the running per-source
+    total *including* this document, and every row satisfies
+    ``cum_tokens <= budget``. All-integer output → exact cross-engine
+    hash.
+
+    Scale shape: one shuffle — the per-source cumulative-sum window over
+    (doc_id, n_tokens) pairs; the budget is a per-row expression, not a
+    join. ``text`` is reduced to its token count before the exchange.
+    The prefix-sum window is the honest cost of "greedy fill in document
+    order"; an order-free sample (hash-threshold per token share) would
+    be cheaper but changes the semantics from fill-to-budget to
+    expected-rate sampling.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ensure_parallelism(docs)
+        .select(
+            "doc_id",
+            "source",
+            n_tok.alias("n_tokens"),
+            _source_budget().alias("budget"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "budget")
+    )
+
+
+def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's distinct
+    word n-grams whose corpus-wide first occurrence (min doc_id) is this
+    document. Low novelty ⇒ the document is assembled from text already
+    seen earlier in the corpus — the incremental-crawl signal behind
+    "how much new data did this snapshot actually add", and a
+    soft/streaming cousin of exact substring dedup.
+
+    Returns (doc_id, n_grams, n_novel, novelty) for documents with ≥ n
+    tokens; novelty = n_novel / n_grams rounded to 4 (the only non-
+    integer column).
+
+    Scale shape: grams explode to (doc_id, shingle) rows; one
+    partial+final min-aggregate on (shingle) builds the first-occurrence
+    index, a shuffle join on (shingle) probes it, and one (doc_id)
+    aggregate folds the counts. Three exchanges, all on compact rows —
+    the same skeleton as ``text.contamination`` except the index side is
+    the corpus itself, so it can never broadcast. Production mode would
+    collapse shingles to xxhash64 int64s before the first exchange
+    (exactly as ``contamination(hash_grams=True)`` does) — kept as
+    strings here for oracle parity.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
+
+    sh = shingles(docs, n, text_col)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel_frac = F.col("n_novel") / F.col("n_grams")
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(novel_frac, 4).alias("novelty"),
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import asof as A
+from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
 from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
 from cloudfront_kinesis_log_lambda_spark.operators import pandas_grouped as PG
@@ -229,6 +230,22 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cloudfront_kinesis_log_lambda_spark.pipelines import pack_sequences
 
     return pack_sequences(_docs(spark, sf_dir), budget=256, n_groups=8)
+
+
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.unigram_logprob(_docs(spark, sf_dir))
+
+
+def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.source_quota(_docs(spark, sf_dir), cap=10)
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.mixture_sample(_docs(spark, sf_dir))
+
+
+def doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.gram_novelty(_docs(spark, sf_dir), n=3)
 
 
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,6 +717,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_curation_funnel": doc_curation_funnel,
     "doc_split_assign": doc_split_assign,
     "doc_contamination": doc_contamination,
+    "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_source_quota": doc_source_quota,
+    "doc_mixture_sample": doc_mixture_sample,
+    "doc_gram_novelty": doc_gram_novelty,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
     "training_shards_roundtrip": training_shards_roundtrip,

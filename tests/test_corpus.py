@@ -1,0 +1,160 @@
+"""Corpus-level curation operators (operators/corpus.py): value-level
+invariants on hand-checkable corpora plus the 100 TB plan-hygiene gates
+(text column never shuffles; no Python eval nodes)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{s}", len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+# --- unigram_logprob --------------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    # corpus: 4 tokens total — "a" ×3, "b" ×1
+    docs = _docs(spark, [("a a b", 0), ("a", 0)])
+    got = {r["doc_id"]: r for r in C.unigram_logprob(docs).collect()}
+    la, lb = math.log(3 / 4), math.log(1 / 4)
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["avg_logprob"] == round((2 * la + lb) / 3, 4)
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["avg_logprob"] == round(la, 4)
+    # common-token doc scores higher (less surprising) than the mixed doc
+    assert got[1]["avg_logprob"] > got[0]["avg_logprob"]
+    assert got[1]["ppl_proxy"] == round(math.exp(-la), 4)
+
+
+def test_unigram_logprob_flags_rare_token_soup(spark):
+    common = [("the cat sat on the mat", 0)] * 8
+    rare = [("zqx vbn wfj plk qrt yui", 1)]
+    got = C.unigram_logprob(_docs(spark, common + rare)).collect()
+    by_id = {r["doc_id"]: r["ppl_proxy"] for r in got}
+    # the rare-token document is the perplexity outlier a filter would cut
+    assert by_id[8] == max(by_id.values())
+    assert by_id[8] > 2 * by_id[0]
+
+
+# --- source_quota -----------------------------------------------------------
+
+
+def test_source_quota_keeps_longest_cap_per_source(spark):
+    docs = _docs(
+        spark,
+        [("x" * (10 + i), i % 2) for i in range(8)],  # 4 docs per source
+    )
+    out = C.source_quota(docs, cap=2).collect()
+    assert len(out) == 8  # full accounting table, kept and dropped
+    kept = {r["doc_id"] for r in out if r["kept"] == 1}
+    # longest two per source: ids 6,7 longest overall; 4,5 next
+    assert kept == {4, 5, 6, 7}
+    ranks = {r["doc_id"]: r["quota_rank"] for r in out}
+    assert ranks[7] == 1 and ranks[5] == 2 and ranks[3] == 3 and ranks[1] == 4
+
+
+def test_source_quota_tiebreak_is_doc_id(spark):
+    docs = _docs(spark, [("same len", 0), ("same len", 0), ("same len", 0)])
+    out = {r["doc_id"]: r["quota_rank"] for r in C.source_quota(docs, cap=1).collect()}
+    assert out == {0: 1, 1: 2, 2: 3}
+
+
+# --- mixture_sample ---------------------------------------------------------
+
+
+def test_mixture_sample_fills_budget_in_doc_id_order(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import doc_mixture_sample
+
+    out = doc_mixture_sample(spark, sf_dir).collect()
+    assert out, "mixture sample came back empty"
+    by_src: dict[str, list] = {}
+    for r in out:
+        assert r["cum_tokens"] <= r["budget"]
+        k = int(r["source"][3:])
+        assert r["budget"] == 400 + 50 * (k % 4)
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        # greedy prefix: running sum is consistent ⇒ no doc was skipped
+        cum = 0
+        for r in rows:
+            cum += r["n_tokens"]
+            assert r["cum_tokens"] == cum
+
+
+def test_mixture_sample_kept_set_is_prefix(spark):
+    # source 0 budget is 400; 5 docs of 100 tokens → exactly 4 kept
+    docs = _docs(spark, [("tok " * 99 + "tok", 0)] * 5)
+    out = sorted(r["doc_id"] for r in C.mixture_sample(docs).collect())
+    assert out == [0, 1, 2, 3]
+
+
+# --- gram_novelty -----------------------------------------------------------
+
+
+def test_gram_novelty_first_doc_novel_copy_not(spark):
+    a = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(spark, [(a, 0), (a, 1), ("an entirely different sentence here", 0)])
+    got = {r["doc_id"]: r for r in C.gram_novelty(docs).collect()}
+    assert got[0]["novelty"] == 1.0
+    assert got[1]["novelty"] == 0.0  # verbatim copy of an earlier doc
+    assert got[2]["novelty"] == 1.0
+    assert got[1]["n_grams"] == got[0]["n_grams"]
+
+
+def test_gram_novelty_conservation(spark, sf_dir):
+    """Σ n_novel over docs == |distinct grams in corpus| — every gram's
+    first occurrence is counted exactly once."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import doc_gram_novelty
+
+    out = doc_gram_novelty(spark, sf_dir)
+    total_novel = out.agg(F.sum("n_novel")).collect()[0][0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_distinct = shingles(docs, 3).select("shingle").distinct().count()
+    assert total_novel == n_distinct
+    bad = out.filter(
+        (F.col("n_novel") > F.col("n_grams")) | (F.col("n_grams") <= 0)
+    ).count()
+    assert bad == 0
+
+
+# --- plan hygiene (the 100 TB gates) ---------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_corpus_plans_are_jvm_side_and_text_never_shuffles(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        C.unigram_logprob(docs),
+        C.source_quota(docs),
+        C.mixture_sample(docs),
+        C.gram_novelty(docs),
+    ):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # the wide text column must be projected away before any exchange:
+        # no Exchange subtree may carry `text` in its output schema
+        for chunk in plan.split("Exchange")[1:]:
+            first_line = chunk.splitlines()[0]
+            assert "text#" not in first_line, first_line
+
+
+def test_source_quota_single_exchange(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(C.source_quota(docs))
+    # window rank: exactly the one hashpartitioning(source) exchange
+    # beyond the ensure_parallelism round-robin
+    assert plan.count("Exchange hashpartitioning") == 1
