@@ -176,14 +176,28 @@ class Boto3ShardClient:
     (resumed with AFTER_SEQUENCE_NUMBER, which is exclusive); ``None``
     means TRIM_HORIZON. Lazy boto3 import — only executors/driver that
     actually talk to AWS need the SDK.
+
+    ``client`` injects any object speaking the three data-plane calls
+    (list_shards / get_shard_iterator / get_records) — the same
+    dependency seam as the sink's ``client_factory``, and how the tests
+    drive this class through the real API's paging edge cases
+    (NextToken shard pages, NextShardIterator chains, closed shards,
+    MillisBehindLatest tip detection) without AWS.
     """
 
     initial_position: None = None
 
-    def __init__(self, stream_name: str, region_name: str | None = None) -> None:
-        import boto3  # deferred: not installed/needed for tests
+    def __init__(
+        self,
+        stream_name: str,
+        region_name: str | None = None,
+        client: Any | None = None,
+    ) -> None:
+        if client is None:
+            import boto3  # deferred: not installed/needed for tests
 
-        self._client = boto3.client("kinesis", region_name=region_name)
+            client = boto3.client("kinesis", region_name=region_name)
+        self._client = client
         self.stream_name = stream_name
 
     def list_shards(self) -> list[str]:
