@@ -1100,6 +1100,16 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL SELECT '3_exact_dedup', COUNT(*) FROM exact_kept
         UNION ALL SELECT '4_near_dedup_scrubbed', COUNT(*) FROM survivors
     """,
+    "events_zorder_roundtrip": """
+        SELECT event_type,
+               COUNT(*)                              AS n_events,
+               ROUND(SUM(value), 2)                  AS sum_value,
+               COUNT(DISTINCT user_id)               AS n_users,
+               CAST(MIN(event_id) AS BIGINT)         AS min_event_id,
+               CAST(MAX(event_id) AS BIGINT)         AS max_event_id
+        FROM events
+        GROUP BY event_type
+    """,
     # --- corpus-level curation (operators/corpus.py) ---------------------
     "doc_unigram_logprob": r"""
         WITH toks AS (

@@ -107,6 +107,37 @@ def parquet_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg
 
 
+def events_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout evidence in the gate: events rewritten through the
+    Z-order clustered writer (operators/layout.py — multi-dimensional
+    row-group skipping on (user_id, value)), read back, and aggregated —
+    a lost/duplicated row, or a z-value accidentally left in the schema,
+    breaks the oracle hash. The skipping-effectiveness contract itself
+    (z-order prunes on EVERY clustered dim, linear only on its sort key)
+    is measured from real parquet row-group stats in test_layout."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.operators.layout import write_zordered
+
+    out = os.path.join(tempfile.gettempdir(), f"cfkll-events-zorder-{os.getpid()}")
+    e = R.load(spark, sf_dir, "events")
+    write_zordered(e, out, ["user_id", "value"], n_files=16)
+    back = spark.read.parquet(out)
+    agg = (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return agg
+
+
 # --- near-dup detection -----------------------------------------------------
 
 
@@ -698,6 +729,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_repetition": doc_repetition,
     "doc_pii_scrub": doc_pii_scrub,
     "parquet_roundtrip_daily": parquet_roundtrip_daily,
+    "events_zorder_roundtrip": events_zorder_roundtrip,
     "doc_chunks_udtf": doc_chunks_udtf,
     "purchases_asof_view": purchases_asof_view,
     "purchases_next_view": purchases_next_view,
