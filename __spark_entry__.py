@@ -91,6 +91,7 @@ _FRONT = [
     "doc_mixture_sample",
     "doc_gram_novelty",
     "events_zorder_roundtrip",
+    "doc_dup_span_stats",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -114,7 +115,6 @@ _FILL = [
     "cube_orders",
     "conditional_agg_status",
     "group_having",
-    "revenue_by_segment",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)

@@ -1154,6 +1154,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, source, n_tokens, cum_tokens, budget
         FROM cum WHERE cum_tokens <= budget
     """,
+    "doc_dup_span_stats": r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        pg AS (
+          SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+          FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+          WHERE len(w) >= 3),
+        per AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM pg GROUP BY 1, 2),
+        tot AS (
+          SELECT gram, CAST(SUM(c) AS BIGINT) AS total FROM per GROUP BY 1)
+        SELECT per.doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_positions,
+               CAST(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END) AS BIGINT)
+                 AS n_dup_positions,
+               ROUND(SUM(CASE WHEN total >= 2 THEN c ELSE 0 END)
+                     / SUM(c), 4) AS dup_frac
+        FROM per JOIN tot USING (gram)
+        GROUP BY per.doc_id
+    """,
     "doc_gram_novelty": r"""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

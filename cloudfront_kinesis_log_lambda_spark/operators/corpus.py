@@ -155,6 +155,62 @@ def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Position-level duplicated-span statistics — the signal behind
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": memorization tracks
+    repeated SPANS, which document-level dedup misses entirely).
+
+    A token position is *duplicated* if the n-gram starting there occurs
+    anywhere else in the corpus — another document, or again in the same
+    document (so boilerplate self-repeats count, unlike
+    ``gram_novelty`` which is distinct-gram/first-occurrence based).
+    Returns (doc_id, n_positions, n_dup_positions, dup_frac) for docs
+    with ≥ n tokens; a span-removal pass would cut exactly the flagged
+    positions' grams.
+
+    Scale shape: positional grams explode WITH repeats, but collapse to
+    (doc_id, gram, count) before the first exchange — the shuffled row
+    count is bounded by distinct-grams-per-doc, same as novelty; the
+    positional multiplicity rides along as an integer. Then one
+    partial+final sum on (gram) for corpus totals, a shuffle join back,
+    and a (doc_id) fold. Production mode hashes grams to int64 first
+    (``text.contamination(hash_grams=True)`` pattern).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per = (
+        ensure_parallelism(docs)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per.groupBy("gram").agg(F.sum("c").alias("total"))
+    dup = F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(F.lit(0)))
+    return (
+        per.join(tot, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_positions"),
+            dup.cast("long").alias("n_dup_positions"),
+        )
+        .select(
+            "doc_id",
+            "n_positions",
+            "n_dup_positions",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
 def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's distinct
     word n-grams whose corpus-wide first occurrence (min doc_id) is this

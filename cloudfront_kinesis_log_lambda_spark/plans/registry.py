@@ -279,6 +279,10 @@ def doc_gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.gram_novelty(_docs(spark, sf_dir), n=3)
 
 
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.dup_span_stats(_docs(spark, sf_dir), n=3)
+
+
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup MATERIALIZATION: one kept representative per near-dup
     cluster (the canonical member) with its cluster size — what a
@@ -753,6 +757,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_source_quota": doc_source_quota,
     "doc_mixture_sample": doc_mixture_sample,
     "doc_gram_novelty": doc_gram_novelty,
+    "doc_dup_span_stats": doc_dup_span_stats,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
     "training_shards_roundtrip": training_shards_roundtrip,

@@ -128,6 +128,43 @@ def test_gram_novelty_conservation(spark, sf_dir):
     assert bad == 0
 
 
+# --- dup_span_stats ---------------------------------------------------------
+
+
+def test_dup_span_stats_hand_computed(spark):
+    # doc 0: "a b c a b c a b c" — 7 positions, every 3-gram repeats
+    #        within the doc itself (intra-doc dup)
+    # doc 1: unique text — 0 dups
+    # doc 2+3: identical — every position duplicated cross-doc
+    docs = _docs(
+        spark,
+        [
+            ("a b c a b c a b c", 0),
+            ("q w e r t y u", 0),
+            ("x y z w v", 1),
+            ("x y z w v", 1),
+        ],
+    )
+    got = {r["doc_id"]: r for r in C.dup_span_stats(docs).collect()}
+    assert got[0]["n_positions"] == 7 and got[0]["dup_frac"] == 1.0
+    assert got[1]["n_positions"] == 5 and got[1]["n_dup_positions"] == 0
+    assert got[2]["dup_frac"] == 1.0 and got[3]["dup_frac"] == 1.0
+
+
+def test_dup_span_stats_partial_overlap(spark):
+    # shared 5-token prefix → 3 shared gram positions out of 8 per doc
+    a = "s1 s2 s3 s4 s5 a6 a7 a8 a9 a10"
+    b = "s1 s2 s3 s4 s5 b6 b7 b8 b9 b10"
+    got = {
+        r["doc_id"]: r
+        for r in C.dup_span_stats(_docs(spark, [(a, 0), (b, 1)])).collect()
+    }
+    assert got[0]["n_positions"] == 8
+    assert got[0]["n_dup_positions"] == 3  # grams at positions 1..3
+    assert got[0]["dup_frac"] == round(3 / 8, 4)
+    assert got[1]["n_dup_positions"] == 3
+
+
 # --- plan hygiene (the 100 TB gates) ---------------------------------------
 
 
@@ -142,6 +179,7 @@ def test_corpus_plans_are_jvm_side_and_text_never_shuffles(spark, sf_dir):
         C.source_quota(docs),
         C.mixture_sample(docs),
         C.gram_novelty(docs),
+        C.dup_span_stats(docs),
     ):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
