@@ -1,6 +1,7 @@
-"""Physical-layout operators: bucketing and skew salting.
+"""Physical-layout operators: bucketing, skew salting, and runtime
+bloom-filter join pruning.
 
-These are the two knobs a 100 TB deployment turns that pure logical
+These are the knobs a 100 TB deployment turns that pure logical
 plans don't express:
 
 - **Bucketing** pre-shuffles a table once at write time. Two tables
@@ -13,12 +14,54 @@ plans don't express:
   explicit salting remains the answer when one key alone exceeds an
   executor (the reference does the same thing to Kinesis shards by
   re-rolling hot partition keys, cloudfront_kinesis_lambda.py:142-143).
+- **Runtime bloom-filter pruning** (``with_runtime_bloom_filters``):
+  when a selectively-filtered dimension is too big to broadcast, the
+  optimizer builds a bloom filter over its join keys and pushes a
+  ``might_contain`` probe BELOW the fact side's shuffle — fact rows that
+  cannot match die before ever entering the exchange. At 100 TB this is
+  the difference between shuffling the whole fact table and shuffling
+  the few percent that survive the dim filter (the row-level sibling of
+  dynamic partition pruning, which only works on partition columns).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def with_runtime_bloom_filters(
+    spark: SparkSession,
+    creation_side_max: str = "100MB",
+    application_side_min: str = "0",
+):
+    """Session window in which runtime bloom-filter join pruning is
+    eligible for every join compiled inside it.
+
+    Spark's defaults are sized for real clusters (creation side ≤ 10 MB,
+    application-side scan ≥ 10 GB) — correct in production, never firing
+    on test/PoC data. This scopes the thresholds so plans exercise the
+    same optimizer path the big cluster uses, and restores the session
+    afterwards. Injection still requires the structural conditions: a
+    selective filter on the creation side and a non-broadcast join.
+    """
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_max,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_min,
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            conf.unset(k) if v is None else conf.set(k, v)
 
 
 def write_bucketed(

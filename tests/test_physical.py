@@ -111,3 +111,41 @@ def test_dynamic_partition_pruning_on_partitioned_store(spark, sf_dir, tmp_path)
     hot_days = {r["log_day"] for r in dim.collect()}
     got = {r["log_day"] for r in j.collect()}
     assert got == hot_days
+
+
+def test_runtime_bloom_filter_prunes_fact_below_shuffle(spark, sf_dir, no_broadcast, tmp_path):
+    """Row-level runtime filtering (the DPP sibling for non-partition
+    keys): a selective filter on a non-broadcastable dim must inject a
+    bloom_filter_agg on the dim side and a might_contain probe on the
+    FACT side BELOW its shuffle — fact rows that cannot match die before
+    the exchange. Gated on the executed plan, plus result parity."""
+    from cloudfront_kinesis_log_lambda_spark.operators.physical import (
+        with_runtime_bloom_filters,
+    )
+
+    # file-backed inputs: the optimizer needs scan size estimates
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    e = R.load(spark, sf_dir, "events")
+    e.write.mode("overwrite").parquet(fact_dir)
+    (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tot"))
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("tot") > 100.0)
+    with with_runtime_bloom_filters(spark):
+        j = fact.join(dim, "user_id").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        got = {r["user_id"] for r in j.collect()}
+    assert "bloom_filter_agg" in plan and "might_contain" in plan
+    # the probe must sit below the fact-side exchange: the Filter line
+    # carrying might_contain appears deeper than the first Exchange on
+    # the fact scan branch — structural proxy: might_contain is attached
+    # to a Filter over the parquet scan, not to the join output
+    probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
+    assert "Filter" in probe_line
+    assert got == {r["user_id"] for r in dim.collect()}
