@@ -196,3 +196,93 @@ def test_source_quota_single_exchange(spark, sf_dir):
     # window rank: exactly the one hashpartitioning(source) exchange
     # beyond the ensure_parallelism round-robin
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- property-based brute-force parity (SURVEY.md §5.4 pattern) -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from([f"w{i}" for i in range(12)])  # small vocab → collisions
+_doc = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def _brute_dup_span(texts, n=3):
+    from collections import Counter
+
+    grams = {}
+    for d, t in enumerate(texts):
+        w = t.split()
+        grams[d] = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+    total = Counter(g for gs in grams.values() for g in gs)
+    out = {}
+    for d, gs in grams.items():
+        if gs:
+            dup = sum(1 for g in gs if total[g] >= 2)
+            out[d] = (len(gs), dup, round(dup / len(gs), 4))
+    return out
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_dup_span_stats_matches_bruteforce(spark, texts):
+    docs = _docs(spark, [(t, 0) for t in texts])
+    got = {
+        r["doc_id"]: (r["n_positions"], r["n_dup_positions"], r["dup_frac"])
+        for r in C.dup_span_stats(docs).collect()
+    }
+    assert got == _brute_dup_span(texts)
+
+
+def _brute_novelty(texts, n=3):
+    first = {}
+    per_doc = {}
+    for d, t in enumerate(texts):
+        w = t.split()
+        gs = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+        per_doc[d] = gs
+        for g in gs:
+            first.setdefault(g, d)
+    return {
+        d: (len(gs), sum(1 for g in gs if first[g] == d),
+            round(sum(1 for g in gs if first[g] == d) / len(gs), 4))
+        for d, gs in per_doc.items()
+        if gs
+    }
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_gram_novelty_matches_bruteforce(spark, texts):
+    docs = _docs(spark, [(t, 0) for t in texts])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in C.gram_novelty(docs).collect()
+    }
+    assert got == _brute_novelty(texts)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=3),
+)
+def test_mixture_sample_matches_greedy_bruteforce(spark, token_counts, src_k):
+    """Docs of known token counts through one source srcK: the kept set
+    must be exactly the Python greedy prefix against that source's
+    budget rule (400 + 50*(k%4))."""
+    texts = [("tok " * c).strip() for c in token_counts]
+    docs = _docs(spark, [(t, src_k) for t in texts])
+    budget = 400 + 50 * (src_k % 4)
+    kept, cum = [], 0
+    for i, c in enumerate(token_counts):
+        cum += c
+        if cum <= budget:
+            kept.append((i, c, cum))
+        else:
+            break  # greedy fill stops at the first overflow... 
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"])
+        for r in C.mixture_sample(docs).collect()
+    )
+    assert got == kept
