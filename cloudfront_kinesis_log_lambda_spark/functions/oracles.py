@@ -1139,7 +1139,8 @@ ORACLE_SQL: dict[str, str] = {
     "doc_mixture_sample": r"""
         WITH sized AS (
           SELECT doc_id, source,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                      x -> x <> '')) AS BIGINT)
                    AS n_tokens,
                  CAST(400 + 50 * (CAST(substr(source, 4) AS INT) % 4) AS BIGINT)
                    AS budget

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
 from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
 
 
@@ -29,7 +30,7 @@ def _term_rows(docs: DataFrame, text_col: str) -> DataFrame:
         ensure_parallelism(docs)
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
         )
         .filter(F.col("term") != "")
     )
@@ -135,7 +136,12 @@ def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     be cheaper but changes the semantics from fill-to-budget to
     expected-rate sampling.
     """
-    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # empty-term-safe: a blank document is 0 tokens (split of a trimmed
+    # empty string yields [''] — without the filter it would charge 1
+    # token against the budget, diverging from _term_rows' accounting)
+    n_tok = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    ).cast("long")
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -177,17 +183,11 @@ def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataF
     and a (doc_id) fold. Production mode hashes grams to int64 first
     (``text.contamination(hash_grams=True)`` pattern).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import gram_list
+
     per = (
         ensure_parallelism(docs)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.explode(gram_list(text_col, n)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )

@@ -52,21 +52,26 @@ def has_min_tokens(text_col: str | Column, n: int) -> Column:
     return F.size(F.split(F.trim(c), r"\s+")) >= n
 
 
-def gram_array(text_col: str | Column, n: int) -> Column:
-    """Distinct word n-grams of a text column as an array<string>."""
+def gram_list(text_col: str | Column, n: int) -> Column:
+    """POSITIONAL word n-grams of a text column as an array<string> —
+    one entry per token position, repeats preserved (the base for both
+    set-semantics shingling and position-level span statistics)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(c), r"\s+")
     # guard: sequence(0, -1) would produce a DESCENDING sequence, so docs
     # shorter than n tokens get an empty gram array (explode drops them)
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def gram_array(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-grams of a text column as an array<string>."""
+    return F.array_distinct(gram_list(text_col, n))
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:

@@ -56,6 +56,14 @@ def zvalue(buckets: list[Column], bits: int) -> Column:
     """Interleave ``bits`` bits of each bucket column, round-robin from
     the high bit (Morton order): z = b0[hi] b1[hi] ... b0[hi-1] ..."""
     k = len(buckets)
+    if k * bits > 63:
+        # slot 63 is the long sign bit: z-values would go negative and
+        # repartitionByRange would cluster the top buckets at the wrong
+        # end — silent layout degradation, so refuse loudly
+        raise ValueError(
+            f"z-value needs {k * bits} bits but a signed long offers 63; "
+            f"lower bits (e.g. {63 // k}) or cluster fewer columns"
+        )
     terms = []
     for bit in range(bits):  # bit counted from the high end
         for j, b in enumerate(buckets):
@@ -118,7 +126,14 @@ def skipping_fraction(path: str, box: dict[str, tuple]) -> float:
             overlap = True
             for col, (lo, hi) in box.items():
                 st = meta.row_group(rg).column(schema_names.index(col)).statistics
-                if st is not None and (st.max < lo or st.min > hi):
+                # an all-null row group carries a Statistics object with
+                # has_min_max=False (min/max None) — count it as touched,
+                # exactly as a stats-pruning reader must
+                if (
+                    st is not None
+                    and st.has_min_max
+                    and (st.max < lo or st.min > hi)
+                ):
                     overlap = False
                     break
             touched += overlap

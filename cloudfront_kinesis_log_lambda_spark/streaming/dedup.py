@@ -56,6 +56,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
     has_min_tokens,
     minhash_band_rows,
 )
+from cloudfront_kinesis_log_lambda_spark.streaming.store import read_batch_store
 
 _BANDS_SCHEMA = "doc_id long, band int, h long"
 _GRAMS_SCHEMA = "doc_id long, grams array<string>"
@@ -98,19 +99,10 @@ class StreamingNearDup:
     def _read_store(
         self, spark: SparkSession, path: str, schema: str, exclude_batch: int
     ) -> DataFrame:
-        if not os.path.isdir(path) or not any(
-            e.startswith("batch=") for e in os.listdir(path)
-        ):
-            return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema + ", batch long")
-            .parquet(path)
-            # a RETRIED micro-batch must see exactly the pre-batch index:
-            # its own half-written batch=<id> partition (from the failed
-            # attempt) would otherwise pair every new doc with itself
-            .filter(F.col("batch") != exclude_batch)
-            .drop("batch")
-        )
+        # a RETRIED micro-batch must see exactly the pre-batch index:
+        # its own half-written batch=<id> partition (from the failed
+        # attempt) would otherwise pair every new doc with itself
+        return read_batch_store(spark, path, schema, exclude_batch)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
+from cloudfront_kinesis_log_lambda_spark.streaming.store import read_batch_store
 
 _INDEX_SCHEMA = "shingle string, first_doc long"
 _OUT_SCHEMA = "doc_id long, n_grams long, n_novel long, novelty double"
@@ -74,18 +75,9 @@ class StreamingNovelty:
         self.text_col = text_col
 
     def _read_index(self, spark: SparkSession, exclude_batch: int) -> DataFrame:
-        if not os.path.isdir(self.index_dir) or not any(
-            e.startswith("batch=") for e in os.listdir(self.index_dir)
-        ):
-            return spark.createDataFrame([], _INDEX_SCHEMA)
-        return (
-            spark.read.schema(_INDEX_SCHEMA + ", batch long")
-            .parquet(self.index_dir)
-            # retry safety: a half-written batch=<id> partition from a
-            # failed attempt must not make this batch's grams look seen
-            .filter(F.col("batch") != exclude_batch)
-            .drop("batch")
-        )
+        # retry safety: a half-written batch=<id> partition from a
+        # failed attempt must not make this batch's grams look seen
+        return read_batch_store(spark, self.index_dir, _INDEX_SCHEMA, exclude_batch)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

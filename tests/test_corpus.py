@@ -172,7 +172,38 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_corpus_plans_are_jvm_side_and_text_never_shuffles(spark, sf_dir):
+def _keyed_exchange_outputs(df) -> list[str]:
+    """Output attribute lists of every hash-/range-partitioned Exchange
+    in the EXECUTED plan (collect first so AQE materializes its stages).
+    Round-robin exchanges are excluded on purpose: ensure_parallelism's
+    scan-spreading repartition legitimately carries the raw text — it IS
+    the input, pre-projection; the 100 TB rule is that text never rides
+    a keyed shuffle (agg / join / window)."""
+    df.collect()
+    outs: list[str] = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        head = node.toString().splitlines()[0]
+        if "Exchange" in name and (
+            "hashpartitioning" in head or "rangepartitioning" in head
+        ):
+            outs.append(node.output().toString())
+        if "QueryStage" in name:
+            walk(node.plan())
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return outs
+
+
+def test_corpus_plans_are_jvm_side_and_text_never_rides_keyed_shuffles(
+    spark, sf_dir
+):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     for df in (
         C.unigram_logprob(docs),
@@ -183,11 +214,19 @@ def test_corpus_plans_are_jvm_side_and_text_never_shuffles(spark, sf_dir):
     ):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-        # the wide text column must be projected away before any exchange:
-        # no Exchange subtree may carry `text` in its output schema
-        for chunk in plan.split("Exchange")[1:]:
-            first_line = chunk.splitlines()[0]
-            assert "text#" not in first_line, first_line
+        keyed = _keyed_exchange_outputs(df)
+        assert keyed, "expected at least one keyed exchange"
+        for out in keyed:
+            assert "text#" not in out, out
+
+
+def test_keyed_exchange_gate_catches_a_text_carrying_shuffle(spark, sf_dir):
+    """Meta-test: the gate must actually trip on a plan that aggregates
+    BY text (text rides the hash exchange) — guards against the gate
+    regressing into a vacuous string check."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.groupBy("doc_id", "text").agg(F.count(F.lit(1)).alias("c"))
+    assert any("text#" in o for o in _keyed_exchange_outputs(bad))
 
 
 def test_source_quota_single_exchange(spark, sf_dir):
