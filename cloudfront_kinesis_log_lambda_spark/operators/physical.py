@@ -64,6 +64,48 @@ def with_runtime_bloom_filters(
             conf.unset(k) if v is None else conf.set(k, v)
 
 
+@contextmanager
+def with_aqe_skew_join(
+    spark: SparkSession,
+    skewed_partition_threshold: str = "64KB",
+    advisory_partition_size: str = "16KB",
+    skew_factor: int = 2,
+):
+    """Session window in which AQE's runtime skew-join splitting is
+    eligible at test/PoC data sizes.
+
+    AQE already handles *moderate* skew in production with its default
+    thresholds (256 MB skewed-partition floor) — the complement to the
+    explicit ``salted_join`` below, which remains for the pathological
+    single-key case. The defaults never fire on small data, so plans
+    built in tests would silently skip the very optimizer path the big
+    cluster relies on; this scopes the thresholds down and restores the
+    session afterwards. The signature to gate on: the executed plan
+    shows ``SortMergeJoin(skew=true)`` over an ``AQEShuffleRead skewed``
+    — the hot partition split across tasks at runtime, no salting, no
+    manual replication.
+    """
+    conf = spark.conf
+    keys = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": skewed_partition_threshold,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": advisory_partition_size,
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": str(skew_factor),
+        # a large coalesce floor (tests set 1m to keep AQE quiet on tiny
+        # inputs) would re-merge the split partitions
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            conf.unset(k) if v is None else conf.set(k, v)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -149,3 +149,55 @@ def test_runtime_bloom_filter_prunes_fact_below_shuffle(spark, sf_dir, no_broadc
     probe_line = next(l for l in plan.splitlines() if "might_contain" in l)
     assert "Filter" in probe_line
     assert got == {r["user_id"] for r in dim.collect()}
+
+
+def test_aqe_splits_skewed_join_partition_at_runtime(spark, sf_dir, no_broadcast, tmp_path):
+    """The runtime complement to salted_join: a 90%-hot key must make
+    AQE re-plan the sort-merge join with the hot partition split across
+    tasks — SortMergeJoin(skew=true) over an AQEShuffleRead skewed —
+    with results identical to the unsplit join."""
+    from cloudfront_kinesis_log_lambda_spark.operators.physical import (
+        with_aqe_skew_join,
+    )
+
+    fact_dir, dim_dir = str(tmp_path / "fact"), str(tmp_path / "dim")
+    (
+        spark.range(0, 200000)
+        .withColumn(
+            "k",
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 500),
+        )
+        # incompressible pad: skew detection reads COMPRESSED MapStatus
+        # sizes, and a constant pad deflates below any threshold
+        .withColumn("pad", F.md5(F.col("id").cast("string")))
+        .write.mode("overwrite")
+        .parquet(fact_dir)
+    )
+    (
+        spark.range(0, 500)
+        .withColumnRenamed("id", "k")
+        .withColumn("attr", F.col("k") % 7)
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact, dim = spark.read.parquet(fact_dir), spark.read.parquet(dim_dir)
+    with with_aqe_skew_join(
+        spark, skewed_partition_threshold="16KB", advisory_partition_size="8KB"
+    ):
+        # gate the bare join: Spark declines to split a skewed join whose
+        # output feeds another shuffle (the split breaks the downstream
+        # required distribution) unless forceOptimizeSkewedJoin — the
+        # terminal-join shape is where the optimization applies
+        j = fact.join(dim, "k").select("k", "attr", "pad")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "skew=true" in plan
+    assert any(
+        "AQEShuffleRead" in l and "skewed" in l for l in plan.splitlines()
+    )
+    # parity: the split join loses/duplicates nothing
+    assert len(rows) == 200000
+    from collections import Counter
+
+    hot = Counter(r["k"] for r in rows)[0]
+    assert hot == 180000  # the 90% key, intact across the split tasks
