@@ -75,17 +75,25 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def source_quota(
-    docs: DataFrame, cap: int = 10, text_col: str = "text"
+    docs: DataFrame,
+    cap: int = 10,
+    text_col: str = "text",
+    priority: str = "length",
 ) -> DataFrame:
     """Per-source document quota — the domain-cap stage of a web-scale
     curation pipeline (bound any single domain's share of the corpus
     before mixing; C4/RefinedWeb-style pipelines cap per-domain page
     counts so SEO farms can't dominate).
 
-    Keeps the ``cap`` *longest* documents per source (priority =
-    n_chars DESC, doc_id ASC as the deterministic tiebreak) and returns
-    the full accounting table (doc_id, source, n_chars, quota_rank,
-    kept) — downstream materialization is ``filter(kept = 1)``.
+    Keeps ``cap`` documents per source and returns the full accounting
+    table (doc_id, source, n_chars, quota_rank, kept) — downstream
+    materialization is ``filter(kept = 1)``. ``priority`` picks the
+    keep rule: ``"length"`` keeps the longest (n_chars DESC, doc_id ASC
+    tiebreak — the batch-curation choice), ``"arrival"`` keeps the
+    first ``cap`` by doc_id — the admission-control semantics whose
+    streaming twin is ``streaming/quota.py::StreamingSourceQuota``
+    (first-come admission is the only priority an unbounded stream can
+    honor, so the exact stream==batch parity gate uses this mode).
 
     Scale shape: one shuffle — a window rank partitioned by source over
     (n_chars, doc_id) only; ``text`` never enters the exchange. A
@@ -95,9 +103,13 @@ def source_quota(
     the global rank — not needed while the output contract is the full
     accounting table, which is inherently one-row-per-doc.
     """
-    w = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
+    if priority == "length":
+        order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    elif priority == "arrival":
+        order = [F.col("doc_id").asc()]
+    else:
+        raise ValueError(f"unknown priority {priority!r}")
+    w = Window.partitionBy("source").orderBy(*order)
     return ensure_parallelism(docs).select(
         "doc_id",
         "source",
