@@ -92,6 +92,7 @@ _FRONT = [
     "doc_gram_novelty",
     "events_zorder_roundtrip",
     "doc_dup_span_stats",
+    "doc_quality_sample",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -114,7 +115,6 @@ _FILL = [
     "rollup_returns",
     "cube_orders",
     "conditional_agg_status",
-    "group_having",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)

@@ -1155,6 +1155,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, source, n_tokens, cum_tokens, budget
         FROM cum WHERE cum_tokens <= budget
     """,
+    "doc_quality_sample": r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)         AS n_tok,
+                 CAST(length(text) AS DOUBLE)                                          AS n_chars,
+                 CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in)\b')) AS DOUBLE) AS n_stop,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)       AS n_punct
+          FROM documents),
+        scored AS (
+          SELECT doc_id,
+                 ROUND(0.4 * LEAST(n_tok / 100.0, 1.0)
+                     + 0.3 * LEAST((CASE WHEN n_tok  > 0 THEN n_stop  / n_tok   ELSE 0.0 END) * 4.0, 1.0)
+                     + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0, 1.0)), 4)
+                   AS quality,
+                 ROUND((doc_id * 2654435761 % 4294967296 % 10000) / 10000.0, 4) AS coin
+          FROM t)
+        SELECT doc_id, quality, coin FROM scored WHERE coin < quality
+    """,
     "doc_dup_span_stats": r"""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

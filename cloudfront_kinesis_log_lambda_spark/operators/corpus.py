@@ -173,6 +173,35 @@ def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-weighted deterministic sampling — soft quality filtering
+    (FineWeb/CCNet-style: instead of a hard ``score >= τ`` cut, accept
+    each document with probability equal to its quality score, keeping
+    a diverse tail while still downweighting junk).
+
+    Deterministic: the acceptance coin is the Knuth-hash unit interval
+    ``(doc_id·2654435761 mod 2³² mod 10⁴)/10⁴`` — the same seeded-
+    arithmetic trick as the train/val/test split assignment
+    (pipelines/training_data.py), so the sample is reproducible across
+    engines and runs. Returns the accepted documents (doc_id, quality,
+    coin).
+
+    Scale shape: map-only — quality is a per-row expression
+    (text.quality_score's formula), the coin is integer arithmetic, no
+    shuffle at all. The 100 TB soft-filter is exactly this cheap.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.text import quality_score
+
+    coin = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+    ) / F.lit(10000.0)
+    return (
+        quality_score(docs, text_col)
+        .select("doc_id", "quality", F.round(coin, 4).alias("coin"))
+        .filter(F.col("coin") < F.col("quality"))
+    )
+
+
 def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Position-level duplicated-span statistics — the signal behind
     exact substring deduplication (Lee et al. 2022, "Deduplicating

@@ -283,6 +283,10 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.dup_span_stats(_docs(spark, sf_dir), n=3)
 
 
+def doc_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quality_sample(_docs(spark, sf_dir))
+
+
 def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup MATERIALIZATION: one kept representative per near-dup
     cluster (the canonical member) with its cluster size — what a
@@ -758,6 +762,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_mixture_sample": doc_mixture_sample,
     "doc_gram_novelty": doc_gram_novelty,
     "doc_dup_span_stats": doc_dup_span_stats,
+    "doc_quality_sample": doc_quality_sample,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
     "training_shards_roundtrip": training_shards_roundtrip,

@@ -60,6 +60,7 @@ def compact_partitions(
     path: str,
     partition_values: list[tuple[str, str]],
     target_file_bytes: int = 512 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
 ) -> int:
     """Small-file compaction for one (env, log_day) partition — the
     maintenance job a 100 TB store needs after streaming ingest, where
@@ -80,6 +81,12 @@ def compact_partitions(
     compacting a partition still receiving appends is the caller's race
     to avoid — same contract as Hive/Delta OPTIMIZE of an active
     partition.
+
+    ``zorder_by`` re-clusters the partition by the Z-order of the given
+    columns instead of the default ts sort — the full OPTIMIZE ... ZORDER
+    BY shape: compaction is the natural (and only sensible) place to pay
+    the clustering shuffle, since the data is being rewritten anyway
+    (operators/layout.py; skipping gain measured in test_parquet_store).
     """
     import math
     import os
@@ -96,13 +103,22 @@ def compact_partitions(
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
     tmp = f"{part_dir}.compacting-{os.getpid()}"
-    (
-        spark.read.parquet(part_dir)
-        .coalesce(n_files)
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
+    if zorder_by:
+        from cloudfront_kinesis_log_lambda_spark.operators.layout import (
+            write_zordered,
+        )
+
+        write_zordered(
+            spark.read.parquet(part_dir), tmp, zorder_by, n_files=n_files
+        )
+    else:
+        (
+            spark.read.parquet(part_dir)
+            .coalesce(n_files)
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
     shutil.rmtree(part_dir)
     os.rename(tmp, part_dir)
     # drop the _SUCCESS marker etc. Spark wrote into tmp — readers of a

@@ -325,3 +325,36 @@ def test_mixture_sample_matches_greedy_bruteforce(spark, token_counts, src_k):
         for r in C.mixture_sample(docs).collect()
     )
     assert got == kept
+
+
+# --- quality_sample ---------------------------------------------------------
+
+
+def test_quality_sample_is_deterministic_and_quality_weighted(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.operators.text import quality_score
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import doc_quality_sample
+
+    a = {r["doc_id"] for r in doc_quality_sample(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in doc_quality_sample(spark, sf_dir).collect()}
+    assert a == b and a  # reproducible, non-empty
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    # acceptance rate tracks mean quality (the whole point of the op)
+    rate = len(a) / len(q)
+    mean_q = sum(q.values()) / len(q)
+    assert abs(rate - mean_q) < 0.15
+    # every accepted doc satisfies its own coin < quality
+    for r in doc_quality_sample(spark, sf_dir).collect():
+        assert r["coin"] < r["quality"]
+
+
+def test_quality_sample_coin_is_knuth_hash_of_doc_id(spark):
+    docs = _docs(spark, [("plain words here", 0)] * 4)  # ids 0..3, same text
+    got = {r["doc_id"]: r["coin"] for r in
+           C.quality_sample(docs).select("doc_id", "coin").collect()}
+    expect = {d: round((d * 2654435761 % 2**32 % 10000) / 10000, 4)
+              for d in range(4)}
+    q = 0.312  # this text's fixed quality score
+    # exactly the ids whose hash-coin clears the bar are in the sample
+    assert got == {d: c for d, c in expect.items() if c < q}
+    assert 0 in got  # doc 0's coin is 0.0 — accepted at any quality > 0

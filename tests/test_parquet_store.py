@@ -95,3 +95,52 @@ def test_expire_partitions_directory_level_retention(spark, tmp_path):
     back = read_log_store(spark, store)
     days = {r[0] for r in back.select(F.col("log_day").cast("string")).distinct().collect()}
     assert days == {"2019-01-19"}
+
+
+def test_compact_partition_with_zorder_clusters_and_preserves_rows(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY shape: compaction re-clusters the
+    partition by the Morton order of (user_id, value) — row set
+    identical, and the rewritten files actually skip (row-group stats
+    spans shrink vs the arrival-ordered slivers)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.layout import (
+        skipping_fraction,
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "events_store")
+    e = load(spark, "/root/testdata/sf0.1", "events").withColumn(
+        "log_day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    day = e.select(F.min("log_day")).collect()[0][0]
+    # arrival-ordered sliver appends (8 slivers × the day's data splits)
+    day_df = e.filter(F.col("log_day") == day).drop("log_day")
+    for i in range(8):
+        day_df.filter(F.col("event_id") % 8 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(os.path.join(store, f"log_day={day}"))
+
+    part = os.path.join(store, f"log_day={day}")
+    before_rows = sorted(
+        r["event_id"] for r in spark.read.parquet(part).collect()
+    )
+    qs = day_df.stat.approxQuantile(["value"], [0.4, 0.5], 0.001)[0]
+    before_skip = skipping_fraction(part, {"value": (qs[0], qs[1])})
+
+    # small target → ~16 output files → 4 z bits → 2 bits per dimension
+    # (2 files would give value no bit at all: the first interleaved bit
+    # belongs to user_id)
+    n_out = compact_partitions(
+        spark, store, [("log_day", day)],
+        target_file_bytes=8 * 1024, zorder_by=["user_id", "value"],
+    )
+    after_files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(after_files) == n_out > 1
+    after_rows = sorted(
+        r["event_id"] for r in spark.read.parquet(part).collect()
+    )
+    assert after_rows == before_rows
+    after_skip = skipping_fraction(part, {"value": (qs[0], qs[1])})
+    assert after_skip < before_skip
