@@ -93,6 +93,8 @@ _FRONT = [
     "events_zorder_roundtrip",
     "doc_dup_span_stats",
     "doc_quality_sample",
+    "recent_orders_lateral",
+    "doc_pack_sequences_sql",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -113,8 +115,6 @@ _FILL = [
     "filtered_revenue",
     "distinct_suppliers_per_flag",
     "rollup_returns",
-    "cube_orders",
-    "conditional_agg_status",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)
@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_set_ops": R.nation_set_ops,
         # SQL front door (spark.sql over registered views)
         "sql_market_share": R.sql_market_share,
+        # Spark 4 frontier SQL surface: DataFrame lateralJoin + WITH RECURSIVE
+        "recent_orders_lateral": R.recent_orders_lateral,
+        "doc_pack_sequences_sql": R.doc_pack_sequences_sql,
         # scalar functions / grouping sets / subquery shapes
         "scalar_function_showcase": R.scalar_function_showcase,
         "grouping_sets_revenue": R.grouping_sets_revenue,

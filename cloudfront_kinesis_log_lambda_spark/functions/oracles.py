@@ -269,6 +269,40 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    # Spark-native recursive CTE twin: the engine runs the SAME recursion
+    # in Spark SQL (relational.py::doc_pack_sequences_sql), so the oracle
+    # is byte-identical to doc_pack_sequences'
+    "doc_pack_sequences_sql": r"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, pack_group, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents)),
+        pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
+          SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.pack_group, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN b.n_tokens ELSE p.seq_tokens + b.n_tokens END
+          FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
+        SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
+    """,
+    "recent_orders_lateral": """
+        WITH ranked AS (
+          SELECT c.c_custkey, c.c_mktsegment,
+                 o.o_orderkey,
+                 strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                 o.o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c.c_custkey
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
+        FROM ranked WHERE rn <= 2
+    """,
     # shard roundtrip: split + per-(split, pack_group) next-fit replayed
     # by one recursive CTE, rolled up per split — matches only if the
     # partitioned shard write/read lost nothing and packing is identical

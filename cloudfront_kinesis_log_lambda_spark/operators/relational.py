@@ -589,6 +589,75 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 DataFrame ``lateralJoin``: the two most recent orders per
+    customer as a correlated subquery — each left row drives a filtered,
+    sorted, LIMIT-2 scan of the right side (the per-row-derived-table
+    semantics SQL spells ``CROSS JOIN LATERAL``). Catalyst decorrelates
+    this into the same window/top-k physical shape as the
+    ``row_number() <= 2`` formulation the oracle uses — the feature is
+    the FRONT DOOR (correlated-subquery authoring), not a new executor.
+    Deterministic tiebreak on o_orderkey; inner join drops orderless
+    customers so the oracle stays a plain window filter.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    return (
+        c.alias("c")
+        .lateralJoin(
+            o.alias("o")
+            .where(F.col("o.o_custkey") == F.col("c.c_custkey").outer())
+            .select("o_orderkey", "o_orderdate", "o_totalprice")
+            .orderBy(
+                F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+            )
+            .limit(2)
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 ``WITH RECURSIVE``: the sequence-packing next-fit
+    replay, running natively in Spark SQL — the SAME recursion the
+    DuckDB oracle uses (functions/oracles.py::doc_pack_sequences, only
+    the split/len builtins renamed to Spark's). Until 4.1 this shape
+    needed the Arrow kernel in pipelines/training_data.py (which remains
+    the scale path: the recursion advances every pack group one document
+    per step, so its depth is the longest group — fine for replay/audit,
+    wrong for the 100 TB hot path; the oracle-vs-kernel hash equality in
+    the gate proves both agree)."""
+    load(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
+    return spark.sql(
+        r"""
+        WITH RECURSIVE base AS (
+          SELECT doc_id, pack_group, n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id,
+                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+                FROM v_documents)),
+        pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
+          SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+          FROM base WHERE rn = 1
+          UNION ALL
+          SELECT b.pack_group, b.rn, b.doc_id, b.n_tokens,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN p.seq_id + 1 ELSE p.seq_id END,
+                 CASE WHEN p.seq_tokens + b.n_tokens > 256 THEN b.n_tokens ELSE p.seq_tokens + b.n_tokens END
+          FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
+        SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
+        """
+    )
+
+
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped orders by in-window revenue for
     one market segment — selective dim filter (broadcast) → fact⋈fact
