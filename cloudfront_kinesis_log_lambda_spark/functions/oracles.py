@@ -277,7 +277,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, pack_group, n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
-                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(doc_id * 2654435761 % 4294967296 % 16 AS INT) AS pack_group,
                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
                 FROM documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (

@@ -634,7 +634,8 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path: the recursion advances every pack group one document
     per step, so its depth is the longest group — fine for replay/audit,
     wrong for the 100 TB hot path; the oracle-vs-kernel hash equality in
-    the gate proves both agree)."""
+    the gate proves both agree). 16 pack groups (vs the kernel entry's 8)
+    halve the replay depth — each recursion step is a Spark job."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
     return spark.sql(
         r"""
@@ -642,7 +643,7 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, pack_group, n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
-                       CAST(doc_id * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST(doc_id * 2654435761 % 4294967296 % 16 AS INT) AS pack_group,
                        CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
                 FROM v_documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
