@@ -95,6 +95,9 @@ _FRONT = [
     "doc_quality_sample",
     "recent_orders_lateral",
     "doc_pack_sequences_sql",
+    "events_funnel",
+    "events_retention_cohorts",
+    "user_value_scd2",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -112,9 +115,6 @@ _FILL = [
     # r4-green (CORRECTNESS_r04) oracle entries topping the window up to
     # 50; the remaining r4-green entries overflow with 1-round-fresh rows
     "pricing_summary",
-    "filtered_revenue",
-    "distinct_suppliers_per_flag",
-    "rollup_returns",
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)
@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_props": R.events_variant_props,
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,
+        "events_funnel": R.events_funnel,
+        "events_retention_cohorts": R.events_retention_cohorts,
+        "user_value_scd2": R.user_value_scd2,
         # grouped Pandas-UDF surface (applyInPandas / grouped-agg UDAF)
         "events_zscore": PG.events_zscore,
         "events_median_udaf": PG.events_median_udaf,

@@ -290,6 +290,53 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    "events_funnel": """
+        WITH pu AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+          FROM events GROUP BY 1),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN pu ON pu.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > pu.t_view
+          GROUP BY 1),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          GROUP BY 1)
+        SELECT '1_view' AS stage, COUNT(t_view) AS n_users FROM pu
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    """,
+    "events_retention_cohorts": """
+        WITH activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        cohort AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY 1)
+        SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+               CAST(a.day - c.cohort_day AS INT) AS day_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN cohort c USING (user_id)
+        WHERE a.day - c.cohort_day <= 7
+        GROUP BY 1, 2
+    """,
+    "user_value_scd2": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 COUNT(*) AS n_events,
+                 ROUND(SUM(value), 2) AS day_value
+          FROM events GROUP BY 1, 2)
+        SELECT user_id,
+               n_events,
+               day_value,
+               strftime(day, '%Y-%m-%d') AS valid_from,
+               COALESCE(strftime(LEAD(day) OVER (PARTITION BY user_id ORDER BY day),
+                                 '%Y-%m-%d'), '9999-12-31') AS valid_to,
+               CAST(LEAD(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                    AS INT) AS is_current
+        FROM daily
+    """,
     "recent_orders_lateral": """
         WITH ranked AS (
           SELECT c.c_custkey, c.c_mktsegment,

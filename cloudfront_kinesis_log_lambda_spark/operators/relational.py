@@ -545,6 +545,138 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion: view → click → purchase, per user —
+    each stage must occur strictly AFTER the previous one (min-timestamp
+    chaining: the user's first view, the first click after that view,
+    the first purchase after that click). Returns one accounting row per
+    funnel stage with the users remaining — the product-analytics
+    staple (Amplitude/Mixpanel funnels) over the events table.
+
+    Scale shape: one shuffle on user_id (conditional min-aggregates per
+    user — partial+final combine; the stage chaining is a per-row
+    expression after the fold), then a trivial stages-sized rollup. No
+    self-joins — the naive 3-way events⋈events⋈events formulation
+    shuffles the fact table three times; this shuffles compact
+    (user, 3×ts) rows once.
+    """
+    e = load(spark, sf_dir, "events")
+    t = F.col("ts")
+    # stage chaining needs conditional mins that depend on EARLIER
+    # stages' results, which a single flat aggregate cannot express —
+    # one aggregate collects each type's sorted timestamps (bounded per
+    # user by their own event count), then array lookups chain the
+    # stages as per-row expressions
+    per_user = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "view", t))
+        ).alias("views"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "click", t))
+        ).alias("clicks"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("event_type") == "purchase", t))
+        ).alias("purchases"),
+    )
+    first_view = F.element_at("views", 1)
+    first_click = F.array_min(
+        F.filter("clicks", lambda c: c > first_view)
+    )
+    first_purchase = F.array_min(
+        F.filter("purchases", lambda p: p > first_click)
+    )
+    staged = per_user.select(
+        "user_id",
+        first_view.alias("t_view"),
+        first_click.alias("t_click"),
+        first_purchase.alias("t_purchase"),
+    )
+    return staged.select(
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_view").alias("stage"),
+                    F.col("n_view").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("2_click").alias("stage"),
+                    F.col("n_view_click").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("3_purchase").alias("stage"),
+                    F.col("n_view_click_purchase").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.stage", "s.n_users")
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, the
+    count still active N days later — the growth-analytics staple.
+    Returns (cohort_day, day_offset, n_users) for offsets 0..7.
+
+    Scale shape: one shuffle on user_id for the first-day aggregate, a
+    compact (user, cohort_day) broadcast-or-shuffle join back onto the
+    per-(user, day) distinct activity, and a cohort-sized rollup. All
+    rows past the first exchange are (user, date, int) triples.
+    """
+    e = load(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    activity = e.select("user_id", day.alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user's
+    per-day activity profile (event count + value total) as versioned
+    dimension rows with
+    [valid_from, valid_to) ranges and an is_current flag — the
+    warehouse MERGE/SCD2 pattern expressed as a window (lead) over the
+    change log, no mutable table needed (the lakehouse-native form:
+    rebuild or incrementally append the history, never UPDATE).
+
+    Scale shape: one (user, day) aggregate, one window shuffle on
+    user_id ordered by day for the lead(). Both exchanges carry
+    (user, date, double) rows.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("day_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    nxt = F.lead("day").over(w)
+    return daily.select(
+        "user_id",
+        "n_events",
+        "day_value",
+        F.date_format("day", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")
+        ).alias("valid_to"),
+        F.isnull(nxt).cast("int").alias("is_current"),
+    )
+
+
 def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via ranking window over events."""
     e = load(spark, sf_dir, "events")
