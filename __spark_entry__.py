@@ -56,6 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
+    # r5 window = 21 promoted-stale r3 entries + 16 new oracle entries
+    # (corpus curation, layout, frontier SQL, product analytics) + the
+    # 10-entry one-time rows-only pass + doc_semantic_dedup; _FILL
+    # shrank to 1 to make room — every demoted entry overflows with an
+    # r4-green row, per the standing policy above.
+    #
     # r3-green oracle entries, two rounds stale after r5 — promoted
     # (r4 VERDICT next-round item 1)
     "sql_market_share",
@@ -112,8 +118,9 @@ _FRONT = [
     "near_dup_incremental",
 ]
 _FILL = [
-    # r4-green (CORRECTNESS_r04) oracle entries topping the window up to
-    # 50; the remaining r4-green entries overflow with 1-round-fresh rows
+    # r4-green (CORRECTNESS_r04) oracle entry topping the window up to
+    # exactly 50; all other r4-green entries overflow with 1-round-fresh
+    # rows (the second r5 build wave's 16 new entries took their slots)
     "pricing_summary",
 ]
 _TAIL = [

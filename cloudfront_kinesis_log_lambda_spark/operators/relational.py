@@ -553,43 +553,41 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel stage with the users remaining — the product-analytics
     staple (Amplitude/Mixpanel funnels) over the events table.
 
-    Scale shape: one shuffle on user_id (conditional min-aggregates per
-    user — partial+final combine; the stage chaining is a per-row
-    expression after the fold), then a trivial stages-sized rollup. No
-    self-joins — the naive 3-way events⋈events⋈events formulation
-    shuffles the fact table three times; this shuffles compact
-    (user, 3×ts) rows once.
+    Scale shape: ONE exchange on user_id, then three whole-partition
+    window mins chained over the same partitioning (Catalyst reuses the
+    exchange; unbounded-frame mins need no sort) and a per-user fold
+    that again reuses it. Stage chaining needs conditional mins that
+    depend on EARLIER stages' results — not expressible in one flat
+    aggregate; windows express it per-row, and window partitions SPILL
+    (UnsafeExternalSorter), so a bot user with millions of events is
+    slow, not an OOM — the reason this deliberately avoids the tempting
+    collect_list-per-type formulation, whose per-key array buffers
+    cannot spill. No self-joins: the naive events⋈events⋈events
+    shuffles the fact three times; this shuffles (user, type, ts)
+    triples once.
     """
     e = load(spark, sf_dir, "events")
-    t = F.col("ts")
-    # stage chaining needs conditional mins that depend on EARLIER
-    # stages' results, which a single flat aggregate cannot express —
-    # one aggregate collects each type's sorted timestamps (bounded per
-    # user by their own event count), then array lookups chain the
-    # stages as per-row expressions
-    per_user = e.groupBy("user_id").agg(
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "view", t))
-        ).alias("views"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "click", t))
-        ).alias("clicks"),
-        F.sort_array(
-            F.collect_list(F.when(F.col("event_type") == "purchase", t))
-        ).alias("purchases"),
-    )
-    first_view = F.element_at("views", 1)
-    first_click = F.array_min(
-        F.filter("clicks", lambda c: c > first_view)
-    )
-    first_purchase = F.array_min(
-        F.filter("purchases", lambda p: p > first_click)
-    )
-    staged = per_user.select(
-        "user_id",
-        first_view.alias("t_view"),
-        first_click.alias("t_click"),
-        first_purchase.alias("t_purchase"),
+    t, et = F.col("ts"), F.col("event_type")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.select("user_id", "event_type", "ts")
+        .withColumn("t_view", F.min(F.when(et == "view", t)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((et == "click") & (t > F.col("t_view")), t)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when((et == "purchase") & (t > F.col("t_click")), t)
+            ).over(w),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.first("t_view").alias("t_view"),
+            F.first("t_click").alias("t_click"),
+            F.first("t_purchase").alias("t_purchase"),
+        )
     )
     return staged.select(
         F.count("t_view").alias("n_view"),
@@ -641,7 +639,10 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
             "day_offset",
         )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        # plain count: activity is distinct on (user, day) and a user has
+        # one cohort_day, so no (cohort_day, offset) group repeats a user
+        # — countDistinct would add an expansion for nothing
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 

@@ -121,9 +121,10 @@ def compact_partitions(
         )
     shutil.rmtree(part_dir)
     os.rename(tmp, part_dir)
-    # drop the _SUCCESS marker etc. Spark wrote into tmp — readers of a
-    # partition dir only care about *.parquet
-    return n_files
+    # report what actually landed: range partitions can be empty (few
+    # distinct z-values) and coalesce can't split, so the real file
+    # count may undershoot the computed target
+    return sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
 
 
 def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:

@@ -24,9 +24,13 @@ reads (``streaming/store.py`` — shared with the near-dup and novelty
 indexes), so a retried micro-batch re-admits exactly the same set
 instead of double-counting its own deltas.
 
-100 TB shape: the counts store is sources-sized (tiny — it aggregates),
-broadcast into the batch; per-batch cost is one window rank over the
-batch itself plus a broadcast join. The admitted LOG is corpus-sized
+100 TB shape: the counts store holds one delta row per (batch, admitting
+source) — semi-joined down to the batch's own sources before the
+aggregate, so the probe cost tracks the batch, not total history. The
+delta-dir count still grows one per batch; a long-lived stream folds
+them with the same compaction pattern as the parquet store
+(sinks/parquet.py::compact_partitions — merge deltas, keep the latest
+batch dir separate for retry safety). The admitted LOG is corpus-sized
 and append-only, as an audit log should be; nothing re-reads it on the
 hot path.
 """
@@ -63,8 +67,11 @@ class StreamingSourceQuota:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        batch_sources = batch_df.select("source").distinct()
+        # probe, don't rescan: only the batch's sources' deltas matter
         prior = (
             read_batch_store(spark, self.counts_dir, _COUNTS_SCHEMA, batch_id)
+            .join(F.broadcast(batch_sources), "source", "left_semi")
             .groupBy("source")
             .agg(F.sum("admitted").alias("prior"))
         )
@@ -96,12 +103,5 @@ class StreamingSourceQuota:
 
 def admission_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """Every admission decision made so far (one row per document)."""
-    if not os.path.isdir(out_dir) or not any(
-        e.startswith("batch=") for e in os.listdir(out_dir)
-    ):
-        return spark.createDataFrame([], _OUT_SCHEMA)
-    return (
-        spark.read.schema(_OUT_SCHEMA + ", batch long")
-        .parquet(out_dir)
-        .drop("batch")
-    )
+    # exclude_batch=-1: read everything (batch ids are non-negative)
+    return read_batch_store(spark, out_dir, _OUT_SCHEMA, exclude_batch=-1)
