@@ -104,6 +104,7 @@ _FRONT = [
     "events_funnel",
     "events_retention_cohorts",
     "user_value_scd2",
+    "events_pattern_match",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
@@ -117,11 +118,11 @@ _FRONT = [
     "embedding_pairs_lsh",
     "near_dup_incremental",
 ]
-_FILL = [
-    # r4-green (CORRECTNESS_r04) oracle entry topping the window up to
-    # exactly 50; all other r4-green entries overflow with 1-round-fresh
-    # rows (the second r5 build wave's 16 new entries took their slots)
-    "pricing_summary",
+_FILL: list[str] = [
+    # empty this round: the second build wave's 17 new oracle entries
+    # filled the window to exactly 50 never-verified-this-round entries;
+    # every r4-green entry overflows with a 1-round-fresh row (and
+    # pricing_summary additionally lands in BENCH_r05 every round)
 ]
 _TAIL = [
     # rows-only entries with existing driver rows (r1-r4)
@@ -192,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": R.sessionize_events,
         "top_event_per_user": R.top_event_per_user,
         "events_funnel": R.events_funnel,
+        "events_pattern_match": R.events_pattern_match,
         "events_retention_cohorts": R.events_retention_cohorts,
         "user_value_scd2": R.user_value_scd2,
         # grouped Pandas-UDF surface (applyInPandas / grouped-agg UDAF)

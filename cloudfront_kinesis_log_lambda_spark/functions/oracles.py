@@ -290,6 +290,26 @@ ORACLE_SQL: dict[str, str] = {
           FROM pack p JOIN base b ON b.pack_group = p.pack_group AND b.rn = p.rn + 1)
         SELECT doc_id, pack_group, n_tokens, CAST(seq_id AS BIGINT) AS seq_id FROM pack
     """,
+    "events_pattern_match": """
+        WITH d0 AS (SELECT MIN(CAST(ts AS DATE)) AS d0 FROM events),
+        per_hour AS (
+          SELECT user_id, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+          FROM events, d0
+          WHERE CAST(ts AS DATE) = d0.d0
+          GROUP BY 1, 2),
+        users AS (SELECT DISTINCT user_id FROM per_hour),
+        hours AS (SELECT CAST(UNNEST(range(0, 24)) AS INT) AS hour),
+        grid AS (SELECT u.user_id, h.hour FROM users u CROSS JOIN hours h),
+        scored AS (
+          SELECT g.user_id,
+                 CAST(SUM((COALESCE(p.n, 0) - g.hour % 6)
+                        * (COALESCE(p.n, 0) - g.hour % 6)) AS BIGINT) AS dist_sq
+          FROM grid g LEFT JOIN per_hour p
+            ON p.user_id = g.user_id AND p.hour = g.hour
+          GROUP BY 1)
+        SELECT user_id, dist_sq FROM scored
+        ORDER BY dist_sq, user_id LIMIT 5
+    """,
     "events_funnel": """
         WITH pu AS (
           SELECT user_id,

@@ -678,6 +678,46 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over user activity profiles (the
+    PAPERS.md EDBT'19 streaming-similarity theme, relationally): each
+    user's first-day hourly event-count series (24 buckets, zero-
+    filled) scored by squared euclidean distance to a fixed query
+    pattern; 5 nearest users win. Integer counts and an integer pattern
+    keep the whole distance exact (Σ(n-p)² is a BIGINT) — the
+    z-normalized variant adds two per-user window moments on top of
+    this skeleton, nothing structural changes.
+
+    Scale shape: one (user, hour) aggregate on the fact, a broadcast
+    24-row hour spine (zero-fill via left join — missing hours matter:
+    a user with no events at hour h contributes (0-p_h)², which an
+    inner join would silently drop), one (user) re-aggregate, top-k via
+    TakeOrderedAndProject. Series never materialize as arrays.
+    """
+    e = load(spark, sf_dir, "events")
+    day0 = e.select(F.min(F.to_date("ts")).alias("d0"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    pattern = F.col("hour") % 6  # deterministic query shape, both engines
+    per_hour = (
+        e.join(F.broadcast(day0))
+        .filter(F.to_date("ts") == F.col("d0"))
+        .groupBy("user_id", F.hour("ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    users = per_hour.select("user_id").distinct()
+    grid = users.join(F.broadcast(hours))
+    scored = (
+        grid.join(per_hour, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            ((F.coalesce("n", F.lit(0)) - pattern) ** 2).cast("long").alias("sq"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("sq").alias("dist_sq"))
+    )
+    return scored.orderBy("dist_sq", "user_id").limit(5)
+
+
 def top_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1-per-group via ranking window over events."""
     e = load(spark, sf_dir, "events")
