@@ -116,7 +116,7 @@ _FRONT = [
     "ann_ivf_pq_topk",
     "ann_incremental_index",
     "embedding_pairs_lsh",
-    "near_dup_incremental",
+    "multimodal_asset_dedup",
 ]
 _FILL: list[str] = [
     # empty this round: the second build wave's 17 new oracle entries
@@ -125,7 +125,12 @@ _FILL: list[str] = [
     # pricing_summary additionally lands in BENCH_r05 every round)
 ]
 _TAIL = [
-    # rows-only entries with existing driver rows (r1-r4)
+    # rows-only entries with existing driver rows (r1-r4), plus
+    # near_dup_incremental — its one-time pass deferred to r6 when the
+    # second build wave's 17th oracle entry (multimodal_asset_dedup,
+    # hash-capable evidence) took the last slot; its stream==batch
+    # parity gate in test_streaming_dedup stands in meanwhile
+    "near_dup_incremental",
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",

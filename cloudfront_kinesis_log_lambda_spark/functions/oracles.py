@@ -1314,6 +1314,13 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh JOIN first USING (shingle)
         GROUP BY sh.doc_id
     """,
+    "multimodal_asset_dedup": """
+        SELECT md5(text) AS checksum,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_asset_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
     # --- multimodal (scalar face of the Arrow UDF) -----------------------
     "multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -514,6 +514,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "modality", "n_bytes", "checksum")
 
 
+def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over BINARY asset payloads (the multimodal face of
+    doc_exact_dedup): checksum-groupBy on the opaque payload column —
+    byte-identical images/audio collapse regardless of filename or
+    metadata. Returns one row per distinct payload with the keeper
+    (min asset_id) and copy count. At 100 TB the md5 runs scan-side and
+    only (digest, id) pairs shuffle — payload bytes never enter the
+    exchange (the same keyed-shuffle hygiene as the text operators)."""
+    assets = M.documents_as_assets(_docs(spark, sf_dir))
+    return (
+        assets.select("asset_id", F.md5("payload").alias("checksum"))
+        .groupBy("checksum")
+        .agg(
+            F.min("asset_id").alias("keep_asset_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
 def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LLM-pipeline capstone composition, sink evidence included:
     documents → deterministic train/val/test split → per-split sequence
@@ -765,6 +784,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_quality_sample": doc_quality_sample,
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
+    "multimodal_asset_dedup": multimodal_asset_dedup,
     "training_shards_roundtrip": training_shards_roundtrip,
     "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,

@@ -75,3 +75,34 @@ def test_funnel_single_exchange(spark, sf_dir):
     # the three chained windows + per-user fold share ONE user_id
     # exchange; the stage rollup adds its single-row exchange at most
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_scd2_and_cohorts_plan_shapes(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import (
+        events_pattern_match,
+        events_retention_cohorts,
+        user_value_scd2,
+    )
+
+    # SCD2: the daily aggregate and the lead() window share the user_id
+    # partitioning — the window must not add a second user exchange
+    plan = (
+        user_value_scd2(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # top-k compiles to TakeOrderedAndProject, never a global sort
+    plan = (
+        events_pattern_match(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    # cohorts: hour spine and cohort join must not SortMergeJoin
+    plan = (
+        events_retention_cohorts(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
