@@ -61,6 +61,17 @@ HEADLINE = [
     "cloudfront_wire",          # the reference's own pipeline, end-to-end
 ]
 
+#: round-5 extension surface, timed single-rep per round (no BASELINE
+#: rows — trend signal only; keep the headline set baseline-comparable)
+EXTENSION = [
+    "doc_unigram_logprob",      # corpus LM train + per-doc score
+    "doc_gram_novelty",         # gram first-occurrence index join
+    "doc_dup_span_stats",       # positional gram dup accounting
+    "doc_mixture_sample",       # per-source prefix-sum fill
+    "events_funnel",            # chained window mins
+    "events_retention_cohorts", # cohort join + rollup
+]
+
 REPS = int(os.environ.get("BENCH_REPS", "4"))
 
 #: r4 verdict follow-up: the two headline aggregates that drifted past
@@ -266,6 +277,18 @@ def main() -> None:
     }
     print(f"# canary (idle-floor probe): {canary}", file=sys.stderr)
 
+    # round-over-round visibility for the round-5 extension surface:
+    # single warm rep each (they have no BASELINE row — the headline set
+    # stays baseline-comparable), cheapest useful trend signal
+    extension: dict[str, float] = {}
+    for name in EXTENSION:
+        fn = queries[name]
+        force(fn(spark, sf_dir))  # warm-up rep (first-run codegen)
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        extension[name] = round(time.perf_counter() - t0, 3)
+    print(f"# extension ops: {extension}", file=sys.stderr)
+
     loop = bench_kinesis_full_loop(spark, sf_dir)
     print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
 
@@ -281,6 +304,7 @@ def main() -> None:
         "queries_median": medians,
         # median >> min here ⇒ the box was contended during this run
         "noise_canary": canary,
+        "extension_queries": extension,
         "streaming_full_loop": loop,
         "sf": sf,
     }))

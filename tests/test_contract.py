@@ -115,5 +115,5 @@ def test_bench_headline_queries_exist_in_registry():
     import bench
 
     q = set(entry.queries())
-    missing = [n for n in bench.HEADLINE if n not in q]
-    assert not missing, f"bench.py HEADLINE references unknown queries: {missing}"
+    missing = [n for n in bench.HEADLINE + bench.EXTENSION if n not in q]
+    assert not missing, f"bench.py references unknown queries: {missing}"
