@@ -710,7 +710,13 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(per_hour, ["user_id", "hour"], "left")
         .select(
             "user_id",
-            ((F.coalesce("n", F.lit(0)) - pattern) ** 2).cast("long").alias("sq"),
+            # d * d, not `** 2`: pow lowers to DOUBLE, which silently
+            # drops low bits once d² > 2⁵³ — integer multiply keeps the
+            # exact-BIGINT contract with the oracle at any magnitude
+            (
+                (F.coalesce("n", F.lit(0)) - pattern)
+                * (F.coalesce("n", F.lit(0)) - pattern)
+            ).cast("long").alias("sq"),
         )
         .groupBy("user_id")
         .agg(F.sum("sq").alias("dist_sq"))

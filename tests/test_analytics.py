@@ -84,8 +84,11 @@ def test_scd2_and_cohorts_plan_shapes(spark, sf_dir):
         user_value_scd2,
     )
 
-    # SCD2: the daily aggregate and the lead() window share the user_id
-    # partitioning — the window must not add a second user exchange
+    # SCD2: two keyed exchanges are inherent — the (user_id, day)
+    # aggregate's and the lead() window's (user_id) repartition (the
+    # finer agg partitioning does NOT satisfy the window's coarser
+    # distribution); the gate guards against any THIRD exchange creeping
+    # in (e.g. a stray repartition or a join rewrite)
     plan = (
         user_value_scd2(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
@@ -100,9 +103,11 @@ def test_scd2_and_cohorts_plan_shapes(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
 
-    # cohorts: hour spine and cohort join must not SortMergeJoin
+    # cohorts: the compact (user, cohort_day) side must broadcast — a
+    # SortMergeJoin regression would mean two extra full shuffles
     plan = (
         events_retention_cohorts(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
