@@ -101,6 +101,92 @@ class StreamingSourceQuota:
         )
 
 
+_TOKENS_SCHEMA = "source string, seen_tokens long"
+_MIX_SCHEMA = (
+    "doc_id long, source string, n_tokens long, cum_tokens long, "
+    "budget long, admitted int"
+)
+
+
+class StreamingMixture:
+    """``foreachBatch`` callable: token-budget mixture admission — the
+    streaming twin of ``operators/corpus.py::mixture_sample``. Each
+    source's running TOKEN total (admitted or not — the batch operator's
+    cumulative sum runs over every doc in doc_id order, so the stream
+    must count skipped docs too) gates arrivals against the same
+    deterministic per-source budget rule; exact stream==batch parity
+    for doc_id-ordered arrival is the test contract.
+
+    Store/probe/idempotence shape is identical to
+    :class:`StreamingSourceQuota`; the only state is a per-source token
+    counter, so the counts store stays sources×batches-sized and
+    foldable by ``store.fold_batch_store``.
+    """
+
+    def __init__(self, store_dir: str, out_dir: str) -> None:
+        self.counts_dir = os.path.join(store_dir, "token_counts")
+        self.out_dir = out_dir
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
+            _source_budget,
+        )
+        from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
+
+        spark = batch_df.sparkSession
+        batch_sources = batch_df.select("source").distinct()
+        prior = (
+            read_batch_store(spark, self.counts_dir, _TOKENS_SCHEMA, batch_id)
+            .join(F.broadcast(batch_sources), "source", "left_semi")
+            .groupBy("source")
+            .agg(F.sum("seen_tokens").alias("prior"))
+        )
+        n_tok = F.size(
+            F.filter(_tokens(F.col("text")), lambda t: t != "")
+        ).cast("long")
+        w = (
+            Window.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        decided = (
+            batch_df.select(
+                "doc_id", "source", n_tok.alias("n_tokens"),
+                _source_budget().alias("budget"),
+            )
+            .withColumn("batch_cum", F.sum("n_tokens").over(w))
+            .join(F.broadcast(prior), "source", "left")
+            .select(
+                "doc_id",
+                "source",
+                "n_tokens",
+                (F.coalesce("prior", F.lit(0)) + F.col("batch_cum")).alias(
+                    "cum_tokens"
+                ),
+                "budget",
+            )
+            .withColumn(
+                "admitted",
+                (F.col("cum_tokens") <= F.col("budget")).cast("int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        decided.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"batch={batch_id}")
+        )
+        (
+            decided.groupBy("source")
+            .agg(F.sum("n_tokens").alias("seen_tokens"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(self.counts_dir, f"batch={batch_id}"))
+        )
+
+
+def mixture_log(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Every mixture admission decision so far (one row per document)."""
+    return read_batch_store(spark, out_dir, _MIX_SCHEMA, exclude_batch=-1)
+
+
 def admission_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """Every admission decision made so far (one row per document)."""
     # exclude_batch=-1: read everything (batch ids are non-negative)

@@ -106,3 +106,109 @@ def test_retry_of_last_batch_is_idempotent(spark, streamed):
         (r["doc_id"], r["admitted"]) for r in admission_log(spark, out).collect()
     )
     assert after == before
+
+
+# --- StreamingMixture (token-budget admission) ------------------------------
+
+
+def _mix_corpus():
+    # src0 budget 400 (k%4=0): docs of 150 tokens → 2 admitted, rest out
+    # src1 budget 450: docs of 100 tokens → 4 admitted
+    rows = []
+    doc_id = 1
+    for s, tok, n in ((0, 150, 4), (1, 100, 6)):
+        for _ in range(n):
+            rows.append((doc_id, ("tok " * tok).strip(), f"src{s}"))
+            doc_id += 1
+    return rows
+
+
+@pytest.fixture()
+def mix_streamed(spark, tmp_path):
+    from cloudfront_kinesis_log_lambda_spark.streaming.quota import (
+        StreamingMixture,
+    )
+
+    rows = _mix_corpus()
+    land = str(tmp_path / "docs")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "mix")
+    now = time.time()
+    third = len(rows) // 3
+    _write_batch(land, "b0.json", rows[:third], now - 30)
+    _write_batch(land, "b1.json", rows[third : 2 * third], now - 20)
+    _write_batch(land, "b2.json", rows[2 * third :], now - 10)
+    gate = StreamingMixture(store, out)
+    q = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(DOC_SCHEMA)
+        .json(land)
+        .writeStream.foreachBatch(gate)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return rows, store, out, gate
+
+
+def test_streaming_mixture_matches_batch_operator(spark, mix_streamed):
+    from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
+        mixture_sample,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.quota import mixture_log
+
+    rows, _, out, _ = mix_streamed
+    full = spark.createDataFrame(
+        [(d, t, "en", s, len(t)) for d, t, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    batch = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"], r["budget"])
+        for r in mixture_sample(full).collect()
+    )
+    log = mixture_log(spark, out)
+    stream = sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["cum_tokens"], r["budget"])
+        for r in log.collect()
+        if r["admitted"] == 1
+    )
+    assert stream == batch
+    assert log.count() == len(rows)  # every doc decided
+    # skipped docs still consumed budget: src0's later docs stay out
+    assert any(r[1] == "src0" for r in batch) and len(
+        [r for r in batch if r[1] == "src0"]
+    ) == 2
+
+
+def test_fold_batch_store_preserves_admissions(spark, mix_streamed):
+    from cloudfront_kinesis_log_lambda_spark.streaming.quota import (
+        _TOKENS_SCHEMA,
+        mixture_log,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+        fold_batch_store,
+        read_batch_store,
+    )
+
+    rows, store, out, gate = mix_streamed
+    counts = os.path.join(store, "token_counts")
+    before = sorted(
+        map(tuple, read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    )
+    n = fold_batch_store(spark, counts, _TOKENS_SCHEMA, keep_last=1)
+    assert n == 2  # batches 0,1 folded; latest kept for retry safety
+    after = sorted(
+        map(tuple, read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    )
+    assert after == before
+    # a retry of the last batch AFTER folding still lands identically
+    decisions = sorted(
+        (r["doc_id"], r["admitted"]) for r in mixture_log(spark, out).collect()
+    )
+    third = len(rows) // 3
+    retry_df = spark.createDataFrame(rows[2 * third :], DOC_SCHEMA)
+    gate(retry_df, 2)
+    assert (
+        sorted((r["doc_id"], r["admitted"]) for r in mixture_log(spark, out).collect())
+        == decisions
+    )
