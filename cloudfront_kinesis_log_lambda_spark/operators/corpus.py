@@ -202,7 +202,12 @@ def quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def dup_span_stats(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
     """Position-level duplicated-span statistics — the signal behind
     exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better": memorization tracks
@@ -221,17 +226,22 @@ def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataF
     count is bounded by distinct-grams-per-doc, same as novelty; the
     positional multiplicity rides along as an integer. Then one
     partial+final sum on (gram) for corpus totals, a shuffle join back,
-    and a (doc_id) fold. Production mode hashes grams to int64 first
-    (``text.contamination(hash_grams=True)`` pattern).
+    and a (doc_id) fold. ``hash_grams=True`` is the production mode
+    (``text.contamination(hash_grams=True)`` pattern): grams collapse
+    to xxhash64 int64s before the first exchange — strings for oracle
+    parity, hashes at scale (equality pinned in test_corpus).
     """
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import gram_list
 
-    per = (
-        ensure_parallelism(docs)
-        .select("doc_id", F.explode(gram_list(text_col, n)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("c"))
+    grams = ensure_parallelism(docs).select(
+        "doc_id", F.explode(gram_list(text_col, n)).alias("gram")
     )
+    if hash_grams:
+        # production mode: collapse grams to xxhash64 int64s BEFORE the
+        # first exchange — same contract as contamination(hash_grams):
+        # ~10× smaller shuffle rows, 2⁻⁶⁴-per-pair collision rate
+        grams = grams.select("doc_id", F.xxhash64("gram").alias("gram"))
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
     tot = per.groupBy("gram").agg(F.sum("c").alias("total"))
     dup = F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(F.lit(0)))
     return (
@@ -252,7 +262,12 @@ def dup_span_stats(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataF
     )
 
 
-def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def gram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
     """Per-document n-gram novelty: the fraction of a document's distinct
     word n-grams whose corpus-wide first occurrence (min doc_id) is this
     document. Low novelty ⇒ the document is assembled from text already
@@ -269,14 +284,17 @@ def gram_novelty(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
     index, a shuffle join on (shingle) probes it, and one (doc_id)
     aggregate folds the counts. Three exchanges, all on compact rows —
     the same skeleton as ``text.contamination`` except the index side is
-    the corpus itself, so it can never broadcast. Production mode would
-    collapse shingles to xxhash64 int64s before the first exchange
-    (exactly as ``contamination(hash_grams=True)`` does) — kept as
-    strings here for oracle parity.
+    the corpus itself, so it can never broadcast. ``hash_grams=True`` is
+    the production mode (exactly as ``contamination(hash_grams=True)``):
+    shingles collapse to xxhash64 int64s before the first exchange —
+    strings for oracle parity, hashes at scale (equality pinned in
+    test_corpus).
     """
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
 
     sh = shingles(docs, n, text_col)
+    if hash_grams:
+        sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel_frac = F.col("n_novel") / F.col("n_grams")
     return (

@@ -358,3 +358,21 @@ def test_quality_sample_coin_is_knuth_hash_of_doc_id(spark):
     # exactly the ids whose hash-coin clears the bar are in the sample
     assert got == {d: c for d, c in expect.items() if c < q}
     assert 0 in got  # doc 0's coin is 0.0 — accepted at any quality > 0
+
+
+# --- hashed-gram production mode parity -------------------------------------
+
+
+def test_hashed_gram_modes_match_string_modes(spark, sf_dir):
+    """hash_grams=True (int64 shuffles) must produce identical results
+    to the oracle-checked string mode on the real corpus — the same
+    pinning contamination's production mode has."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(C.gram_novelty(docs)) == rows(C.gram_novelty(docs, hash_grams=True))
+    assert rows(C.dup_span_stats(docs)) == rows(
+        C.dup_span_stats(docs, hash_grams=True)
+    )
