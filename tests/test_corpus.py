@@ -376,3 +376,28 @@ def test_hashed_gram_modes_match_string_modes(spark, sf_dir):
     assert rows(C.dup_span_stats(docs)) == rows(
         C.dup_span_stats(docs, hash_grams=True)
     )
+
+
+# --- degenerate inputs ------------------------------------------------------
+
+
+def test_corpus_ops_on_empty_and_blank_corpora(spark):
+    """An empty corpus (or one that tokenizes to nothing) must yield
+    empty results everywhere — not a crash in a sequence(), divide, or
+    window. The 100 TB relevance: per-partition emptiness is routine
+    after selective filters."""
+    empty = _docs(spark, [])
+    blank = _docs(spark, [("", 0), ("   ", 1)])
+    for docs in (empty, blank):
+        assert C.gram_novelty(docs).count() == 0
+        assert C.dup_span_stats(docs).count() == 0
+        # blank docs HAVE rows in accounting ops; they just carry zeros
+    assert C.unigram_logprob(empty).count() == 0
+    assert C.source_quota(empty).count() == 0
+    assert C.mixture_sample(empty).count() == 0
+    assert C.quality_sample(empty).count() == 0
+    # blank docs: 0 tokens ⇒ cum 0 <= budget ⇒ admitted with 0 cost
+    mix = {r["doc_id"]: r["n_tokens"] for r in C.mixture_sample(blank).collect()}
+    assert mix == {0: 0, 1: 0}
+    # unigram over a blank-only corpus: no terms at all
+    assert C.unigram_logprob(blank).count() == 0
