@@ -111,3 +111,25 @@ def test_scd2_and_cohorts_plan_shapes(spark, sf_dir):
     )
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_analytics_ops_on_empty_events(spark):
+    """Empty events must yield empty results (filters routinely drain a
+    partition at scale) — not a NULL-propagation crash in the day-0
+    anchor, the cohort join, or the window chain."""
+    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
+
+    empty = _events(spark, [])
+    orig = R.load
+    try:
+        R.load = lambda spark, sf_dir, name: empty
+        assert R.events_retention_cohorts(spark, "unused").count() == 0
+        assert R.user_value_scd2(spark, "unused").count() == 0
+        assert R.events_pattern_match(spark, "unused").count() == 0
+        funnel = {
+            r["stage"]: r["n_users"]
+            for r in R.events_funnel(spark, "unused").collect()
+        }
+        assert funnel == {"1_view": 0, "2_click": 0, "3_purchase": 0}
+    finally:
+        R.load = orig
