@@ -119,8 +119,16 @@ def compact_partitions(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-    shutil.rmtree(part_dir)
+    # rename-first swap: the old partition moves aside before the new
+    # one takes its name, so no crash point loses data — a crash leaves
+    # either the original intact (+ tmp), a briefly-missing dir with
+    # BOTH copies recoverable by name, or the new dir (+ .old to sweep).
+    # The old rmtree-then-rename order had a window where the partition
+    # was gone and the replacement not yet named.
+    trash = f"{part_dir}.old-{os.getpid()}"
+    os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
+    shutil.rmtree(trash)
     # report what actually landed: range partitions can be empty (few
     # distinct z-values) and coalesce can't split, so the real file
     # count may undershoot the computed target

@@ -52,6 +52,14 @@ def fold_batch_store(
     Same temp-dir-then-swap discipline as
     ``sinks/parquet.py::compact_partitions``. Returns the number of
     delta directories folded away.
+
+    Crash-safety contract: the fold is NOT atomic across directories —
+    a crash between the delta deletes and the final rename leaves the
+    folded rows only in the ``_folding-<pid>`` temp dir (recover by
+    renaming it to ``batch=-2``; nothing is lost, but reads miss the
+    folded history until then). Run it from a single maintenance job,
+    never concurrently with itself — the same operational contract as
+    compacting an active store partition.
     """
     import shutil
 
