@@ -1,0 +1,177 @@
+"""Bucketed copy-on-write upsert store: exactly-once keyed MERGE for
+Structured Streaming, without a table format.
+
+The append-only ``batch=<id>`` stores (streaming/store.py) cover
+monotone state — indexes, counters, logs. What they cannot express is
+keyed MUTATION: "close the user's current SCD2 row and append the new
+version" rewrites rows written by earlier batches. Lakehouse engines
+spell this MERGE INTO; this module is the same copy-on-write shape in
+plain parquet:
+
+- rows live in ``bucket=<b>`` directories, ``b = pmod(xxhash64(key), n)``
+  (hash-bucketed so a micro-batch touches only its keys' buckets);
+- each micro-batch rewrites ONLY the touched buckets: read their
+  current rows, merge with the batch (a caller-supplied deterministic
+  DataFrame→DataFrame transform), write the bucket's new content to a
+  temp dir, rename-first swap (sinks/parquet.py discipline);
+- exactly-once across foreachBatch retries via a per-bucket
+  ``_applied.json`` watermark: a bucket whose last applied batch id
+  ≥ the incoming id is skipped, so a retry re-merges only the buckets
+  the failed attempt never reached — each bucket applies each batch
+  exactly once, in order (the same per-partition idempotence contract
+  a Delta/Hudi CoW commit gives, minus the table-format metadata).
+
+100 TB shape: per-batch cost = Σ size of touched buckets (copy-on-
+write's honest price — size ``n_buckets`` so a bucket is a few hundred
+MB and a batch touches few of them). The merge recompute is bounded by
+bucket size, never corpus size. Readers see bucket-atomic state: a
+reader racing the swap of bucket 7 sees its old or new content, never
+a mix.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class BucketedUpsertStore:
+    """Keyed copy-on-write store with per-bucket exactly-once batch
+    application.
+
+    >>> store = BucketedUpsertStore(path, key_col="user_id", n_buckets=16)
+    >>> q = (stream.writeStream
+    ...      .foreachBatch(lambda df, bid: store.apply(df, bid, merge))
+    ...      .start())
+
+    ``merge(current, incoming)`` receives the touched buckets' current
+    rows and the batch's rows (both carrying ``bucket``) and returns the
+    buckets' COMPLETE new content — it must be deterministic and must
+    not drop the ``bucket`` column.
+    """
+
+    def __init__(self, path: str, key_col: str, n_buckets: int = 16) -> None:
+        self.path = path
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    def _bucket(self) -> Column:
+        return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets)).cast("int")
+
+    def _bucket_dir(self, b: int) -> str:
+        return os.path.join(self.path, f"bucket={b}")
+
+    def _applied(self, b: int) -> int:
+        meta = os.path.join(self._bucket_dir(b), "_applied.json")
+        if not os.path.isfile(meta):
+            return -1
+        with open(meta) as f:
+            return json.load(f)["batch"]
+
+    def read(self, spark: SparkSession, schema: str) -> DataFrame:
+        """Current store content (all buckets), without the bucket col."""
+        dirs = [
+            os.path.join(self.path, e)
+            for e in os.listdir(self.path)
+            if e.startswith("bucket=")
+        ]
+        dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return (
+            spark.read.schema(schema + ", bucket int")
+            .option("basePath", self.path)
+            .parquet(*dirs)
+            .drop("bucket")
+        )
+
+    def apply(
+        self,
+        batch_df: DataFrame,
+        batch_id: int,
+        merge: Callable[[DataFrame, DataFrame], DataFrame],
+    ) -> list[int]:
+        """Merge one micro-batch into the store; returns the bucket ids
+        actually rewritten (retried buckets already at ``batch_id`` are
+        skipped)."""
+        spark = batch_df.sparkSession
+        incoming = batch_df.withColumn("bucket", self._bucket())
+        touched = sorted(
+            r["bucket"] for r in incoming.select("bucket").distinct().collect()
+        )
+        todo = [b for b in touched if self._applied(b) < batch_id]
+        if not todo:
+            return []
+        incoming = incoming.filter(F.col("bucket").isin(todo))
+        existing_dirs = [
+            self._bucket_dir(b)
+            for b in todo
+            if os.path.isdir(self._bucket_dir(b))
+            and any(f.endswith(".parquet") for f in os.listdir(self._bucket_dir(b)))
+        ]
+        data_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in batch_df.schema.fields
+        )
+        if existing_dirs:
+            current = (
+                spark.read.schema(data_schema + ", bucket int")
+                .option("basePath", self.path)
+                .parquet(*existing_dirs)
+            )
+        else:
+            current = spark.createDataFrame([], data_schema + ", bucket int")
+        merged = merge(current, incoming).localCheckpoint(eager=True)
+
+        tmp_root = os.path.join(self.path, f"_merging-{os.getpid()}")
+        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp_root)
+        for b in todo:
+            src = os.path.join(tmp_root, f"bucket={b}")
+            dst = self._bucket_dir(b)
+            if not os.path.isdir(src):
+                os.makedirs(src)  # bucket merged to empty: keep the marker
+            trash = f"{dst}.old-{os.getpid()}"
+            if os.path.isdir(dst):
+                os.rename(dst, trash)
+            os.rename(src, dst)
+            shutil.rmtree(trash, ignore_errors=True)
+            with open(os.path.join(dst, "_applied.json"), "w") as f:
+                json.dump({"batch": batch_id}, f)
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        return todo
+
+
+def scd2_merge(daily_schema_key: str = "user_id"):
+    """Merge function for incremental SCD2 maintenance: the store holds
+    versioned rows (key, n_events, day_value, valid_from, valid_to,
+    is_current); incoming micro-batches carry NEW daily observations in
+    the same shape (valid_to='9999-12-31', is_current=1). The merge
+    recomputes each touched bucket's valid_to chain from the union —
+    deterministic, so a bucket-level retry reproduces itself exactly."""
+    from pyspark.sql import Window
+
+    def merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        all_rows = current.unionByName(incoming).dropDuplicates(
+            [daily_schema_key, "valid_from"]
+        )
+        w = Window.partitionBy(daily_schema_key).orderBy("valid_from")
+        nxt = F.lead("valid_from").over(w)
+        return all_rows.select(
+            daily_schema_key,
+            "n_events",
+            "day_value",
+            "valid_from",
+            F.coalesce(nxt, F.lit("9999-12-31")).alias("valid_to"),
+            F.isnull(nxt).cast("int").alias("is_current"),
+            "bucket",
+        )
+
+    return merge
