@@ -24,6 +24,17 @@ from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
 from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
 
 
+def n_tokens_col(text_col: str = "text") -> Column:
+    """Empty-term-safe whitespace token count: a blank document is 0
+    tokens (split of a trimmed empty string yields ['']). THE token
+    accounting rule for mixture budgets — the batch operator and its
+    streaming twin must share this expression or their parity silently
+    drifts."""
+    return F.size(
+        F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    ).cast("long")
+
+
 def _term_rows(docs: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, term) with empty terms dropped — the shared explode."""
     return (
@@ -148,12 +159,7 @@ def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     be cheaper but changes the semantics from fill-to-budget to
     expected-rate sampling.
     """
-    # empty-term-safe: a blank document is 0 tokens (split of a trimmed
-    # empty string yields [''] — without the filter it would charge 1
-    # token against the budget, diverging from _term_rows' accounting)
-    n_tok = F.size(
-        F.filter(_tokens(F.col(text_col)), lambda t: t != "")
-    ).cast("long")
+    n_tok = n_tokens_col(text_col)
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

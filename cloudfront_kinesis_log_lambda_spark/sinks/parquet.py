@@ -102,7 +102,12 @@ def compact_partitions(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(size / target_file_bytes))
-    tmp = f"{part_dir}.compacting-{os.getpid()}"
+    # dot-prefixed: the in-progress rewrite must not be discoverable as
+    # a sibling Hive partition while it is being written
+    tmp = os.path.join(
+        os.path.dirname(part_dir),
+        f".{os.path.basename(part_dir)}.compacting-{os.getpid()}",
+    )
     if zorder_by:
         from cloudfront_kinesis_log_lambda_spark.operators.layout import (
             write_zordered,
@@ -122,10 +127,17 @@ def compact_partitions(
     # rename-first swap: the old partition moves aside before the new
     # one takes its name, so no crash point loses data — a crash leaves
     # either the original intact (+ tmp), a briefly-missing dir with
-    # BOTH copies recoverable by name, or the new dir (+ .old to sweep).
-    # The old rmtree-then-rename order had a window where the partition
-    # was gone and the replacement not yet named.
-    trash = f"{part_dir}.old-{os.getpid()}"
+    # BOTH copies recoverable by name, or the new dir (+ trash to
+    # sweep). The trash name is DOT-prefixed: a bare sibling like
+    # "log_day=...old-pid" would be discovered as a real Hive partition
+    # by any reader racing the sweep (duplicate rows under a bogus
+    # partition value); dot-dirs are invisible to Spark's file index.
+    parent, base = os.path.split(part_dir)
+    # sweep any prior crashed run's trash for this partition first
+    for e in os.listdir(parent):
+        if e.startswith(f".{base}.old-"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+    trash = os.path.join(parent, f".{base}.old-{os.getpid()}")
     os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
     shutil.rmtree(trash)

@@ -130,8 +130,8 @@ class StreamingMixture:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
             _source_budget,
+            n_tokens_col,
         )
-        from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
 
         spark = batch_df.sparkSession
         batch_sources = batch_df.select("source").distinct()
@@ -141,9 +141,7 @@ class StreamingMixture:
             .groupBy("source")
             .agg(F.sum("seen_tokens").alias("prior"))
         )
-        n_tok = F.size(
-            F.filter(_tokens(F.col("text")), lambda t: t != "")
-        ).cast("long")
+        n_tok = n_tokens_col("text")  # THE shared budget-accounting rule
         w = (
             Window.partitionBy("source")
             .orderBy("doc_id")

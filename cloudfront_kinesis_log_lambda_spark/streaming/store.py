@@ -22,14 +22,35 @@ def read_batch_store(
     spark: SparkSession, path: str, schema: str, exclude_batch: int
 ) -> DataFrame:
     """All rows of a batch-partitioned store EXCEPT ``exclude_batch``'s
-    (empty DataFrame of ``schema`` if the store doesn't exist yet)."""
-    if not os.path.isdir(path) or not any(
-        e.startswith("batch=") for e in os.listdir(path)
-    ):
+    (empty DataFrame of ``schema`` if the store doesn't exist yet).
+
+    Fold-aware: if a fold manifest marks delta dirs as already swapped
+    into ``batch=-2`` (tmp gone ⇒ the rename committed) but not yet
+    deleted, those dirs are excluded — a reader racing the fold's
+    delete phase must not count folded rows twice.
+    """
+    import json
+
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], schema)
+    excluded: set[str] = set()
+    mp = _manifest_path(path)
+    if os.path.isfile(mp):
+        with open(mp) as f:
+            m = json.load(f)
+        if not os.path.isdir(os.path.join(path, m["tmp"])):
+            excluded = set(m["deltas"])
+    dirs = [
+        e
+        for e in os.listdir(path)
+        if e.startswith("batch=") and e not in excluded
+    ]
+    if not dirs:
         return spark.createDataFrame([], schema)
     return (
         spark.read.schema(schema + ", batch long")
-        .parquet(path)
+        .option("basePath", path)
+        .parquet(*[os.path.join(path, e) for e in dirs])
         .filter(F.col("batch") != exclude_batch)
         .drop("batch")
     )
@@ -53,18 +74,18 @@ def fold_batch_store(
     ``sinks/parquet.py::compact_partitions``. Returns the number of
     delta directories folded away.
 
-    Crash-safety contract: the fold is NOT atomic across directories —
-    a crash between the delta deletes and the final rename leaves the
-    folded rows only in the ``_folding-<pid>`` temp dir (recover by
-    renaming it to ``batch=-2``; nothing is lost, but reads miss the
-    folded history until then). Run it from a single maintenance job,
-    never concurrently with itself — the same operational contract as
+    Crash-safety: a ``_fold_manifest.json`` (written atomically AFTER
+    the temp dir is complete, removed only after every delete finished)
+    makes any crash point recoverable — the next fold call first
+    completes the pending fold it describes, so no window loses or
+    double-counts rows and a routine maintenance re-run cannot orphan a
+    crashed run's output. Run from a single maintenance job, never
+    concurrently with itself — the same operational contract as
     compacting an active store partition.
     """
-    import shutil
-
     if not os.path.isdir(path):
         return 0
+    _recover_fold(path)
     deltas = sorted(
         (int(e.split("=", 1)[1]), e)
         for e in os.listdir(path)
@@ -77,6 +98,8 @@ def fold_batch_store(
     folded = (
         spark.read.schema(schema + ", batch long")
         .parquet(path)
+        # the old fold dir's rows are part of the new fold, so the
+        # manifest can delete/replace it without loss
         .filter(F.col("batch").isin(fold_ids + [-2]))
         .drop("batch")
         # materialize BEFORE deleting the inputs (lazy plan would read
@@ -85,9 +108,57 @@ def fold_batch_store(
     )
     tmp = os.path.join(path, f"_folding-{os.getpid()}")
     folded.write.mode("overwrite").parquet(tmp)
-    for _, e in to_fold:
-        shutil.rmtree(os.path.join(path, e))
-    target = os.path.join(path, "batch=-2")
-    shutil.rmtree(target, ignore_errors=True)
-    os.rename(tmp, target)
+    _write_manifest(path, {"tmp": os.path.basename(tmp),
+                           "deltas": [e for _, e in to_fold]})
+    _complete_fold(path)
     return len(to_fold)
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, "_fold_manifest.json")
+
+
+def _write_manifest(path: str, obj: dict) -> None:
+    import json
+
+    tmp = _manifest_path(path) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, _manifest_path(path))  # atomic on POSIX
+
+
+def _complete_fold(path: str) -> None:
+    """Execute (or re-execute) the swap+deletes a manifest describes.
+    Every step is idempotent, so this can resume from any crash point:
+    the tmp dir REPLACES batch=-2 (tmp was built as a superset of the
+    old fold's rows), then the folded delta dirs die, then the
+    manifest."""
+    import json
+    import shutil
+
+    mp = _manifest_path(path)
+    if not os.path.isfile(mp):
+        return
+    with open(mp) as f:
+        m = json.load(f)
+    tmp = os.path.join(path, m["tmp"])
+    target = os.path.join(path, "batch=-2")
+    if os.path.isdir(tmp):
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+    for e in m["deltas"]:
+        shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+    os.remove(mp)
+
+
+def _recover_fold(path: str) -> None:
+    """Finish a crashed fold before starting a new one; also sweep any
+    orphaned _folding-* temp dirs from runs that died before writing
+    their manifest (their content is still fully present in the deltas,
+    so deleting them is lossless)."""
+    import shutil
+
+    _complete_fold(path)
+    for e in os.listdir(path):
+        if e.startswith("_folding-"):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)

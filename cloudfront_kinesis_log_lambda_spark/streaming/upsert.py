@@ -36,8 +36,20 @@ import os
 import shutil
 from collections.abc import Callable
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    """Marker files must never be observable half-written: a truncated
+    _applied.json would wedge every retry. Write-then-rename is atomic
+    on POSIX."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, path)
 
 
 class BucketedUpsertStore:
@@ -60,6 +72,36 @@ class BucketedUpsertStore:
         self.key_col = key_col
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        # pin the layout: reopening with a different n_buckets/key_col
+        # would silently misroute keys to the wrong buckets
+        meta_path = os.path.join(path, "_store.json")
+        meta = {"key_col": key_col, "n_buckets": n_buckets}
+        if os.path.isfile(meta_path):
+            with open(meta_path) as f:
+                existing = json.load(f)
+            if existing != meta:
+                raise ValueError(
+                    f"store at {path} was created with {existing}, "
+                    f"reopened with {meta}"
+                )
+        else:
+            _atomic_write_json(meta_path, meta)
+
+    def _recover(self) -> None:
+        """Finish any crashed swap: a ``.bucket=<b>.old-<pid>`` trash dir
+        whose live ``bucket=<b>`` is MISSING marks a crash between the
+        two renames — put the original back; one whose live dir exists
+        marks a crash after the swap — sweep it. Dot-prefixed names keep
+        the trash invisible to Spark and to read()'s dir filter."""
+        for e in os.listdir(self.path):
+            if not (e.startswith(".bucket=") and ".old-" in e):
+                continue
+            live = os.path.join(self.path, e[1:].split(".old-")[0])
+            trash = os.path.join(self.path, e)
+            if os.path.isdir(live):
+                shutil.rmtree(trash, ignore_errors=True)
+            else:
+                os.rename(trash, live)
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets)).cast("int")
@@ -71,15 +113,22 @@ class BucketedUpsertStore:
         meta = os.path.join(self._bucket_dir(b), "_applied.json")
         if not os.path.isfile(meta):
             return -1
-        with open(meta) as f:
-            return json.load(f)["batch"]
+        try:
+            with open(meta) as f:
+                return json.load(f)["batch"]
+        except (ValueError, KeyError):
+            # torn marker can't happen with the atomic-rename writes,
+            # but tolerate an external mangling: re-applying is safe for
+            # deterministic merges over (key, version) rows
+            return -1
 
     def read(self, spark: SparkSession, schema: str) -> DataFrame:
         """Current store content (all buckets), without the bucket col."""
+        self._recover()
         dirs = [
             os.path.join(self.path, e)
             for e in os.listdir(self.path)
-            if e.startswith("bucket=")
+            if re.fullmatch(r"bucket=\d+", e)
         ]
         dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
         if not dirs:
@@ -101,6 +150,7 @@ class BucketedUpsertStore:
         actually rewritten (retried buckets already at ``batch_id`` are
         skipped)."""
         spark = batch_df.sparkSession
+        self._recover()
         incoming = batch_df.withColumn("bucket", self._bucket())
         touched = sorted(
             r["bucket"] for r in incoming.select("bucket").distinct().collect()
@@ -136,13 +186,18 @@ class BucketedUpsertStore:
             dst = self._bucket_dir(b)
             if not os.path.isdir(src):
                 os.makedirs(src)  # bucket merged to empty: keep the marker
-            trash = f"{dst}.old-{os.getpid()}"
+            # dot-prefix: invisible to Spark scans and read()'s filter,
+            # and recoverable by _recover() from any crash point
+            trash = os.path.join(
+                self.path, f".bucket={b}.old-{os.getpid()}"
+            )
             if os.path.isdir(dst):
                 os.rename(dst, trash)
             os.rename(src, dst)
             shutil.rmtree(trash, ignore_errors=True)
-            with open(os.path.join(dst, "_applied.json"), "w") as f:
-                json.dump({"batch": batch_id}, f)
+            _atomic_write_json(
+                os.path.join(dst, "_applied.json"), {"batch": batch_id}
+            )
         shutil.rmtree(tmp_root, ignore_errors=True)
         return todo
 
@@ -159,8 +214,17 @@ def scd2_merge(daily_schema_key: str = "user_id"):
     def merge(current: DataFrame, incoming: DataFrame) -> DataFrame:
         from pyspark.sql import functions as F
 
-        all_rows = current.unionByName(incoming).dropDuplicates(
-            [daily_schema_key, "valid_from"]
+        # conflicts on (key, valid_from) resolve to the INCOMING row —
+        # deterministically (a bare dropDuplicates keeps an arbitrary
+        # copy, so a same-day correction would be applied or discarded
+        # by shuffle placement; MERGE semantics say update wins)
+        keys = [daily_schema_key, "valid_from"]
+        incoming = incoming.dropDuplicates(keys)  # caller contract: one
+        # observation per (key, day) per batch; this guards the union
+        all_rows = incoming.unionByName(
+            current.join(
+                incoming.select(*keys).distinct(), keys, "left_anti"
+            )
         )
         w = Window.partitionBy(daily_schema_key).orderBy("valid_from")
         nxt = F.lead("valid_from").over(w)

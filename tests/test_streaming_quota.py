@@ -212,3 +212,48 @@ def test_fold_batch_store_preserves_admissions(spark, mix_streamed):
         sorted((r["doc_id"], r["admitted"]) for r in mixture_log(spark, out).collect())
         == decisions
     )
+
+
+def test_fold_crash_recovery_no_loss_no_double_count(spark, mix_streamed):
+    """A fold that crashed at any point must be completed by the next
+    call with no row lost or duplicated: simulate the worst window —
+    tmp written, manifest committed, nothing else done."""
+    import json
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.quota import (
+        _TOKENS_SCHEMA,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming import store as S
+
+    rows, store, out, gate = mix_streamed
+    counts = os.path.join(store, "token_counts")
+    before = sorted(
+        map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    )
+    # hand-stage the crashed fold: folded rows for batches 0,1 in tmp +
+    # a committed manifest, deltas still present, no swap done
+    fold_dirs = sorted(
+        e for e in os.listdir(counts) if e.startswith("batch=")
+    )[:2]
+    folded = (
+        spark.read.schema(_TOKENS_SCHEMA + ", batch long")
+        .option("basePath", counts)
+        .parquet(*[os.path.join(counts, e) for e in fold_dirs])
+        .drop("batch")
+    )
+    tmp = os.path.join(counts, "_folding-99999")
+    folded.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(counts, "_fold_manifest.json"), "w") as f:
+        json.dump({"tmp": "_folding-99999", "deltas": fold_dirs}, f)
+    # reads BEFORE recovery: tmp still present ⇒ rename not committed ⇒
+    # deltas are authoritative, totals unchanged
+    assert sorted(
+        map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    ) == before
+    # the next fold call first completes the crashed one
+    n = S.fold_batch_store(spark, counts, _TOKENS_SCHEMA, keep_last=1)
+    assert not os.path.isfile(os.path.join(counts, "_fold_manifest.json"))
+    after = sorted(
+        map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    )
+    assert after == before

@@ -136,3 +136,46 @@ def test_partial_failure_retry_converges(spark, tmp_path):
     b.apply(one_bucket, 1, merge)  # the partial attempt
     b.apply(_daily(spark, b1), 1, merge)  # the retry over the full batch
     assert _rows(a.read(spark, SCD2_SCHEMA)) == _rows(b.read(spark, SCD2_SCHEMA))
+
+
+def test_crashed_swap_recovers_bucket_history(spark, tmp_path):
+    """The worst swap window — bucket renamed to trash, replacement not
+    yet in place — must be healed by _recover() on the next apply/read,
+    not rebuilt-from-empty by the retry (which would silently drop the
+    bucket's entire history)."""
+    import os
+    import shutil
+
+    merge = scd2_merge()
+    store = BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=2)
+    store.apply(_daily(spark, [(u, "2024-01-01", 1, 1.0) for u in (1, 2, 3)]), 0, merge)
+    before = _rows(store.read(spark, SCD2_SCHEMA))
+    # simulate the crash: some bucket vanishes into a dot-trash dir
+    b = next(e for e in os.listdir(store.path) if e.startswith("bucket="))
+    os.rename(
+        os.path.join(store.path, b), os.path.join(store.path, f".{b}.old-123")
+    )
+    assert _rows(store.read(spark, SCD2_SCHEMA)) == before  # healed
+    # and a crash AFTER the swap (trash left behind) is swept, not read
+    shutil.copytree(
+        os.path.join(store.path, b), os.path.join(store.path, f".{b}.old-456")
+    )
+    assert _rows(store.read(spark, SCD2_SCHEMA)) == before  # no doubles
+
+
+def test_reopening_with_different_layout_is_refused(spark, tmp_path):
+    BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=16)
+
+
+def test_same_day_correction_is_deterministically_applied(spark, tmp_path):
+    """MERGE semantics: a re-emitted (key, day) observation replaces the
+    stored one — never an arbitrary survivor."""
+    merge = scd2_merge()
+    store = BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=2)
+    store.apply(_daily(spark, [(1, "2024-01-01", 1, 10.0)]), 0, merge)
+    store.apply(_daily(spark, [(1, "2024-01-01", 2, 20.0)]), 1, merge)
+    rows = store.read(spark, SCD2_SCHEMA).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 2 and rows[0]["day_value"] == 20.0
