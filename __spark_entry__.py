@@ -114,9 +114,9 @@ _FRONT = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "ann_incremental_index",
     "embedding_pairs_lsh",
     "multimodal_asset_dedup",
+    "scd2_incremental_roundtrip",
 ]
 _FILL: list[str] = [
     # empty this round: the second build wave's 17 new oracle entries
@@ -125,12 +125,13 @@ _FILL: list[str] = [
     # pricing_summary additionally lands in BENCH_r05 every round)
 ]
 _TAIL = [
-    # rows-only entries with existing driver rows (r1-r4), plus
-    # near_dup_incremental — its one-time pass deferred to r6 when the
-    # second build wave's 17th oracle entry (multimodal_asset_dedup,
-    # hash-capable evidence) took the last slot; its stream==batch
-    # parity gate in test_streaming_dedup stands in meanwhile
+    # rows-only entries with existing driver rows (r1-r4), plus the two
+    # one-time passes deferred to r6 (hash-capable new oracle entries
+    # outranked them for the last window slots; their exact-parity /
+    # recall gates in test_streaming_dedup and
+    # test_streaming_vector_index stand in meanwhile)
     "near_dup_incremental",
+    "ann_incremental_index",
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",

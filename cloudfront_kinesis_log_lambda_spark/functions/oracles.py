@@ -357,6 +357,24 @@ ORACLE_SQL: dict[str, str] = {
                     AS INT) AS is_current
         FROM daily
     """,
+    # incremental twin: same oracle — the upsert store must
+    # reconstruct exactly the batch operator's history
+    "scd2_incremental_roundtrip": """
+        WITH daily AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 COUNT(*) AS n_events,
+                 ROUND(SUM(value), 2) AS day_value
+          FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-09' GROUP BY 1, 2)
+        SELECT user_id,
+               n_events,
+               day_value,
+               strftime(day, '%Y-%m-%d') AS valid_from,
+               COALESCE(strftime(LEAD(day) OVER (PARTITION BY user_id ORDER BY day),
+                                 '%Y-%m-%d'), '9999-12-31') AS valid_to,
+               CAST(LEAD(day) OVER (PARTITION BY user_id ORDER BY day) IS NULL
+                    AS INT) AS is_current
+        FROM daily
+    """,
     "recent_orders_lateral": """
         WITH ranked AS (
           SELECT c.c_custkey, c.c_mktsegment,

@@ -514,6 +514,60 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "modality", "n_bytes", "checksum")
 
 
+def scd2_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink evidence for the copy-on-write upsert store: the events
+    table split into per-day micro-batches, each MERGEd into a
+    BucketedUpsertStore via scd2_merge, then read back — the oracle is
+    the one-shot batch SCD2 over the same events, so the hash match
+    proves the incremental keyed-MERGE maintenance (touched-bucket
+    rewrites, per-bucket watermarks) reconstructs the exact history.
+    Bounded to the first 8 days: each day is one apply() = several
+    Spark jobs, and 8 MERGE rounds already exercise every store path
+    (new buckets, reopened buckets, multi-version chains)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.upsert import (
+        BucketedUpsertStore,
+        scd2_merge,
+    )
+
+    out = os.path.join(
+        tempfile.gettempdir(), f"cfkll-scd2-store-{os.getpid()}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    e = R.load(spark, sf_dir, "events").filter(
+        F.to_date("ts") < F.lit("2024-01-09").cast("date")
+    )
+    daily = (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("day_value"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "day_value",
+            F.date_format("day", "yyyy-MM-dd").alias("valid_from"),
+            F.lit("9999-12-31").alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    days = sorted(r["valid_from"] for r in daily.select("valid_from").distinct().collect())
+    store = BucketedUpsertStore(out, "user_id", n_buckets=8)
+    merge = scd2_merge()
+    for i, day in enumerate(days):
+        store.apply(daily.filter(F.col("valid_from") == day), i, merge)
+    schema = (
+        "user_id long, n_events long, day_value double, "
+        "valid_from string, valid_to string, is_current int"
+    )
+    back = store.read(spark, schema).localCheckpoint(eager=True)
+    shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
 def multimodal_asset_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over BINARY asset payloads (the multimodal face of
     doc_exact_dedup): checksum-groupBy on the opaque payload column —
@@ -785,6 +839,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack_sequences": doc_pack_sequences,
     "doc_table_profile": doc_table_profile,
     "multimodal_asset_dedup": multimodal_asset_dedup,
+    "scd2_incremental_roundtrip": scd2_incremental_roundtrip,
     "training_shards_roundtrip": training_shards_roundtrip,
     "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,

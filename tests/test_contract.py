@@ -33,10 +33,12 @@ ROWS_ONLY = {
 #: so every registry entry has at least one driver-environment execution
 #: row (r4 VERDICT item 5 + the standing policy in __spark_entry__.py).
 #: From r6 these move behind every oracle-backed entry again — drain
-#: this set then. near_dup_incremental's one-time pass was DEFERRED to
-#: r6 (the 17th new oracle entry outranked it for the last slot; its
-#: exact stream==batch parity gate in test_streaming_dedup covers it
-#: until then) — r6 must give it the slot.
+#: this set then. near_dup_incremental's and ann_incremental_index's
+#: one-time passes were DEFERRED to r6 (new hash-capable oracle entries
+#: outranked them for the last slots; their exact stream==batch parity /
+#: pruned-plan gates in test_streaming_dedup and
+#: test_streaming_vector_index cover them until then) — r6 must give
+#: them the slots.
 ROWS_ONLY_ONE_TIME_WINDOW = {
     "doc_semantic_dedup",
     "cloudfront_enriched",
@@ -45,7 +47,6 @@ ROWS_ONLY_ONE_TIME_WINDOW = {
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
-    "ann_incremental_index",
     "embedding_pairs_lsh",
 }
 
