@@ -95,6 +95,7 @@ def compact_partitions(
     part_dir = os.path.join(
         path, *[f"{k}={v}" for k, v in partition_values]
     )
+    _recover_compaction(part_dir)
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(part_dir)
@@ -124,27 +125,97 @@ def compact_partitions(
             .write.mode("overwrite")
             .parquet(tmp)
         )
-    # rename-first swap: the old partition moves aside before the new
-    # one takes its name, so no crash point loses data — a crash leaves
-    # either the original intact (+ tmp), a briefly-missing dir with
-    # BOTH copies recoverable by name, or the new dir (+ trash to
-    # sweep). The trash name is DOT-prefixed: a bare sibling like
+    # rename-first swap, manifest-journaled: the old partition moves
+    # aside before the new one takes its name, and a dot-prefixed
+    # manifest records (tmp, trash) so _recover_compaction can finish or
+    # roll back from ANY crash point without guessing — in particular a
+    # trash dir is never deleted unless the manifest proves the swap
+    # completed (sweeping on sight would destroy the only copy when a
+    # racing append recreated the live dir after a mid-swap crash). All
+    # transient names are DOT-prefixed: a bare sibling like
     # "log_day=...old-pid" would be discovered as a real Hive partition
-    # by any reader racing the sweep (duplicate rows under a bogus
-    # partition value); dot-dirs are invisible to Spark's file index.
+    # by readers (duplicate rows under a bogus partition value).
     parent, base = os.path.split(part_dir)
-    # sweep any prior crashed run's trash for this partition first
-    for e in os.listdir(parent):
-        if e.startswith(f".{base}.old-"):
-            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
     trash = os.path.join(parent, f".{base}.old-{os.getpid()}")
+    from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+        atomic_write_json,
+    )
+
+    atomic_write_json(
+        _compact_manifest_path(part_dir),
+        {"tmp": os.path.basename(tmp), "trash": os.path.basename(trash)},
+    )
     os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
     shutil.rmtree(trash)
+    os.remove(_compact_manifest_path(part_dir))
     # report what actually landed: range partitions can be empty (few
     # distinct z-values) and coalesce can't split, so the real file
     # count may undershoot the computed target
     return sum(1 for f in os.listdir(part_dir) if f.endswith(".parquet"))
+
+
+def _compact_manifest_path(part_dir: str) -> str:
+    import os
+
+    parent, base = os.path.split(part_dir)
+    return os.path.join(parent, f".{base}.compact_manifest.json")
+
+
+def _recover_compaction(part_dir: str) -> None:
+    """Finish or roll back a crashed compaction of ``part_dir`` from any
+    crash point, then sweep unreferenced dot-temp dirs. State machine
+    over (manifest, tmp, live, trash) existence:
+
+    - no manifest → only pre-manifest temps can exist; their content is
+      still fully in the live dir, sweep them.
+    - manifest + tmp + live + no trash → crashed before the first
+      rename: nothing moved; drop tmp + manifest (recompute fresh).
+    - manifest + tmp + no live + trash → crashed between the renames:
+      the compacted tmp is complete — promote it, drop trash.
+    - manifest + tmp + live + trash → crashed between the renames AND a
+      racing append recreated the live dir: fold the appended files
+      into the original (names are unique part-<uuid>), restore it,
+      drop tmp — compaction re-runs later; nothing lost.
+    - manifest + no tmp → the swap committed: drop trash (if still
+      there) + manifest.
+    """
+    import json
+    import os
+    import shutil
+
+    parent, base = os.path.split(part_dir)
+    if not os.path.isdir(parent):
+        return
+    mp = _compact_manifest_path(part_dir)
+    if os.path.isfile(mp):
+        with open(mp) as f:
+            m = json.load(f)
+        tmp = os.path.join(parent, m["tmp"])
+        trash = os.path.join(parent, m["trash"])
+        live = os.path.isdir(part_dir)
+        if os.path.isdir(tmp):
+            if live and not os.path.isdir(trash):
+                shutil.rmtree(tmp)
+            elif not live and os.path.isdir(trash):
+                os.rename(tmp, part_dir)
+                shutil.rmtree(trash, ignore_errors=True)
+            elif live and os.path.isdir(trash):
+                for f in os.listdir(part_dir):
+                    if f.endswith(".parquet"):
+                        os.rename(
+                            os.path.join(part_dir, f), os.path.join(trash, f)
+                        )
+                shutil.rmtree(part_dir)
+                os.rename(trash, part_dir)
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+        os.remove(mp)
+    # pre-manifest temps (and post-recovery leftovers) are reproducible
+    for e in os.listdir(parent):
+        if e.startswith(f".{base}.compacting-") or e.startswith(f".{base}.old-"):
+            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
 
 
 def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:

@@ -28,9 +28,8 @@ instead of double-counting its own deltas.
 source) — semi-joined down to the batch's own sources before the
 aggregate, so the probe cost tracks the batch, not total history. The
 delta-dir count still grows one per batch; a long-lived stream folds
-them with the same compaction pattern as the parquet store
-(sinks/parquet.py::compact_partitions — merge deltas, keep the latest
-batch dir separate for retry safety). The admitted LOG is corpus-sized
+them with ``streaming/store.py::fold_batch_store`` (generational
+pointer — reader-race-free, keeps the newest deltas for retry safety). The admitted LOG is corpus-sized
 and append-only, as an audit log should be; nothing re-reads it on the
 hot path.
 """

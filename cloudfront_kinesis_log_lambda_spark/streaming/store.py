@@ -1,6 +1,7 @@
-"""Shared reader for ``batch=<id>``-partitioned incremental-index
-stores (the exactly-once-without-a-transaction-log pattern used by the
-streaming near-dup detector and novelty scorer).
+"""Shared reader + maintenance for ``batch=<id>``-partitioned
+incremental-index stores (the exactly-once-without-a-transaction-log
+pattern used by the streaming near-dup detector, novelty scorer, and
+admission gates).
 
 Every foreachBatch writer lands its state under a ``batch=<id>``
 directory with mode=overwrite, so a retried micro-batch rewrites its
@@ -8,14 +9,64 @@ own paths byte-for-byte. The read side of that contract lives here —
 in ONE place, because it is retry-safety-critical: excluding the
 current batch id guarantees a retry recomputes against exactly the
 pre-batch index instead of seeing its own half-written partition.
+
+Folding (the maintenance that stops a long-lived stream accumulating
+one directory per micro-batch) uses a GENERATIONAL POINTER so that
+readers racing the fold are always consistent:
+
+- folded rows live in underscore-prefixed ``_fold-<g>`` dirs —
+  invisible to any bare directory listing or Spark scan;
+- ``_fold_pointer.json`` (replaced atomically by rename, never removed)
+  names the current generation and the cumulative set of delta dirs it
+  absorbed. A reader resolves the pointer ONCE and reads
+  [pointer's fold dir] + [delta dirs not absorbed by it]: with the old
+  pointer it sees old fold + all deltas (correct — the new generation
+  isn't referenced yet); with the new pointer it sees new fold +
+  surviving deltas (correct — absorbed deltas are excluded whether or
+  not their dirs are deleted yet). No interleaving double-counts or
+  loses rows;
+- the PREVIOUS generation dir AND the deltas absorbed by the CURRENT
+  generation are kept as grace copies until the next fold, so a reader
+  that resolved the old pointer still finds every directory it listed —
+  the consistency bound is one full fold cycle, plenty for a reader
+  that materializes promptly (document: don't hold a lazy plan across
+  two maintenance folds);
+- crash recovery is sweep-only: un-pointed ``_fold-*`` dirs and
+  grace-expired absorbed deltas are deletable at any time (their
+  content is fully present in the pointed-to generation), and the next
+  fold call does so.
 """
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def atomic_write_json(path: str, obj: dict) -> None:
+    """Marker/pointer files must never be observable half-written (a
+    truncated pointer would wedge every reader). Write-then-rename is
+    atomic on POSIX; the shared helper for every store that needs it."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.rename(tmp, path)
+
+
+def _pointer_path(path: str) -> str:
+    return os.path.join(path, "_fold_pointer.json")
+
+
+def _read_pointer(path: str) -> dict:
+    pp = _pointer_path(path)
+    if not os.path.isfile(pp):
+        return {"gen": 0, "dir": None, "folded": [], "just_folded": []}
+    with open(pp) as f:
+        return json.load(f)
 
 
 def read_batch_store(
@@ -23,142 +74,114 @@ def read_batch_store(
 ) -> DataFrame:
     """All rows of a batch-partitioned store EXCEPT ``exclude_batch``'s
     (empty DataFrame of ``schema`` if the store doesn't exist yet).
-
-    Fold-aware: if a fold manifest marks delta dirs as already swapped
-    into ``batch=-2`` (tmp gone ⇒ the rename committed) but not yet
-    deleted, those dirs are excluded — a reader racing the fold's
-    delete phase must not count folded rows twice.
-    """
-    import json
-
+    Resolves the fold pointer once — see the module docstring for why
+    this is race-free against a concurrent fold."""
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
-    excluded: set[str] = set()
-    mp = _manifest_path(path)
-    if os.path.isfile(mp):
-        with open(mp) as f:
-            m = json.load(f)
-        if not os.path.isdir(os.path.join(path, m["tmp"])):
-            excluded = set(m["deltas"])
-    dirs = [
+    ptr = _read_pointer(path)
+    absorbed = set(ptr["folded"])
+    delta_dirs = [
         e
         for e in os.listdir(path)
-        if e.startswith("batch=") and e not in excluded
+        if e.startswith("batch=") and e not in absorbed
     ]
-    if not dirs:
+    parts = []
+    if delta_dirs:
+        parts.append(
+            spark.read.schema(schema + ", batch long")
+            .option("basePath", path)
+            .parquet(*[os.path.join(path, e) for e in delta_dirs])
+            .filter(F.col("batch") != exclude_batch)
+            .drop("batch")
+        )
+    if ptr["dir"] and os.path.isdir(os.path.join(path, ptr["dir"])):
+        # folded generations hold only strictly-old batches, which can
+        # never be the excluded (current/retrying) id — no filter needed
+        parts.append(
+            spark.read.schema(schema).parquet(os.path.join(path, ptr["dir"]))
+        )
+    if not parts:
         return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema + ", batch long")
-        .option("basePath", path)
-        .parquet(*[os.path.join(path, e) for e in dirs])
-        .filter(F.col("batch") != exclude_batch)
-        .drop("batch")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def fold_batch_store(
     spark: SparkSession, path: str, schema: str, keep_last: int = 1
 ) -> int:
-    """Maintenance: merge all but the newest ``keep_last`` ``batch=<id>``
-    delta directories into one folded directory, so a long-lived
-    stream's store stops accumulating one directory per micro-batch.
+    """Maintenance: absorb all but the newest ``keep_last`` ``batch=<id>``
+    delta directories into the next fold generation. Returns the number
+    of delta directories absorbed this call.
 
-    The newest ids stay as-is — a retry of the CURRENT batch must still
-    find its own partition distinct from history (the exclude-current
-    read contract). Folded rows land under ONE directory ``batch=-2``
-    (never a real id: ids are non-negative and -1 is the everything
-    sentinel), which is safe precisely BECAUSE only strictly-old deltas
-    fold: the current/retryable batch id is always in the kept tail, so
-    an exclude-current filter can never need to exclude folded rows.
-    Same temp-dir-then-swap discipline as
-    ``sinks/parquet.py::compact_partitions``. Returns the number of
-    delta directories folded away.
+    The newest ids stay as deltas — a retry of the CURRENT batch must
+    still find its own partition distinct from history (the
+    exclude-current read contract), and folded rows are always
+    strictly-old so the exclusion can never need to reach them.
 
-    Crash-safety: a ``_fold_manifest.json`` (written atomically AFTER
-    the temp dir is complete, removed only after every delete finished)
-    makes any crash point recoverable — the next fold call first
-    completes the pending fold it describes, so no window loses or
-    double-counts rows and a routine maintenance re-run cannot orphan a
-    crashed run's output. Run from a single maintenance job, never
-    concurrently with itself — the same operational contract as
-    compacting an active store partition.
+    Crash-safe by construction: the pointer flip (atomic rename) is the
+    ONLY commit point. Before it, the new generation dir is unreferenced
+    (a crash orphans it; the next call sweeps it). After it, absorbed
+    delta dirs and the grandparent generation are garbage whose deletion
+    is idempotent (the next call finishes sweeping). Run from a single
+    maintenance job, never concurrently with itself.
     """
     if not os.path.isdir(path):
         return 0
-    _recover_fold(path)
+    ptr = _read_pointer(path)
+    _sweep(path, ptr)
     deltas = sorted(
         (int(e.split("=", 1)[1]), e)
         for e in os.listdir(path)
-        if e.startswith("batch=") and e != "batch=-2"
+        if e.startswith("batch=") and e not in set(ptr["folded"])
     )
     to_fold = deltas[: max(0, len(deltas) - keep_last)]
     if not to_fold:
         return 0
-    fold_ids = [i for i, _ in to_fold]
+    fold_names = [e for _, e in to_fold]
+    sources = [os.path.join(path, e) for e in fold_names]
     folded = (
         spark.read.schema(schema + ", batch long")
-        .parquet(path)
-        # the old fold dir's rows are part of the new fold, so the
-        # manifest can delete/replace it without loss
-        .filter(F.col("batch").isin(fold_ids + [-2]))
+        .option("basePath", path)
+        .parquet(*sources)
         .drop("batch")
-        # materialize BEFORE deleting the inputs (lazy plan would read
-        # its own deleted files mid-swap)
-        .localCheckpoint(eager=True)
     )
-    tmp = os.path.join(path, f"_folding-{os.getpid()}")
-    folded.write.mode("overwrite").parquet(tmp)
-    _write_manifest(path, {"tmp": os.path.basename(tmp),
-                           "deltas": [e for _, e in to_fold]})
-    _complete_fold(path)
+    if ptr["dir"] and os.path.isdir(os.path.join(path, ptr["dir"])):
+        folded = folded.unionByName(
+            spark.read.schema(schema).parquet(os.path.join(path, ptr["dir"]))
+        )
+    # materialize BEFORE any deletion — and the write itself is the
+    # materialization (nothing is deleted until after the pointer flip)
+    gen = ptr["gen"] + 1
+    new_dir = f"_fold-{gen}"
+    folded.write.mode("overwrite").parquet(os.path.join(path, new_dir))
+    atomic_write_json(
+        _pointer_path(path),
+        {
+            "gen": gen,
+            "dir": new_dir,
+            "folded": sorted(set(ptr["folded"]) | set(fold_names)),
+            "just_folded": fold_names,
+            "prev_dir": ptr["dir"],
+        },
+    )  # ← the commit point
+    _sweep(path, _read_pointer(path))
     return len(to_fold)
 
 
-def _manifest_path(path: str) -> str:
-    return os.path.join(path, "_fold_manifest.json")
-
-
-def _write_manifest(path: str, obj: dict) -> None:
-    import json
-
-    tmp = _manifest_path(path) + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.rename(tmp, _manifest_path(path))  # atomic on POSIX
-
-
-def _complete_fold(path: str) -> None:
-    """Execute (or re-execute) the swap+deletes a manifest describes.
-    Every step is idempotent, so this can resume from any crash point:
-    the tmp dir REPLACES batch=-2 (tmp was built as a superset of the
-    old fold's rows), then the folded delta dirs die, then the
-    manifest."""
-    import json
-    import shutil
-
-    mp = _manifest_path(path)
-    if not os.path.isfile(mp):
-        return
-    with open(mp) as f:
-        m = json.load(f)
-    tmp = os.path.join(path, m["tmp"])
-    target = os.path.join(path, "batch=-2")
-    if os.path.isdir(tmp):
-        shutil.rmtree(target, ignore_errors=True)
-        os.rename(tmp, target)
-    for e in m["deltas"]:
-        shutil.rmtree(os.path.join(path, e), ignore_errors=True)
-    os.remove(mp)
-
-
-def _recover_fold(path: str) -> None:
-    """Finish a crashed fold before starting a new one; also sweep any
-    orphaned _folding-* temp dirs from runs that died before writing
-    their manifest (their content is still fully present in the deltas,
-    so deleting them is lossless)."""
-    import shutil
-
-    _complete_fold(path)
+def _sweep(path: str, ptr: dict) -> None:
+    """Delete everything the current pointer makes garbage: absorbed
+    delta dirs PAST their one-fold grace (a reader that resolved the
+    previous pointer still lists the just-absorbed ones), and _fold-*
+    generations other than the pointed-to one and its grace
+    predecessor. Every delete is idempotent — this runs at the start
+    AND end of every fold, so any crash point is swept eventually."""
+    keep = {ptr.get("dir"), ptr.get("prev_dir")}
+    expendable = set(ptr["folded"]) - set(ptr.get("just_folded", []))
     for e in os.listdir(path):
-        if e.startswith("_folding-"):
-            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+        p = os.path.join(path, e)
+        if e.startswith("_fold-") and e not in keep:
+            shutil.rmtree(p, ignore_errors=True)
+        elif e in expendable and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)

@@ -41,15 +41,9 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _atomic_write_json(path: str, obj: dict) -> None:
-    """Marker files must never be observable half-written: a truncated
-    _applied.json would wedge every retry. Write-then-rename is atomic
-    on POSIX."""
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f)
-    os.rename(tmp, path)
+from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+    atomic_write_json as _atomic_write_json,
+)
 
 
 class BucketedUpsertStore:
@@ -102,6 +96,12 @@ class BucketedUpsertStore:
                 shutil.rmtree(trash, ignore_errors=True)
             else:
                 os.rename(trash, live)
+        # crashed merges leave _merging-<pid> temp roots: their content
+        # is reproducible from the (skipped-marker-free) buckets + the
+        # retried batch, so sweeping is lossless
+        for e in os.listdir(self.path):
+            if e.startswith("_merging-"):
+                shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets)).cast("int")

@@ -144,3 +144,52 @@ def test_compact_partition_with_zorder_clusters_and_preserves_rows(spark, tmp_pa
     assert after_rows == before_rows
     after_skip = skipping_fraction(part, {"value": (qs[0], qs[1])})
     assert after_skip < before_skip
+
+
+def test_compaction_crash_recovery_never_loses_rows(spark, tmp_path):
+    """The swap journal must recover every crash window — including the
+    one the naive sweep destroyed: a racing append recreating the live
+    dir while the only pre-crash copy sits in trash."""
+    import json
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        _compact_manifest_path,
+        _recover_compaction,
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    part = os.path.join(store, "log_day=2024-01-01")
+    df = spark.range(0, 100).withColumn("ts", F.col("id").cast("timestamp"))
+    df.write.mode("overwrite").parquet(part)
+    rows_before = sorted(r["id"] for r in spark.read.parquet(part).collect())
+
+    # stage the worst window: live dir renamed to trash, tmp complete,
+    # manifest present — then a racing append recreates the live dir
+    parent, base = os.path.split(part)
+    trash = os.path.join(parent, f".{base}.old-1")
+    tmp = os.path.join(parent, f".{base}.compacting-1")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.rename(part, trash)
+    with open(_compact_manifest_path(part), "w") as f:
+        json.dump({"tmp": os.path.basename(tmp), "trash": os.path.basename(trash)}, f)
+    appended = spark.range(100, 120).withColumn("ts", F.col("id").cast("timestamp"))
+    appended.write.mode("append").parquet(part)  # recreates live dir
+
+    _recover_compaction(part)
+    got = sorted(r["id"] for r in spark.read.parquet(part).collect())
+    assert got == sorted(rows_before + list(range(100, 120)))  # nothing lost
+    assert not os.path.isfile(_compact_manifest_path(part))
+    assert not os.path.isdir(trash) and not os.path.isdir(tmp)
+    # and the partition is still compactable afterwards
+    n = compact_partitions(spark, store, [("log_day", "2024-01-01")])
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == got
+
+    # crash AFTER the swap committed (tmp renamed away, trash remains)
+    os.makedirs(trash)
+    with open(_compact_manifest_path(part), "w") as f:
+        json.dump({"tmp": os.path.basename(tmp), "trash": os.path.basename(trash)}, f)
+    _recover_compaction(part)
+    assert not os.path.isdir(trash)
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == got

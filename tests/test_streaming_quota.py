@@ -215,9 +215,15 @@ def test_fold_batch_store_preserves_admissions(spark, mix_streamed):
 
 
 def test_fold_crash_recovery_no_loss_no_double_count(spark, mix_streamed):
-    """A fold that crashed at any point must be completed by the next
-    call with no row lost or duplicated: simulate the worst window —
-    tmp written, manifest committed, nothing else done."""
+    """Generational-pointer fold: every crash point and reader
+    interleaving must neither lose nor double-count rows.
+
+    (a) a fold that crashed BEFORE the pointer flip leaves an orphan
+        _fold-<g> dir: readers ignore it (pointer unreferenced), the
+        next fold sweeps it;
+    (b) a fold that crashed AFTER the flip but before the delta deletes
+        leaves absorbed delta dirs on disk: readers exclude them via
+        the pointer's folded list — no double count."""
     import json
 
     from cloudfront_kinesis_log_lambda_spark.streaming.quota import (
@@ -230,8 +236,6 @@ def test_fold_crash_recovery_no_loss_no_double_count(spark, mix_streamed):
     before = sorted(
         map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
     )
-    # hand-stage the crashed fold: folded rows for batches 0,1 in tmp +
-    # a committed manifest, deltas still present, no swap done
     fold_dirs = sorted(
         e for e in os.listdir(counts) if e.startswith("batch=")
     )[:2]
@@ -241,18 +245,22 @@ def test_fold_crash_recovery_no_loss_no_double_count(spark, mix_streamed):
         .parquet(*[os.path.join(counts, e) for e in fold_dirs])
         .drop("batch")
     )
-    tmp = os.path.join(counts, "_folding-99999")
-    folded.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(counts, "_fold_manifest.json"), "w") as f:
-        json.dump({"tmp": "_folding-99999", "deltas": fold_dirs}, f)
-    # reads BEFORE recovery: tmp still present ⇒ rename not committed ⇒
-    # deltas are authoritative, totals unchanged
+    # (a) crash BEFORE the flip: orphan generation dir, no pointer
+    folded.write.mode("overwrite").parquet(os.path.join(counts, "_fold-1"))
     assert sorted(
         map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
     ) == before
-    # the next fold call first completes the crashed one
-    n = S.fold_batch_store(spark, counts, _TOKENS_SCHEMA, keep_last=1)
-    assert not os.path.isfile(os.path.join(counts, "_fold_manifest.json"))
+    # (b) crash AFTER the flip, deltas not yet deleted
+    S.atomic_write_json(
+        os.path.join(counts, "_fold_pointer.json"),
+        {"gen": 1, "dir": "_fold-1", "folded": fold_dirs,
+         "just_folded": fold_dirs, "prev_dir": None},
+    )
+    assert sorted(
+        map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
+    ) == before
+    # the next fold call sweeps and keeps working; reads still agree
+    S.fold_batch_store(spark, counts, _TOKENS_SCHEMA, keep_last=1)
     after = sorted(
         map(tuple, S.read_batch_store(spark, counts, _TOKENS_SCHEMA, -1).collect())
     )
