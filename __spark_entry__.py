@@ -56,11 +56,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r5 window = 21 promoted-stale r3 entries + 16 new oracle entries
-    # (corpus curation, layout, frontier SQL, product analytics) + the
-    # 10-entry one-time rows-only pass + doc_semantic_dedup; _FILL
-    # shrank to 1 to make room — every demoted entry overflows with an
-    # r4-green row, per the standing policy above.
+    # r5 window = 21 promoted-stale r3 entries + 19 new oracle entries
+    # (corpus curation, layout, frontier SQL, product analytics, block
+    # dedup / collocations / matryoshka) + a 6-entry one-time rows-only
+    # pass incl. doc_semantic_dedup; _FILL shrank to 0 to make room —
+    # every demoted entry overflows with an r4-green row, per the
+    # standing policy above.
     #
     # r3-green oracle entries, two rounds stale after r5 — promoted
     # (r4 VERDICT next-round item 1)
@@ -105,15 +106,18 @@ _FRONT = [
     "events_retention_cohorts",
     "user_value_scd2",
     "events_pattern_match",
+    # third-wave new oracle entries (block-level substring dedup w/
+    # reassembly, collocation lift, matryoshka two-stage serving) —
+    # rule 1: never-verified hash-capable code outranks everything
+    "doc_block_dedup",
+    "doc_collocations",
+    "matryoshka_topk",
     # one-time driver-environment pass for rows-only entries that have
     # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
     "doc_semantic_dedup",
     "cloudfront_enriched",
     "cloudfront_wire",
     "cloudfront_status_rollup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
     "multimodal_asset_dedup",
     "scd2_incremental_roundtrip",
@@ -125,13 +129,17 @@ _FILL: list[str] = [
     # pricing_summary additionally lands in BENCH_r05 every round)
 ]
 _TAIL = [
-    # rows-only entries with existing driver rows (r1-r4), plus the two
+    # rows-only entries with existing driver rows (r1-r4), plus the
     # one-time passes deferred to r6 (hash-capable new oracle entries
-    # outranked them for the last window slots; their exact-parity /
-    # recall gates in test_streaming_dedup and
-    # test_streaming_vector_index stand in meanwhile)
+    # outranked them for the last window slots; their recall gates in
+    # test_similarity / test_streaming_dedup /
+    # test_streaming_vector_index stand in meanwhile — and
+    # ann_quantized_topk keeps hash evidence on the ANN family)
     "near_dup_incremental",
     "ann_incremental_index",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",

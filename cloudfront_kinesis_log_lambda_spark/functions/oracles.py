@@ -1332,6 +1332,85 @@ ORACLE_SQL: dict[str, str] = {
         FROM sh JOIN first USING (shingle)
         GROUP BY sh.doc_id
     """,
+    "doc_block_dedup": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents),
+        blk AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS block_idx,
+                 array_to_string(w[t.i*16+1 : t.i*16+16], ' ') AS block
+          FROM toks,
+               UNNEST(range(CAST(ceil(len(w) / 16.0) AS BIGINT))) AS t(i)),
+        ranked AS (
+          SELECT doc_id, block_idx, block,
+                 ROW_NUMBER() OVER (PARTITION BY block
+                                    ORDER BY doc_id, block_idx) AS rn
+          FROM blk),
+        kept AS (
+          SELECT doc_id, block_idx, block FROM ranked WHERE rn = 1),
+        nb AS (
+          SELECT doc_id, CAST(ceil(len(w) / 16.0) AS BIGINT) AS n_blocks
+          FROM toks)
+        SELECT nb.doc_id,
+               nb.n_blocks,
+               CAST(COUNT(k.block_idx) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(k.block, ' ' ORDER BY k.block_idx), '')
+                 AS dedup_text
+        FROM nb LEFT JOIN kept k USING (doc_id)
+        GROUP BY nb.doc_id, nb.n_blocks
+    """,
+    "doc_collocations": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents),
+        pairs AS (
+          SELECT w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+          FROM toks, UNNEST(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        big AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+          FROM pairs GROUP BY 1, 2),
+        uni AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM (SELECT unnest(w) AS term FROM toks) GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(c_ab) AS BIGINT) AS n_big FROM big)
+        SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+               ROUND(CAST(b.c_ab AS DOUBLE) * CAST(t.n_big AS DOUBLE)
+                     / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)), 4)
+                 AS lift
+        FROM big b
+        JOIN uni ua ON ua.term = b.w1
+        JOIN uni ub ON ub.term = b.w2
+        CROSS JOIN tot t
+        WHERE b.c_ab >= 5
+        ORDER BY lift DESC, b.w1, b.w2
+        LIMIT 20
+    """,
+    "matryoshka_topk": """
+        WITH q AS (
+          SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        s1 AS (
+          SELECT b.vec_id, b.embedding, q.qv,
+                 ROUND(list_cosine_similarity(
+                         CAST(b.embedding[1:16] AS DOUBLE[]),
+                         CAST(q.qv[1:16] AS DOUBLE[])), 4) AS cos_pref
+          FROM embeddings b, q
+          WHERE b.vec_id <> 0
+          ORDER BY cos_pref DESC, b.vec_id
+          LIMIT 40)
+        SELECT vec_id, cos_pref,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[])), 4)
+                 AS cos_full
+        FROM s1
+        ORDER BY cos_full DESC, vec_id
+        LIMIT 10
+    """,
     "multimodal_asset_dedup": """
         SELECT md5(text) AS checksum,
                CAST(MIN(doc_id) AS BIGINT) AS keep_asset_id,

@@ -268,6 +268,177 @@ def dup_span_stats(
     )
 
 
+def block_dedup(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    text_col: str = "text",
+    hash_blocks: bool = False,
+) -> DataFrame:
+    """Block-level exact deduplication WITH document reassembly — the
+    materializing form of exact-substring dedup (Lee et al. 2022): split
+    every document into fixed ``block_tokens``-token blocks, keep only
+    each block's corpus-wide first occurrence (min (doc_id, block_idx)),
+    and stitch every document back together from its surviving blocks.
+    This is the paragraph-dedup stage of CCNet/RefinedWeb-style pipelines
+    (their paragraphs are newline-delimited; the driver corpus is
+    single-line, so the block boundary is token-aligned), and it removes
+    the repeated SPANS that document-level dedup (``text.exact_dedup``)
+    cannot see.
+
+    Returns one row per document: (doc_id, n_blocks, n_kept,
+    dedup_text) — ``dedup_text`` is the document with every
+    seen-before block deleted (possibly empty), ``n_blocks``/``n_kept``
+    the accounting a curation report needs.
+
+    Scale shape: the ANALYSIS keeps text out of every exchange — blocks
+    collapse to (key, doc_id, block_idx) rows before the
+    first-occurrence aggregate (partial+final min on a struct, the
+    ``gram_novelty`` skeleton — no per-key global sort, so a
+    boilerplate block repeated a million times is one hot aggregate
+    key handled by partial combine, not a million-row window
+    partition), one shuffle join probes the index, and the kept
+    indices fold to a per-doc int array. The REASSEMBLY join (kept
+    indices back onto the token arrays, keyed by doc_id) is the one
+    place document content legitimately moves: any rewrite
+    materialization pays exactly one such co-partitioned join (AQE
+    broadcasts the index side when small; a doc_id-bucketed corpus
+    layout makes it shuffle-free). ``hash_blocks=True`` is the
+    production mode: block keys collapse to xxhash64 int64s before the
+    first exchange (strings for oracle parity, hashes at scale —
+    equality pinned in test_corpus).
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    base = ensure_parallelism(docs).select(
+        "doc_id",
+        toks.alias("tk"),
+    ).withColumn(
+        "n_blocks",
+        F.ceil(F.size("tk") / F.lit(block_tokens)).cast("long"),
+    )
+    idxs = F.when(
+        F.col("n_blocks") > 0,
+        F.sequence(F.lit(0).cast("long"), F.col("n_blocks") - 1),
+    ).otherwise(F.array().cast("array<long>"))
+    block_at = F.array_join(
+        F.slice(
+            F.col("tk"),
+            (F.col("block_idx") * block_tokens + 1).cast("int"),
+            block_tokens,
+        ),
+        " ",
+    )
+    key = F.xxhash64(block_at) if hash_blocks else block_at
+    blocks = (
+        base.select("doc_id", "tk", F.explode(idxs).alias("block_idx"))
+        .select("doc_id", "block_idx", key.alias("bk"))
+    )
+    first = blocks.groupBy("bk").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("f")
+    )
+    kept = (
+        blocks.join(first, "bk")
+        .filter(
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("block_idx") == F.col("f.block_idx"))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("block_idx")).alias("kept_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    )
+    rebuilt = F.array_join(
+        F.transform(
+            F.col("kept_idx"),
+            lambda i: F.array_join(
+                F.slice(
+                    F.col("tk"), (i * block_tokens + 1).cast("int"), block_tokens
+                ),
+                " ",
+            ),
+        ),
+        " ",
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.when(F.col("kept_idx").isNotNull(), rebuilt)
+            .otherwise(F.lit(""))
+            .alias("dedup_text"),
+        )
+    )
+
+
+def collocation_lift(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the corpus's top-``k`` adjacent-token bigrams
+    by *lift* (= observed/expected co-occurrence,
+    ``c_ab·N / (c_a·c_b)`` — the exponential of PMI, kept in ratio form
+    so the arithmetic is one deterministic IEEE expression instead of a
+    transcendental). The classic first step of phrase/vocab induction
+    (word2vec-style phrase joining, tokenizer merge candidates) and a
+    corpus-health signal: top lift pairs are the boilerplate phrases.
+
+    Returns (w1, w2, c_ab, c_a, c_b, lift) for bigrams with
+    ``c_ab >= min_count``, ordered by (lift DESC, w1, w2), ``k`` rows.
+
+    Scale shape: bigram pairs are built array-side (zip of the token
+    array with its own tail — map-only, no self-join) and collapse to
+    partial+final counts on (w1, w2); unigram counts are the same
+    vocabulary-sized aggregate as ``unigram_logprob``; the two
+    count-joins are shuffle-on-term at 100 TB (AQE downgrades to
+    broadcast when the vocab is small) and the final top-k is
+    TakeOrderedAndProject over the filtered bigram vocabulary — the
+    ``min_count`` filter prunes the long singleton tail before either
+    join.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    base = ensure_parallelism(docs).select(toks.alias("tk")).filter(
+        F.size("tk") >= 2
+    )
+    pairs = base.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("w1"),
+                F.slice("tk", 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    uni = (
+        ensure_parallelism(docs)
+        .select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    total = big.agg(F.sum("c_ab").alias("n_big"))
+    lift = F.round(
+        F.col("c_ab").cast("double")
+        * F.col("n_big").cast("double")
+        / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        4,
+    )
+    return (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .join(F.broadcast(total))
+        .select("w1", "w2", "c_ab", "c_a", "c_b", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(k)
+    )
+
+
 def gram_novelty(
     docs: DataFrame,
     n: int = 3,

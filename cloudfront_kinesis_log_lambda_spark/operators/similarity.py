@@ -86,6 +86,68 @@ def cosine_topk(
     )
 
 
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    prefix_dim: int = 16,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka two-stage serving: shortlist by cosine over the first
+    ``prefix_dim`` dimensions (the truncation tier of a
+    matryoshka-representation index — 4× less arithmetic and, in a real
+    deployment, a 4×-smaller resident index), then re-rank the
+    ``k·shortlist_factor`` survivors by full-dimension cosine. The
+    coarse-then-exact shape is the same contract as IVF-PQ's ADC +
+    re-rank, but with a *prefix slice* as the coarse code, so every
+    stage stays exact deterministic arithmetic — unlike the trained ANN
+    tiers this path is fully oracle-checkable end to end.
+
+    Returns (vec_id, cos_pref, cos_full), the final top-``k`` by
+    (cos_full DESC, vec_id).
+
+    Scale shape: stage 1 is the :func:`cosine_topk` plan — broadcast
+    one-row query side, codegen'd fold over the 16-float prefix,
+    TakeOrderedAndProject — a map-only scan with no shuffle; stage 2
+    touches only ``k·shortlist_factor`` rows, so the full-dimension
+    math runs on a constant-sized remnant regardless of corpus size.
+    Both orderings tiebreak on ``vec_id`` over ROUND-4 scores, which
+    pins shortlist membership (and therefore the final answer) across
+    engines.
+    """
+    q = embeddings.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    pv = F.slice(F.col(vec_col), 1, prefix_dim)
+    pq = F.slice(F.col("q_vec"), 1, prefix_dim)
+    cos_pref = _dot(pv, pq) / (_norm(pv) * _norm(pq))
+    cos_full = _dot(F.col(vec_col), F.col("q_vec")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
+    )
+    shortlist = (
+        ensure_parallelism(embeddings)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            vec_col,
+            "q_vec",
+            F.round(cos_pref, 4).alias("cos_pref"),
+        )
+        .orderBy(F.col("cos_pref").desc(), F.col(id_col))
+        .limit(k * shortlist_factor)
+    )
+    return (
+        shortlist.select(
+            id_col, "cos_pref", F.round(cos_full, 4).alias("cos_full")
+        )
+        .orderBy(F.col("cos_full").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_multi(
     embeddings: DataFrame,
     query_vec_ids: list[int] | None = None,

@@ -797,6 +797,32 @@ def cloudfront_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level exact-substring dedup with reassembly
+    (operators/corpus.py::block_dedup): 16-token blocks, corpus-wide
+    keep-first, documents stitched back from surviving blocks. Fully
+    oracle-checked — the DuckDB twin replays the identical block split,
+    first-occurrence rank, and string_agg reassembly."""
+    return C.block_dedup(_docs(spark, sf_dir), block_tokens=16)
+
+
+def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by lift
+    (operators/corpus.py::collocation_lift) — exact integer counts and
+    one pinned IEEE division, so the ratio hash-checks cross-engine."""
+    return C.collocation_lift(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka serving (operators/similarity.py::
+    matryoshka_topk): 16-dim prefix shortlist → full 64-dim re-rank.
+    Deterministic at every stage, so unlike the trained ANN tiers this
+    approximate-serving path is fully oracle-checked."""
+    return S.matryoshka_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, prefix_dim=16
+    )
+
+
 # Unordered registry of the extension surface; the driver-facing walk
 # order (which decides what the gate's entry budget evaluates) is imposed
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
@@ -844,6 +870,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kinesis_exactly_once_rollup": kinesis_exactly_once_rollup,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
+    "doc_block_dedup": doc_block_dedup,
+    "doc_collocations": doc_collocations,
+    "matryoshka_topk": matryoshka_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

@@ -378,6 +378,139 @@ def test_hashed_gram_modes_match_string_modes(spark, sf_dir):
     )
 
 
+# --- block_dedup ------------------------------------------------------------
+
+
+def _brute_block_dedup(texts, block_tokens):
+    import math as m
+
+    seen = set()
+    out = {}
+    for d, t in enumerate(texts):
+        w = [x for x in t.split() if x]
+        blocks = [
+            " ".join(w[i * block_tokens : (i + 1) * block_tokens])
+            for i in range(m.ceil(len(w) / block_tokens))
+        ]
+        kept = []
+        for b in blocks:  # doc order × block order == min (doc_id, idx)
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        out[d] = (len(blocks), len(kept), " ".join(kept))
+    return out
+
+
+def test_block_dedup_hand_computed(spark):
+    # doc1 repeats doc0's first block and its own second block twice
+    docs = _docs(
+        spark,
+        [
+            ("a b c d", 0),
+            ("a b x y a b", 1),  # block0 "a b" dupes doc0? no — "a b" != "a b c d"
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in C.block_dedup(docs, block_tokens=2).collect()
+    }
+    # doc0: blocks ["a b", "c d"] both novel
+    # doc1: ["a b" (dup of doc0), "x y", "a b" (dup again)] → keeps "x y"
+    assert got[0] == (2, 2, "a b c d")
+    assert got[1] == (3, 1, "x y")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_block_dedup_matches_bruteforce(spark, texts):
+    docs = _docs(spark, [(t, 0) for t in texts])
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in C.block_dedup(docs, block_tokens=2).collect()
+    }
+    assert got == _brute_block_dedup(texts, 2)
+
+
+def test_block_dedup_hashed_mode_matches_string_mode(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, C.block_dedup(docs).collect()))
+    b = sorted(map(tuple, C.block_dedup(docs, hash_blocks=True).collect()))
+    assert a == b
+
+
+def test_block_dedup_conservation(spark, sf_dir):
+    """Token conservation: every kept block's tokens reappear verbatim,
+    total kept blocks == distinct blocks in the corpus, and a clean
+    corpus (no repeated blocks) passes through unchanged."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.block_dedup(docs).collect()
+    n_kept = sum(r["n_kept"] for r in out)
+    # distinct-block count computed independently of the operator
+    from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
+
+    blocks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(F.filter(_tokens(F.col("text")), lambda t: t != "")) / 16) - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.filter(_tokens(F.col("text")), lambda t: t != ""),
+                            (i * 16 + 1).cast("int"),
+                            16,
+                        ),
+                        " ",
+                    ),
+                )
+            ),
+        )
+    )
+    assert n_kept == blocks.select("col").distinct().count()
+
+
+# --- collocation_lift -------------------------------------------------------
+
+
+def _brute_colloc(texts, min_count, k):
+    from collections import Counter
+
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in texts:
+        w = [x for x in t.split() if x]
+        uni.update(w)
+        big.update(zip(w, w[1:]))
+    n = sum(big.values())
+    rows = [
+        (a, b, cab, uni[a], uni[b], round(cab * n / (uni[a] * uni[b]), 4))
+        for (a, b), cab in big.items()
+        if cab >= min_count
+    ]
+    rows.sort(key=lambda r: (-r[5], r[0], r[1]))
+    return rows[:k]
+
+
+def test_collocation_lift_hand_computed(spark):
+    # "x y" always adjacent (lift high); "a a" chains are the baseline
+    docs = _docs(spark, [("x y a x y a a", 0), ("x y a a", 1)])
+    got = [tuple(r) for r in C.collocation_lift(docs, min_count=2, k=10).collect()]
+    assert got == _brute_colloc(["x y a x y a a", "x y a a"], 2, 10)
+    # the perfectly-coupled pair ranks first
+    assert got[0][0] == "x" and got[0][1] == "y"
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_doc, min_size=1, max_size=10))
+def test_collocation_lift_matches_bruteforce(spark, texts):
+    docs = _docs(spark, [(t, 0) for t in texts])
+    got = [tuple(r) for r in C.collocation_lift(docs, min_count=2, k=15).collect()]
+    assert got == _brute_colloc(texts, 2, 15)
+
+
 # --- degenerate inputs ------------------------------------------------------
 
 
@@ -401,3 +534,11 @@ def test_corpus_ops_on_empty_and_blank_corpora(spark):
     assert mix == {0: 0, 1: 0}
     # unigram over a blank-only corpus: no terms at all
     assert C.unigram_logprob(blank).count() == 0
+    # block dedup: empty corpus → no rows; blank docs → zero-block rows
+    assert C.block_dedup(empty).count() == 0
+    blk = {r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+           for r in C.block_dedup(blank).collect()}
+    assert blk == {0: (0, 0, ""), 1: (0, 0, "")}
+    # collocations need at least one adjacent pair
+    assert C.collocation_lift(empty, min_count=1).count() == 0
+    assert C.collocation_lift(blank, min_count=1).count() == 0

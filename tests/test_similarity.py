@@ -41,6 +41,55 @@ def test_cosine_topk_matches_numpy_free_python(emb, emb_py):
     ]
 
 
+def test_matryoshka_topk_matches_two_stage_bruteforce(emb, emb_py):
+    """The two-stage path is exact deterministic arithmetic: Python
+    replay of shortlist-by-prefix (ROUND-4, vec_id tiebreak) then
+    re-rank-by-full must reproduce it row for row, in order."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    got = matryoshka_topk(emb, query_vec_id=0, k=10, prefix_dim=16).collect()
+    q = emb_py[0]
+    stage1 = sorted(
+        (
+            (vid, round(_cos(v[:16], q[:16]), 4), v)
+            for vid, v in emb_py.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:40]
+    stage2 = sorted(
+        ((vid, cp, round(_cos(v, q), 4)) for vid, cp, v in stage1),
+        key=lambda t: (-t[2], t[0]),
+    )[:10]
+    assert [(r["vec_id"], r["cos_pref"], r["cos_full"]) for r in got] == [
+        (vid, pytest.approx(cp), pytest.approx(cf)) for vid, cp, cf in stage2
+    ]
+
+
+def test_matryoshka_shortlist_is_subset_of_prefix_ranking(emb, emb_py):
+    """Every returned row must come from the prefix shortlist — the
+    re-rank can reorder but never resurrect a vector the coarse tier
+    pruned."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        matryoshka_topk,
+    )
+
+    got = {r["vec_id"] for r in
+           matryoshka_topk(emb, query_vec_id=0, k=10, prefix_dim=16).collect()}
+    q = emb_py[0]
+    shortlist = {
+        vid
+        for vid, _ in sorted(
+            ((vid, round(_cos(v[:16], q[:16]), 4)) for vid, v in emb_py.items()
+             if vid != 0),
+            key=lambda t: (-t[1], t[0]),
+        )[:40]
+    }
+    assert got <= shortlist
+
+
 def test_cosine_topk_multi_matches_per_query_topk(emb, emb_py):
     """The batched path must return, per query id, exactly what the
     single-query operator returns (same rounding, same tie-break)."""
