@@ -211,6 +211,7 @@ def test_corpus_plans_are_jvm_side_and_text_never_rides_keyed_shuffles(
         C.mixture_sample(docs),
         C.gram_novelty(docs),
         C.dup_span_stats(docs),
+        C.collocation_lift(docs),
     ):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -227,6 +228,36 @@ def test_keyed_exchange_gate_catches_a_text_carrying_shuffle(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bad = docs.groupBy("doc_id", "text").agg(F.count(F.lit(1)).alias("c"))
     assert any("text#" in o for o in _keyed_exchange_outputs(bad))
+
+
+def test_block_dedup_plan_isolates_content_to_the_reassembly_join(spark, sf_dir):
+    """block_dedup's 100 TB contract: the first-occurrence index and the
+    probe join shuffle only (bk, doc_id, block_idx) — token content (tk)
+    rides at most the ONE doc_id-keyed reassembly exchange the docstring
+    documents. Python never evaluates anything."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = C.block_dedup(docs)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    keyed = _keyed_exchange_outputs(df)
+    assert keyed, "expected keyed exchanges"
+    carrying = [o for o in keyed if "tk#" in o]
+    assert len(carrying) <= 1, carrying
+    for o in keyed:
+        if "bk#" in o:  # the analysis exchanges: index + probe
+            assert "tk#" not in o and "text#" not in o, o
+
+
+def test_collocation_lift_reuses_the_unigram_exchange(spark, sf_dir):
+    """The double unigram join (w1 side + w2 side) must not compute the
+    vocabulary aggregate twice: Spark's ReuseExchange has to collapse
+    the two identical subtrees, or a 100 TB corpus pays a second full
+    scan+aggregate for nothing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = C.collocation_lift(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan[:2000]
 
 
 def test_source_quota_single_exchange(spark, sf_dir):
