@@ -307,14 +307,39 @@ def block_dedup(
     first exchange (strings for oracle parity, hashes at scale —
     equality pinned in test_corpus).
     """
+    base = block_base(docs, block_tokens, text_col)
+    blocks = block_rows(base, block_tokens, hash_blocks)
+    first = blocks.groupBy("bk").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("f")
+    )
+    kept_rows = blocks.join(first, "bk").filter(
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("block_idx") == F.col("f.block_idx"))
+    )
+    return reassemble_blocks(base, kept_rows, block_tokens)
+
+
+def block_base(
+    docs: DataFrame, block_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, tk, n_blocks): the tokenized base relation every block
+    operator (batch + streaming twin) derives from — ONE definition so
+    the stream==batch parity can't drift on tokenization."""
     toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
-    base = ensure_parallelism(docs).select(
+    return ensure_parallelism(docs).select(
         "doc_id",
         toks.alias("tk"),
     ).withColumn(
         "n_blocks",
         F.ceil(F.size("tk") / F.lit(block_tokens)).cast("long"),
     )
+
+
+def block_rows(
+    base: DataFrame, block_tokens: int, hash_blocks: bool = False
+) -> DataFrame:
+    """(doc_id, block_idx, bk) — compact block-key rows; the wide token
+    array never leaves this projection."""
     idxs = F.when(
         F.col("n_blocks") > 0,
         F.sequence(F.lit(0).cast("long"), F.col("n_blocks") - 1),
@@ -328,24 +353,20 @@ def block_dedup(
         " ",
     )
     key = F.xxhash64(block_at) if hash_blocks else block_at
-    blocks = (
+    return (
         base.select("doc_id", "tk", F.explode(idxs).alias("block_idx"))
         .select("doc_id", "block_idx", key.alias("bk"))
     )
-    first = blocks.groupBy("bk").agg(
-        F.min(F.struct("doc_id", "block_idx")).alias("f")
-    )
-    kept = (
-        blocks.join(first, "bk")
-        .filter(
-            (F.col("doc_id") == F.col("f.doc_id"))
-            & (F.col("block_idx") == F.col("f.block_idx"))
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("block_idx")).alias("kept_idx"),
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
-        )
+
+
+def reassemble_blocks(
+    base: DataFrame, kept_rows: DataFrame, block_tokens: int
+) -> DataFrame:
+    """Fold kept (doc_id, block_idx) rows to per-doc index arrays and
+    stitch documents back from their surviving blocks."""
+    kept = kept_rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("block_idx")).alias("kept_idx"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     rebuilt = F.array_join(
         F.transform(
