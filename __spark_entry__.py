@@ -56,12 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r5 window = 21 promoted-stale r3 entries + 19 new oracle entries
-    # (corpus curation, layout, frontier SQL, product analytics, block
-    # dedup / collocations / matryoshka) + a 6-entry one-time rows-only
-    # pass incl. doc_semantic_dedup; _FILL shrank to 0 to make room —
-    # every demoted entry overflows with an r4-green row, per the
-    # standing policy above.
+    # r5 window = 21 promoted-stale r3 entries + 25 new-this-round
+    # oracle entries (corpus curation, layout, frontier SQL, product
+    # analytics, asset dedup, upsert store, block dedup /
+    # decontamination / collocations / matryoshka) + a 4-entry one-time
+    # rows-only pass incl. doc_semantic_dedup; _FILL shrank to 0 to
+    # make room — every demoted entry overflows with an r4-green row,
+    # per the standing policy above.
     #
     # r3-green oracle entries, two rounds stale after r5 — promoted
     # (r4 VERDICT next-round item 1)
@@ -110,6 +111,7 @@ _FRONT = [
     # reassembly, collocation lift, matryoshka two-stage serving) —
     # rule 1: never-verified hash-capable code outranks everything
     "doc_block_dedup",
+    "doc_decontaminate",
     "doc_collocations",
     "matryoshka_topk",
     # one-time driver-environment pass for rows-only entries that have
@@ -118,7 +120,6 @@ _FRONT = [
     "cloudfront_enriched",
     "cloudfront_wire",
     "cloudfront_status_rollup",
-    "embedding_pairs_lsh",
     "multimodal_asset_dedup",
     "scd2_incremental_roundtrip",
 ]
@@ -140,6 +141,7 @@ _TAIL = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
+    "embedding_pairs_lsh",
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",

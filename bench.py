@@ -70,6 +70,9 @@ EXTENSION = [
     "doc_mixture_sample",       # per-source prefix-sum fill
     "events_funnel",            # chained window mins
     "events_retention_cohorts", # cohort join + rollup
+    "doc_block_dedup",          # block index + reassembly join
+    "doc_collocations",         # bigram/vocab counts + reused exchange
+    "matryoshka_topk",          # prefix shortlist + full re-rank
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))

@@ -1361,6 +1361,54 @@ ORACLE_SQL: dict[str, str] = {
         FROM nb LEFT JOIN kept k USING (doc_id)
         GROUP BY nb.doc_id, nb.n_blocks
     """,
+    "doc_decontaminate": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents WHERE doc_id % 10 <> 7),
+        bm AS (
+          SELECT DISTINCT w2[CAST(t.i AS INT)] || ' ' ||
+                          w2[CAST(t.i AS INT) + 1] || ' ' ||
+                          w2[CAST(t.i AS INT) + 2] AS gram
+          FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   t -> t <> '') AS w2
+                FROM documents WHERE doc_id % 10 = 7),
+               UNNEST(range(1, len(w2) - 1)) AS t(i)
+          WHERE len(w2) >= 3),
+        blk AS (
+          SELECT doc_id, CAST(t.i AS BIGINT) AS block_idx,
+                 array_to_string(w[t.i*8+1 : t.i*8+8], ' ') AS block
+          FROM toks,
+               UNNEST(range(CAST(ceil(len(w) / 8.0) AS BIGINT))) AS t(i)),
+        bg AS (
+          SELECT doc_id, block_idx,
+                 bw[CAST(t.i AS INT)] || ' ' ||
+                 bw[CAST(t.i AS INT) + 1] || ' ' ||
+                 bw[CAST(t.i AS INT) + 2] AS gram
+          FROM (SELECT doc_id, block_idx, string_split(block, ' ') AS bw
+                FROM blk),
+               UNNEST(range(1, len(bw) - 1)) AS t(i)
+          WHERE len(bw) >= 3),
+        cont AS (
+          SELECT DISTINCT bg.doc_id, bg.block_idx
+          FROM bg JOIN bm USING (gram)),
+        kept AS (
+          SELECT b.doc_id, b.block_idx, b.block
+          FROM blk b
+          ANTI JOIN cont c
+            ON b.doc_id = c.doc_id AND b.block_idx = c.block_idx),
+        nb AS (
+          SELECT doc_id, CAST(ceil(len(w) / 8.0) AS BIGINT) AS n_blocks
+          FROM toks)
+        SELECT nb.doc_id,
+               nb.n_blocks,
+               CAST(COUNT(k.block_idx) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(k.block, ' ' ORDER BY k.block_idx), '')
+                 AS dedup_text
+        FROM nb LEFT JOIN kept k USING (doc_id)
+        GROUP BY nb.doc_id, nb.n_blocks
+    """,
     "doc_collocations": r"""
         WITH toks AS (
           SELECT doc_id,

@@ -393,6 +393,63 @@ def reassemble_blocks(
     )
 
 
+def decontaminate_blocks(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    block_tokens: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by SPAN REMOVAL — the materializing
+    form of ``text.contamination``: instead of flagging whole documents
+    whose n-grams leak from a held-out benchmark set, delete exactly the
+    ``block_tokens``-token blocks containing a leaked n-gram and stitch
+    the document back together from the clean remainder (the
+    surgical-removal decontamination used when dropping whole documents
+    would cost too much data).
+
+    Returns one row per document: (doc_id, n_blocks, n_kept,
+    dedup_text) — the same accounting shape as :func:`block_dedup`, with
+    ``dedup_text`` the document minus its contaminated blocks. A block
+    shorter than ``n`` tokens (the final partial block) carries no
+    n-gram and is always kept.
+
+    Scale shape: the benchmark gram index BROADCASTS (held-out
+    evaluation sets are small by construction — the same contract as
+    ``text.contamination``'s probe side); block grams collapse to
+    compact (doc_id, block_idx, gram) rows for the semi-probe, the
+    contaminated set anti-joins the block rows, and reassembly is the
+    one documented content-carrying doc_id join (shared
+    ``reassemble_blocks`` fold).
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        gram_list,
+        shingles,
+    )
+
+    base = block_base(docs, block_tokens, text_col)
+    blocks = block_rows(base, block_tokens)  # bk IS the block string
+    bench_grams = (
+        shingles(benchmark, n, text_col)
+        .select(F.col("shingle").alias("gram"))
+        .distinct()
+    )
+    block_grams = blocks.select(
+        "doc_id",
+        "block_idx",
+        F.explode(gram_list(F.col("bk"), n)).alias("gram"),
+    )
+    contaminated = (
+        block_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id", "block_idx")
+        .distinct()
+    )
+    kept_rows = blocks.join(
+        contaminated, ["doc_id", "block_idx"], "left_anti"
+    )
+    return reassemble_blocks(base, kept_rows, block_tokens)
+
+
 def collocation_lift(
     docs: DataFrame,
     min_count: int = 5,

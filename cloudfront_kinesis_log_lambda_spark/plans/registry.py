@@ -806,6 +806,21 @@ def doc_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.block_dedup(_docs(spark, sf_dir), block_tokens=16)
 
 
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal decontamination (operators/corpus.py::
+    decontaminate_blocks): the doc_contamination split (doc_id % 10 == 7
+    plays the held-out benchmark), but instead of flagging documents it
+    DELETES every 8-token block containing a leaked 3-gram and
+    reassembles the clean remainder. Full hash oracle."""
+    docs = _docs(spark, sf_dir)
+    return C.decontaminate_blocks(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        n=3,
+        block_tokens=8,
+    )
+
+
 def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by lift
     (operators/corpus.py::collocation_lift) — exact integer counts and
@@ -871,6 +886,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_quantized_topk": ann_quantized_topk,
     "doc_block_dedup": doc_block_dedup,
+    "doc_decontaminate": doc_decontaminate,
     "doc_collocations": doc_collocations,
     "matryoshka_topk": matryoshka_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an

@@ -503,6 +503,77 @@ def test_block_dedup_conservation(spark, sf_dir):
     assert n_kept == blocks.select("col").distinct().count()
 
 
+# --- decontaminate_blocks ---------------------------------------------------
+
+
+def _brute_decontaminate(texts, bench_texts, n, block_tokens):
+    import math as m
+
+    bench = set()
+    for t in bench_texts:
+        w = [x for x in t.split() if x]
+        bench.update(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+    out = {}
+    for d, t in enumerate(texts):
+        w = [x for x in t.split() if x]
+        blocks = [
+            " ".join(w[i * block_tokens : (i + 1) * block_tokens])
+            for i in range(m.ceil(len(w) / block_tokens))
+        ]
+        kept = []
+        for b in blocks:
+            bw = b.split()
+            grams = {" ".join(bw[i : i + n]) for i in range(len(bw) - n + 1)}
+            if not grams & bench:
+                kept.append(b)
+        out[d] = (len(blocks), len(kept), " ".join(kept))
+    return out
+
+
+def test_decontaminate_blocks_hand_computed(spark):
+    bench = _docs(spark, [("p q r", 0)])
+    # doc0 block1 contains the leaked gram "p q r"; block0 is clean;
+    # doc1 is entirely clean
+    docs = _docs(
+        spark,
+        [("a b c d x p q r", 0), ("a b c d e f", 1)],
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in C.decontaminate_blocks(docs, bench, n=3, block_tokens=4).collect()
+    }
+    assert got[0] == (2, 1, "a b c d")
+    assert got[1] == (2, 2, "a b c d e f")
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(_doc, min_size=1, max_size=8),
+    st.lists(_doc, min_size=1, max_size=3),
+)
+def test_decontaminate_blocks_matches_bruteforce(spark, texts, bench_texts):
+    docs = _docs(spark, [(t, 0) for t in texts])
+    bench = spark.createDataFrame(
+        [(1000 + i, t, "en", "bench", len(t)) for i, t in enumerate(bench_texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in C.decontaminate_blocks(docs, bench, n=2, block_tokens=3).collect()
+    }
+    assert got == _brute_decontaminate(texts, bench_texts, 2, 3)
+
+
+def test_decontaminate_short_tail_block_always_kept(spark):
+    # the final partial block has < n tokens → no gram → immune
+    bench = _docs(spark, [("x y z", 0)])
+    docs = _docs(spark, [("a b c d x y", 0)])  # blocks: "a b c d", "x y"
+    got = C.decontaminate_blocks(docs, bench, n=3, block_tokens=4).collect()[0]
+    assert (got["n_blocks"], got["n_kept"], got["dedup_text"]) == (
+        2, 2, "a b c d x y",
+    )
+
+
 # --- collocation_lift -------------------------------------------------------
 
 
