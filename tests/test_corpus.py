@@ -248,6 +248,20 @@ def test_block_dedup_plan_isolates_content_to_the_reassembly_join(spark, sf_dir)
             assert "tk#" not in o and "text#" not in o, o
 
 
+def test_decontaminate_plan_broadcasts_the_benchmark_probe(spark, sf_dir):
+    """The benchmark gram index must reach the probe as a broadcast
+    (held-out eval sets are small by contract — shuffling the corpus's
+    block-gram rows against it would be the 100 TB mistake), and no
+    Python evaluates anything."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = C.decontaminate_blocks(
+        docs.filter("doc_id % 10 != 7"), docs.filter("doc_id % 10 = 7")
+    )
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_collocation_lift_reuses_the_unigram_exchange(spark, sf_dir):
     """The double unigram join (w1 side + w2 side) must not compute the
     vocabulary aggregate twice: Spark's ReuseExchange has to collapse

@@ -115,6 +115,43 @@ def test_retry_of_last_batch_is_idempotent(spark, streamed):
     assert _rows(block_dedup_log(spark, out)) == before
 
 
+def test_out_of_order_arrival_documents_first_arrival_semantics(spark, tmp_path):
+    """INTENDED divergence under out-of-order arrival (module docstring:
+    parity is guaranteed for ascending doc_id order): when a HIGHER
+    doc_id's copy arrives first, the stream keeps the first ARRIVAL
+    while the batch operator keeps the min doc_id — an unbounded stream
+    can only honor arrival order. Both sides still keep exactly one
+    copy."""
+    text = "a b c d e f g h"
+    land = str(tmp_path / "docs")
+    now = time.time()
+    _write_batch(land, "b0.json", {2: text}, [2], now - 20)  # copy first
+    _write_batch(land, "b1.json", {1: text}, [1], now - 10)  # original later
+    writer = StreamingBlockDedup(
+        str(tmp_path / "store"), str(tmp_path / "out"), block_tokens=B
+    )
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(DOC_SCHEMA)
+        .json(land)
+    )
+    q = stream.writeStream.foreachBatch(writer).start()
+    q.processAllAvailable()
+    q.stop()
+    by_id = {
+        r["doc_id"]: r["dedup_text"]
+        for r in block_dedup_log(spark, str(tmp_path / "out")).collect()
+    }
+    assert by_id == {2: text, 1: ""}  # stream: first arrival wins
+    batch = {
+        r["doc_id"]: r["dedup_text"]
+        for r in block_dedup(
+            _full(spark, {1: text, 2: text}), block_tokens=B
+        ).collect()
+    }
+    assert batch == {1: text, 2: ""}  # batch: min doc_id wins
+
+
 def test_hashed_mode_matches_string_mode(spark, tmp_path):
     docs = _corpus()
     full = _full(spark, docs)
