@@ -56,13 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r5 window = 21 promoted-stale r3 entries + 25 new-this-round
+    # r5 window = 21 promoted-stale r3 entries + 26 new-this-round
     # oracle entries (corpus curation, layout, frontier SQL, product
     # analytics, asset dedup, upsert store, block dedup /
-    # decontamination / collocations / matryoshka) + a 4-entry one-time
-    # rows-only pass incl. doc_semantic_dedup; _FILL shrank to 0 to
-    # make room — every demoted entry overflows with an r4-green row,
-    # per the standing policy above.
+    # decontamination / shuffle / collocations / matryoshka) + a
+    # 3-entry one-time rows-only pass incl. doc_semantic_dedup; _FILL
+    # shrank to 0 to make room — every demoted entry overflows with an
+    # r4-green row (cloudfront_status_rollup's one-time pass defers to
+    # r6; it stays value-asserted end-to-end in test_full_loop), per
+    # the standing policy above.
     #
     # r3-green oracle entries, two rounds stale after r5 — promoted
     # (r4 VERDICT next-round item 1)
@@ -112,6 +114,7 @@ _FRONT = [
     # rule 1: never-verified hash-capable code outranks everything
     "doc_block_dedup",
     "doc_decontaminate",
+    "doc_global_shuffle",
     "doc_collocations",
     "matryoshka_topk",
     # one-time driver-environment pass for rows-only entries that have
@@ -119,7 +122,6 @@ _FRONT = [
     "doc_semantic_dedup",
     "cloudfront_enriched",
     "cloudfront_wire",
-    "cloudfront_status_rollup",
     "multimodal_asset_dedup",
     "scd2_incremental_roundtrip",
 ]
@@ -142,6 +144,7 @@ _TAIL = [
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
+    "cloudfront_status_rollup",
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",

@@ -1409,6 +1409,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM nb LEFT JOIN kept k USING (doc_id)
         GROUP BY nb.doc_id, nb.n_blocks
     """,
+    "doc_global_shuffle": """
+        WITH keyed AS (
+          SELECT doc_id,
+                 CAST((doc_id * 2654435761 + 42) % 4294967296 AS BIGINT)
+                   AS sort_key
+          FROM documents)
+        SELECT doc_id,
+               CAST(sort_key % 8 AS BIGINT) AS shard,
+               sort_key,
+               CAST(ROW_NUMBER() OVER (PARTITION BY sort_key % 8
+                                       ORDER BY sort_key, doc_id) AS BIGINT)
+                 AS pos
+        FROM keyed
+    """,
     "doc_collocations": r"""
         WITH toks AS (
           SELECT doc_id,

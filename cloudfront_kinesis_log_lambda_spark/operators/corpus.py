@@ -517,6 +517,39 @@ def collocation_lift(
     )
 
 
+def global_shuffle(
+    docs: DataFrame, n_shards: int = 8, seed: int = 42
+) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the stage between curation and shard writing: training loaders want
+    documents in a reproducible pseudo-random order, sharded so loaders
+    can consume shards independently.
+
+    The shuffle coin is the same seeded Knuth multiplicative hash as the
+    split/sampling operators (``(doc_id·2654435761 + seed) mod 2³²``) so
+    the order is reproducible across engines and runs without any RNG
+    state. Returns (doc_id, shard, sort_key, pos): ``shard`` =
+    sort_key mod n_shards, ``pos`` the document's 1-based position in
+    its shard's shuffled order. All-integer output → exact cross-engine
+    hash.
+
+    Scale shape: shard assignment is map-only; ``pos`` is a per-shard
+    row_number window — n_shards parallel sorts of corpus/n_shards rows
+    each, NOT a global total order (the classic driver-shaped mistake a
+    single unpartitioned row_number would be). Ties cannot exist:
+    (sort_key, doc_id) is unique.
+    """
+    key = (F.col("doc_id") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296)
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        ensure_parallelism(docs)
+        .select("doc_id", key.cast("long").alias("sort_key"))
+        .withColumn("shard", (F.col("sort_key") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "sort_key", "pos")
+    )
+
+
 def gram_novelty(
     docs: DataFrame,
     n: int = 3,

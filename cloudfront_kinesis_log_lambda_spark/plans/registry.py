@@ -821,6 +821,14 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment
+    (operators/corpus.py::global_shuffle): seeded Knuth-hash order,
+    map-only shard assignment, per-shard (not global) position windows.
+    All-integer → exact hash oracle."""
+    return C.global_shuffle(_docs(spark, sf_dir), n_shards=8, seed=42)
+
+
 def doc_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by lift
     (operators/corpus.py::collocation_lift) — exact integer counts and
@@ -887,6 +895,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_quantized_topk": ann_quantized_topk,
     "doc_block_dedup": doc_block_dedup,
     "doc_decontaminate": doc_decontaminate,
+    "doc_global_shuffle": doc_global_shuffle,
     "doc_collocations": doc_collocations,
     "matryoshka_topk": matryoshka_topk,
     # rows-only (the reference pipeline itself: cloudfront table isn't an

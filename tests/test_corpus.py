@@ -517,6 +517,39 @@ def test_block_dedup_conservation(spark, sf_dir):
     assert n_kept == blocks.select("col").distinct().count()
 
 
+# --- global_shuffle ---------------------------------------------------------
+
+
+def test_global_shuffle_matches_bruteforce_and_is_deterministic(spark):
+    docs = _docs(spark, [("doc text here", 0)] * 20)  # ids 0..19
+    got = sorted(map(tuple, C.global_shuffle(docs, n_shards=4, seed=7).collect()))
+    keys = {d: (d * 2654435761 + 7) % 2**32 for d in range(20)}
+    expect = []
+    for d, k in keys.items():
+        shard = k % 4
+        pos = 1 + sum(
+            1 for d2, k2 in keys.items()
+            if k2 % 4 == shard and (k2, d2) < (k, d)
+        )
+        expect.append((d, shard, k, pos))
+    assert got == sorted(expect)
+    # same seed → identical; different seed → different order
+    again = sorted(map(tuple, C.global_shuffle(docs, n_shards=4, seed=7).collect()))
+    other = sorted(map(tuple, C.global_shuffle(docs, n_shards=4, seed=8).collect()))
+    assert again == got and other != got
+
+
+def test_global_shuffle_positions_are_dense_per_shard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = C.global_shuffle(docs).collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert len(out) == docs.count()  # every doc placed exactly once
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
 # --- decontaminate_blocks ---------------------------------------------------
 
 
