@@ -33,21 +33,19 @@ ROWS_ONLY = {
 #: so every registry entry has at least one driver-environment execution
 #: row (r4 VERDICT item 5 + the standing policy in __spark_entry__.py).
 #: From r6 these move behind every oracle-backed entry again — drain
-#: this set then. near_dup_incremental's and ann_incremental_index's
-#: one-time passes were DEFERRED to r6 (new hash-capable oracle entries
-#: outranked them for the last slots; their exact stream==batch parity /
-#: pruned-plan gates in test_streaming_dedup and
-#: test_streaming_vector_index cover them until then) — r6 must give
-#: them the slots.
+#: this set then. The one-time passes of near_dup_incremental,
+#: ann_incremental_index, ann_lsh_topk, ann_ivf_topk, ann_ivf_pq_topk,
+#: embedding_pairs_lsh, and cloudfront_status_rollup were DEFERRED to r6
+#: (the third-wave hash-capable oracle entries — block dedup,
+#: decontamination, shuffle, collocations, matryoshka — outranked them
+#: for the last slots; their recall / stream==batch-parity /
+#: pruned-plan / full-loop gates in test_similarity, test_dedup,
+#: test_streaming_dedup, test_streaming_vector_index, and
+#: test_full_loop cover them until then) — r6 must give them the slots.
 ROWS_ONLY_ONE_TIME_WINDOW = {
     "doc_semantic_dedup",
     "cloudfront_enriched",
     "cloudfront_wire",
-    "cloudfront_status_rollup",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    "embedding_pairs_lsh",
 }
 
 
