@@ -63,8 +63,9 @@ _FRONT = [
     # 3-entry one-time rows-only pass incl. doc_semantic_dedup; _FILL
     # shrank to 0 to make room — every demoted entry overflows with an
     # r4-green row (cloudfront_status_rollup's one-time pass defers to
-    # r6; it stays value-asserted end-to-end in test_full_loop), per
-    # the standing policy above.
+    # r6; the registry callable itself is value-gated against an inline
+    # recompute in test_cloudfront_pipeline), per the standing policy
+    # above.
     #
     # r3-green oracle entries, two rounds stale after r5 — promoted
     # (r4 VERDICT next-round item 1)

@@ -198,8 +198,12 @@ def quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from cloudfront_kinesis_log_lambda_spark.operators.text import quality_score
 
+    # DECIMAL multiply (HUGEINT oracle-side): exact for any int64
+    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9
     coin = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(10000)
+        (F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761))
+        % F.lit(4294967296)
+        % F.lit(10000)
     ) / F.lit(10000.0)
     return (
         quality_score(docs, text_col)
@@ -494,9 +498,8 @@ def collocation_lift(
     )
     uni = (
         ensure_parallelism(docs)
-        .select(F.explode(toks).alias("term"))
-        .filter(F.col("term") != "")
-        .groupBy("term")
+        .select(F.explode(toks).alias("term"))  # toks is already
+        .groupBy("term")                        # empty-filtered
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     total = big.agg(F.sum("c_ab").alias("n_big"))
@@ -539,7 +542,11 @@ def global_shuffle(
     single unpartitioned row_number would be). Ties cannot exist:
     (sort_key, doc_id) is unique.
     """
-    key = (F.col("doc_id") * F.lit(2654435761) + F.lit(seed)) % F.lit(4294967296)
+    # DECIMAL multiply (HUGEINT oracle-side): exact for any int64
+    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9
+    key = (
+        F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761) + F.lit(seed)
+    ) % F.lit(4294967296)
     w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return (
         ensure_parallelism(docs)

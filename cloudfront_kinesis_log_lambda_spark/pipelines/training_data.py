@@ -35,9 +35,15 @@ from cloudfront_kinesis_log_lambda_spark.operators import text as T
 
 
 def _knuth_bucket(mod: int):
-    """Knuth multiplicative-hash bucket of doc_id: pure BIGINT
-    arithmetic, engine-portable, exactly oracle-checkable."""
-    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(mod)
+    """Knuth multiplicative-hash bucket of doc_id: the multiply runs in
+    DECIMAL(38,0) (the oracle's in HUGEINT) so it is exact for ANY
+    int64 doc_id — a plain BIGINT multiply would wrap (or, under ANSI
+    mode, error) once doc_id exceeds 2⁶³/2654435761 ≈ 3.47e9, which a
+    training-scale corpus reaches. Engine-portable, exactly
+    oracle-checkable."""
+    return (
+        F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761)
+    ) % F.lit(4294967296) % F.lit(mod)
 
 
 def _n_tokens(text_col: str):
@@ -124,7 +130,8 @@ def split_assign(
     """Deterministic train/val/test assignment + per-split token budget.
 
     Split by a Knuth multiplicative hash of doc_id —
-    ``(doc_id · 2654435761) mod 2³² mod 100`` — pure BIGINT arithmetic,
+    ``(doc_id · 2654435761) mod 2³² mod 100`` — exact wide-integer
+    arithmetic (DECIMAL engine-side, HUGEINT in the oracle),
     so the assignment is engine-portable and exactly oracle-checkable
     (unlike xxhash/md5-bucket splits), stable under reruns and corpus
     growth (a doc's split never depends on other docs), and unbiased

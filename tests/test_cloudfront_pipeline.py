@@ -90,3 +90,34 @@ def test_transform_drops_exactly_three_fields(spark, log_file):
     # comment-only "stripped" fields must SURVIVE (SURVEY.md §1.4.1)
     for kept in ("http_query", "http_cookie", "xff", "fle-status"):
         assert kept in out.columns
+
+
+def test_registry_status_rollup_matches_inline_recompute(spark):
+    """The registry's cloudfront_status_rollup (whose one-time driver
+    pass is deferred to r6) gets its value gate HERE: the registry
+    callable must equal a from-scratch recompute over the same enriched
+    fixture — a wrong column, broken substring, or bad groupBy in the
+    registry function fails this, not a future round."""
+    from pyspark.sql import functions as F
+
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import (
+        _fixture_dir,
+        cloudfront_status_rollup,
+    )
+
+    got = {
+        (r["env"], r["status_class"]): (
+            r["n_requests"], r["bytes_sent"], r["n_client_ips"],
+        )
+        for r in cloudfront_status_rollup(spark, "unused").collect()
+    }
+    enriched = transform_cloudfront(read_cloudfront_logs(spark, _fixture_dir()))
+    rows = enriched.select("env", "http_status", "bytes_sent", "src_ip").collect()
+    expect: dict = {}
+    for r in rows:
+        key = (r["env"], r["http_status"][:1])
+        n, b, ips = expect.get(key, (0, 0, set()))
+        ips = set(ips) | {r["src_ip"]}
+        expect[key] = (n + 1, b + int(r["bytes_sent"]), ips)
+    expect = {k: (n, b, len(ips)) for k, (n, b, ips) in expect.items()}
+    assert got == expect and got

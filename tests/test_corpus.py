@@ -490,6 +490,32 @@ def test_block_dedup_conservation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = C.block_dedup(docs).collect()
     n_kept = sum(r["n_kept"] for r in out)
+    # kept text is a verbatim in-order subsequence of the original:
+    # dedup_text's blocks must appear in the source doc in block order
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    corpus_seen: set[str] = set()
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        src = texts[r["doc_id"]].split()
+        src_blocks = [
+            " ".join(src[i : i + 16]) for i in range(0, len(src), 16)
+        ]
+        kept_blocks = []
+        rem = r["dedup_text"]
+        for b in src_blocks:
+            if rem.startswith(b):
+                kept_blocks.append(b)
+                rem = rem[len(b) :].lstrip()
+        assert rem == "", (r["doc_id"], rem[:60])  # nothing fabricated
+        assert len(kept_blocks) == r["n_kept"]
+        # exactly the first occurrences: kept blocks are corpus-novel
+        for b in kept_blocks:
+            assert b not in corpus_seen
+        corpus_seen.update(src_blocks)
+    # clean corpus (all-unique blocks) passes through unchanged
+    uniq = _docs(spark, [(f"u{i}a u{i}b u{i}c", 0) for i in range(5)])
+    for r in C.block_dedup(uniq, block_tokens=16).collect():
+        assert r["dedup_text"] == f"u{r['doc_id']}a u{r['doc_id']}b u{r['doc_id']}c"
+        assert r["n_kept"] == r["n_blocks"] == 1
     # distinct-block count computed independently of the operator
     from cloudfront_kinesis_log_lambda_spark.operators.text import _tokens
 
@@ -537,6 +563,29 @@ def test_global_shuffle_matches_bruteforce_and_is_deterministic(spark):
     again = sorted(map(tuple, C.global_shuffle(docs, n_shards=4, seed=7).collect()))
     other = sorted(map(tuple, C.global_shuffle(docs, n_shards=4, seed=8).collect()))
     assert again == got and other != got
+
+
+def test_knuth_hash_is_exact_at_int64_extremes(spark):
+    """Overflow regression: the Knuth multiply runs in DECIMAL, so for
+    doc_id past 2⁶³/2654435761 ≈ 3.47e9 (where a BIGINT multiply wraps
+    or ANSI-errors) the key still equals Python's bignum arithmetic —
+    a training-scale corpus lives in exactly that id range."""
+    big = [3_470_000_000, 2**62, 2**63 - 1, 7]
+    docs = spark.createDataFrame(
+        [(i, "some text", "en", "src0", 9) for i in big],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["sort_key"])
+        for r in C.global_shuffle(docs, n_shards=8, seed=42).collect()
+    }
+    for d in big:
+        k = (d * 2654435761 + 42) % 2**32
+        assert got[d] == (k % 8, k), d
+    coins = {r["doc_id"]: r["coin"] for r in
+             C.quality_sample(docs).select("doc_id", "coin").collect()}
+    for d, c in coins.items():
+        assert c == round((d * 2654435761 % 2**32 % 10000) / 10000, 4)
 
 
 def test_global_shuffle_positions_are_dense_per_shard(spark, sf_dir):

@@ -27,7 +27,9 @@ B = 4  # block_tokens: small so repeats are easy to plant
 def _corpus():
     """10 docs built from 4-token blocks: 4 is a verbatim copy of 1
     (arriving two batches later → fully deleted), 6 repeats a block of
-    2 (same batch), 9 ends in a partial block that also repeats."""
+    2 (same batch), and 3/9 end in the SAME 2-token partial tail block
+    (cross-batch repeat of a sub-block_tokens block: 9's tail must be
+    deleted as a dup of 3's)."""
     rng = random.Random(11)
     vocab = [f"w{i}" for i in range(50)]
 
@@ -38,7 +40,8 @@ def _corpus():
     docs[4] = docs[1]  # exact cross-batch repeat → dedup_text ""
     b2 = docs[2].split(" ")
     docs[6] = " ".join(b2[:B]) + " " + block() + " " + block()
-    docs[9] = block() + " " + " ".join(b2[:B])[: len(" ".join(b2[:2]))]
+    docs[3] = block() + " pt1 pt2"  # partial 2-token tail block...
+    docs[9] = block() + " pt1 pt2"  # ...repeated two batches later
     return docs
 
 
@@ -102,6 +105,11 @@ def test_cross_batch_repeat_is_fully_deleted(spark, streamed):
     assert by_id[4]["dedup_text"] == ""  # verbatim copy, 2 batches later
     assert by_id[4]["n_kept"] == 0
     assert by_id[6]["n_kept"] < by_id[6]["n_blocks"]  # in-batch repeat
+    # 9's partial 2-token tail block duplicates 3's (two batches
+    # earlier): sub-block_tokens blocks must dedup like full ones
+    assert by_id[3]["dedup_text"].endswith("pt1 pt2")
+    assert by_id[9]["n_kept"] == by_id[9]["n_blocks"] - 1
+    assert not by_id[9]["dedup_text"].endswith("pt1 pt2")
     assert len(by_id) == 10  # every doc rewritten exactly once
 
 
