@@ -814,7 +814,11 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     per step, so its depth is the longest group — fine for replay/audit,
     wrong for the 100 TB hot path; the oracle-vs-kernel hash equality in
     the gate proves both agree). 16 pack groups (vs the kernel entry's 8)
-    halve the replay depth — each recursion step is a Spark job."""
+    halve the replay depth — each recursion step is a Spark job. The
+    recursion depth is max-rows-per-group (≈ corpus/16), which clears
+    Spark's default 100-level cap only at toy scale — the explicit
+    MAX RECURSION LEVEL raises it for audit runs on larger slices
+    (caught by the sf0.1 sweep: 5000 docs → 313 levels)."""
     load(spark, sf_dir, "documents").createOrReplaceTempView("v_documents")
     return spark.sql(
         r"""
@@ -826,7 +830,8 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                             % 4294967296 % 16 AS INT) AS pack_group,
                        CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
                 FROM v_documents)),
-        pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
+        pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens)
+          MAX RECURSION LEVEL 100000 AS (
           SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
           FROM base WHERE rn = 1
           UNION ALL
