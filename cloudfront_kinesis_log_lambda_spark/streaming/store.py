@@ -49,11 +49,16 @@ from pyspark.sql import functions as F
 
 def atomic_write_json(path: str, obj: dict) -> None:
     """Marker/pointer files must never be observable half-written (a
-    truncated pointer would wedge every reader). Write-then-rename is
-    atomic on POSIX; the shared helper for every store that needs it."""
+    truncated pointer would wedge every reader). Write + fsync + rename:
+    the fsync matters — journaled filesystems can commit the rename
+    before the data blocks, and a power loss would then leave an EMPTY
+    committed file, exactly the torn pointer this helper exists to rule
+    out. The shared helper for every store that needs it."""
     tmp = f"{path}.tmp-{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.rename(tmp, path)
 
 
@@ -62,6 +67,16 @@ def _pointer_path(path: str) -> str:
 
 
 def _read_pointer(path: str) -> dict:
+    if os.path.isfile(os.path.join(path, "_fold_manifest.json")):
+        # pre-generational layout (manifest-swap folding): its crash
+        # states are not decodable under pointer semantics — reading the
+        # deltas as-is could double-count a half-committed fold. Refuse
+        # loudly instead of corrupting silently.
+        raise ValueError(
+            f"store at {path} uses the retired _fold_manifest.json "
+            "layout; rebuild the store (it is derived state) before "
+            "reading it with this version"
+        )
     pp = _pointer_path(path)
     if not os.path.isfile(pp):
         return {"gen": 0, "dir": None, "folded": [], "just_folded": []}
@@ -127,14 +142,20 @@ def fold_batch_store(
     is idempotent (the next call finishes sweeping). Run from a single
     maintenance job, never concurrently with itself.
     """
+    if keep_last < 1:
+        # keep_last=0 would fold the current (possibly retrying) batch
+        # into a generation the exclude-current read filter can never
+        # reach — the exact double-count the contract rules out
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     if not os.path.isdir(path):
         return 0
     ptr = _read_pointer(path)
     _sweep(path, ptr)
+    absorbed = set(ptr["folded"])
     deltas = sorted(
         (int(e.split("=", 1)[1]), e)
         for e in os.listdir(path)
-        if e.startswith("batch=") and e not in set(ptr["folded"])
+        if e.startswith("batch=") and e not in absorbed
     )
     to_fold = deltas[: max(0, len(deltas) - keep_last)]
     if not to_fold:
@@ -156,12 +177,18 @@ def fold_batch_store(
     gen = ptr["gen"] + 1
     new_dir = f"_fold-{gen}"
     folded.write.mode("overwrite").parquet(os.path.join(path, new_dir))
+    # prune the absorbed list to dirs still on disk: exclusion is only
+    # needed while a dir is listable, so dead entries are pure growth —
+    # without this the pointer (parsed on every read) accumulates one
+    # entry per micro-batch ever folded, re-creating the unbounded
+    # metadata folding exists to eliminate
+    alive = {e for e in os.listdir(path) if e.startswith("batch=")}
     atomic_write_json(
         _pointer_path(path),
         {
             "gen": gen,
             "dir": new_dir,
-            "folded": sorted(set(ptr["folded"]) | set(fold_names)),
+            "folded": sorted((absorbed & alive) | set(fold_names)),
             "just_folded": fold_names,
             "prev_dir": ptr["dir"],
         },
@@ -185,3 +212,10 @@ def _sweep(path: str, ptr: dict) -> None:
             shutil.rmtree(p, ignore_errors=True)
         elif e in expendable and os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
+        elif ".tmp-" in e and os.path.isfile(p):
+            # atomic_write_json tmp orphaned by a crash before its
+            # rename — never referenced by anything, sweep it
+            try:
+                os.remove(p)
+            except OSError:
+                pass

@@ -24,9 +24,20 @@ plain parquet:
 100 TB shape: per-batch cost = Σ size of touched buckets (copy-on-
 write's honest price — size ``n_buckets`` so a bucket is a few hundred
 MB and a batch touches few of them). The merge recompute is bounded by
-bucket size, never corpus size. Readers see bucket-atomic state: a
-reader racing the swap of bucket 7 sees its old or new content, never
-a mix.
+bucket size, never corpus size.
+
+Reader/writer split: ``apply()`` is the single writer and owns ALL
+recovery renames/sweeps (``_recover()``); ``read()`` is strictly
+read-only so it can race a live writer. Bucket atomicity for readers
+comes from the grace trash copies — each swap's pre-swap content stays
+in a dot-prefixed ``.bucket=<b>.old-*`` dir until the writer's NEXT
+apply, so a reader that catches bucket 7 mid-swap (live dir briefly
+absent) reads its old content from trash, never a mix and never an
+error. The per-bucket ``_applied.json`` marker is written into the
+replacement dir BEFORE the swap, so data + marker commit in one atomic
+rename — no crash point exists where merged data lacks its marker
+(which would double-apply the batch on retry for non-idempotent
+merges).
 """
 
 from __future__ import annotations
@@ -82,11 +93,16 @@ class BucketedUpsertStore:
             _atomic_write_json(meta_path, meta)
 
     def _recover(self) -> None:
-        """Finish any crashed swap: a ``.bucket=<b>.old-<pid>`` trash dir
+        """WRITER-side recovery, called only from apply() (the store is
+        single-writer, so nothing here can race a live swap — a reader
+        must never run this: sweeping a LIVE writer's ``_merging-*`` or
+        restoring its mid-swap trash would fail the writer's renames).
+        Finish any crashed swap: a ``.bucket=<b>.old-<pid>`` trash dir
         whose live ``bucket=<b>`` is MISSING marks a crash between the
         two renames — put the original back; one whose live dir exists
-        marks a crash after the swap — sweep it. Dot-prefixed names keep
-        the trash invisible to Spark and to read()'s dir filter."""
+        is a completed swap's grace copy (kept for readers racing that
+        swap) — sweep it now. Dot-prefixed names keep the trash
+        invisible to Spark scans."""
         for e in os.listdir(self.path):
             if not (e.startswith(".bucket=") and ".old-" in e):
                 continue
@@ -98,10 +114,17 @@ class BucketedUpsertStore:
                 os.rename(trash, live)
         # crashed merges leave _merging-<pid> temp roots: their content
         # is reproducible from the (skipped-marker-free) buckets + the
-        # retried batch, so sweeping is lossless
+        # retried batch, so sweeping is lossless; orphaned marker tmps
+        # (crash before atomic_write_json's rename) are never referenced
         for e in os.listdir(self.path):
+            p = os.path.join(self.path, e)
             if e.startswith("_merging-"):
-                shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
+                shutil.rmtree(p, ignore_errors=True)
+            elif ".tmp-" in e and os.path.isfile(p):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(self.key_col), F.lit(self.n_buckets)).cast("int")
@@ -123,22 +146,58 @@ class BucketedUpsertStore:
             return -1
 
     def read(self, spark: SparkSession, schema: str) -> DataFrame:
-        """Current store content (all buckets), without the bucket col."""
-        self._recover()
-        dirs = [
-            os.path.join(self.path, e)
-            for e in os.listdir(self.path)
+        """Current store content (all buckets), without the bucket col.
+
+        READ-ONLY — never renames or deletes, so it is safe to call
+        concurrently with a live writer (an earlier version ran
+        ``_recover()`` here, which could sweep the writer's in-flight
+        ``_merging-*`` dir or restore trash between its two swap
+        renames, failing the micro-batch). Bucket-atomicity instead
+        comes from the trash grace copies: a bucket mid-swap (live dir
+        briefly missing) or left crashed is read from its
+        ``.bucket=<b>.old-*`` trash — its pre-swap content — which the
+        writer retains until its NEXT apply()."""
+        entries = os.listdir(self.path)
+        live: dict[str, str] = {
+            e: os.path.join(self.path, e)
+            for e in entries
             if re.fullmatch(r"bucket=\d+", e)
+        }
+        trash: dict[str, str] = {}
+        for e in sorted(entries):  # sorted → deterministic pick on ties
+            if e.startswith(".bucket=") and ".old-" in e:
+                trash[e[1:].split(".old-")[0]] = os.path.join(self.path, e)
+
+        def _has_parquet(d: str) -> bool:
+            try:
+                return any(f.endswith(".parquet") for f in os.listdir(d))
+            except FileNotFoundError:
+                return False  # vanished mid-swap; trash covers it
+
+        live_dirs = [d for d in live.values() if _has_parquet(d)]
+        # a bucket with NO live dir but a trash copy is mid-swap or
+        # crashed: its pre-swap content is the consistent state
+        fallback = [
+            d for b, d in trash.items() if b not in live and _has_parquet(d)
         ]
-        dirs = [d for d in dirs if any(f.endswith(".parquet") for f in os.listdir(d))]
-        if not dirs:
+        parts = []
+        if live_dirs:
+            parts.append(
+                spark.read.schema(schema + ", bucket int")
+                .option("basePath", self.path)
+                .parquet(*live_dirs)
+                .drop("bucket")
+            )
+        for d in fallback:
+            # trash dirs are dot-named, so the bucket partition column
+            # can't be derived — read data-only (read() drops it anyway)
+            parts.append(spark.read.schema(schema).parquet(d))
+        if not parts:
             return spark.createDataFrame([], schema)
-        return (
-            spark.read.schema(schema + ", bucket int")
-            .option("basePath", self.path)
-            .parquet(*dirs)
-            .drop("bucket")
-        )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def apply(
         self,
@@ -186,18 +245,24 @@ class BucketedUpsertStore:
             dst = self._bucket_dir(b)
             if not os.path.isdir(src):
                 os.makedirs(src)  # bucket merged to empty: keep the marker
-            # dot-prefix: invisible to Spark scans and read()'s filter,
-            # and recoverable by _recover() from any crash point
+            # the _applied marker is written INTO src, so the swap
+            # rename below commits data + marker in ONE atomic step — a
+            # marker written after the rename would leave a crash window
+            # with new data and no marker, and the retry would merge the
+            # batch a second time into already-merged content (silent
+            # corruption for any non-idempotent merge)
+            _atomic_write_json(
+                os.path.join(src, "_applied.json"), {"batch": batch_id}
+            )
+            # dot-prefix: invisible to Spark scans; retained until the
+            # NEXT apply()'s _recover so a concurrent read() racing this
+            # swap can fall back to the bucket's pre-swap content
             trash = os.path.join(
                 self.path, f".bucket={b}.old-{os.getpid()}"
             )
             if os.path.isdir(dst):
                 os.rename(dst, trash)
-            os.rename(src, dst)
-            shutil.rmtree(trash, ignore_errors=True)
-            _atomic_write_json(
-                os.path.join(dst, "_applied.json"), {"batch": batch_id}
-            )
+            os.rename(src, dst)  # ← the bucket's commit point
         shutil.rmtree(tmp_root, ignore_errors=True)
         return todo
 

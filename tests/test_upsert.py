@@ -140,9 +140,10 @@ def test_partial_failure_retry_converges(spark, tmp_path):
 
 def test_crashed_swap_recovers_bucket_history(spark, tmp_path):
     """The worst swap window — bucket renamed to trash, replacement not
-    yet in place — must be healed by _recover() on the next apply/read,
-    not rebuilt-from-empty by the retry (which would silently drop the
-    bucket's entire history)."""
+    yet in place — must not drop the bucket's history: read() (which is
+    READ-ONLY so it can race a live writer) serves the trash copy
+    without touching the filesystem; the writer-side _recover() at the
+    next apply() physically restores it."""
     import os
     import shutil
 
@@ -152,15 +153,21 @@ def test_crashed_swap_recovers_bucket_history(spark, tmp_path):
     before = _rows(store.read(spark, SCD2_SCHEMA))
     # simulate the crash: some bucket vanishes into a dot-trash dir
     b = next(e for e in os.listdir(store.path) if e.startswith("bucket="))
-    os.rename(
-        os.path.join(store.path, b), os.path.join(store.path, f".{b}.old-123")
-    )
-    assert _rows(store.read(spark, SCD2_SCHEMA)) == before  # healed
-    # and a crash AFTER the swap (trash left behind) is swept, not read
-    shutil.copytree(
-        os.path.join(store.path, b), os.path.join(store.path, f".{b}.old-456")
-    )
+    live = os.path.join(store.path, b)
+    os.rename(live, os.path.join(store.path, f".{b}.old-123"))
+    assert _rows(store.read(spark, SCD2_SCHEMA)) == before  # trash fallback
+    assert not os.path.isdir(live)  # ...without renaming anything
+    store._recover()  # what the next apply() runs first
+    assert os.path.isdir(live)  # physically restored
+    assert _rows(store.read(spark, SCD2_SCHEMA)) == before
+    # a crash AFTER the swap leaves a grace trash copy next to the live
+    # dir: readers must prefer the live dir (no doubles), the writer's
+    # next _recover sweeps it
+    grace = os.path.join(store.path, f".{b}.old-456")
+    shutil.copytree(live, grace)
     assert _rows(store.read(spark, SCD2_SCHEMA)) == before  # no doubles
+    store._recover()
+    assert not os.path.isdir(grace)  # swept by the writer, not readers
 
 
 def test_reopening_with_different_layout_is_refused(spark, tmp_path):
@@ -179,3 +186,59 @@ def test_same_day_correction_is_deterministically_applied(spark, tmp_path):
     rows = store.read(spark, SCD2_SCHEMA).collect()
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2 and rows[0]["day_value"] == 20.0
+
+
+def test_nonidempotent_merge_is_never_double_applied(spark, tmp_path):
+    """The exactly-once contract must hold for merges that are
+    deterministic but NOT idempotent (additive counters): the _applied
+    marker commits in the SAME rename as the bucket data, so no crash
+    or retry ordering can apply a batch twice. A marker written after
+    the swap (the pre-fix design) silently doubles these counters on a
+    crash between rename and marker write."""
+    schema = "user_id long, n long"
+
+    def add_merge(current, incoming):
+        return (
+            current.unionByName(incoming)
+            .groupBy("user_id", "bucket")
+            .agg(F.sum("n").alias("n"))
+            .select("user_id", "n", "bucket")
+        )
+
+    store = BucketedUpsertStore(str(tmp_path / "c"), "user_id", n_buckets=2)
+    d0 = spark.createDataFrame([(1, 10), (2, 5)], schema)
+    d1 = spark.createDataFrame([(1, 1), (2, 2)], schema)
+    store.apply(d0, 0, add_merge)
+    store.apply(d1, 1, add_merge)
+    store.apply(d1, 1, add_merge)  # full-batch retry: must be a no-op
+    assert _rows(store.read(spark, schema)) == [(1, 11), (2, 7)]
+    # marker lives inside the bucket dir it describes (committed by the
+    # same rename), never written separately afterwards
+    import os
+
+    for e in os.listdir(store.path):
+        if e.startswith("bucket="):
+            assert os.path.isfile(os.path.join(store.path, e, "_applied.json"))
+
+
+def test_fold_rejects_keep_last_zero_and_legacy_layout(spark, tmp_path):
+    """keep_last=0 would fold the current (retryable) batch beyond the
+    reach of the exclude-current filter; a retired manifest-layout store
+    must be refused, not misread (its crash states aren't decodable
+    under pointer semantics)."""
+    import json
+    import os
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+        fold_batch_store,
+        read_batch_store,
+    )
+
+    p = str(tmp_path / "s")
+    os.makedirs(p)
+    with pytest.raises(ValueError, match="keep_last"):
+        fold_batch_store(spark, p, "x long", keep_last=0)
+    with open(os.path.join(p, "_fold_manifest.json"), "w") as f:
+        json.dump({"legacy": True}, f)
+    with pytest.raises(ValueError, match="retired"):
+        read_batch_store(spark, p, "x long", exclude_batch=0)
