@@ -39,8 +39,29 @@ def write_log_store(
     # range-partitions — it does not order rows within a partition, so
     # both branches need the explicit sort for the row-group min/max
     # stats the module docstring promises.
-    if target_file_partitions:
-        df = df.repartition(target_file_partitions, *parts)
+    if target_file_partitions is not None:
+        if target_file_partitions < 1:
+            raise ValueError(
+                f"target_file_partitions must be >= 1, got "
+                f"{target_file_partitions}"
+            )
+        # a within-group salt is required: hashing on the Hive partition
+        # columns alone sends each (env, log_day) to exactly ONE task —
+        # one file per partition regardless of the requested count — and
+        # a global repartitionByRange(N, ...) splits the WHOLE batch
+        # into N ranges, not N per group. The ts-hash salt yields
+        # ~target_file_partitions files per (env, log_day); each file
+        # stays internally ts-sorted (the row-group min/max contract),
+        # though file-level ts ranges overlap — compaction later rewrites
+        # to non-overlapping ts-sorted files anyway. The task count is
+        # passed EXPLICITLY: a bare repartition(cols) is fair game for
+        # AQE partition coalescing, which at small volume merges every
+        # salt bucket back into one task — silently undoing the split.
+        salt = F.pmod(F.xxhash64(F.col("ts")), F.lit(target_file_partitions))
+        n_tasks = int(
+            enriched.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        df = df.repartition(n_tasks, *parts, salt)
     else:
         df = df.repartitionByRange(F.col("env"), F.col("log_day"), F.col("ts"))
     df = df.sortWithinPartitions("env", "log_day", "ts")
@@ -80,7 +101,18 @@ def compact_partitions(
     caller picks WHICH partitions (e.g. yesterday's, once final);
     compacting a partition still receiving appends is the caller's race
     to avoid — same contract as Hive/Delta OPTIMIZE of an active
-    partition.
+    partition. Run from a single maintenance job, never concurrently
+    with itself on the same partition (two concurrent compactions would
+    sweep each other's temp dirs — the same single-writer contract as
+    the streaming stores' fold).
+
+    Reader grace: the swapped-out originals are RETAINED in the
+    dot-prefixed trash dir until the next maintenance pass touches this
+    partition (compact or expire), so a reader whose plan listed the old
+    file paths keeps finding them on disk for one maintenance interval —
+    plain parquet can't give Delta's snapshot isolation, but this bounds
+    the race to "don't hold a lazy plan across two maintenance passes",
+    the same contract the streaming stores' fold documents.
 
     ``zorder_by`` re-clusters the partition by the Z-order of the given
     columns instead of the default ts sort — the full OPTIMIZE ... ZORDER
@@ -147,8 +179,9 @@ def compact_partitions(
     )
     os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
-    shutil.rmtree(trash)
     os.remove(_compact_manifest_path(part_dir))
+    # trash intentionally retained (reader grace, see docstring) — the
+    # next maintenance pass for this partition sweeps it
     # report what actually landed: range partitions can be empty (few
     # distinct z-values) and coalesce can't split, so the real file
     # count may undershoot the computed target
@@ -165,20 +198,25 @@ def _compact_manifest_path(part_dir: str) -> str:
 def _recover_compaction(part_dir: str) -> None:
     """Finish or roll back a crashed compaction of ``part_dir`` from any
     crash point, then sweep unreferenced dot-temp dirs. State machine
-    over (manifest, tmp, live, trash) existence:
+    over (manifest[phase], tmp, live, trash) existence:
 
-    - no manifest → only pre-manifest temps can exist; their content is
-      still fully in the live dir, sweep them.
-    - manifest + tmp + live + no trash → crashed before the first
+    - no manifest → only pre-manifest temps and grace trash can exist;
+      their content is fully in the live dir, sweep them.
+    - manifest[swap] + tmp + live + no trash → crashed before the first
       rename: nothing moved; drop tmp + manifest (recompute fresh).
-    - manifest + tmp + no live + trash → crashed between the renames:
-      the compacted tmp is complete — promote it, drop trash.
-    - manifest + tmp + live + trash → crashed between the renames AND a
-      racing append recreated the live dir: fold the appended files
-      into the original (names are unique part-<uuid>), restore it,
-      drop tmp — compaction re-runs later; nothing lost.
-    - manifest + no tmp → the swap committed: drop trash (if still
-      there) + manifest.
+    - manifest[swap] + tmp + no live + trash → crashed between the
+      renames: the compacted tmp is complete — promote it; the trash
+      (pre-compaction originals) stays as the reader grace copy.
+    - manifest[swap] + tmp + live + trash → crashed between the renames
+      AND a racing append recreated the live dir: journal phase=restore
+      FIRST (the restore path below deletes/renames in steps whose
+      crash states are indistinguishable from other swap states — the
+      journaled phase removes the guessing), then restore.
+    - manifest[restore] → re-enter the idempotent restore: drop tmp,
+      fold any appended live files into trash (names are unique
+      part-<uuid>), promote trash back to live, drop manifest.
+    - manifest[swap] + no tmp → the swap committed: drop the manifest;
+      trash stays as the grace copy.
     """
     import json
     import os
@@ -189,33 +227,69 @@ def _recover_compaction(part_dir: str) -> None:
         return
     mp = _compact_manifest_path(part_dir)
     if os.path.isfile(mp):
+        from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+            atomic_write_json,
+        )
+
         with open(mp) as f:
             m = json.load(f)
         tmp = os.path.join(parent, m["tmp"])
         trash = os.path.join(parent, m["trash"])
         live = os.path.isdir(part_dir)
-        if os.path.isdir(tmp):
+        if m.get("phase") == "restore":
+            _finish_restore(part_dir, tmp, trash, mp)
+        elif os.path.isdir(tmp):
             if live and not os.path.isdir(trash):
                 shutil.rmtree(tmp)
+                os.remove(mp)
             elif not live and os.path.isdir(trash):
                 os.rename(tmp, part_dir)
-                shutil.rmtree(trash, ignore_errors=True)
-            elif live and os.path.isdir(trash):
-                for f in os.listdir(part_dir):
-                    if f.endswith(".parquet"):
-                        os.rename(
-                            os.path.join(part_dir, f), os.path.join(trash, f)
-                        )
-                shutil.rmtree(part_dir)
-                os.rename(trash, part_dir)
-                shutil.rmtree(tmp, ignore_errors=True)
+                os.remove(mp)
+            else:  # live AND trash: a racing append recreated live
+                atomic_write_json(mp, {**m, "phase": "restore"})
+                _finish_restore(part_dir, tmp, trash, mp)
         else:
-            shutil.rmtree(trash, ignore_errors=True)
-        os.remove(mp)
-    # pre-manifest temps (and post-recovery leftovers) are reproducible
-    for e in os.listdir(parent):
-        if e.startswith(f".{base}.compacting-") or e.startswith(f".{base}.old-"):
-            shutil.rmtree(os.path.join(parent, e), ignore_errors=True)
+            os.remove(mp)
+    # pre-manifest temps, post-recovery leftovers, and expired grace
+    # trash are reproducible/garbage once no manifest references them;
+    # orphaned manifest tmp files (crash inside atomic_write_json)
+    # likewise
+    if not os.path.isfile(mp):
+        for e in os.listdir(parent):
+            p = os.path.join(parent, e)
+            if e.startswith(f".{base}.compacting-") or e.startswith(
+                f".{base}.old-"
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+            elif e.startswith(f".{base}.compact_manifest.json.tmp-"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+def _finish_restore(part_dir: str, tmp: str, trash: str, mp: str) -> None:
+    """Idempotent tail of the racing-append recovery: every step either
+    re-runs harmlessly or finds its work already done, so a crash at ANY
+    point re-enters here (phase=restore is already journaled) and
+    converges. Order matters: tmp must go first — while tmp exists, a
+    crash mid-fold would leave (tmp, no live, trash) which the swap-phase
+    state machine would misread as 'promote tmp', discarding the
+    appended rows folded into trash."""
+    import os
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.isdir(trash):
+        if os.path.isdir(part_dir):
+            for f in os.listdir(part_dir):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(part_dir, f), os.path.join(trash, f)
+                    )
+            shutil.rmtree(part_dir)
+        os.rename(trash, part_dir)
+    os.remove(mp)
 
 
 def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:
@@ -224,6 +298,13 @@ def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:
     partitioned layout makes retention an O(partitions) metadata
     operation, never a data scan. Returns the deleted partition paths.
     Dates compare lexicographically in this format, so no parsing.
+
+    This is also a maintenance pass: crashed compactions are RECOVERED
+    first (a day stuck mid-swap has no live dir and would otherwise
+    evade both the retention walk and any future compaction — its full
+    data hiding in dot-artifacts forever), and expired days' dot
+    artifacts (grace trash, temp dirs, stray manifest tmps) are swept
+    along with the live dirs so retention actually frees the bytes.
     """
     import datetime
     import os
@@ -233,14 +314,32 @@ def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:
         datetime.date.fromisoformat(today)
         - datetime.timedelta(days=keep_days)
     ).isoformat()
+    manifest_suffix = ".compact_manifest.json"
     deleted = []
-    for env_dir, _, _ in [(d, None, None) for d in sorted(os.listdir(path))]:
+    for env_dir in sorted(os.listdir(path)):
         env_path = os.path.join(path, env_dir)
         if not (os.path.isdir(env_path) and env_dir.startswith("env=")):
             continue
-        for day_dir in sorted(os.listdir(env_path)):
-            if day_dir.startswith("log_day=") and day_dir.split("=", 1)[1] < cutoff:
-                p = os.path.join(env_path, day_dir)
+        for e in sorted(os.listdir(env_path)):
+            if e.startswith(".log_day=") and e.endswith(manifest_suffix):
+                _recover_compaction(
+                    os.path.join(env_path, e[1 : -len(manifest_suffix)])
+                )
+        for e in sorted(os.listdir(env_path)):
+            p = os.path.join(env_path, e)
+            if e.startswith("log_day=") and e.split("=", 1)[1] < cutoff:
                 shutil.rmtree(p)
                 deleted.append(p)
+            elif e.startswith(".log_day="):
+                # dot artifact: ".log_day=<D>.old-*", ".compacting-*",
+                # or a manifest tmp — expire with its day
+                day = e.split("=", 1)[1].split(".", 1)[0]
+                if day < cutoff:
+                    if os.path.isdir(p):
+                        shutil.rmtree(p, ignore_errors=True)
+                    else:
+                        try:
+                            os.remove(p)
+                        except OSError:
+                            pass
     return deleted

@@ -193,3 +193,134 @@ def test_compaction_crash_recovery_never_loses_rows(spark, tmp_path):
     _recover_compaction(part)
     assert not os.path.isdir(trash)
     assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == got
+
+
+def test_mid_restore_crash_states_converge(spark, tmp_path):
+    """The restore path is phase-journaled: every crash point inside the
+    racing-append recovery re-enters an idempotent restore instead of
+    being misread as a plain mid-swap crash (which would promote the
+    stale tmp and discard the appended rows folded into trash)."""
+    import json
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        _compact_manifest_path,
+        _recover_compaction,
+    )
+
+    def stage(part, *, with_tmp, live_ids, trash_ids, phase):
+        parent, base = os.path.split(part)
+        trash = os.path.join(parent, f".{base}.old-9")
+        tmp = os.path.join(parent, f".{base}.compacting-9")
+        for d in (part, trash, tmp):
+            if os.path.isdir(d):
+                import shutil
+
+                shutil.rmtree(d)
+        spark.createDataFrame([(i,) for i in trash_ids], "id long").write.parquet(trash)
+        if live_ids:
+            spark.createDataFrame([(i,) for i in live_ids], "id long").write.parquet(part)
+        if with_tmp:
+            spark.createDataFrame([(i,) for i in trash_ids], "id long").coalesce(1).write.parquet(tmp)
+        with open(_compact_manifest_path(part), "w") as f:
+            json.dump(
+                {"tmp": os.path.basename(tmp), "trash": os.path.basename(trash), "phase": phase},
+                f,
+            )
+        return trash, tmp
+
+    part = os.path.join(str(tmp_path / "s1"), "log_day=2024-01-01")
+    os.makedirs(os.path.dirname(part))
+
+    # crash right after journaling phase=restore (tmp still present)
+    trash, tmp = stage(part, with_tmp=True, live_ids=[100, 101], trash_ids=list(range(10)), phase="restore")
+    _recover_compaction(part)
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(10)) + [100, 101]
+    assert not os.path.isdir(trash) and not os.path.isdir(tmp)
+
+    # crash mid-restore: tmp already deleted, appends not yet folded
+    trash, tmp = stage(part, with_tmp=False, live_ids=[100, 101], trash_ids=list(range(10)), phase="restore")
+    _recover_compaction(part)
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(10)) + [100, 101]
+
+    # crash late: appends folded into trash, live dir already removed
+    trash, tmp = stage(part, with_tmp=False, live_ids=[], trash_ids=list(range(10)) + [100, 101], phase="restore")
+    _recover_compaction(part)
+    assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(10)) + [100, 101]
+
+
+def test_compaction_retains_trash_as_reader_grace(spark, tmp_path):
+    """After a successful swap the pre-compaction files stay in the
+    dot-trash dir until the next maintenance pass — a reader whose plan
+    listed the old paths keeps finding them for one interval."""
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import compact_partitions
+
+    store = str(tmp_path / "store")
+    part = os.path.join(store, "log_day=2024-01-01")
+    df = spark.range(0, 50).withColumn("ts", F.col("id").cast("timestamp"))
+    for _ in range(3):
+        df.write.mode("append").parquet(part)
+    old_files = {f for f in os.listdir(part) if f.endswith(".parquet")}
+    compact_partitions(spark, store, [("log_day", "2024-01-01")])
+    graces = [e for e in os.listdir(store) if e.startswith(".log_day=2024-01-01.old-")]
+    assert len(graces) == 1  # the swapped-out originals survive...
+    kept = set(os.listdir(os.path.join(store, graces[0])))
+    assert old_files <= kept
+    # ...until the next maintenance pass of this partition sweeps them
+    compact_partitions(spark, store, [("log_day", "2024-01-01")])
+    remaining = [e for e in os.listdir(store) if e.startswith(".log_day=2024-01-01.old-")]
+    assert len(remaining) == 1  # only the NEW grace copy
+
+
+def test_expire_recovers_crashed_compactions_and_frees_dot_artifacts(spark, tmp_path):
+    """Retention must not skip a day stuck mid-swap (no live dir, data
+    hiding in dot-artifacts): expire recovers it first, then deletes
+    expired days INCLUDING their grace/temp artifacts; a non-expired
+    crashed day comes back to life."""
+    import json
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        _compact_manifest_path,
+        expire_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    env = os.path.join(store, "env=prod")
+    os.makedirs(env)
+
+    def crash_mid_swap(day, ids):
+        part = os.path.join(env, f"log_day={day}")
+        trash = os.path.join(env, f".log_day={day}.old-7")
+        tmp = os.path.join(env, f".log_day={day}.compacting-7")
+        spark.createDataFrame([(i,) for i in ids], "id long").write.parquet(trash)
+        spark.createDataFrame([(i,) for i in ids], "id long").coalesce(1).write.parquet(tmp)
+        with open(_compact_manifest_path(part), "w") as f:
+            json.dump({"tmp": os.path.basename(tmp), "trash": os.path.basename(trash)}, f)
+        return part
+
+    old_part = crash_mid_swap("2024-01-01", list(range(5)))    # expired
+    new_part = crash_mid_swap("2024-03-01", list(range(5, 9)))  # kept
+
+    deleted = expire_partitions(store, keep_days=30, today="2024-03-02")
+    assert deleted == [old_part]
+    # the expired day left NOTHING behind — live, trash, tmp, manifest
+    assert [e for e in os.listdir(env) if "2024-01-01" in e] == []
+    # the kept crashed day was recovered to a live readable dir
+    assert sorted(r["id"] for r in spark.read.parquet(new_part).collect()) == [5, 6, 7, 8]
+
+
+def test_target_file_partitions_actually_splits_files(spark, tmp_path):
+    """target_file_partitions must control per-partition file counts: a
+    hash repartition on the Hive columns alone puts each (env, log_day)
+    in ONE task → one file, silently ignoring the request."""
+    import pytest
+
+    src = tmp_path / "landing"
+    store = str(tmp_path / "store")
+    write_log_tree(str(src), rows=60, files_per_service=2)
+    enriched = transform_cloudfront(read_cloudfront_logs(spark, str(src)))
+    write_log_store(enriched, store, mode="overwrite", target_file_partitions=3)
+    part = os.path.join(store, "env=prod", "log_day=2019-01-18")
+    files = [f for f in os.listdir(part) if f.endswith(".parquet")]
+    assert len(files) >= 2  # the day genuinely split across files
+    with pytest.raises(ValueError, match="target_file_partitions"):
+        write_log_store(enriched, store, target_file_partitions=0)
