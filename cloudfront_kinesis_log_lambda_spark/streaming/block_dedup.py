@@ -135,13 +135,7 @@ class StreamingBlockDedup:
 
 def block_dedup_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """All rewritten documents emitted so far (one row per doc — each
-    document is rewritten exactly once, in its arrival batch)."""
-    if not os.path.isdir(out_dir) or not any(
-        e.startswith("batch=") for e in os.listdir(out_dir)
-    ):
-        return spark.createDataFrame([], _OUT_SCHEMA)
-    return (
-        spark.read.schema(_OUT_SCHEMA + ", batch long")
-        .parquet(out_dir)
-        .drop("batch")
-    )
+    document is rewritten exactly once, in its arrival batch). Read via
+    the shared store reader so maintenance folding of the log stays
+    visible (a raw parquet read would skip underscore fold dirs)."""
+    return read_batch_store(spark, out_dir, _OUT_SCHEMA, exclude_batch=-1)

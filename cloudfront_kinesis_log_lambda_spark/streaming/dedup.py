@@ -162,6 +162,10 @@ class StreamingNearDup:
             .filter(F.col("p.doc_a") != F.col("p.doc_b"))
             .select("p.doc_a", "p.doc_b")
             .distinct()
+            # reused 3× below (probe-id broadcast + both verification
+            # join sides) — without this the bucket collect_list +
+            # pair-explode shuffle would run three times per batch
+            .localCheckpoint(eager=True)
         )
 
         all_grams = new_grams.unionByName(
@@ -204,11 +208,11 @@ class StreamingNearDup:
 def near_dup_pair_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """All pairs the streaming detector has emitted so far, normalized
     to (doc_a < doc_b) orientation and deduplicated across batches."""
-    if not os.path.isdir(out_dir) or not any(
-        e.startswith("batch=") for e in os.listdir(out_dir)
-    ):
-        return spark.createDataFrame([], _PAIRS_SCHEMA)
-    raw = spark.read.schema(_PAIRS_SCHEMA + ", batch long").parquet(out_dir)
+    # read via the shared store reader (exclude_batch=-1 → everything):
+    # it is fold-aware, so maintenance folding of the pair log can never
+    # silently hide rows from this reader the way a raw parquet read of
+    # underscore-prefixed fold dirs would
+    raw = read_batch_store(spark, out_dir, _PAIRS_SCHEMA, exclude_batch=-1)
     a, b = F.col("doc_a"), F.col("doc_b")
     return (
         raw.select(

@@ -95,7 +95,12 @@ class StreamingNovelty:
         batch_first = sh.groupBy("shingle").agg(
             F.min("doc_id").alias("batch_first")
         )
-        novel_shingles = batch_first.join(seen, "shingle", "left_anti")
+        # reused twice (scored join + index append) — checkpoint so the
+        # on-disk index probe (scan + semi-join + min-agg + anti-join)
+        # runs once per batch, not per consumer
+        novel_shingles = batch_first.join(
+            seen, "shingle", "left_anti"
+        ).localCheckpoint(eager=True)
 
         scored = (
             sh.join(
@@ -132,13 +137,7 @@ class StreamingNovelty:
 
 def novelty_log(spark: SparkSession, out_dir: str) -> DataFrame:
     """All per-document novelty rows emitted so far (one row per doc —
-    each document is scored exactly once, in its arrival batch)."""
-    if not os.path.isdir(out_dir) or not any(
-        e.startswith("batch=") for e in os.listdir(out_dir)
-    ):
-        return spark.createDataFrame([], _OUT_SCHEMA)
-    return (
-        spark.read.schema(_OUT_SCHEMA + ", batch long")
-        .parquet(out_dir)
-        .drop("batch")
-    )
+    each document is scored exactly once, in its arrival batch). Read
+    via the shared store reader so maintenance folding of the log stays
+    visible (a raw parquet read would skip underscore fold dirs)."""
+    return read_batch_store(spark, out_dir, _OUT_SCHEMA, exclude_batch=-1)

@@ -38,6 +38,14 @@ from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
     kmeans_centroids,
     quantize_int8,
 )
+from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+    atomic_write_json,
+)
+
+
+def _load_centroids(path: str) -> list[list[float]]:
+    with open(path) as f:
+        return json.load(f)["centroids"]
 
 
 class StreamingVectorIndex:
@@ -61,18 +69,24 @@ class StreamingVectorIndex:
 
     def _centroids(self, batch_df: DataFrame) -> list[list[float]]:
         if os.path.exists(self.centroids_path):
-            with open(self.centroids_path) as f:
-                return json.load(f)
+            return _load_centroids(self.centroids_path)
         cents = kmeans_centroids(
             batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
         )
-        tmp = f"{self.centroids_path}.tmp-{os.getpid()}"
         os.makedirs(self.store_dir, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump(cents, f)
-        os.replace(tmp, self.centroids_path)  # atomic; last writer wins
-        with open(self.centroids_path) as f:
-            return json.load(f)  # re-read: every process uses the winner
+        # orphaned tmp from a crashed earlier attempt: never referenced
+        for e in os.listdir(self.store_dir):
+            if e.startswith("centroids.json.tmp-"):
+                try:
+                    os.remove(os.path.join(self.store_dir, e))
+                except OSError:
+                    pass
+        # the shared fsync'd write — a plain tmp+rename can commit an
+        # EMPTY file on power loss (journaled fs orders the rename
+        # before the data blocks), wedging every later batch and query
+        atomic_write_json(self.centroids_path, {"centroids": cents})
+        return _load_centroids(self.centroids_path)  # every process
+        # re-reads: the atomic rename's last writer wins
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # a streaming query's first triggers routinely fire empty (no
@@ -82,7 +96,12 @@ class StreamingVectorIndex:
         if batch_df.isEmpty():
             return
         cents = self._centroids(batch_df)
-        assigned = assign_centroids(batch_df, cents, self.id_col, self.vec_col)
+        # checkpoint: assigned feeds BOTH sides of the join below —
+        # without it the stream source is scanned and the Arrow
+        # centroid-assignment kernel runs twice per batch
+        assigned = assign_centroids(
+            batch_df, cents, self.id_col, self.vec_col
+        ).localCheckpoint(eager=True)
         q = quantize_int8(assigned, self.id_col, self.vec_col)
         entry = (
             assigned.select(self.id_col, "cid", _norm(F.col(self.vec_col)).alias("nrm"))
@@ -115,8 +134,14 @@ def index_topk(
     its own ~1.0 self-similarity."""
     import math
 
-    with open(os.path.join(store_dir, "centroids.json")) as f:
-        cents = json.load(f)
+    empty_schema = f"{id_col} long, cos double"
+    cents_path = os.path.join(store_dir, "centroids.json")
+    index_dir = os.path.join(store_dir, "index")
+    if not os.path.isfile(cents_path) or not os.path.isdir(index_dir):
+        # not-yet-created store: empty result, like the sibling log
+        # readers — not a FileNotFoundError
+        return spark.createDataFrame([], empty_schema)
+    cents = _load_centroids(cents_path)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def cos_c(c: list[float]) -> float:
@@ -125,7 +150,19 @@ def index_topk(
 
     probe = sorted(range(len(cents)), key=lambda i: -cos_c(cents[i]))[:nprobe]
 
-    index = spark.read.parquet(os.path.join(store_dir, "index"))
+    # serve only COMMITTED batches: a crashed micro-batch leaves a
+    # batch=<id> dir with some task files written and no _SUCCESS
+    # marker — scoring against it would silently serve a
+    # partially-indexed batch until the retry lands
+    committed = [
+        os.path.join(index_dir, e)
+        for e in os.listdir(index_dir)
+        if e.startswith("batch=")
+        and os.path.isfile(os.path.join(index_dir, e, "_SUCCESS"))
+    ]
+    if not committed:
+        return spark.createDataFrame([], empty_schema)
+    index = spark.read.option("basePath", index_dir).parquet(*committed)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     dot = F.aggregate(
         F.zip_with(F.col("codes"), qlit, lambda c, x: c.cast("double") * x),

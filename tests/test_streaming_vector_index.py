@@ -72,3 +72,28 @@ def test_frozen_centroids_and_idempotent_retry(spark, built):
         assert json.load(f) == before_geom  # geometry never retrains
     after = [(r["vec_id"], r["cos"]) for r in index_topk(spark, store, qv, 10, 16).collect()]
     assert after == before
+
+
+def test_serving_guards_empty_store_and_uncommitted_batches(spark, tmp_path, built):
+    """index_topk must behave like the sibling log readers: an absent
+    store yields an empty frame (not FileNotFoundError), and a crashed
+    micro-batch's partial files (batch dir without _SUCCESS) are never
+    served."""
+    import shutil
+
+    # absent store
+    assert index_topk(spark, str(tmp_path / "nope"), [1.0, 0.0], k=5).count() == 0
+
+    store, emb, _ = built
+    qv = _query_vec(emb)
+    full = {r["vec_id"] for r in index_topk(spark, store, qv, 10, 16).collect()}
+    # simulate a crashed write: copy a committed batch to a new id and
+    # strip its _SUCCESS marker — its vectors must disappear from serving
+    idx_dir = os.path.join(store, "index")
+    src = next(e for e in os.listdir(idx_dir) if e.startswith("batch="))
+    crashed = os.path.join(idx_dir, "batch=999")
+    shutil.copytree(os.path.join(idx_dir, src), crashed)
+    os.remove(os.path.join(crashed, "_SUCCESS"))
+    after = {r["vec_id"] for r in index_topk(spark, store, qv, 10, 16).collect()}
+    assert after == full  # the uncommitted copy neither adds nor doubles
+    shutil.rmtree(crashed)
