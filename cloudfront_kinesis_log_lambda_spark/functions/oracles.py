@@ -243,7 +243,7 @@ ORACLE_SQL: dict[str, str] = {
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
                CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens
-        FROM (SELECT text, (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS b
+        FROM (SELECT text, ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 100 AS b
               FROM documents)
         GROUP BY 1
     """,
@@ -256,7 +256,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, pack_group, n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
-                       CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 8 AS INT) AS pack_group,
                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
                 FROM documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
@@ -277,7 +277,7 @@ ORACLE_SQL: dict[str, str] = {
           SELECT doc_id, pack_group, n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
-                       CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 16 AS INT) AS pack_group,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 16 AS INT) AS pack_group,
                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
                 FROM documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
@@ -399,10 +399,10 @@ ORACLE_SQL: dict[str, str] = {
                        CASE WHEN b < 80 THEN 'train'
                             WHEN b < 90 THEN 'val'
                             ELSE 'test' END AS split,
-                       CAST(CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 8 AS INT) AS pack_group,
+                       CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 8 AS INT) AS pack_group,
                        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
                 FROM (SELECT doc_id, text,
-                             (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 100 AS b
+                             ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 100 AS b
                       FROM documents))),
         pack(split, pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
           SELECT split, pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -1288,7 +1288,7 @@ ORACLE_SQL: dict[str, str] = {
                      + 0.3 * LEAST((CASE WHEN n_tok  > 0 THEN n_stop  / n_tok   ELSE 0.0 END) * 4.0, 1.0)
                      + 0.3 * (1.0 - LEAST((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0, 1.0)), 4)
                    AS quality,
-                 ROUND((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 % 10000) / 10000.0, 4) AS coin
+                 ROUND(((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 10000) / 10000.0, 4) AS coin
           FROM t)
         SELECT doc_id, quality, coin FROM scored WHERE coin < quality
     """,
@@ -1412,7 +1412,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_global_shuffle": """
         WITH keyed AS (
           SELECT doc_id,
-                 CAST((CAST(doc_id AS HUGEINT) * 2654435761 + 42) % 4294967296 AS BIGINT)
+                 CAST(((CAST(doc_id AS HUGEINT) * 2654435761 + 42) % 4294967296 + 4294967296) % 4294967296 AS BIGINT)
                    AS sort_key
           FROM documents)
         SELECT doc_id,

@@ -12,10 +12,19 @@ is the extension point for genuinely non-relational row expanders
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 CHUNK_TOKENS = 16
+
+#: the oracle tokenizes with regexp_split_to_array(trim(text), '\s+')
+#: (space-only trim; RE2 \s = [ \t\n\f\r]); Python str.split() instead
+#: strips ALL whitespace and treats Unicode spaces (U+00A0 …) as
+#: separators — a silent engine↔oracle divergence on any non-ASCII-space
+#: whitespace. Pin the exact same rule here.
+_WS = re.compile(r"[ \t\n\f\r]+")
 
 
 @udtf(returnType="chunk_idx bigint, chunk string, n_tokens bigint")
@@ -26,7 +35,10 @@ class ChunkTokens:
     def eval(self, text: str):  # noqa: ANN201 — UDTF contract
         if text is None:
             return
-        toks = text.split()
+        t = text.strip(" ")  # space-only, like SQL trim()
+        if t == "":
+            return
+        toks = _WS.split(t)
         for i in range(0, len(toks), CHUNK_TOKENS):
             chunk = toks[i : i + CHUNK_TOKENS]
             yield i // CHUNK_TOKENS + 1, " ".join(chunk), len(chunk)

@@ -199,12 +199,12 @@ def quality_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
     from cloudfront_kinesis_log_lambda_spark.operators.text import quality_score
 
     # DECIMAL multiply (HUGEINT oracle-side): exact for any int64
-    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9
-    coin = (
-        (F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761))
-        % F.lit(4294967296)
-        % F.lit(10000)
-    ) / F.lit(10000.0)
+    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9; the mod is
+    # normalized positive so negative ids can't yield a negative coin
+    # (auto-accepted at any quality)
+    _m = F.lit(4294967296)
+    _prod = F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761)
+    coin = (((_prod % _m + _m) % _m) % F.lit(10000)) / F.lit(10000.0)
     return (
         quality_score(docs, text_col)
         .select("doc_id", "quality", F.round(coin, 4).alias("coin"))
@@ -543,10 +543,13 @@ def global_shuffle(
     (sort_key, doc_id) is unique.
     """
     # DECIMAL multiply (HUGEINT oracle-side): exact for any int64
-    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9
-    key = (
+    # doc_id — BIGINT would wrap/error past doc_id ≈ 3.47e9; the mod is
+    # normalized positive so negative ids get valid shards/sort keys
+    m = F.lit(4294967296)
+    prod = (
         F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761) + F.lit(seed)
-    ) % F.lit(4294967296)
+    )
+    key = (prod % m + m) % m
     w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return (
         ensure_parallelism(docs)

@@ -88,6 +88,11 @@ def write_zordered(
     write — the z-value itself is dropped before writing, it is purely
     a clustering device.
     """
+    if len(cols) * bits > 63:
+        # fail the deterministic precondition BEFORE the approxQuantile
+        # action — at scale that scan is the expensive part, and zvalue()
+        # would only raise after it completed
+        zvalue([F.lit(0)] * len(cols), bits)
     probs = [i / 2**bits for i in range(1, 2**bits)]
     bounds = df.stat.approxQuantile(cols, probs, 0.001)
     buckets = [

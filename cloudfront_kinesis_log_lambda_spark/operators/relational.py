@@ -826,7 +826,8 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, pack_group, n_tokens,
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
-                       CAST(CAST(doc_id AS DECIMAL(20,0)) * 2654435761
+                       CAST((CAST(doc_id AS DECIMAL(20,0)) * 2654435761
+                             % 4294967296 + 4294967296)
                             % 4294967296 % 16 AS INT) AS pack_group,
                        CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens
                 FROM v_documents)),

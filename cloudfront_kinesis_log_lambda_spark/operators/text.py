@@ -51,13 +51,21 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic document quality: length, mean token length, stopword
     ratio, punctuation density → composite [0,1] score.
 
     The score formula is arbitrary-but-fixed; its value is that it is
     *deterministic and portable*, so downstream filtering (``score >= τ``)
-    is reproducible across engines.
+    is reproducible across engines. ``passthrough`` names input columns
+    to carry into the output — this is a pure projection, so callers
+    that need score + original columns should pass them through instead
+    of joining the output back against the input (which would plan the
+    whole upstream lineage twice).
     """
     docs = ensure_parallelism(docs)
     t = F.col(text_col)
@@ -78,6 +86,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *passthrough,
         n_tok.cast("long").alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
@@ -344,19 +353,26 @@ PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """PII redaction for training corpora: replace email/phone spans with
     typed placeholder tokens and count what was removed.
 
     Emails are scrubbed first, then phones on the already-scrubbed text
     (a digit-bearing email local-part can't be double-counted as a
     phone). Pure regexp_replace/extract_all projections — codegen'd,
-    zero shuffle, scan-parallel at any scale.
+    zero shuffle, scan-parallel at any scale. ``passthrough`` carries
+    input columns into the output so callers never join this projection
+    back against its own input.
     """
     t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     return docs.select(
         "doc_id",
+        *passthrough,
         F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
         .cast("long")
         .alias("n_emails"),

@@ -39,11 +39,14 @@ def _knuth_bucket(mod: int):
     DECIMAL(38,0) (the oracle's in HUGEINT) so it is exact for ANY
     int64 doc_id — a plain BIGINT multiply would wrap (or, under ANSI
     mode, error) once doc_id exceeds 2⁶³/2654435761 ≈ 3.47e9, which a
-    training-scale corpus reaches. Engine-portable, exactly
+    training-scale corpus reaches. The inner mod is normalized positive
+    (SQL % keeps the dividend's sign, so a negative doc_id would
+    otherwise yield a negative bucket — collapsing every negative-id
+    document into the first split). Engine-portable, exactly
     oracle-checkable."""
-    return (
-        F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761)
-    ) % F.lit(4294967296) % F.lit(mod)
+    m = F.lit(4294967296)
+    prod = F.col("doc_id").cast("decimal(20,0)") * F.lit(2654435761)
+    return ((prod % m + m) % m) % F.lit(mod)
 
 
 def _n_tokens(text_col: str):
@@ -63,19 +66,31 @@ def split_column(train_pct: int = 80, val_pct: int = 10):
 
 
 def _gate_and_exact_dedup(
-    docs: DataFrame, min_quality: float, text_col: str
+    docs: DataFrame,
+    min_quality: float,
+    text_col: str,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared stages 2-3: (quality-gate survivors, exact-dedup
     survivors). One definition so curate_documents and the
-    oracle-checked curation_report can never drift apart."""
-    annotated = T.quality_score(docs, text_col).join(
-        docs.select("doc_id", text_col, "lang"), "doc_id"
-    )
+    oracle-checked curation_report can never drift apart.
+
+    quality_score is a pure projection, so text/lang ride through it as
+    passthrough columns — no join back against the input (which would
+    plan the scan + regexp scoring twice). ``materialize=True``
+    checkpoints each stage for callers that fire multiple actions over
+    them (curation_report's four counts).
+    """
+    annotated = T.quality_score(docs, text_col, passthrough=(text_col, "lang"))
     passed = annotated.filter(F.col("quality") >= min_quality)
+    if materialize:
+        passed = passed.localCheckpoint(eager=True)
     # exact dedup: fingerprint → keep the lowest doc_id per fingerprint
     fp = passed.withColumn("fp", F.md5(F.col(text_col)))
     keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
+    if materialize:
+        exact_kept = exact_kept.localCheckpoint(eager=True)
     return passed, exact_kept
 
 
@@ -93,11 +108,18 @@ def curate_documents(
     Returns (doc_id, lang, quality, n_tokens, text) where ``text`` is
     the scrubbed text — the schema a downstream tokenizer consumes.
     """
-    passed, exact_kept = _gate_and_exact_dedup(docs, min_quality, text_col)
+    _, exact_kept = _gate_and_exact_dedup(docs, min_quality, text_col)
+    return _near_dedup_and_scrub(exact_kept, near_dup_threshold, text_col)
 
-    # near dedup on the exact-kept survivors: cluster assignment keeps
-    # only canonical members (canon_id == doc_id); docs too short to
-    # shingle never enter the pair graph and are kept as-is
+
+def _near_dedup_and_scrub(
+    exact_kept: DataFrame, near_dup_threshold: float, text_col: str
+) -> DataFrame:
+    """Stages 4-5 on the exact-dedup survivors: near-dup cluster dedup
+    keeps canonical members (canon_id == doc_id; docs too short to
+    shingle never enter the pair graph and are kept as-is), then PII is
+    scrubbed as a passthrough projection — no join of the pipeline
+    against its own lineage."""
     pairs = D.minhash_lsh_pairs(
         exact_kept, n=3, threshold=near_dup_threshold, text_col=text_col
     )
@@ -107,17 +129,14 @@ def curate_documents(
         "doc_id",
         "left_semi",
     )
-
-    scrubbed = T.pii_scrub(near_kept, text_col).select("doc_id", "scrubbed")
-    return (
-        near_kept.join(scrubbed, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.round("quality", 4).alias("quality"),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.col("scrubbed").alias(text_col),
-        )
+    return T.pii_scrub(
+        near_kept, text_col, passthrough=("lang", "quality", "n_tokens")
+    ).select(
+        "doc_id",
+        "lang",
+        F.round("quality", 4).alias("quality"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("scrubbed").alias(text_col),
     )
 
 
@@ -231,8 +250,13 @@ def curation_report(
     Deterministic given the corpus (stage counts don't depend on hash
     seeds as long as LSH recall holds, which the recall gates pin)."""
     spark = docs.sparkSession
-    passed, exact_kept = _gate_and_exact_dedup(docs, min_quality, text_col)
-    curated = curate_documents(docs, min_quality, near_dup_threshold, text_col)
+    # materialize=True: the four count() actions below would otherwise
+    # re-execute the gate regexps and md5 dedup per stage (and
+    # curate_documents would rebuild both internally a third time)
+    passed, exact_kept = _gate_and_exact_dedup(
+        docs, min_quality, text_col, materialize=True
+    )
+    curated = _near_dedup_and_scrub(exact_kept, near_dup_threshold, text_col)
     counts = [
         ("1_raw", docs.count()),
         ("2_quality_gate", passed.count()),

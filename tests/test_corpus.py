@@ -570,7 +570,7 @@ def test_knuth_hash_is_exact_at_int64_extremes(spark):
     doc_id past 2⁶³/2654435761 ≈ 3.47e9 (where a BIGINT multiply wraps
     or ANSI-errors) the key still equals Python's bignum arithmetic —
     a training-scale corpus lives in exactly that id range."""
-    big = [3_470_000_000, 2**62, 2**63 - 1, 7]
+    big = [3_470_000_000, 2**62, 2**63 - 1, 7, -1, -(2**62)]
     docs = spark.createDataFrame(
         [(i, "some text", "en", "src0", 9) for i in big],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -580,12 +580,15 @@ def test_knuth_hash_is_exact_at_int64_extremes(spark):
         for r in C.global_shuffle(docs, n_shards=8, seed=42).collect()
     }
     for d in big:
+        # Python % is already the positive mod the engine normalizes to
         k = (d * 2654435761 + 42) % 2**32
         assert got[d] == (k % 8, k), d
+        assert 0 <= got[d][0] < 8  # negative ids get VALID shards
     coins = {r["doc_id"]: r["coin"] for r in
              C.quality_sample(docs).select("doc_id", "coin").collect()}
     for d, c in coins.items():
         assert c == round((d * 2654435761 % 2**32 % 10000) / 10000, 4)
+        assert c >= 0
 
 
 def test_global_shuffle_positions_are_dense_per_shard(spark, sf_dir):
