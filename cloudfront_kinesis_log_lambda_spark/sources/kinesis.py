@@ -158,14 +158,22 @@ class FakeKinesisDataPlane:
     def put_records(self, StreamName: str, Records: list) -> dict:
         import zlib
 
+        # group per shard and append each shard's chunk in ONE write():
+        # concurrent sink partitions (parallelism=25 / io_concurrency)
+        # append to the same files, and single-write appends in O_APPEND
+        # mode don't interleave in practice — per-record open/write
+        # would both churn syscalls and risk torn lines for large
+        # payloads
+        by_shard: dict[int, list[str]] = {}
         for r in Records:
             shard = zlib.crc32(r["PartitionKey"].encode()) % self.n_shards
+            by_shard.setdefault(shard, []).append(
+                json.dumps({"PartitionKey": r["PartitionKey"], "Data": r["Data"]})
+            )
+        for shard, lines in by_shard.items():
             path = os.path.join(self.fake_dir, f"shard-{shard:03d}.jsonl")
             with open(path, "a") as f:
-                f.write(
-                    json.dumps({"PartitionKey": r["PartitionKey"], "Data": r["Data"]})
-                    + "\n"
-                )
+                f.write("\n".join(lines) + "\n")
         return {"FailedRecordCount": 0, "Records": [{} for _ in Records]}
 
 
@@ -193,12 +201,31 @@ class Boto3ShardClient:
         region_name: str | None = None,
         client: Any | None = None,
     ) -> None:
-        if client is None:
+        self.stream_name = stream_name
+        self.region_name = region_name
+        self._injected = client is not None
+        self._client_obj = client  # built lazily when not injected
+
+    @property
+    def _client(self) -> Any:
+        if self._client_obj is None:
             import boto3  # deferred: not installed/needed for tests
 
-            client = boto3.client("kinesis", region_name=region_name)
-        self._client = client
-        self.stream_name = stream_name
+            self._client_obj = boto3.client(
+                "kinesis", region_name=self.region_name
+            )
+        return self._client_obj
+
+    def __getstate__(self) -> dict:
+        # PySpark pickles stream readers (and their client) into the
+        # executor read function; a live botocore client is unpicklable
+        # (SSLContext / thread locals), so an OWNED client is dropped
+        # and lazily rebuilt on the other side. Injected clients (test
+        # fakes) must be picklable themselves and are kept.
+        state = dict(self.__dict__)
+        if not self._injected:
+            state["_client_obj"] = None
+        return state
 
     def list_shards(self) -> list[str]:
         shards, token = [], None
@@ -334,7 +361,15 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         init = self.client.initial_position
-        return {s: init for s in self.client.list_shards()}
+        offsets = {s: init for s in self.client.list_shards()}
+        # FRESH start: these offsets ARE the true consumer position, so
+        # they are a safe backpressure baseline — without this seed the
+        # first batch of a new query over a deep backlog planned the
+        # ENTIRE backlog per shard (the exact overload the cap exists
+        # to prevent). Checkpoint restores never call initialOffset;
+        # their baseline is set by the first partitions() call below.
+        self._last_end = dict(offsets)
+        return offsets
 
     def latestOffset(self) -> dict:
         # resharding-safe: list_shards() re-enumerated every batch
@@ -343,7 +378,7 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # beyond the last planned end. Only once a baseline is known —
         # capping against a guess below the checkpointed position would
         # REWIND the offset log and replay records (at-most-once lost).
-        # So the first batch of a (re)started query is uncapped.
+        # So the first batch after a RESTART is uncapped.
         # bound_advance is an OPTIONAL client capability (the documented
         # protocol is initial_position/list_shards/read_between/
         # latest_position): a custom client without it runs uncapped
@@ -388,7 +423,12 @@ class KinesisStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options: dict) -> None:
         self.options = options
         self.client = _make_client(options)
-        self.max_per_shard = int(options.get("max_records_per_shard", "10000"))
+        # 0 means UNCAPPED (the partitioned tier's convention — one
+        # option value, one meaning across tiers); the shard clients
+        # check their limit after appending, so a literal limit=0 would
+        # instead crawl at one record per shard per trigger
+        mp = int(options.get("max_records_per_shard", "10000"))
+        self.max_per_shard = mp if mp > 0 else None
 
     def initialOffset(self) -> dict:
         init = self.client.initial_position

@@ -291,11 +291,16 @@ def stream_stream_interval_join(
     # key renamed, left_ts == right_ts (the natural call on two streams
     # of the same schema) makes the condition's F.col(right_ts)
     # ambiguous and the join fails at construction
-    rw = (
-        right.withColumnRenamed(right_key, "__rk")
-        .withColumnRenamed(right_ts, "__rts")
-        .withWatermark("__rts", watermark)
+    rw = right.withColumnRenamed(right_key, "__rk").withColumnRenamed(
+        right_ts, "__rts"
     )
+    # ...and for the same-schema case the NON-join columns collide too:
+    # without a suffix the result carries two columns literally named
+    # e.g. "value", and every downstream select/groupBy dies with
+    # AMBIGUOUS_REFERENCE — suffix the right side's overlaps
+    for c in [c for c in rw.columns if c in left.columns]:
+        rw = rw.withColumnRenamed(c, f"{c}_right")
+    rw = rw.withWatermark("__rts", watermark)
     cond = (
         (F.col(left_key) == F.col("__rk"))
         & (F.col("__rts") >= F.col(left_ts))

@@ -329,8 +329,11 @@ def test_partitioned_reader_plans_ranges_reads_on_partitions(tmp_path):
 
 def test_partitioned_reader_admission_control(tmp_path):
     """max_records_per_shard caps each planned batch once the consumer
-    position is known; the first batch is deliberately uncapped (capping
-    against a guessed baseline could rewind a restored checkpoint)."""
+    position is known. A FRESH start knows it (initialOffset IS the
+    position — a deep backlog must not land in one giant first batch);
+    a checkpoint RESTART does not until the restored offsets reach
+    partitions() (capping against a guessed baseline could rewind the
+    offset log), so only the restart's first batch is uncapped."""
     from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
         KinesisPartitionedStreamReader,
     )
@@ -340,8 +343,8 @@ def test_partitioned_reader_admission_control(tmp_path):
     r = KinesisPartitionedStreamReader({"fake_dir": d, "max_records_per_shard": "3"})
 
     start = r.initialOffset()
-    end1 = r.latestOffset()          # no baseline yet → uncapped
-    assert end1 == {"shard-000": 10}
+    end1 = r.latestOffset()          # fresh start: baseline 0 → capped
+    assert end1 == {"shard-000": 3}
     r.partitions(start, {"shard-000": 4})  # pretend the log planned 0→4
 
     end2 = r.latestOffset()          # baseline 4 → capped to 4+3
@@ -351,6 +354,14 @@ def test_partitioned_reader_admission_control(tmp_path):
 
     end3 = r.latestOffset()          # baseline 7 → 10 within cap
     assert end3 == {"shard-000": 10}
+
+    # RESTART (no initialOffset call — Spark replays offsets straight
+    # into partitions): the first latestOffset has no baseline and must
+    # stay uncapped, anything else could rewind the restored checkpoint
+    r2 = KinesisPartitionedStreamReader(
+        {"fake_dir": d, "max_records_per_shard": "3"}
+    )
+    assert r2.latestOffset() == {"shard-000": 10}
 
 
 def test_tipless_client_auto_falls_back_to_simple_tier(monkeypatch, tmp_path):
@@ -406,3 +417,45 @@ def test_simple_reader_replay_covers_shards_born_midstream(tmp_path):
     # (the checkpointed start) has never heard of shard-001
     replayed = list(reader.readBetweenOffsets(end1, end2))
     assert sorted(r[3] for r in replayed) == ["b0", "b1"]
+
+
+def test_simple_reader_treats_zero_cap_as_uncapped(tmp_path):
+    """max_records_per_shard=0 means UNCAPPED in the partitioned tier;
+    the Simple tier must honor the same convention — a literal limit=0
+    would crawl at one record per shard per trigger (the clients check
+    their limit after appending)."""
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        KinesisStreamReader,
+    )
+
+    d = str(tmp_path / "stream")
+    _write_shard(d, "shard-000", [(f"pk{i}", f"a{i}") for i in range(7)])
+    r = KinesisStreamReader({"fake_dir": d, "max_records_per_shard": "0"})
+    rows, end = r.read(r.initialOffset())
+    assert len(list(rows)) == 7  # everything, not one record
+    assert end == {"shard-000": 7}
+
+
+def test_boto3_shard_client_pickles_without_live_client():
+    """PySpark pickles the stream reader (and its client) into the
+    executor read function; an OWNED botocore client is unpicklable, so
+    it must be dropped on pickle and lazily rebuilt. Injected fakes are
+    kept (they must be picklable themselves)."""
+    import pickle
+
+    from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
+        Boto3ShardClient,
+    )
+
+    class Unpicklable:
+        def __reduce__(self):
+            raise TypeError("cannot pickle a live botocore client")
+
+    c = Boto3ShardClient("s", client=Unpicklable())
+    c._injected = False  # simulate the owned-client case
+    c2 = pickle.loads(pickle.dumps(c))  # owned → dropped, no TypeError
+    assert c2._client_obj is None and c2.stream_name == "s"
+
+    inj = Boto3ShardClient("s", client=["picklable-fake"])
+    inj2 = pickle.loads(pickle.dumps(inj))  # injected → kept
+    assert inj2._client_obj == ["picklable-fake"]
