@@ -49,7 +49,10 @@ def has_min_tokens(text_col: str | Column, n: int) -> Column:
     scan) but costs only one regex split per row there.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.split(F.trim(c), r"\s+")) >= n
+    # the blank guard matters at n=1: split of a trimmed empty string
+    # yields [''] (size 1), which would pass and emit the empty gram —
+    # every blank doc would then near-dup every other blank doc
+    return (F.size(F.split(F.trim(c), r"\s+")) >= n) & (F.trim(c) != "")
 
 
 def gram_list(text_col: str | Column, n: int) -> Column:
@@ -61,7 +64,7 @@ def gram_list(text_col: str | Column, n: int) -> Column:
     # guard: sequence(0, -1) would produce a DESCENDING sequence, so docs
     # shorter than n tokens get an empty gram array (explode drops them)
     return F.when(
-        F.size(toks) >= n,
+        (F.size(toks) >= n) & (F.trim(c) != ""),  # blank ⇒ [''], not a gram
         F.transform(
             F.sequence(F.lit(0), F.size(toks) - n),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -72,6 +75,25 @@ def gram_list(text_col: str | Column, n: int) -> Column:
 def gram_array(text_col: str | Column, n: int) -> Column:
     """Distinct word n-grams of a text column as an array<string>."""
     return F.array_distinct(gram_list(text_col, n))
+
+
+def ordered_pairs(ids: Column, pair) -> Column:
+    """All (i < j) element pairs of a sorted array, as an exploded
+    column: ``pair(x, y)`` builds each emitted value. ONE home for the
+    index arithmetic (the 1-based ``i + 2`` slice start is the subtle
+    part) — this expression previously existed as four hand-maintained
+    copies across the dedup/similarity/streaming pair generators."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x, i: F.transform(
+                    F.slice(ids, i + 2, F.size(ids)),
+                    lambda y: pair(x, y),
+                ),
+            )
+        )
+    )
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
@@ -91,7 +113,13 @@ def near_dup_pairs_exact(
     scale use :func:`minhash_lsh_pairs` (this operator's output is its
     recall reference).
     """
-    sh = shingles(docs, n).cache()
+    # localCheckpoint, not cache(): operators return lazy frames, so a
+    # cache() pinned here can never be unpersisted by this function —
+    # back-to-back registry/gate runs would accumulate dead CacheManager
+    # entries for the session's lifetime. Measured cost of the disk
+    # round-trip vs cache: ~+20% on the winnow path at sf0.1 — the
+    # bounded-memory contract wins for a 112-query session.
+    sh = shingles(docs, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -189,6 +217,16 @@ def minhash_band_rows(
     """
     import random
 
+    if bands < 1 or num_hashes % bands != 0:
+        # silent truncation here is a recall trap: num_hashes < bands
+        # makes rows=0 (every band hash degenerates to the constant
+        # xxhash64(i) — one global bucket), and a non-multiple quietly
+        # uses fewer hashes than requested, changing the b·r curve
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
+
     grams_df = grams_df.filter(F.size("grams") > 0)
 
     rows = num_hashes // bands
@@ -255,10 +293,11 @@ def minhash_lsh_pairs(
     pair generation bounded by bucket size → exact Jaccard on candidates
     via gram-array intersection → threshold filter.
     """
+    # localCheckpoint, not cache() — see near_dup_pairs_exact
     hashed = (
         ensure_parallelism(docs.filter(has_min_tokens(text_col, n)))
         .select("doc_id", gram_array(text_col, n).alias("grams"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     buckets = minhash_band_rows(hashed, num_hashes, bands, seed)
 
@@ -271,18 +310,7 @@ def minhash_lsh_pairs(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     ).filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        # elements after position i (1-based slice start)
-                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                        lambda y: F.array(x, y),
-                    ),
-                )
-            )
-        ).alias("p")
+        ordered_pairs(F.col("ids"), lambda x, y: F.array(x, y)).alias("p")
     )
     candidates = (
         pairs.select(F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b"))
@@ -302,7 +330,11 @@ def minhash_lsh_pairs(
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        # duplicate doc_id input rows join twice and would emit the
+        # same pair with CONFLICTING jaccard values — collapse to the
+        # most-similar interpretation (tiny: output-sized aggregate)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("jaccard").alias("jaccard"))
     )
 
 
@@ -415,7 +447,8 @@ def winnow_near_pairs(
         fp.groupBy("fp")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= max_doc_freq)
-        .cache()
+        # localCheckpoint, not cache() — see near_dup_pairs_exact
+        .localCheckpoint(eager=True)
     )
     sizes = (
         rare.select(F.explode("ids").alias("doc_id"))
@@ -425,17 +458,7 @@ def winnow_near_pairs(
     pairs = (
         rare.filter(F.size("ids") >= 2)
         .select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.array(x, y),
-                        ),
-                    )
-                )
-            ).alias("p")
+            ordered_pairs(F.col("ids"), lambda x, y: F.array(x, y)).alias("p")
         )
         .groupBy(F.col("p")[0].alias("doc_a"), F.col("p")[1].alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -654,21 +677,14 @@ def simhash_near_pairs(
         .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket_size))
     )
     pairs = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ms"),
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                        lambda y: F.struct(
-                            x["doc_id"].alias("doc_a"),
-                            y["doc_id"].alias("doc_b"),
-                            x["simhash"].alias("sig_a"),
-                            y["simhash"].alias("sig_b"),
-                        ),
-                    ),
-                )
-            )
+        ordered_pairs(
+            F.col("ms"),
+            lambda x, y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["simhash"].alias("sig_a"),
+                y["simhash"].alias("sig_b"),
+            ),
         ).alias("p")
     )
     return (
@@ -681,5 +697,8 @@ def simhash_near_pairs(
         # hamming-0 self-pairs
         .filter(F.col("doc_a") != F.col("doc_b"))
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        # ...and conflicting signatures for one id must not emit the
+        # same pair twice with different distances: keep the closest
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("hamming").alias("hamming"))
     )

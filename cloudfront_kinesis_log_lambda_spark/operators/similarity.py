@@ -70,6 +70,14 @@ def cosine_topk(
 
     The one-row query side is cross-joined with a broadcast hint — the
     plan is scan → codegen'd cosine → TakeOrderedAndProject; no shuffle.
+
+    Contract note (applies to every exact path built on this broadcast
+    shape — matryoshka_topk, cosine_topk_multi, quantized_dot_topk): a
+    ``query_vec_id`` absent from the corpus yields an EMPTY result, and
+    a duplicated id multiplies the scored rows — deliberately unchecked
+    here to keep the single-job plan (a validating count would add a
+    scan); validate ids upstream, or use the ANN tiers, whose
+    driver-side query collect raises on a missing id.
     """
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec")
@@ -213,17 +221,27 @@ def _np_buckets(X, planes) -> "object":
     return (b * weights).sum(axis=2)
 
 
-def lsh_buckets_udf(dim: int, bits: int, tables: int, seed: int):
+def lsh_buckets_udf(
+    dim: int, bits: int, tables: int, seed: int, planes=None
+):
     """Arrow-batched bucket assignment: one BLAS matmul per batch against
     the (tables×bits, dim) plane matrix, bits packed in numpy. Replaces
     a tables×bits literal expression tree whose zip_with/aggregate dot
     products evaluated interpreted (measured ~4 s/500 vecs) and whose
-    Janino compile grew with tables·bits·dim."""
-    planes = _np_planes(dim, bits, tables, seed)
+    Janino compile grew with tables·bits·dim. Callers that already built
+    the planes for a driver-side query bucket pass them in (one tensor,
+    no chance of the two draws' parameters drifting apart)."""
+    if planes is None:
+        planes = _np_planes(dim, bits, tables, seed)
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64)
+        if X.shape[1] != planes.shape[2]:
+            raise ValueError(
+                f"embedding dim {X.shape[1]} != configured dim "
+                f"{planes.shape[2]} — pass dim= matching the column"
+            )
         return pd.Series(list(_np_buckets(X, planes)))
 
     return buckets
@@ -290,9 +308,15 @@ def ann_lsh_topk(
     planes = _np_planes(dim, bits, tables, seed)
     [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = [float(x) for x in qrow[0]]
+    if len(qv) != dim:
+        raise ValueError(
+            f"embedding dim {len(qv)} != configured dim {dim} — the "
+            f"hyperplanes were drawn for {dim}-wide vectors"
+        )
     qb = _np_buckets(np.asarray([qv], dtype=np.float64), planes)[0]
 
-    buckets = lsh_buckets_udf(dim, bits, tables, seed)
+    # reuse the tensor built for the query bucket above
+    buckets = lsh_buckets_udf(dim, bits, tables, seed, planes=planes)
     tagged = ensure_parallelism(embeddings).select(
         id_col, vec_col, buckets(F.col(vec_col)).alias("bk")
     )
@@ -700,19 +724,13 @@ def cosine_self_join_above(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket_size))
     )
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        ordered_pairs,
+    )
+
     cand = (
         members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                            lambda y: F.array(x, y),
-                        ),
-                    )
-                )
-            ).alias("p")
+            ordered_pairs(F.col("ids"), lambda x, y: F.array(x, y)).alias("p")
         )
         .select(F.col("p")[0].alias("id_a"), F.col("p")[1].alias("id_b"))
         .distinct()
@@ -829,13 +847,17 @@ def semantic_dedup(
     # full-corpus assignment kernel would re-execute per consumer
     assigned = assigned.localCheckpoint(eager=True)
     # cell-size gate via a k-row aggregate broadcast back (NOT a window
-    # count, which would drag vectors through an extra exchange+sort),
-    # counting PRIMARY (probe_rank 0) members only — the cell's actual
-    # population. Counting multi-probe visitors too would let nprobe=2
-    # drop a cell nprobe=1 kept, silently inverting the recall gain.
+    # count, which would drag vectors through an extra exchange+sort).
+    # It counts the JOIN population — primaries AND multi-probe
+    # visitors — because that is what the self-join below squares: a
+    # primaries-only count let a centrally-located cell that is
+    # runner-up for half the corpus pass the gate and still expand
+    # O(visitors²) (and a cell with zero primaries had no group row at
+    # all, so the semi-join dropped its visitors — losing exactly the
+    # boundary pairs nprobe>1 exists to catch). Multi-probe inflates
+    # counts by ≤ nprobe; size max_cell_size accordingly.
     small_cells = (
-        assigned.filter(F.col("probe_rank") == 0)
-        .groupBy("cid")
+        assigned.groupBy("cid")
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") <= max_cell_size)
         .select("cid")

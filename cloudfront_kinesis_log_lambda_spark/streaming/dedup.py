@@ -55,6 +55,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
     gram_array,
     has_min_tokens,
     minhash_band_rows,
+    ordered_pairs,
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import read_batch_store
 
@@ -138,20 +139,13 @@ class StreamingNearDup:
             )
         )
         pairs = members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ms"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("doc_a"),
-                                y["doc_id"].alias("doc_b"),
-                                (x["is_new"] | y["is_new"]).alias("any_new"),
-                            ),
-                        ),
-                    )
-                )
+            ordered_pairs(
+                F.col("ms"),
+                lambda x, y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    (x["is_new"] | y["is_new"]).alias("any_new"),
+                ),
             ).alias("p")
         )
         candidates = (

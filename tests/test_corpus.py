@@ -676,6 +676,15 @@ def test_decontaminate_short_tail_block_always_kept(spark):
 # --- collocation_lift -------------------------------------------------------
 
 
+def _round_half_up(x, nd=4):
+    # Spark's ROUND is HALF_UP; Python's round() is banker's — they
+    # disagree exactly at representable midpoints (e.g. 264/256 =
+    # 1.03125 → 1.0313 vs 1.0312)
+    import math as m
+
+    return m.floor(x * 10**nd + 0.5) / 10**nd
+
+
 def _brute_colloc(texts, min_count, k):
     from collections import Counter
 
@@ -687,7 +696,7 @@ def _brute_colloc(texts, min_count, k):
         big.update(zip(w, w[1:]))
     n = sum(big.values())
     rows = [
-        (a, b, cab, uni[a], uni[b], round(cab * n / (uni[a] * uni[b]), 4))
+        (a, b, cab, uni[a], uni[b], _round_half_up(cab * n / (uni[a] * uni[b])))
         for (a, b), cab in big.items()
         if cab >= min_count
     ]
