@@ -36,13 +36,35 @@ def _asof_join(
     tolerance: str | None,
 ) -> DataFrame:
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    for tmp in ("_side", "_ats", "_rrow"):
+        if tmp in left.columns or tmp in right.columns:
+            raise ValueError(
+                f"column name {tmp!r} is reserved by the as-of union — "
+                "rename it on the input"
+            )
 
     lhs = left.withColumn("_side", F.lit(1)).withColumn("_ats", F.col(left_ts))
-    rhs = right.select(
-        F.col(on),
-        F.col(right_ts).alias("_ats"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
-    ).withColumn(f"{right_ts}{suffix}", F.col("_ats")).withColumn("_side", F.lit(0))
+    # carry each right row as ONE struct: per-column last(ignorenulls)
+    # would stitch values from DIFFERENT right rows whenever the matched
+    # row holds a NULL in some carried column — a row that never existed
+    # (and the tolerance check would then judge a torn ts). The struct
+    # from a right row is never null even when its fields are, so
+    # last(struct, ignorenulls) picks exactly the latest right ROW.
+    # NULL-ts right rows are excluded up front: `right.ts <= left.ts`
+    # can never hold for them, but NULLS FIRST ordering would leak their
+    # values onto left rows that have no match at all.
+    rhs = (
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            F.col(on),
+            F.col(right_ts).alias("_ats"),
+            F.struct(
+                F.col(right_ts).alias(f"{right_ts}{suffix}"),
+                *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+            ).alias("_rrow"),
+        )
+        .withColumn("_side", F.lit(0))
+    )
 
     carried = [f"{right_ts}{suffix}"] + [f"{c}{suffix}" for c in right_cols]
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
@@ -67,10 +89,15 @@ def _asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first
-    for c in carried:
-        unioned = unioned.withColumn(c, pick(c, ignorenulls=True).over(w))
+    unioned = unioned.withColumn(
+        "_rrow", pick("_rrow", ignorenulls=True).over(w)
+    )
 
-    out = unioned.filter(F.col("_side") == 1).drop("_side", "_ats")
+    out = (
+        unioned.filter(F.col("_side") == 1)
+        .select("*", *[F.col(f"_rrow.{c}").alias(c) for c in carried])
+        .drop("_side", "_ats", "_rrow")
+    )
     if tolerance is not None:
         matched_ts = F.col(f"{right_ts}{suffix}")
         if direction == "backward":

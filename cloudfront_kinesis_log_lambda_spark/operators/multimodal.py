@@ -93,7 +93,11 @@ def decoded_image_features(payload: bytes, dim: int = 16) -> list[float]:
     :func:`decode_image`'s output (same ``dim``-float shape as the fake
     path, so downstream similarity ops are oblivious to which path ran).
     Raises the decode seam's NotImplementedError when no decoder
-    library is present."""
+    library is present. NULL/empty payloads yield the zero vector (the
+    same graceful contract as the fake path — one corrupt asset row
+    must not fail the whole mapInPandas stage)."""
+    if not payload:
+        return [0.0] * dim
     img = decode_image(payload)
     g = img.convert("L").resize((16, 16))
     px = list(g.getdata())

@@ -41,6 +41,12 @@ def with_runtime_bloom_filters(
     """Session window in which runtime bloom-filter join pruning is
     eligible for every join compiled inside it.
 
+    "Compiled" means OPTIMIZED: Spark resolves these confs at ACTION
+    time, not at DataFrame construction — a frame built inside the
+    window but collected after it silently compiles with the restored
+    thresholds (no bloom filter, no error). Run the action inside the
+    ``with`` block.
+
     Spark's defaults are sized for real clusters (creation side ≤ 10 MB,
     application-side scan ≥ 10 GB) — correct in production, never firing
     on test/PoC data. This scopes the thresholds so plans exercise the
@@ -139,7 +145,19 @@ def salted_join(
     row matched by key+salt exactly once). Left rows get a seeded-random
     salt — deterministic per task retry (rand(seed) re-derives from the
     partition seed), uniform across the salt space.
+
+    Only left-shaped joins are accepted: with the right side replicated
+    salt×, a right/full/outer join would emit up to salt phantom
+    null-left rows per unmatched right row (one per replica whose salt
+    no left row drew) — verified-wrong, so refuse instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left-shaped joins only, got "
+            f"{how!r}: the salt-replicated right side would emit phantom "
+            "unmatched-right rows"
+        )
     lsalt = left.withColumn("_salt", F.floor(F.rand(seed) * salt).cast("int"))
     rsalt = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

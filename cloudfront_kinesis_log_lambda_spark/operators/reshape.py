@@ -157,7 +157,12 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stratum rate contract is pinned by tests/test_reshape.py.
     """
     e = load(spark, sf_dir, "events")
-    fractions = {t: (1.0 if t == "error" else 0.25) for t in _EVENT_TYPES}
+    # build strata from the ACTUAL domain: sampleBy silently samples
+    # missing strata at rate 0, so a hardcoded list would make any new
+    # event_type vanish from the output without an error (the distinct
+    # is a tiny aggregate over one low-cardinality column)
+    types = [r[0] for r in e.select("event_type").distinct().collect()]
+    fractions = {t: (1.0 if t == "error" else 0.25) for t in types}
     sample = e.sampleBy("event_type", fractions, seed=42)
     return sample.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled"),

@@ -140,3 +140,42 @@ def test_cogroup_asof_matches_window_formulation(spark, sf_dir):
     exp = {r["event_id"]: r.asDict() for r in w.collect()}
     assert got == exp
     assert cg.count() == purchases.count()
+
+
+def test_asof_null_value_in_matched_row_is_not_torn(spark):
+    """The matched right ROW wins, even when one of its carried columns
+    is NULL — per-column carry would stitch the NULL column from an
+    OLDER row onto the newer row's timestamp, returning a row that never
+    existed (and mis-judging tolerance on the torn ts)."""
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T12:00:00"))])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_ts("2024-01-01T05:00:00"), px=7.0),
+            Row(k=1, ts=_ts("2024-01-01T10:00:00"), px=None),
+        ],
+        "k long, ts timestamp, px double",
+    )
+    [r] = asof_join_backward(left, right, on="k").collect()
+    assert str(r["ts_asof"]) == "2024-01-01 10:00:00"  # the latest ROW
+    assert r["px_asof"] is None  # ...with ITS value, not 05:00's 7.0
+
+
+def test_asof_null_right_ts_rows_are_excluded(spark):
+    """right.ts <= left.ts can never hold for a NULL right ts; NULLS
+    FIRST window ordering must not leak such a row's values onto left
+    rows that have no match at all."""
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T01:00:00"))])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=None, px=9.0)], "k long, ts timestamp, px double"
+    )
+    [r] = asof_join_backward(left, right, on="k").collect()
+    assert r["px_asof"] is None and r["ts_asof"] is None  # no match
+
+
+def test_asof_reserved_temp_names_are_refused(spark):
+    import pytest
+
+    left = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T01:00:00"), _ats=1)])
+    right = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T00:00:00"), rv=1.0)])
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join_backward(left, right, on="k")

@@ -201,3 +201,19 @@ def test_aqe_splits_skewed_join_partition_at_runtime(spark, sf_dir, no_broadcast
 
     hot = Counter(r["k"] for r in rows)[0]
     assert hot == 180000  # the 90% key, intact across the split tasks
+
+
+def test_salted_join_refuses_right_shaped_joins(spark):
+    """With the right side replicated salt x, a right/full join emits up
+    to salt phantom null-left rows per unmatched right row — refuse
+    loudly instead of silently corrupting."""
+    import pytest
+
+    from cloudfront_kinesis_log_lambda_spark.operators.physical import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, lv string")
+    right = spark.createDataFrame([(1, "x"), (2, "u")], "k long, rv string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, "k", salt=4, how="right")
+    # the supported shapes still work
+    assert salted_join(left, right, "k", salt=4, how="left").count() == 1
