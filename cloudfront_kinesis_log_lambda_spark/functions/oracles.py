@@ -872,7 +872,7 @@ ORACLE_SQL: dict[str, str] = {
     # --- text analysis ---------------------------------------------------
     "doc_token_stats": r"""
         SELECT doc_id,
-               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_wordpieces,
                CAST(length(text) AS BIGINT) AS n_chars_measured
         FROM documents
@@ -880,7 +880,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality": r"""
         WITH t AS (
           SELECT doc_id,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)         AS n_tok,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS DOUBLE)         AS n_tok,
                  CAST(length(text) AS DOUBLE)                                          AS n_chars,
                  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in)\b')) AS DOUBLE) AS n_stop,
                  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)       AS n_punct
@@ -1277,7 +1277,7 @@ ORACLE_SQL: dict[str, str] = {
     "doc_quality_sample": r"""
         WITH t AS (
           SELECT doc_id,
-                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)         AS n_tok,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS DOUBLE)         AS n_tok,
                  CAST(length(text) AS DOUBLE)                                          AS n_chars,
                  CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in)\b')) AS DOUBLE) AS n_stop,
                  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)       AS n_punct

@@ -39,8 +39,12 @@ def zscore_by_group(
     total over input rows.
     """
     dtypes = dict(df.dtypes)
-    out_fields = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
-    schema = f"{out_fields}, {key} {dtypes[key]}, z double"
+    # backtick-quote the identifiers (a raw-schema name like fle-status
+    # would otherwise break the DDL parse) and build the list as a list
+    # (empty id_cols must not leave a leading comma)
+    fields = [f"`{c}` {dtypes[c]}" for c in id_cols]
+    fields += [f"`{key}` {dtypes[key]}", "z double"]
+    schema = ", ".join(fields)
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf[value_col].std(ddof=1)
@@ -120,14 +124,37 @@ def asof_join_cogroup(
                 if c not in out.columns:
                     out[c] = pd.Series([None] * len(out), index=out.index, dtype="object")
             return out.reindex(columns=out_cols)
+        # NULL timestamps: merge_asof RAISES on null merge keys, while
+        # the window twin excludes NULL-ts right rows (no match can
+        # satisfy r.ts <= l.ts) and gives NULL-ts left rows a no-match
+        # row — mirror both so "semantically identical" stays true
         r = r[[right_ts, *right_cols]].rename(columns=ren)
-        return pd.merge_asof(
-            l.sort_values(left_ts, kind="stable"),
-            r.sort_values(f"{right_ts}{suffix}", kind="stable"),
-            left_on=left_ts,
-            right_on=f"{right_ts}{suffix}",
-            direction="backward",
-        ).reindex(columns=out_cols)
+        r = r[r[f"{right_ts}{suffix}"].notna()]
+        l_null = l[l[left_ts].isna()]
+        l = l[l[left_ts].notna()]
+        parts = []
+        if len(l):
+            if len(r):
+                parts.append(
+                    pd.merge_asof(
+                        l.sort_values(left_ts, kind="stable"),
+                        r.sort_values(f"{right_ts}{suffix}", kind="stable"),
+                        left_on=left_ts,
+                        right_on=f"{right_ts}{suffix}",
+                        direction="backward",
+                    )
+                )
+            else:
+                parts.append(l.copy())
+        if len(l_null):
+            parts.append(l_null.copy())
+        out = pd.concat(parts, ignore_index=True) if parts else l.copy()
+        for c in out_cols:
+            if c not in out.columns:
+                out[c] = pd.Series(
+                    [None] * len(out), index=out.index, dtype="object"
+                )
+        return out.reindex(columns=out_cols)
 
     return (
         left.groupBy(on)

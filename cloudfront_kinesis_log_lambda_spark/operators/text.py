@@ -43,9 +43,14 @@ def token_stats(docs: DataFrame) -> DataFrame:
     character length, per document."""
     docs = ensure_parallelism(docs)
     t = F.col("text")
+    # empty-token filter: split of a trimmed blank yields [''] — a
+    # phantom token that would count blank docs as n_tokens=1 (the same
+    # guard as corpus.n_tokens_col and dedup.has_min_tokens)
     return docs.select(
         "doc_id",
-        F.size(_tokens(t)).cast("long").alias("n_tokens"),
+        F.size(F.filter(_tokens(t), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
         F.regexp_count(t, F.lit(WORDPIECE_RE)).cast("long").alias("n_wordpieces"),
         F.length(t).cast("long").alias("n_chars_measured"),
     )
@@ -69,7 +74,9 @@ def quality_score(
     """
     docs = ensure_parallelism(docs)
     t = F.col(text_col)
-    n_tok = F.size(_tokens(t)).cast("double")
+    # blank-safe token count (see token_stats): blank docs score at the
+    # degenerate floor instead of over a phantom '' token
+    n_tok = F.size(F.filter(_tokens(t), lambda x: x != "")).cast("double")
     n_chars = F.length(t).cast("double")
     n_stop = F.regexp_count(
         F.lower(t), F.lit(r"\b(" + "|".join(STOPWORDS) + r")\b")
@@ -165,6 +172,10 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
             "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
         )
         .filter(F.col("term") != "")
+        # consumed by BOTH the tf and df aggregates (and docs is scanned
+        # a third time for n_docs): checkpoint so the scan+explode runs
+        # once — the near_dup_pairs_exact pattern
+        .localCheckpoint(eager=True)
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -264,20 +275,27 @@ def table_profile(
     docs = ensure_parallelism(docs)
     distinct = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
+        # POSITIONAL aliases: the input name appears only as an escaped
+        # string literal — a column like `fle-status` (this repo's raw
+        # schema!) or one containing a quote would otherwise parse as
+        # arithmetic / break the literal inside the stack() expression
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            distinct(c).alias(f"{c}__distinct"),
+            F.count(F.lit(1)).alias(f"_c{i}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_c{i}__nulls"),
+            distinct(c).alias(f"_c{i}__distinct"),
             # aggregate in the column's OWN type, stringify after —
             # casting first would turn numeric min/max lexicographic
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"_c{i}__min"),
+            F.max(F.col(c)).cast("string").alias(f"_c{i}__max"),
         ]
     one = docs.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__n, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c in cols
+        f"'{c}', _c{i}__n, _c{i}__nulls, _c{i}__distinct, "
+        f"_c{i}__min, _c{i}__max"
+        for i, c in enumerate(
+            c.replace("\\", "\\\\").replace("'", "\\'") for c in cols
+        )
     )
     return one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

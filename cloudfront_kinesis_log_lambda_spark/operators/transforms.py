@@ -104,14 +104,20 @@ def enrich_metadata(
     right (``.../env/serviceId/file.gz``) — robust to any bucket-prefix
     depth, unlike the reference's left-indexing (SURVEY.md §1.4.5).
     """
-    if env is not None and service_id is not None:
-        env_col: Column = F.lit(env)
-        sid_col: Column = F.lit(service_id)
-    else:
-        parts = F.split(F.col(source_file_col), "/")
-        n = F.size(parts)
-        env_col = F.element_at(parts, n - 2)
-        sid_col = F.element_at(parts, n - 1)
+    # each value is handled independently — a caller passing only env
+    # must not have it silently ignored in favor of a per-row derive;
+    # F.get (0-based, returns NULL out of range) instead of element_at,
+    # whose index-0 / out-of-range cases throw at runtime for paths
+    # with fewer than three segments (e.g. the empty _source_file
+    # input_file_name() yields for non-file-backed rows)
+    parts = F.split(F.col(source_file_col), "/")
+    n = F.size(parts)
+    env_col: Column = (
+        F.lit(env) if env is not None else F.get(parts, n - 3)
+    )
+    sid_col: Column = (
+        F.lit(service_id) if service_id is not None else F.get(parts, n - 2)
+    )
     out = (
         df.withColumn("serviceId", sid_col)
         .withColumn("type", F.lit(RECORD_TYPE))
@@ -146,9 +152,13 @@ def to_wire_records(df: DataFrame, exact_json: bool = False) -> DataFrame:
 
     Default path is ``to_json`` over a struct in the reference's exact
     field order — JVM-side, codegen-fused. It differs from ``json.dumps``
-    only cosmetically (compact separators, null fields omitted);
-    ``exact_json=True`` switches to an Arrow-batched ``json.dumps`` UDF
-    for byte-exact wire parity.
+    in THREE byte-level ways: compact separators, null fields omitted,
+    and non-ASCII emitted as raw UTF-8 where ``json.dumps`` escapes to
+    backslash-u sequences (``ensure_ascii`` default) — semantically
+    equivalent JSON,
+    different bytes. Consumers that byte-compare records (or require
+    ASCII) need ``exact_json=True``, the Arrow-batched ``json.dumps``
+    UDF with byte-exact wire parity.
 
     ``PartitionKey`` is ``uuid4().hex`` fidelity: Spark's ``uuid()`` is
     also random-based, and stripping dashes yields the 32-char hex form.

@@ -24,17 +24,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cloudfront_kinesis_log_lambda_spark.schema import RAW_SCHEMA
+from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES
 
-#: CSV reader options shared by batch and streaming scans.
-#: PERMISSIVE mode reproduces DictReader's tolerance: short rows → None
-#: for missing trailing fields; extra fields are discarded.
-_CSV_OPTIONS = {
-    "sep": "\t",
-    "comment": "#",
-    "mode": "PERMISSIVE",
-    "quote": "",  # CloudFront TSV is unquoted; don't let '"' start a quote
-}
+def _parse_tsv_lines(lines: DataFrame) -> DataFrame:
+    """text->split TSV parse with csv.DictReader's EXACT field semantics:
+    an empty field (two adjacent tabs) is ``''``, a missing trailing
+    field (short row) is NULL, extra fields are discarded, ``#`` comment
+    lines are dropped. Spark's CSV reader cannot express the first rule:
+    univocity turns unquoted empty fields into NULL regardless of
+    nullValue/emptyValue options, so the wire JSON would say null where
+    the reference emits "" — split() preserves empties, and F.get
+    returns NULL past the end. One codegen'd projection; no parser
+    library in the loop."""
+    parts = F.split(F.col("value"), "\t")
+    cols = [F.get(parts, i).alias(name) for i, name in enumerate(FIELDNAMES)]
+    return (
+        lines.filter(~F.col("value").startswith("#"))
+        .filter(F.col("value") != "")
+        .select(*cols, F.col("_source_file"))
+    )
 
 
 def read_cloudfront_logs(
@@ -49,14 +57,15 @@ def read_cloudfront_logs(
     one multi-file job — the reference needs one Lambda per file to know
     the key; the engine derives it per-row from the scan itself.
     """
-    reader = spark.read.schema(RAW_SCHEMA)
-    for k, v in _CSV_OPTIONS.items():
-        reader = reader.option(k, v)
-    # bucket layouts nest env/serviceId dirs; recurse and keep only .gz
-    reader = reader.option("recursiveFileLookup", "true").option("pathGlobFilter", "*.gz")
-    df = reader.csv(path)
-    if with_source_file:
-        df = df.withColumn("_source_file", F.input_file_name())
+    lines = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.gz")
+        .text(path)
+        .withColumn("_source_file", F.input_file_name())
+    )
+    df = _parse_tsv_lines(lines)
+    if not with_source_file:
+        df = df.drop("_source_file")
     return df
 
 
@@ -73,11 +82,13 @@ def read_cloudfront_logs_stream(
     backpressure knob (the analogue of the reference's bounded-queue sleep
     loop, cloudfront_kinesis_lambda.py:219-220).
     """
-    reader = spark.readStream.schema(RAW_SCHEMA)
-    for k, v in _CSV_OPTIONS.items():
-        reader = reader.option(k, v)
-    reader = reader.option("pathGlobFilter", "*.gz").option("recursiveFileLookup", "true")
+    reader = (
+        spark.readStream.option("pathGlobFilter", "*.gz")
+        .option("recursiveFileLookup", "true")
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    df = reader.csv(landing_dir)
-    return df.withColumn("_source_file", F.input_file_name())
+    lines = reader.text(landing_dir).withColumn(
+        "_source_file", F.input_file_name()
+    )
+    return _parse_tsv_lines(lines)

@@ -121,3 +121,35 @@ def test_registry_status_rollup_matches_inline_recompute(spark):
         expect[key] = (n + 1, b + int(r["bytes_sent"]), ips)
     expect = {k: (n, b, len(ips)) for k, (n, b, ips) in expect.items()}
     assert got == expect and got
+
+
+def test_empty_tsv_field_reads_as_empty_string_not_null(spark, tmp_path):
+    """Wire fidelity for EMPTY fields: csv.DictReader yields '' for two
+    adjacent tabs, so the reference's json.dumps emits "field": "" —
+    Spark's default nullValue="" would instead read NULL and the wire
+    JSON would say null (or omit the field). Short rows must still
+    produce real NULLs (DictReader's None for missing trailing
+    fields)."""
+    import gzip
+
+    from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES as RAW_FIELD_ORDER
+
+    d = tmp_path / "logs" / "prod" / "svc"
+    d.mkdir(parents=True)
+    vals = [f"v{i}" for i in range(len(RAW_FIELD_ORDER))]
+    idx = RAW_FIELD_ORDER.index("http_query")
+    vals[idx] = ""  # empty mid-row field
+    full_line = "\t".join(vals)
+    short_vals = ["s0"] + vals[1:5]
+    short_line = "\t".join(short_vals)  # missing trailing fields
+    with gzip.open(d / "x.gz", "wt") as f:
+        f.write("#Version: 1.0\n" + full_line + "\n" + short_line + "\n")
+    rows = {r[RAW_FIELD_ORDER[0]]: r for r in
+            read_cloudfront_logs(spark, str(tmp_path / "logs")).collect()}
+    assert rows["v0"]["http_query"] == ""   # empty field stays ''
+    assert rows["v0"][RAW_FIELD_ORDER[idx + 1]] == vals[idx + 1]
+    assert rows["v0"][RAW_FIELD_ORDER[-1]] == vals[-1]
+    # short row: present fields read, missing trailing fields are NULL
+    assert rows["s0"][RAW_FIELD_ORDER[4]] == vals[4]
+    assert rows["s0"][RAW_FIELD_ORDER[5]] is None
+    assert rows["s0"][RAW_FIELD_ORDER[-1]] is None
