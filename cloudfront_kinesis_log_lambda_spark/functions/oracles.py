@@ -568,13 +568,14 @@ ORACLE_SQL: dict[str, str] = {
     "parts_above_brand_avg": """
         SELECT p_partkey, p_brand,
                ROUND(p_retailprice, 2) AS p_retailprice,
-               ROUND(brand_sum, 2)     AS brand_sum,
+               CAST(brand_sum AS DOUBLE) AS brand_sum,
                brand_n
-        FROM (SELECT p_partkey, p_brand, p_retailprice,
-                     SUM(p_retailprice) OVER (PARTITION BY p_brand) AS brand_sum,
-                     COUNT(*) OVER (PARTITION BY p_brand)           AS brand_n
-              FROM part)
-        WHERE p_retailprice * brand_n > brand_sum
+        FROM (SELECT p_partkey, p_brand, p_retailprice, price_d,
+                     SUM(price_d) OVER (PARTITION BY p_brand) AS brand_sum,
+                     COUNT(*) OVER (PARTITION BY p_brand)     AS brand_n
+              FROM (SELECT *, CAST(p_retailprice AS DECIMAL(18,2)) AS price_d
+                    FROM part))
+        WHERE price_d * brand_n > brand_sum
     """,
     "orders_with_max_item": """
         SELECT l_orderkey AS o_orderkey,

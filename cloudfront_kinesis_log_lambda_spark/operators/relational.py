@@ -39,12 +39,26 @@ def _tune_session(spark: SparkSession) -> None:
     measured 28 s vs ~3 s for the winnowing query at sf0.01. All of
     these are runtime-settable SQLConfs, so the engine repairs the
     session at first load rather than requiring its own session factory
-    (session.py sets the same values at build time; timezone is NOT
-    touched here — it must match the oracle engine's host zone).
+    (session.py sets the same values at build time and marks the
+    session tuned, so deliberate overrides like
+    SPARK_GRAFT_SHUFFLE_PARTITIONS survive this repair).
+
+    Timezone IS pinned to UTC: the naive TIMESTAMP_NTZ event data and
+    DuckDB's host-independent epoch math both behave as UTC, and the
+    reference's ``astimezone()`` attached the Lambda host zone — UTC.
+    On a non-UTC host an unpinned session would render windowed dates
+    and @timestamp strings hours off the oracle (and shift
+    non-uniformly across DST transitions).
     """
     if spark.conf.get(_TUNED, None):
         return
-    par = max(spark.sparkContext.defaultParallelism, 8)
+    try:
+        par = max(spark.sparkContext.defaultParallelism, 8)
+    except Exception:
+        # Spark Connect sessions expose no sparkContext; every conf set
+        # below is a plain runtime SQLConf that works there too
+        par = 8
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS), which a plain session
     # rejects outright (PARQUET_TYPE_ILLEGAL)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -408,7 +422,7 @@ def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = c.intersect(s).withColumn("op", F.lit("intersect"))
-    only_c = c.distinct().exceptAll(s.distinct()).withColumn("op", F.lit("except"))
+    only_c = c.subtract(s).withColumn("op", F.lit("except"))  # EXCEPT DISTINCT
     all_n = c.union(s).distinct().withColumn("op", F.lit("union"))
     return all_n.unionByName(both).unionByName(only_c).select("op", "nationkey")
 
@@ -519,7 +533,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 2).alias("s"),
         )
-        .cache()
+        .localCheckpoint(eager=True)  # not cache(): see dedup.py (unpersistable pin)
     )
     # every event's hour and type survive into agg, so min/max/distinct
     # over agg equal the same over raw events — no second events scan
@@ -570,7 +584,11 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t, et = F.col("ts"), F.col("event_type")
     w = Window.partitionBy("user_id")
     staged = (
-        e.select("user_id", "event_type", "ts")
+        # NULL users out: Spark pools them into ONE window partition (a
+        # pseudo-user that could "convert"), while the oracle's equality
+        # joins drop them — and a NULL-user funnel stage is meaningless
+        e.filter(F.col("user_id").isNotNull())
+        .select("user_id", "event_type", "ts")
         .withColumn("t_view", F.min(F.when(et == "view", t)).over(w))
         .withColumn(
             "t_click",
@@ -958,19 +976,22 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine states it directly."""
     p = load(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
-    # avg is compared multiplicatively (price·n > Σ) and reported as
-    # (Σ, n) rather than a rounded quotient: quotients of 2-dp prices sit
-    # exactly on round-half midpoints, where engines' double-rounding
-    # conventions disagree (SURVEY.md §5 cross-engine determinism)
+    # avg is compared multiplicatively (price·n > Σ) and in DECIMAL:
+    # prices are 2-dp values, so the decimal cast is exact and the sum
+    # is order-independent — a double window SUM is shuffle-order
+    # noise at the last ulp, and a strict > on it can flip a near-tie
+    # row between engines (or between Spark runs). The rounded-quotient
+    # formulation is avoided for the same reason (round-half midpoints).
+    price_d = F.col("p_retailprice").cast("decimal(18,2)")
     return (
-        p.withColumn("brand_sum", F.sum("p_retailprice").over(w))
+        p.withColumn("brand_sum", F.sum(price_d).over(w))
         .withColumn("brand_n", F.count(F.lit(1)).over(w))
-        .filter(F.col("p_retailprice") * F.col("brand_n") > F.col("brand_sum"))
+        .filter(price_d * F.col("brand_n") > F.col("brand_sum"))
         .select(
             "p_partkey",
             "p_brand",
             F.round("p_retailprice", 2).alias("p_retailprice"),
-            F.round("brand_sum", 2).alias("brand_sum"),
+            F.col("brand_sum").cast("double").alias("brand_sum"),
             F.col("brand_n").cast("long").alias("brand_n"),
         )
     )

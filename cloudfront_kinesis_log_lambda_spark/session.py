@@ -69,4 +69,12 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # mark the session tuned: relational._tune_session repairs VANILLA
+    # sessions at first load, and without this marker it would clobber
+    # deliberate choices made here (e.g. shuffle_partitions /
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS) with its own defaults
+    spark.conf.set(
+        "spark.cloudfront_kinesis_log_lambda_spark.tuned", "true"
+    )
+    return spark
