@@ -254,7 +254,9 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
     queries = entrymod.queries()
 
-    # untimed warm-up on the smallest table to pay JVM/codegen startup once
+    # untimed warm-up (deliberately the HEAVIEST headline: pays JVM +
+    # codegen + lineitem file-listing startup once, so rep 1 of the
+    # timed runs isn't a cold-start outlier)
     force(queries["pricing_summary"](spark, sf_dir).limit(1))
 
     timings: dict[str, float] = {}

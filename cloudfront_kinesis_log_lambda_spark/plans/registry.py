@@ -741,7 +741,7 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CloudFront pipeline on a deterministic fixture -------------------------
 
-_CF_FIXTURE = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v1")
+_CF_FIXTURE = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v2")
 
 
 def _fixture_dir() -> str:

@@ -23,7 +23,7 @@ _UAS = [
     "Mozilla%2F5.0%20(Macintosh%3B%20Intel)",
     "curl%2F7.88.1",
     "python-requests%2F2.31",
-    "Mozilla/5.0 (Windows NT 10.0; Win64; x64)",
+    "Mozilla%2F5.0%20(Windows%20NT%2010.0%3B%20Win64%3B%20x64)",
     "bot%2B1.0%20(%2Bhttps%3A%2F%2Fexample.com)",  # '+' must survive undecoded
 ]
 _CONTENT_TYPES = ["text/html", "application/json", "image/png", "-"]
@@ -78,7 +78,8 @@ def make_log_row(rng: random.Random, day_offset: int = 0) -> dict[str, str]:
         "http_range_start": "-",
         "http_range_end": "-",
     }
-    assert tuple(row) == FIELDNAMES
+    if tuple(row) != FIELDNAMES:  # not assert: must survive python -O
+        raise RuntimeError("make_log_row keys drifted from FIELDNAMES")
     return row
 
 
@@ -86,10 +87,20 @@ def write_log_file(
     path: str, rows: int = 1000, seed: int = 42, day_offset: int = 0
 ) -> list[dict[str, str]]:
     """Write a gzipped CloudFront TSV log file; return the rows written."""
+    import io
+
     rng = random.Random(seed)
     data = [make_log_row(rng, day_offset=day_offset) for _ in range(rows)]
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with gzip.open(path, "wt", newline="") as f:
+    if os.path.dirname(path):  # bare filenames: makedirs('') raises
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+    # mtime=0 + no filename in the gzip header: gzip.open(path) embeds
+    # the wall clock and basename, so "same (seed, rows) → same bytes"
+    # (the module contract) would break on every re-generation
+    with open(path, "wb") as raw, gzip.GzipFile(
+        # filename="" too: with a bare fileobj GzipFile embeds
+        # raw.name in the FNAME header field
+        fileobj=raw, mode="wb", mtime=0, filename=""
+    ) as gz, io.TextIOWrapper(gz, newline="") as f:
         for line in HEADER_LINES:
             f.write(line + "\n")
         for row in data:

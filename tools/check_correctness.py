@@ -16,13 +16,16 @@ Usage: python tools/check_correctness.py [--engine-session] [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, ".")
+# anchor on the repo root (this file's parent dir), not the cwd — the
+# gate must be runnable from anywhere, like bench.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -68,10 +71,19 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:
+            # a typo'd filter must not run ZERO queries and still print
+            # an all-green summary with exit 0 (false success)
+            print(f"ERROR: unknown query names: {sorted(unknown)}")
+            return 2
+    n_run = 0
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.perf_counter()
         try:
             got = fn(spark, sf_dir).toPandas()
@@ -81,9 +93,25 @@ def main() -> int:
             continue
         dt = time.perf_counter() - t0
         if name not in oracles:
-            print(f"OK?   {name}: {len(got)} rows (rows-only, no oracle) [{dt:.1f}s]")
+            if len(got) == 0:
+                # mirror the driver's weaker rows-only check: an empty
+                # result is a regression, not a pass
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only entry returned 0 rows")
+            else:
+                print(
+                    f"OK?   {name}: {len(got)} rows (rows-only, no oracle) "
+                    f"[{dt:.1f}s]"
+                )
             continue
-        exp = con.execute(oracles[name]).df()
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:
+            # a malformed oracle must record a FAIL and keep sweeping,
+            # exactly like a Spark-side error — not abort the whole run
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
         if sorted(got.columns) != sorted(exp.columns):
             failures.append(name)
             print(f"FAIL  {name}: columns {sorted(got.columns)} != {sorted(exp.columns)}")
@@ -100,7 +128,7 @@ def main() -> int:
             failures.append(name)
             msg = str(err).splitlines()
             print(f"FAIL  {name}: value mismatch: {' | '.join(msg[:3])}")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} green")
+    print(f"\n{n_run - len(failures)}/{n_run} green")
     return 1 if failures else 0
 
 
