@@ -79,8 +79,16 @@ REPS = int(os.environ.get("BENCH_REPS", "4"))
 
 #: r4 verdict follow-up: the two headline aggregates that drifted past
 #: their baselines on the shared driver box get extra reps so one
-#: co-tenant CPU spike can't own their min
-EXTRA_REPS = {"pricing_summary": 8, "revenue_by_segment": 8}
+#: co-tenant CPU spike can't own their min. r5: the two dedup headliners
+#: join them — their operator-internal localCheckpoint (the bounded-
+#: memory fix for unpersistable cache() pins) adds a disk round-trip
+#: whose cost is the box's most noise-sensitive component
+EXTRA_REPS = {
+    "pricing_summary": 8,
+    "revenue_by_segment": 8,
+    "near_dup_minhash_lsh": 8,
+    "winnow_near_pairs": 8,
+}
 
 
 def force(df) -> None:
