@@ -179,3 +179,62 @@ def test_asof_reserved_temp_names_are_refused(spark):
     right = spark.createDataFrame([Row(k=1, ts=_ts("2024-01-01T00:00:00"), rv=1.0)])
     with pytest.raises(ValueError, match="reserved"):
         asof_join_backward(left, right, on="k")
+
+
+def test_asof_fuzz_matches_pandas_merge_asof_with_nulls(spark):
+    """Cross-implementation fuzz of the struct-carry rewrite: random
+    (key, ts, value) frames INCLUDING NULL timestamps and NULL values
+    must agree with pandas merge_asof run on the null-filtered right
+    side (the documented semantics)."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(n, null_ts_rate, null_val_rate):
+        rows = []
+        for i in range(n):
+            ts = (
+                None
+                if rng.random() < null_ts_rate
+                else base + dt.timedelta(minutes=rng.randrange(0, 500))
+            )
+            val = None if rng.random() < null_val_rate else float(i)
+            rows.append((rng.randrange(1, 5), ts, val))
+        return rows
+
+    for trial in range(5):
+        lrows = mk(40, 0.1, 0.0)
+        rrows = mk(40, 0.15, 0.3)
+        left = spark.createDataFrame(lrows, "k long, ts timestamp, lv double")
+        right = spark.createDataFrame(rrows, "k long, ts timestamp, rv double")
+        def key(t):
+            return tuple(
+                (x is None, x if x is not None else 0) for x in t
+            )
+
+        got = sorted(
+            ((r["k"], r["ts"], r["lv"], r["ts_asof"], r["rv_asof"])
+             for r in asof_join_backward(left, right, on="k").collect()),
+            key=key,
+        )
+        # pandas reference: per-key backward merge on null-filtered right
+        lpd = pd.DataFrame(lrows, columns=["k", "ts", "lv"])
+        rpd = pd.DataFrame(
+            [r for r in rrows if r[1] is not None], columns=["k", "ts", "rv"]
+        )
+        expect = []
+        for k, ts, lv in lrows:
+            if ts is None:
+                expect.append((k, None, lv, None, None))
+                continue
+            cand = rpd[(rpd["k"] == k) & (rpd["ts"] <= ts)]
+            if cand.empty:
+                expect.append((k, ts, lv, None, None))
+            else:
+                m = cand.sort_values("ts").iloc[-1]
+                rv = None if pd.isna(m["rv"]) else float(m["rv"])
+                expect.append((k, ts, lv, m["ts"].to_pydatetime(), rv))
+        assert got == sorted(expect, key=key), f"trial {trial}"
