@@ -153,3 +153,42 @@ def test_empty_tsv_field_reads_as_empty_string_not_null(spark, tmp_path):
     assert rows["s0"][RAW_FIELD_ORDER[4]] == vals[4]
     assert rows["s0"][RAW_FIELD_ORDER[5]] is None
     assert rows["s0"][RAW_FIELD_ORDER[-1]] is None
+
+
+def test_tsv_parse_fuzz_matches_dictreader(spark, tmp_path):
+    """Cross-implementation fuzz of the split()-based parse: random TSV
+    lines — empty fields, short rows, EXTRA fields, '#' comments — must
+    produce exactly what csv.DictReader(fieldnames=FIELDNAMES) yields
+    (missing trailing → None, extras discarded)."""
+    import csv
+    import gzip
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES
+
+    rng = random.Random(99)
+    n_fields = len(FIELDNAMES)
+    lines = []
+    for i in range(60):
+        width = rng.choice([n_fields, n_fields, rng.randrange(1, n_fields),
+                            n_fields + rng.randrange(1, 4)])
+        vals = [
+            "" if rng.random() < 0.15 else f"r{i}f{j}" for j in range(width)
+        ]
+        vals[0] = f"row{i}"  # unique join key
+        lines.append("\t".join(vals))
+    d = tmp_path / "logs" / "prod" / "svc"
+    d.mkdir(parents=True)
+    with gzip.open(d / "x.gz", "wt") as f:
+        f.write("#Version: 1.0\n#Fields: ...\n" + "\n".join(lines) + "\n")
+
+    got = {
+        r[FIELDNAMES[0]]: {n: r[n] for n in FIELDNAMES}
+        for r in read_cloudfront_logs(spark, str(tmp_path / "logs")).collect()
+    }
+    reader = csv.DictReader(lines, fieldnames=FIELDNAMES, delimiter="\t")
+    expect = {}
+    for row in reader:
+        row.pop(None, None)  # DictReader stashes extras under None
+        expect[row[FIELDNAMES[0]]] = dict(row)
+    assert got == expect
