@@ -89,8 +89,15 @@ def _asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         pick = F.first
+    # NULL-ts LEFT rows can never match (`right.ts <=/>= NULL` never
+    # holds), but NULLS FIRST ordering puts them at partition start where
+    # the forward following-frame would otherwise hand them the earliest
+    # right row — guard the carried struct on a real left ts.
     unioned = unioned.withColumn(
-        "_rrow", pick("_rrow", ignorenulls=True).over(w)
+        "_rrow",
+        F.when(
+            F.col("_ats").isNotNull(), pick("_rrow", ignorenulls=True).over(w)
+        ),
     )
 
     out = (

@@ -106,13 +106,19 @@ def compact_partitions(
     sweep each other's temp dirs — the same single-writer contract as
     the streaming stores' fold).
 
-    Reader grace: the swapped-out originals are RETAINED in the
+    Trash retention: the swapped-out originals are RETAINED in the
     dot-prefixed trash dir until the next maintenance pass touches this
-    partition (compact or expire), so a reader whose plan listed the old
-    file paths keeps finding them on disk for one maintenance interval —
-    plain parquet can't give Delta's snapshot isolation, but this bounds
-    the race to "don't hold a lazy plan across two maintenance passes",
-    the same contract the streaming stores' fold documents.
+    partition (compact or expire). This is deferred cleanup + the crash
+    -recovery source (_recover_compaction restores it if the swap dies
+    between renames) — NOT reader grace: os.rename moves the files, so
+    a lazy plan that already listed the old paths under the partition
+    dir cannot keep reading them (FAILED_READ_FILE), and the trash's
+    different dot-path is invisible to that plan. Plain parquet has no
+    snapshot isolation; the reader contract is "re-resolve the scan
+    after a maintenance pass" (or read with
+    spark.sql.files.ignoreMissingFiles at the cost of silently dropping
+    the moved files) — the upsert store's read() gets real fallback
+    only because it consults the trash PATH itself.
 
     ``zorder_by`` re-clusters the partition by the Z-order of the given
     columns instead of the default ts sort — the full OPTIMIZE ... ZORDER
@@ -180,8 +186,9 @@ def compact_partitions(
     os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
     os.remove(_compact_manifest_path(part_dir))
-    # trash intentionally retained (reader grace, see docstring) — the
-    # next maintenance pass for this partition sweeps it
+    # trash intentionally retained (deferred cleanup + crash-recovery
+    # source, see docstring) — the next maintenance pass for this
+    # partition sweeps it
     # report what actually landed: range partitions can be empty (few
     # distinct z-values) and coalesce can't split, so the real file
     # count may undershoot the computed target
@@ -200,13 +207,14 @@ def _recover_compaction(part_dir: str) -> None:
     crash point, then sweep unreferenced dot-temp dirs. State machine
     over (manifest[phase], tmp, live, trash) existence:
 
-    - no manifest → only pre-manifest temps and grace trash can exist;
+    - no manifest → only pre-manifest temps and retained trash can exist;
       their content is fully in the live dir, sweep them.
     - manifest[swap] + tmp + live + no trash → crashed before the first
       rename: nothing moved; drop tmp + manifest (recompute fresh).
     - manifest[swap] + tmp + no live + trash → crashed between the
       renames: the compacted tmp is complete — promote it; the trash
-      (pre-compaction originals) stays as the reader grace copy.
+      (pre-compaction originals) stays as retained trash (deferred
+      cleanup + recovery source).
     - manifest[swap] + tmp + live + trash → crashed between the renames
       AND a racing append recreated the live dir: journal phase=restore
       FIRST (the restore path below deletes/renames in steps whose
@@ -216,7 +224,7 @@ def _recover_compaction(part_dir: str) -> None:
       fold any appended live files into trash (names are unique
       part-<uuid>), promote trash back to live, drop manifest.
     - manifest[swap] + no tmp → the swap committed: drop the manifest;
-      trash stays as the grace copy.
+      trash stays retained until the next pass.
     """
     import json
     import os
@@ -250,7 +258,7 @@ def _recover_compaction(part_dir: str) -> None:
                 _finish_restore(part_dir, tmp, trash, mp)
         else:
             os.remove(mp)
-    # pre-manifest temps, post-recovery leftovers, and expired grace
+    # pre-manifest temps, post-recovery leftovers, and expired
     # trash are reproducible/garbage once no manifest references them;
     # orphaned manifest tmp files (crash inside atomic_write_json)
     # likewise
@@ -303,7 +311,7 @@ def expire_partitions(path: str, keep_days: int, today: str) -> list[str]:
     first (a day stuck mid-swap has no live dir and would otherwise
     evade both the retention walk and any future compaction — its full
     data hiding in dot-artifacts forever), and expired days' dot
-    artifacts (grace trash, temp dirs, stray manifest tmps) are swept
+    artifacts (retained trash, temp dirs, stray manifest tmps) are swept
     along with the live dirs so retention actually frees the bytes.
     """
     import datetime

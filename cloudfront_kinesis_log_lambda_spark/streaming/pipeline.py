@@ -299,7 +299,17 @@ def stream_stream_interval_join(
     # e.g. "value", and every downstream select/groupBy dies with
     # AMBIGUOUS_REFERENCE — suffix the right side's overlaps
     for c in [c for c in rw.columns if c in left.columns]:
-        rw = rw.withColumnRenamed(c, f"{c}_right")
+        target = f"{c}_right"
+        if target in left.columns or target in rw.columns:
+            # renaming onto an occupied name would recreate the exact
+            # AMBIGUOUS_REFERENCE failure this suffix exists to fix —
+            # refuse loudly, same contract as _asof_join's reserved-name
+            # guard
+            raise ValueError(
+                f"column name {target!r} is reserved by the stream-stream "
+                f"join's overlap suffix — rename it on the input"
+            )
+        rw = rw.withColumnRenamed(c, target)
     rw = rw.withWatermark("__rts", watermark)
     cond = (
         (F.col(left_key) == F.col("__rk"))
@@ -310,6 +320,11 @@ def stream_stream_interval_join(
     # restore the caller's right-ts name; when both sides share the name
     # (the case the sentinel exists for) disambiguate with a suffix
     out_ts = right_ts if right_ts not in joined.columns else f"{right_ts}_right"
+    if out_ts != right_ts and out_ts in joined.columns:
+        raise ValueError(
+            f"column name {out_ts!r} is reserved by the stream-stream "
+            f"join's right-ts suffix — rename it on the input"
+        )
     return joined.withColumnRenamed("__rts", out_ts)
 
 

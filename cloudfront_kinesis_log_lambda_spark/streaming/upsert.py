@@ -156,25 +156,52 @@ class BucketedUpsertStore:
         comes from the trash grace copies: a bucket mid-swap (live dir
         briefly missing) or left crashed is read from its
         ``.bucket=<b>.old-*`` trash — its pre-swap content — which the
-        writer retains until its NEXT apply()."""
-        entries = os.listdir(self.path)
-        live: dict[str, str] = {
-            e: os.path.join(self.path, e)
-            for e in entries
-            if re.fullmatch(r"bucket=\d+", e)
-        }
-        trash: dict[str, str] = {}
-        for e in sorted(entries):  # sorted → deterministic pick on ties
-            if e.startswith(".bucket=") and ".old-" in e:
-                trash[e[1:].split(".old-")[0]] = os.path.join(self.path, e)
-
-        def _has_parquet(d: str) -> bool:
+        writer retains until its NEXT apply(). The listing snapshot is
+        re-taken whenever a live-listed dir turns out to have vanished
+        (a swap's rename-away landing after the snapshot would otherwise
+        hide both the dir and its not-yet-snapshotted trash, silently
+        dropping the bucket). Residual window (documented, not claimed
+        away): a swap landing between the consistent snapshot and the
+        eager parquet file-index build below can still surface as a
+        read error — rerun read(); and actions on the RETURNED frame
+        race any later swap like any plain-parquet reader."""
+        def _has_parquet(d: str) -> bool | None:
+            """True: dir holds parquet; False: dir exists but empty;
+            None: dir VANISHED since the listing (a swap raced us)."""
             try:
                 return any(f.endswith(".parquet") for f in os.listdir(d))
             except FileNotFoundError:
-                return False  # vanished mid-swap; trash covers it
+                return None
 
-        live_dirs = [d for d in live.values() if _has_parquet(d)]
+        # a single listdir snapshot can tear against a concurrent swap:
+        # the swap's rename-away lands AFTER the snapshot (so the live
+        # dir is listed but gone) while its fresh `.bucket=<b>.old-*`
+        # trash is NOT in the snapshot — resolving from that snapshot
+        # would silently drop the bucket. Re-list whenever a live-listed
+        # dir turns out to have vanished; the fresh snapshot contains
+        # the swap's trash (rename-away precedes rename-in, so at every
+        # instant the bucket has a live dir, a trash dir, or both).
+        for _ in range(50):
+            entries = os.listdir(self.path)
+            live: dict[str, str] = {
+                e: os.path.join(self.path, e)
+                for e in entries
+                if re.fullmatch(r"bucket=\d+", e)
+            }
+            trash: dict[str, str] = {}
+            for e in sorted(entries):  # sorted → deterministic pick on ties
+                if e.startswith(".bucket=") and ".old-" in e:
+                    trash[e[1:].split(".old-")[0]] = os.path.join(self.path, e)
+            states = {d: _has_parquet(d) for d in live.values()}
+            if None not in states.values():
+                break
+        else:
+            raise RuntimeError(
+                f"upsert store {self.path}: live bucket dirs kept vanishing "
+                "across 50 listings — a writer is swapping faster than "
+                "read() can snapshot (or the store is being deleted)"
+            )
+        live_dirs = [d for d, ok in states.items() if ok]
         # a bucket with NO live dir but a trash copy is mid-swap or
         # crashed: its pre-swap content is the consistent state
         fallback = [

@@ -172,6 +172,34 @@ def test_asof_null_right_ts_rows_are_excluded(spark):
     assert r["px_asof"] is None and r["ts_asof"] is None  # no match
 
 
+def test_asof_null_left_ts_rows_get_no_match(spark):
+    """Mirror of the null-RIGHT-ts gate for the forward path: a NULL
+    left ts sorts NULLS FIRST — partition start — where the forward
+    following-frame sees every right row; `right.ts >= NULL` can never
+    hold, so the row must come back matchless in BOTH directions."""
+    from cloudfront_kinesis_log_lambda_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=None), Row(k=1, ts=_ts("2024-01-01T01:00:00"))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2024-01-01T02:00:00"), px=9.0)],
+        "k long, ts timestamp, px double",
+    )
+    fwd = {
+        (str(r["ts"]) if r["ts"] else None): r
+        for r in asof_join_forward(left, right, on="k").collect()
+    }
+    assert fwd[None]["px_asof"] is None and fwd[None]["ts_asof"] is None
+    assert fwd["2024-01-01 01:00:00"]["px_asof"] == 9.0  # real row still matches
+    bwd = {
+        (str(r["ts"]) if r["ts"] else None): r
+        for r in asof_join_backward(left, right, on="k").collect()
+    }
+    assert bwd[None]["px_asof"] is None and bwd[None]["ts_asof"] is None
+
+
 def test_asof_reserved_temp_names_are_refused(spark):
     import pytest
 

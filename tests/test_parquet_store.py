@@ -248,10 +248,12 @@ def test_mid_restore_crash_states_converge(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(10)) + [100, 101]
 
 
-def test_compaction_retains_trash_as_reader_grace(spark, tmp_path):
+def test_compaction_retains_trash_until_next_pass(spark, tmp_path):
     """After a successful swap the pre-compaction files stay in the
-    dot-trash dir until the next maintenance pass — a reader whose plan
-    listed the old paths keeps finding them for one interval."""
+    dot-trash dir until the next maintenance pass — deferred cleanup +
+    the crash-recovery source (NOT reader grace: the rename moved the
+    files, so a plan holding the old paths fails — see the
+    compact_partitions docstring for the reader contract)."""
     from cloudfront_kinesis_log_lambda_spark.sinks.parquet import compact_partitions
 
     store = str(tmp_path / "store")
