@@ -1490,3 +1490,58 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# --- subword tokenizer (vocabulary shared with functions/subword.py) -----
+# The greedy longest-match scan is replayed by the same join-driven
+# recursion as doc_pack_sequences: `best` precomputes the longest piece
+# match per (word, position, class) NON-recursively (plain join + GROUP
+# BY), then the recursion walks each word position→position+blen; a word
+# whose walk dies mid-word (no piece at some position) never reaches
+# pos = len(word) and degrades to 1 [UNK] token via the LEFT JOIN.
+from cloudfront_kinesis_log_lambda_spark.functions.subword import (  # noqa: E402
+    vocab_values_sql as _vocab_values_sql,
+)
+
+ORACLE_SQL["doc_subword_tokens"] = rf"""
+    WITH RECURSIVE vocab AS (
+      SELECT piece,
+             CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS body,
+             (piece LIKE '##%') AS cont
+      FROM (VALUES {_vocab_values_sql()}) v(piece)),
+    words AS (
+      SELECT doc_id, w AS word
+      FROM (SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+      WHERE len(w) > 0),
+    wcount AS (SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
+    dwords AS (SELECT DISTINCT word FROM wcount),
+    positions AS (
+      SELECT word, CAST(UNNEST(range(0, len(word))) AS INT) AS pos FROM dwords),
+    best AS (
+      SELECT p.word, p.pos, v.cont, MAX(len(v.body)) AS blen
+      FROM positions p JOIN vocab v
+        ON substr(p.word, p.pos + 1, len(v.body)) = v.body
+      GROUP BY 1, 2, 3),
+    tok(word, pos, n_pieces) AS (
+      SELECT word, 0, 0 FROM dwords
+      UNION ALL
+      SELECT t.word, t.pos + b.blen, t.n_pieces + 1
+      FROM tok t JOIN best b
+        ON b.word = t.word AND b.pos = t.pos AND b.cont = (t.pos > 0)
+      WHERE t.pos < len(t.word)),
+    done AS (SELECT word, n_pieces FROM tok WHERE pos = len(word)),
+    wordtok AS (
+      SELECT d.word,
+             CAST(COALESCE(dn.n_pieces, 1) AS BIGINT) AS n_pieces,
+             (dn.word IS NULL) AS is_unk
+      FROM dwords d LEFT JOIN done dn USING (word))
+    SELECT w.doc_id,
+           CAST(SUM(w.n) AS BIGINT) AS n_words,
+           CAST(SUM(w.n * t.n_pieces) AS BIGINT) AS n_subword_tokens,
+           CAST(SUM(CASE WHEN t.is_unk THEN w.n ELSE 0 END) AS BIGINT)
+             AS n_unk_words
+    FROM wcount w JOIN wordtok t USING (word)
+    GROUP BY 1
+"""

@@ -175,6 +175,7 @@ def pack_sequences(
     n_groups: int = 8,
     text_col: str = "text",
     group_cols: list[str] | None = None,
+    token_mode: str = "whitespace",
 ) -> DataFrame:
     """Sequence packing: assign every document to a fixed token-budget
     training sequence — the step between a curated corpus and tokenizer
@@ -207,16 +208,46 @@ def pack_sequences(
     ``group_cols=["split"]`` packs train/val/test shards in a single
     scan + shuffle (a column named in ``group_cols`` must already exist
     on ``docs`` and is carried into the output).
+
+    ``token_mode`` picks the budget unit: ``"whitespace"`` (default,
+    the JVM-side split count) or ``"subword"`` — the deterministic
+    WordPiece count from functions/subword.py, the unit a real context
+    budget is denominated in. Subword mode adds one join against the
+    distinct-word piece counts before the pack shuffle; the packing
+    scan itself is unit-agnostic.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side type only
 
     gcols = list(group_cols or [])
     dtypes = dict(docs.dtypes)
-    base = docs.select(
+    if token_mode == "whitespace":
+        counted = docs.select(
+            "doc_id", *gcols, _n_tokens(text_col).alias("n_tokens")
+        )
+    elif token_mode == "subword":
+        from cloudfront_kinesis_log_lambda_spark.functions.subword import (
+            subword_token_count_df,
+        )
+
+        # left join + 0-fill: a blank doc has no words at all, so it is
+        # absent from the word-level aggregate — it must still pack
+        # (with 0 tokens), matching whitespace mode's blank-doc guard
+        counted = (
+            docs.select("doc_id", *gcols)
+            .join(subword_token_count_df(docs, text_col), "doc_id", "left")
+            .withColumn(
+                "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
+            )
+        )
+    else:
+        raise ValueError(
+            f"token_mode must be 'whitespace' or 'subword', got {token_mode!r}"
+        )
+    base = counted.select(
         "doc_id",
         *gcols,
         _knuth_bucket(n_groups).cast("int").alias("pack_group"),
-        _n_tokens(text_col).alias("n_tokens"),
+        "n_tokens",
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":

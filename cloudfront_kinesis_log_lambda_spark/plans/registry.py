@@ -23,6 +23,7 @@ from cloudfront_kinesis_log_lambda_spark.operators import pandas_grouped as PG
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
 from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
+from cloudfront_kinesis_log_lambda_spark.functions import subword as SW
 from cloudfront_kinesis_log_lambda_spark.functions.udtf import doc_chunks
 from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
     cloudfront_wire_pipeline,
@@ -50,6 +51,14 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.quality_score(_docs(spark, sf_dir))
+
+
+def doc_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WordPiece subword accounting per document
+    (functions/subword.py) — the token unit real context budgets use;
+    the DuckDB twin replays the greedy scan with a recursive CTE over
+    the same vocabulary literal."""
+    return SW.doc_subword_tokens(_docs(spark, sf_dir))
 
 
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +862,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
+    "doc_subword_tokens": doc_subword_tokens,
     "doc_lang_id": doc_lang_id,
     "doc_tfidf_topk": doc_tfidf_topk,
     "doc_exact_dedup": doc_exact_dedup,
