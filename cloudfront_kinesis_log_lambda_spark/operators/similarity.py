@@ -796,6 +796,7 @@ def semantic_dedup(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
     document embeddings into IVF cells, find above-threshold cosine pairs
@@ -829,7 +830,13 @@ def semantic_dedup(
         near_dup_clusters,
     )
 
-    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        )
+    # else: injected frozen geometry — the streaming twin's parity path
+    # (streaming/semantic_dedup.py trains once, on its first batch, and
+    # the batch op re-run with the SAME centroids must agree exactly)
     if nprobe > 1:
         # multi-probe: vectors visible in their runner-up cells too, so
         # boundary-straddling duplicates still meet in SOME shared cell

@@ -197,6 +197,42 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log
 
 
+def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING semantic-dedup twin (streaming/semantic_dedup.py)
+    driven over the embeddings table as two arrival waves: odd vec_ids
+    land in micro-batch 0 (which also trains the frozen centroid
+    geometry), even in micro-batch 1, so every cross-parity semantic
+    duplicate is only discoverable via the persisted cell index. Returns
+    the accumulated (vec_id, canon_id) assignment (rows-only: k-means
+    geometry is data-trained; exact stream==batch parity under shared
+    geometry is proven in test_streaming_semantic_dedup)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.semantic_dedup import (
+        StreamingSemanticDedup,
+        semantic_assignment,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"cfkll-stream-semdedup-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    detector = StreamingSemanticDedup(
+        os.path.join(root, "store"),
+        os.path.join(root, "out"),
+        threshold=0.92,
+        n_centroids=16,
+    )
+    emb = _emb(spark, sf_dir)
+    detector(emb.filter(F.col("vec_id") % 2 == 1), 0)
+    detector(emb.filter(F.col("vec_id") % 2 == 0), 1)
+    assign = semantic_assignment(
+        spark, os.path.join(root, "out"), emb
+    ).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return assign
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
     the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
@@ -915,6 +951,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cloudfront_status_rollup": cloudfront_status_rollup,
     # rows-only (hash-seeded; recall-gated in tests)
     "doc_semantic_dedup": doc_semantic_dedup,
+    "semantic_dedup_incremental": semantic_dedup_incremental,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
