@@ -56,89 +56,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r5 window = 21 promoted-stale r3 entries + 26 new-this-round
-    # oracle entries (corpus curation, layout, frontier SQL, product
-    # analytics, asset dedup, upsert store, block dedup /
-    # decontamination / shuffle / collocations / matryoshka) + a
-    # 3-entry one-time rows-only pass incl. doc_semantic_dedup; _FILL
-    # shrank to 0 to make room — every demoted entry overflows with an
-    # r4-green row (cloudfront_status_rollup's one-time pass defers to
-    # r6; the registry callable itself is value-gated against an inline
-    # recompute in test_cloudfront_pipeline), per the standing policy
-    # above.
+    # r6 window = 1 new oracle entry + 5 oracle entries whose
+    # implementation changed this round (rule 1: no driver row for the
+    # CURRENT code) + the 9-entry one-time rows-only pass (the 7 debts
+    # deferred from r5 — r5 VERDICT item 1 — plus the two new rows-only
+    # entries) + 35 promoted-stale r4-green refreshes. 14 r4-green
+    # entries defer to r7 with 2-round-stale hash evidence — the 8 bench
+    # headliners (pricing_summary, revenue_by_segment,
+    # top_orders_per_customer, running_customer_spend, cube_orders,
+    # events_hourly, sessionize_events, doc_quality — each executed in
+    # the driver environment every round by BENCH_r{N}) and 6 plain
+    # aggregate/set-op entries whose code has been frozen since r1
+    # (filtered_revenue, group_having, conditional_agg_status,
+    # distinct_suppliers_per_flag, rollup_returns, nation_set_ops).
+    # doc_semantic_dedup's r6 change (centroids=None injection default)
+    # is a no-op on its default path; it keeps its r5 one-time row and
+    # stays in _TAIL rather than burning a hash-capable slot.
     #
-    # r3-green oracle entries, two rounds stale after r5 — promoted
-    # (r4 VERDICT next-round item 1)
-    "sql_market_share",
-    "grouping_sets_revenue",
-    "parts_above_brand_avg",
-    "orders_with_max_item",
-    "order_price_percentiles",
-    "near_dup_clusters",
-    "events_session_windows",
-    "cosine_topk_bruteforce",
-    "embedding_pairs_exact",
-    "multimodal_features",
-    "embedding_norms",
-    "near_dup_3gram",
-    "events_sliding_windows",
+    # never-verified hash-capable code outranks everything
+    "doc_subword_tokens",
+    # oracle entries whose code changed this round (asof NULL-ts guard;
+    # pack_sequences token_mode refactor; upsert read() retry loop)
+    "purchases_asof_view",
     "purchases_next_view",
-    "events_interval_join",
-    "doc_dedup_keep",
-    "embedding_quantize_int8",
-    "decimal_revenue_exact",
-    "purchases_asof_cogroup",
-    "ann_quantized_topk",
-    "parquet_roundtrip_daily",
-    # new oracle-backed entries this round
     "doc_pack_sequences",
-    "doc_contamination",
-    "doc_table_profile",
     "training_shards_roundtrip",
-    "events_variant_props",
-    "kinesis_exactly_once_rollup",
-    "doc_unigram_logprob",
-    "doc_source_quota",
-    "doc_mixture_sample",
-    "doc_gram_novelty",
-    "events_zorder_roundtrip",
-    "doc_dup_span_stats",
-    "doc_quality_sample",
-    "recent_orders_lateral",
-    "doc_pack_sequences_sql",
-    "events_funnel",
-    "events_retention_cohorts",
-    "user_value_scd2",
-    "events_pattern_match",
-    # third-wave new oracle entries (block-level substring dedup w/
-    # reassembly, collocation lift, matryoshka two-stage serving) —
-    # rule 1: never-verified hash-capable code outranks everything
-    "doc_block_dedup",
-    "doc_decontaminate",
-    "doc_global_shuffle",
-    "doc_collocations",
-    "matryoshka_topk",
-    # one-time driver-environment pass for rows-only entries that have
-    # never had a driver row (r4 VERDICT item 5) + the new semantic dedup
-    "doc_semantic_dedup",
-    "cloudfront_enriched",
-    "cloudfront_wire",
-    "multimodal_asset_dedup",
     "scd2_incremental_roundtrip",
-]
-_FILL: list[str] = [
-    # empty this round: the second build wave's 17 new oracle entries
-    # filled the window to exactly 50 never-verified-this-round entries;
-    # every r4-green entry overflows with a 1-round-fresh row (and
-    # pricing_summary additionally lands in BENCH_r05 every round)
-]
-_TAIL = [
-    # rows-only entries with existing driver rows (r1-r4), plus the
-    # one-time passes deferred to r6 (hash-capable new oracle entries
-    # outranked them for the last window slots; their recall gates in
-    # test_similarity / test_streaming_dedup /
-    # test_streaming_vector_index stand in meanwhile — and
-    # ann_quantized_topk keeps hash evidence on the ANN family)
+    # one-time driver-environment pass for rows-only entries (the r5
+    # deferral debt + the two new rows-only entries this round)
+    "semantic_dedup_incremental",
+    "ann_recall_report",
     "near_dup_incremental",
     "ann_incremental_index",
     "ann_lsh_topk",
@@ -146,11 +93,62 @@ _TAIL = [
     "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
     "cloudfront_status_rollup",
+    # r4-green oracle entries, two rounds stale after r6 — promoted
+    # (standing policy rule 1, '>=2 rounds since their last green row')
+    "cosine_topk_multi_query",
+    "customer_value_ntile",
+    "customers_per_region",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "doc_chunks_udtf",
+    "doc_curation_funnel",
+    "doc_exact_dedup",
+    "doc_lang_id",
+    "doc_pii_scrub",
+    "doc_repetition",
+    "doc_split_assign",
+    "doc_tfidf_topk",
+    "doc_token_stats",
+    "doc_word_explode",
+    "events_gapfill",
+    "events_json_props",
+    "events_median_udaf",
+    "events_metric_map",
+    "events_moving_hour_sum",
+    "events_range_join",
+    "events_tumbling_windows",
+    "events_zscore",
+    "order_item_arrays",
+    "order_price_delta",
+    "order_price_histogram",
+    "pivot_qty_by_linestatus",
+    "region_nations_agg",
+    "scalar_function_showcase",
+    "shipping_priority",
+    "supplier_nation_outer",
+    "theta_join_price_band",
+    "top_event_per_user",
+    "top_orders",
+    "unpivot_order_metrics",
+]
+_FILL: list[str] = [
+    # empty again this round: changed-code re-verification + the
+    # one-time rows-only debt filled the window to exactly 50; every
+    # overflowing oracle entry has an r5-green row except the 14
+    # documented deferrals above (r4-green, bench- or test-covered)
+]
+_TAIL = [
+    # rows-only entries with existing driver rows (r1-r5). All nine r5
+    # debts moved INTO the window above; what remains here has both a
+    # driver execution row and recall/parity/rate gates in tests/
     "sketch_event_stats",
     "stratified_event_sample",
     "near_dup_minhash_lsh",
     "simhash_near_pairs",
     "winnow_near_pairs",
+    "doc_semantic_dedup",
+    "cloudfront_enriched",
+    "cloudfront_wire",
 ]
 
 

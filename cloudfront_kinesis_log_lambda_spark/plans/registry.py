@@ -498,6 +498,57 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every approximate serving tier against the exact
+    brute-force top-k, as RETURNED ROWS — gate-visible quality evidence
+    for the ANN family (r5 VERDICT item 5: the rows-only ann_* entries
+    prove execution in the driver environment, not quality; this entry
+    carries the quality number itself). All tiers run with the SAME
+    fixed seeds/params as their own registry entries, so the report
+    measures exactly what those entries serve.
+
+    One declarative plan: tag each tier's returned ids, left-semi join
+    against the truth set, count per tag — no driver-side set math.
+    Rows-only (the trained tiers are hash-seeded); the values are pinned
+    deterministic + floor-gated in tests/test_similarity.py."""
+    emb = _emb(spark, sf_dir)
+    k = 10
+    truth = (
+        S.cosine_topk(emb, query_vec_id=0, k=k)
+        .select("vec_id")
+        .localCheckpoint(eager=True)  # tiny (k rows); reused by 4 probes
+    )
+    tiers = {
+        "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k),
+        "ivf": S.ivf_topk(emb, query_vec_id=0, k=k),
+        "ivf_pq": S.ivf_pq_topk(emb, query_vec_id=0, k=k),
+        "matryoshka": S.matryoshka_topk(emb, query_vec_id=0, k=k, prefix_dim=16),
+    }
+    tagged = None
+    for name, df in tiers.items():
+        part = df.select(F.lit(name).alias("method"), F.col("vec_id"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    hits = (
+        tagged.join(F.broadcast(truth), "vec_id", "left_semi")
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # left join against the method list so a tier with ZERO hits still
+    # reports a row (an inner groupBy would silently drop it)
+    methods = spark.createDataFrame([(m,) for m in tiers], "method string")
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 4
+            ).alias("recall"),
+        )
+    )
+
+
 def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING vector index (streaming/vector_index.py) driven as
     two arrival waves over the embeddings table, then a top-k served
@@ -952,6 +1003,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rows-only (hash-seeded; recall-gated in tests)
     "doc_semantic_dedup": doc_semantic_dedup,
     "semantic_dedup_incremental": semantic_dedup_incremental,
+    "ann_recall_report": ann_recall_report,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,

@@ -27,25 +27,27 @@ ROWS_ONLY = {
     "cloudfront_wire",
     "cloudfront_status_rollup",
     "doc_semantic_dedup",
+    "semantic_dedup_incremental",
+    "ann_recall_report",
 }
 
-#: rows-only entries granted a ONE-TIME slot inside the r5 gate window
+#: rows-only entries granted a ONE-TIME slot inside the r6 gate window
 #: so every registry entry has at least one driver-environment execution
-#: row (r4 VERDICT item 5 + the standing policy in __spark_entry__.py).
-#: From r6 these move behind every oracle-backed entry again — drain
-#: this set then. The one-time passes of near_dup_incremental,
-#: ann_incremental_index, ann_lsh_topk, ann_ivf_topk, ann_ivf_pq_topk,
-#: embedding_pairs_lsh, and cloudfront_status_rollup were DEFERRED to r6
-#: (the third-wave hash-capable oracle entries — block dedup,
-#: decontamination, shuffle, collocations, matryoshka — outranked them
-#: for the last slots; their recall / stream==batch-parity /
-#: pruned-plan / full-loop gates in test_similarity, test_dedup,
-#: test_streaming_dedup, test_streaming_vector_index, and
-#: test_full_loop cover them until then) — r6 must give them the slots.
+#: row (standing policy in __spark_entry__.py). This round drains the
+#: full r5 deferral debt (the 7 entries r5 VERDICT item 1 named) plus
+#: the two rows-only entries NEW this round (streaming semantic dedup,
+#: ANN recall report). From r7 all of these move behind every
+#: oracle-backed entry again — drain this set then.
 ROWS_ONLY_ONE_TIME_WINDOW = {
-    "doc_semantic_dedup",
-    "cloudfront_enriched",
-    "cloudfront_wire",
+    "near_dup_incremental",
+    "ann_incremental_index",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_pq_topk",
+    "embedding_pairs_lsh",
+    "cloudfront_status_rollup",
+    "semantic_dedup_incremental",
+    "ann_recall_report",
 }
 
 

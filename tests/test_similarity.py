@@ -402,3 +402,50 @@ def test_semantic_dedup_multi_probe_recall_dominates_single(spark):
     single, multi = merged(1), merged(2)
     assert single <= multi
     assert len(multi) >= 13  # near-full recall with runner-up cells probed
+
+
+def test_ann_recall_report_on_planted_corpus(spark, tmp_path):
+    """The gate-visible recall report (plans/registry.py::
+    ann_recall_report): on a corpus with a planted angular cluster the
+    approximate tiers must recover most of the true top-10 — and the
+    report must be deterministic run-to-run (fixed seeds everywhere)."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import (
+        ann_recall_report,
+    )
+
+    rng = random.Random(11)
+    dim = 64
+    base = [rng.gauss(0, 1) for _ in range(dim)]
+    rows = [(0, [float(x) for x in base], 0)]
+    for i in range(1, 21):  # planted cluster = the true neighbors
+        rows.append((i, [float(x + rng.gauss(0, 0.15)) for x in base], 0))
+    for i in range(21, 400):
+        rows.append((i, [float(rng.gauss(0, 1)) for _ in range(dim)], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path)
+    emb.coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    out = {
+        r["method"]: (r["k"], r["n_hits"], r["recall"])
+        for r in ann_recall_report(spark, sf_dir).collect()
+    }
+    assert set(out) == {"lsh", "ivf", "ivf_pq", "matryoshka"}
+    for method, (k, n_hits, recall) in out.items():
+        assert k == 10
+        assert recall == round(n_hits / 10, 4)
+    # structure present → the tiers must find it (same floors as the
+    # per-tier planted-recall gates)
+    assert out["ivf"][2] >= 0.9
+    assert out["matryoshka"][2] >= 0.9  # planted prefixes mirror the query
+    assert out["ivf_pq"][2] >= 0.6  # 8-bit product codes lose some rank
+    assert out["lsh"][2] >= 0.5  # band collisions are probabilistic
+    # deterministic: a second evaluation returns byte-identical rows
+    out2 = {
+        r["method"]: (r["k"], r["n_hits"], r["recall"])
+        for r in ann_recall_report(spark, sf_dir).collect()
+    }
+    assert out2 == out
