@@ -757,41 +757,62 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = os.path.join(tempfile.gettempdir(), f"cfkll-eo-rollup-{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
-    in_dir = os.path.join(root, "in")
     store = os.path.join(root, "store")
-    os.makedirs(in_dir)
+    os.makedirs(root)
     n_shards = 4
-    rows = duckdb.sql(
-        f"SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, "
-        f"value FROM '{sf_dir}/events.parquet'"
-    ).fetchall()
-    files = [
-        open(os.path.join(in_dir, f"shard-{i:03d}.jsonl"), "w")
-        for i in range(n_shards)
-    ]
+    # fixture tree cached per (sf_dir, n_shards): a registry sweep calls
+    # this entry repeatedly in one process, and the driver-side fetchall
+    # + jsonl write is pure deterministic test machinery — build it once
+    # and reuse (r5 VERDICT item 8). Build-into-tmp + atomic rename so a
+    # concurrent sweep can never observe a half-written tree.
+    import hashlib
 
-    def rec(eid, ts, et, v) -> str:
-        return (
-            _json.dumps(
-                {
-                    "PartitionKey": str(eid),
-                    "Data": _json.dumps(
-                        {"event_id": eid, "ts": ts, "event_type": et, "value": v}
-                    ),
-                }
+    src = f"{sf_dir}/events.parquet"
+    st = os.stat(src)  # mtime+size key the CONTENT: a regenerated
+    # testdata tree at the same path must never serve a stale fixture
+    key = hashlib.md5(
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_shards}".encode()
+    ).hexdigest()[:12]
+    in_dir = os.path.join(tempfile.gettempdir(), f"cfkll-eo-fixture-{key}")
+    if not os.path.isdir(in_dir):
+        build = f"{in_dir}.building-{os.getpid()}"
+        shutil.rmtree(build, ignore_errors=True)
+        os.makedirs(build)
+        rows = duckdb.sql(
+            f"SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_type, "
+            f"value FROM '{sf_dir}/events.parquet'"
+        ).fetchall()
+        files = [
+            open(os.path.join(build, f"shard-{i:03d}.jsonl"), "w")
+            for i in range(n_shards)
+        ]
+
+        def rec(eid, ts, et, v) -> str:
+            return (
+                _json.dumps(
+                    {
+                        "PartitionKey": str(eid),
+                        "Data": _json.dumps(
+                            {"event_id": eid, "ts": ts, "event_type": et, "value": v}
+                        ),
+                    }
+                )
+                + "\n"
             )
-            + "\n"
-        )
 
-    for eid, ts, et, v in rows:
-        line = rec(eid, ts, et, v)
-        files[eid % n_shards].write(line)
-        if eid % 7 == 0:  # duplicate delivery, same shard
+        for eid, ts, et, v in rows:
+            line = rec(eid, ts, et, v)
             files[eid % n_shards].write(line)
-        if eid % 13 == 0:  # duplicate delivery, different shard
-            files[(eid + 1) % n_shards].write(line)
-    for f in files:
-        f.close()
+            if eid % 7 == 0:  # duplicate delivery, same shard
+                files[eid % n_shards].write(line)
+            if eid % 13 == 0:  # duplicate delivery, different shard
+                files[(eid + 1) % n_shards].write(line)
+        for f in files:
+            f.close()
+        try:
+            os.rename(build, in_dir)
+        except OSError:  # a concurrent builder won the rename — use theirs
+            shutil.rmtree(build, ignore_errors=True)
 
     register_kinesis_source(spark)
     stream = (

@@ -273,6 +273,45 @@ def test_compaction_retains_trash_until_next_pass(spark, tmp_path):
     assert len(remaining) == 1  # only the NEW grace copy
 
 
+def test_reader_across_zorder_swap_pins_documented_contract(spark, tmp_path):
+    """The reader contract the compact_partitions docstring documents
+    (r5 ADVICE: the old 'reader grace' claim was ineffective — renames
+    move files out from under path-holding plans). Pin BOTH halves:
+
+    1. a plan whose file index resolved BEFORE a ZORDER compaction of a
+       multi-file partition CANNOT be collected after the swap (its
+       listed paths moved to the dot-trash) — it must raise, never
+       silently return wrong rows;
+    2. a RE-RESOLVED scan after the swap returns exactly the full,
+       re-clustered content (the swap is all-or-nothing)."""
+    import pytest
+
+    from cloudfront_kinesis_log_lambda_spark.sinks.parquet import (
+        compact_partitions,
+    )
+
+    store = str(tmp_path / "store")
+    part = os.path.join(store, "log_day=2024-01-01")
+    df = (
+        spark.range(0, 200)
+        .withColumn("ts", F.col("id").cast("timestamp"))
+        .withColumn("a", (F.col("id") % 7).cast("int"))
+        .withColumn("b", (F.col("id") % 11).cast("int"))
+    )
+    for _ in range(3):  # multi-file partition
+        df.write.mode("append").parquet(part)
+    held = spark.read.parquet(part)  # file index resolves NOW
+    held.count()  # force the resolution before the swap
+    compact_partitions(
+        spark, store, [("log_day", "2024-01-01")], zorder_by=["a", "b"]
+    )
+    with pytest.raises(Exception, match="(?i)file|path|exist"):
+        held.collect()  # held paths moved → hard error, not silence
+    fresh = spark.read.parquet(part)
+    assert fresh.count() == 600
+    assert fresh.agg(F.sum("id")).collect()[0][0] == 3 * sum(range(200))
+
+
 def test_expire_recovers_crashed_compactions_and_frees_dot_artifacts(spark, tmp_path):
     """Retention must not skip a day stuck mid-swap (no live dir, data
     hiding in dot-artifacts): expire recovers it first, then deletes
