@@ -409,10 +409,20 @@ def winnow_fingerprints(
                 out.append(fp.astype(np.int64).tolist())
         return pd.Series(out)
 
+    # asNondeterministic: the kernel IS deterministic, but the marker is
+    # load-bearing for the PLAN — Catalyst's InferFiltersFromGenerate
+    # derives `size(fps)>0 AND isnotnull(fps)` from the explode below
+    # and, for a deterministic UDF, pushes that filter (kernel included)
+    # BELOW the ensure_parallelism exchange: the whole fingerprint
+    # kernel then runs a second time, single-task, on the unsplit scan —
+    # measured at ~1.2 s of the 2.5 s sf0.1 wall. The marker forbids the
+    # clone; the kernel runs exactly once, post-exchange, scan-parallel
+    # (plan-gated in test_plans: one ArrowEvalPython).
+    fps_once = fps_udf.asNondeterministic()
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return (
         ensure_parallelism(docs)
-        .select("doc_id", fps_udf(norm).alias("_fps"))
+        .select("doc_id", fps_once(norm).alias("_fps"))
         .select("doc_id", F.explode("_fps").alias("fp"))
     )
 

@@ -131,6 +131,29 @@ def test_minhash_signature_is_map_only_arrow_kernel(spark, sf_dir):
     assert "SortMergeJoin [shingle" not in plan
 
 
+def test_winnow_kernel_evaluates_exactly_once(spark, sf_dir):
+    """The winnow fingerprint kernel must appear ONCE in the physical
+    plan, above the parallelism exchange. Catalyst's
+    InferFiltersFromGenerate clones a DETERMINISTIC generator input into
+    a `size(..)>0` filter and pushes it below the exchange — the whole
+    Arrow kernel then runs a second time, single-task, on the unsplit
+    scan (r6 find: +1.2 s at sf0.1). The asNondeterministic marker in
+    winnow_fingerprints forbids the clone; this gate pins it."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = R.load(spark, sf_dir, "documents")
+    plan = _plan(winnow_fingerprints(docs))
+    assert plan.count("ArrowEvalPython") == 1
+    # and the single evaluation sits ABOVE the round-robin exchange
+    # (scan-parallel), not below it
+    assert "RoundRobinPartitioning" in plan
+    arrow_pos = plan.index("ArrowEvalPython")
+    assert plan.index("RoundRobinPartitioning") > arrow_pos  # tree prints
+    # top-down: the kernel node must print BEFORE (above) the exchange
+
+
 def test_clusters_driver_query_avoids_shingle_self_join(spark, sf_dir):
     """near_dup_clusters (driver entry) must be built on the LSH pair
     graph: candidate generation inside band buckets, never the exploded
