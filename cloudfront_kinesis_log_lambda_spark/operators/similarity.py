@@ -812,7 +812,10 @@ def semantic_dedup(
     each), so work is O(N²/k) worst-case and embarrassingly parallel by
     ``cid`` — the SemDeDup paper's exact trick; the self-join keys on
     ``cid`` so each cell's pairs build in one partition. At production
-    scale raise ``n_centroids`` to keep cells ~10⁴ rows (k ≈ N/10⁴) and
+    scale raise ``n_centroids`` to keep mean cells comfortably UNDER
+    ``max_cell_size`` — k ≈ N/10³ at the 4096 default, or raise both
+    together for ~10⁴-row cells (sizing k from 10⁴ while leaving the
+    default cap suppresses every cell) — and
     persist the assignment as a partition column; duplicates that
     straddle a cell boundary are the documented recall loss (the paper's
     too — mitigate with multi-probe assignment if it matters). K-means

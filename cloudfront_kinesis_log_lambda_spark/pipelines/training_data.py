@@ -50,8 +50,19 @@ def _knuth_bucket(mod: int):
 
 
 def _n_tokens(text_col: str):
-    """Whitespace token count as BIGINT (the corpus accounting unit)."""
-    return F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    """Whitespace token count as BIGINT (the corpus accounting unit).
+
+    Blank-doc guard (house rule, same as text.token_stats): split of a
+    trimmed blank yields [''] — filtered, so a blank document counts 0
+    tokens in BOTH token modes (pack_sequences' subword path 0-fills the
+    same way; r6 review finding)."""
+    return (
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long")
+    )
 
 
 def split_column(train_pct: int = 80, val_pct: int = 10):

@@ -121,16 +121,25 @@ class StreamingSemanticDedup:
             batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
         )
         os.makedirs(self.store_dir, exist_ok=True)
-        for e in os.listdir(self.store_dir):  # orphaned crashed tmps
-            if e.startswith("centroids.json.tmp-"):
-                try:
-                    os.remove(os.path.join(self.store_dir, e))
-                except OSError:
-                    pass
+        # sweep only THIS pid's orphaned tmp (a crashed earlier attempt
+        # in this process slot): removing other pids' in-flight tmps
+        # would crash their atomic_write_json mid-rename (r6 review
+        # finding). Like every store in streaming/, the detector is
+        # SINGLE-WRITER — one foreachBatch driver owns store_dir; two
+        # concurrent detectors on one store is a caller contract
+        # violation (their geometries would disagree and cross-index
+        # cells would be meaningless), not a tolerated mode.
+        own_tmp = os.path.join(
+            self.store_dir, f"centroids.json.tmp-{os.getpid()}"
+        )
+        try:
+            os.remove(own_tmp)
+        except OSError:
+            pass
         # fsync'd atomic write: a plain tmp+rename can commit an EMPTY
         # file on power loss, poisoning every later batch
         atomic_write_json(self.centroids_path, {"centroids": cents})
-        return self.frozen_centroids()  # last atomic writer wins
+        return self.frozen_centroids()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # first triggers routinely fire empty; training geometry on an

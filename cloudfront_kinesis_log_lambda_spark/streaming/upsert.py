@@ -193,20 +193,27 @@ class BucketedUpsertStore:
                 if e.startswith(".bucket=") and ".old-" in e:
                     trash[e[1:].split(".old-")[0]] = os.path.join(self.path, e)
             states = {d: _has_parquet(d) for d in live.values()}
-            if None not in states.values():
+            # trash-only buckets feed the fallback below — and their dirs
+            # can vanish too (the writer's NEXT apply sweeps trash after
+            # finishing the swap): a vanished trash-only dir means the
+            # bucket's fresh live dir exists but is missing from THIS
+            # snapshot, so resolving now would silently drop the bucket
+            # (r6 review finding) — re-list, same as a vanished live dir
+            fb_states = {
+                b: _has_parquet(d) for b, d in trash.items() if b not in live
+            }
+            if None not in states.values() and None not in fb_states.values():
                 break
         else:
             raise RuntimeError(
-                f"upsert store {self.path}: live bucket dirs kept vanishing "
+                f"upsert store {self.path}: bucket dirs kept vanishing "
                 "across 50 listings — a writer is swapping faster than "
                 "read() can snapshot (or the store is being deleted)"
             )
         live_dirs = [d for d, ok in states.items() if ok]
         # a bucket with NO live dir but a trash copy is mid-swap or
         # crashed: its pre-swap content is the consistent state
-        fallback = [
-            d for b, d in trash.items() if b not in live and _has_parquet(d)
-        ]
+        fallback = [trash[b] for b, ok in fb_states.items() if ok]
         parts = []
         if live_dirs:
             parts.append(

@@ -74,19 +74,25 @@ class StreamingVectorIndex:
             batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
         )
         os.makedirs(self.store_dir, exist_ok=True)
-        # orphaned tmp from a crashed earlier attempt: never referenced
-        for e in os.listdir(self.store_dir):
-            if e.startswith("centroids.json.tmp-"):
-                try:
-                    os.remove(os.path.join(self.store_dir, e))
-                except OSError:
-                    pass
+        # sweep only THIS pid's orphaned tmp (a crashed earlier attempt
+        # in this process slot): removing other pids' in-flight tmps
+        # would crash their atomic_write_json mid-rename. The index is
+        # SINGLE-WRITER (one foreachBatch driver owns store_dir) like
+        # every store in streaming/ — two concurrent builders' frozen
+        # geometries would disagree, a caller contract violation.
+        try:
+            os.remove(
+                os.path.join(
+                    self.store_dir, f"centroids.json.tmp-{os.getpid()}"
+                )
+            )
+        except OSError:
+            pass
         # the shared fsync'd write — a plain tmp+rename can commit an
         # EMPTY file on power loss (journaled fs orders the rename
         # before the data blocks), wedging every later batch and query
         atomic_write_json(self.centroids_path, {"centroids": cents})
-        return _load_centroids(self.centroids_path)  # every process
-        # re-reads: the atomic rename's last writer wins
+        return _load_centroids(self.centroids_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # a streaming query's first triggers routinely fire empty (no

@@ -157,3 +157,25 @@ def test_over_cap_cell_stops_yielding_new_pairs(spark, tmp_path):
     )
     assert assign1[2] == 1 and assign1[3] == 1  # earlier pairs persist
     assert assign1[4] == 4 and assign1[5] == 5 and assign1[6] == 6
+
+
+def test_centroid_write_leaves_foreign_tmps_alone(spark, tmp_path):
+    """The orphan-tmp sweep is pid-scoped: a tmp file belonging to
+    another process (by name) must survive geometry training — sweeping
+    it would crash that process's atomic rename mid-write (r6 review
+    finding). Single-writer is the documented contract; this guards the
+    blast radius of a violated one."""
+    store, out = str(tmp_path / "s"), str(tmp_path / "o")
+    os.makedirs(store)
+    foreign = os.path.join(store, "centroids.json.tmp-999999999")
+    with open(foreign, "w") as f:
+        f.write("{}")
+    detector = StreamingSemanticDedup(store, out, n_centroids=1)
+    rng = np.random.default_rng(3)
+    b0 = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(3)],
+        EMB_SCHEMA,
+    )
+    detector(b0, 0)
+    assert os.path.exists(foreign)  # not swept
+    assert detector.frozen_centroids() is not None  # and geometry landed

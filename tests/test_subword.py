@@ -96,3 +96,19 @@ def test_pack_sequences_rejects_unknown_token_mode(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="the")])
     with pytest.raises(ValueError, match="token_mode"):
         pack_sequences(docs, token_mode="bytes")
+
+
+def test_pack_sequences_blank_doc_counts_zero_in_both_modes(spark):
+    """The blank-doc guard holds in BOTH token units (r6 review finding:
+    whitespace mode used the unguarded split, charging blanks 1 phantom
+    token while subword charged 0 — the two modes disagreed on the same
+    degenerate input)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the table"), Row(doc_id=2, text="   ")]
+    )
+    for mode in ("whitespace", "subword"):
+        packed = {
+            r["doc_id"]: r["n_tokens"]
+            for r in pack_sequences(docs, token_mode=mode).collect()
+        }
+        assert packed[2] == 0, mode

@@ -242,3 +242,84 @@ def test_fold_rejects_keep_last_zero_and_legacy_layout(spark, tmp_path):
         json.dump({"legacy": True}, f)
     with pytest.raises(ValueError, match="retired"):
         read_batch_store(spark, p, "x long", exclude_batch=0)
+
+
+def test_read_retries_when_snapshot_tears(spark, tmp_path, monkeypatch):
+    """A listdir snapshot that names a bucket dir which has since
+    vanished (a swap's rename-away landing after the snapshot) must be
+    RE-TAKEN, not resolved — resolving it would silently drop the
+    bucket (r6 ADVICE + review finding). Simulate the tear by injecting
+    a phantom live dir into the first snapshot only."""
+    import os as _os
+
+    store = BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=4)
+    batch = _daily(spark, [(1, "2024-01-01", 3, 1.0), (2, "2024-01-01", 5, 2.0)])
+    store.apply(batch, 1, scd2_merge())
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+
+    def tearing_listdir(path="."):
+        out = real_listdir(path)
+        if _os.path.abspath(str(path)) == _os.path.abspath(store.path) and calls["n"] == 0:
+            calls["n"] += 1
+            return list(out) + ["bucket=99"]  # listed, but already gone
+        return out
+
+    monkeypatch.setattr(_os, "listdir", tearing_listdir)
+    rows = store.read(spark, SCD2_SCHEMA).collect()
+    assert calls["n"] == 1  # the torn snapshot was taken...
+    assert {r["user_id"] for r in rows} == {1, 2}  # ...and re-taken cleanly
+
+
+def test_read_raises_when_snapshot_never_settles(spark, tmp_path, monkeypatch):
+    """If every snapshot keeps naming vanished dirs (writer swapping
+    faster than read can list, or the store being deleted), read() must
+    raise — never return a silently incomplete frame."""
+    import os as _os
+
+    store = BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=4)
+    store.apply(_daily(spark, [(1, "2024-01-01", 3, 1.0)]), 1, scd2_merge())
+    real_listdir = _os.listdir
+
+    def always_torn(path="."):
+        out = real_listdir(path)
+        if _os.path.abspath(str(path)) == _os.path.abspath(store.path):
+            return list(out) + ["bucket=99"]
+        return out
+
+    monkeypatch.setattr(_os, "listdir", always_torn)
+    with pytest.raises(RuntimeError, match="vanishing"):
+        store.read(spark, SCD2_SCHEMA)
+
+
+def test_read_retries_when_trash_only_bucket_vanishes(spark, tmp_path, monkeypatch):
+    """The fallback path tears too: a trash-only bucket whose dir is
+    swept (the writer's next apply) between snapshot and resolve must
+    trigger a re-list — the fresh snapshot holds the bucket's new live
+    dir (r6 review finding: the first retry loop guarded live dirs
+    only)."""
+    import os as _os
+
+    store = BucketedUpsertStore(str(tmp_path / "s"), "user_id", n_buckets=4)
+    store.apply(_daily(spark, [(1, "2024-01-01", 3, 1.0)]), 1, scd2_merge())
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+    # find a bucket that actually holds data
+    [some_bucket] = [
+        e for e in real_listdir(store.path) if e.startswith("bucket=")
+    ][:1]
+
+    def tearing_listdir(path="."):
+        out = real_listdir(path)
+        if _os.path.abspath(str(path)) == _os.path.abspath(store.path) and calls["n"] == 0:
+            calls["n"] += 1
+            # snapshot claims the bucket is mid-swap (trash-only) with a
+            # trash dir that does not exist — the swept-trash tear
+            out = [e for e in out if e != some_bucket]
+            return out + [f".{some_bucket}.old-0"]
+        return out
+
+    monkeypatch.setattr(_os, "listdir", tearing_listdir)
+    rows = store.read(spark, SCD2_SCHEMA).collect()
+    assert calls["n"] == 1
+    assert {r["user_id"] for r in rows} == {1}  # nothing silently dropped

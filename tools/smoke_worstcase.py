@@ -80,8 +80,10 @@ def main() -> None:
     tn = timed(f"block_dedup {n}x", lambda: _block(docsN))
     print(f"block_dedup wall ratio: {tn / t1:.1f}x for {n}x rows")
 
-    # n_centroids scaled so mean cell stays under the cap at Nx — the
-    # production sizing rule (k ≈ N/10^4) the operator docstring states
+    # n_centroids scaled so the MEAN CELL (N·n/k ≈ 1000 rows) stays
+    # comfortably under the default max_cell_size=4096 — the docstring's
+    # sizing rule (k ≈ N/10³ at the default cap); k ≈ N/10⁴ would put
+    # every cell over the cap and the smoke would measure nothing
     k1, kn = 16, max(16, (n_emb * n) // 1000)
     t1 = timed(
         "semantic_dedup 1x",
