@@ -73,6 +73,9 @@ EXTENSION = [
     "doc_block_dedup",          # block index + reassembly join
     "doc_collocations",         # bigram/vocab counts + reused exchange
     "matryoshka_topk",          # prefix shortlist + full re-rank
+    # round-6 additions
+    "doc_subword_tokens",       # distinct-word Arrow kernel + re-agg
+    "ann_recall_report",        # 4 ANN tiers vs brute force, semi-join
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))

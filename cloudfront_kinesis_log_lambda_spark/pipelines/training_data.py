@@ -265,12 +265,22 @@ def pack_sequences(
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         seq_ids = []
         seq, running = 0, 0
+        first = True
         for t in pdf["n_tokens"]:
             t = int(t)
-            if running > 0 and running + t > budget:
+            # the not-first flag, NOT `running > 0`: with 0-token docs
+            # (blanks) the two differ — a run of blanks leaves running
+            # at 0 while the sequence already has members, and the
+            # running>0 form then let an over-budget doc pile into that
+            # sequence, diverging from the oracle's pure token recursion
+            # (seq_tokens + t > budget, seeded at rn=1) and breaking the
+            # multi-doc budget invariant (r6 hypothesis find:
+            # token_counts=[0,0,9], budget=8)
+            if not first and running + t > budget:
                 seq += 1
                 running = 0
             running += t
+            first = False
             seq_ids.append(seq)
         pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
         return pdf

@@ -221,10 +221,9 @@ def test_pack_sequences_invariants_random_corpora(spark, token_counts, budget):
     )
     out = pack_sequences(docs, budget=budget, n_groups=3).collect()
     assert sorted(r["doc_id"] for r in out) == list(range(len(token_counts)))
-    # NOTE: split('') yields [''] → n_tokens 1 for empty docs — the
-    # whitespace-token contract counts the empty string as one token,
-    # same as the DuckDB oracle; conservation is checked on the
-    # engine's own n_tokens
+    # NOTE: blank docs count 0 tokens (the house blank-doc guard, r6 —
+    # the guarded split matches the DuckDB oracle's list_filter form);
+    # conservation is checked on the engine's own n_tokens
     groups: dict[int, list] = {}
     for r in out:
         groups.setdefault(r["pack_group"], []).append(r)
