@@ -56,19 +56,24 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 1 new oracle entry + 5 oracle entries whose
+    # r6 window = 1 new oracle entry + 7 oracle entries whose
     # implementation changed this round (rule 1: no driver row for the
     # CURRENT code) + the 9-entry one-time rows-only pass (the 7 debts
     # deferred from r5 — r5 VERDICT item 1 — plus the two new rows-only
-    # entries) + 35 promoted-stale r4-green refreshes. 14 r4-green
+    # entries) + 33 promoted-stale r4-green refreshes. 16 r4-green
     # entries defer to r7 with 2-round-stale hash evidence — the 8 bench
     # headliners (pricing_summary, revenue_by_segment,
     # top_orders_per_customer, running_customer_spend, cube_orders,
     # events_hourly, sessionize_events, doc_quality — each executed in
-    # the driver environment every round by BENCH_r{N}) and 6 plain
+    # the driver environment every round by BENCH_r{N}), 6 plain
     # aggregate/set-op entries whose code has been frozen since r1
     # (filtered_revenue, group_having, conditional_agg_status,
-    # distinct_suppliers_per_flag, rollup_returns, nation_set_ops).
+    # distinct_suppliers_per_flag, rollup_returns, nation_set_ops), and
+    # 2 plain r1-frozen join entries bumped to make room for this
+    # round's changed-code re-verification (customers_per_region,
+    # supplier_nation_outer — r6 review finding: changed entries
+    # doc_pack_sequences_sql + kinesis_exactly_once_rollup outrank
+    # stale refreshes under rule 1).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -80,6 +85,8 @@ _FRONT = [
     "purchases_asof_view",
     "purchases_next_view",
     "doc_pack_sequences",
+    "doc_pack_sequences_sql",
+    "kinesis_exactly_once_rollup",
     "training_shards_roundtrip",
     "scd2_incremental_roundtrip",
     # one-time driver-environment pass for rows-only entries (the r5
@@ -97,7 +104,6 @@ _FRONT = [
     # (standing policy rule 1, '>=2 rounds since their last green row')
     "cosine_topk_multi_query",
     "customer_value_ntile",
-    "customers_per_region",
     "customers_with_open_orders",
     "customers_without_orders",
     "doc_chunks_udtf",
@@ -125,7 +131,6 @@ _FRONT = [
     "region_nations_agg",
     "scalar_function_showcase",
     "shipping_priority",
-    "supplier_nation_outer",
     "theta_join_price_band",
     "top_event_per_user",
     "top_orders",

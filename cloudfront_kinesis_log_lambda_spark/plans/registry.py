@@ -769,11 +769,35 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = f"{sf_dir}/events.parquet"
     st = os.stat(src)  # mtime+size key the CONTENT: a regenerated
-    # testdata tree at the same path must never serve a stale fixture
+    # testdata tree at the same path must never serve a stale fixture.
+    # The GENERATOR is keyed by its own source text (r6 review finding):
+    # the duplicate-injection constants (eid%7 / eid%13) and the record
+    # shape are baked into the cached tree, so an edit to this function
+    # must invalidate it — otherwise the entry reports green evidence
+    # for a delivery pattern that never ran.
+    import inspect
+
+    gen_src = inspect.getsource(kinesis_exactly_once_rollup)
     key = hashlib.md5(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_shards}".encode()
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|{n_shards}|{gen_src}".encode()
     ).hexdigest()[:12]
     in_dir = os.path.join(tempfile.gettempdir(), f"cfkll-eo-fixture-{key}")
+    # deferred cleanup for superseded fixture trees (old content or old
+    # generator): age-gated so a concurrent sweep still mid-read on its
+    # own (differently-keyed) tree is never pulled out from under it
+    import time
+
+    for name in os.listdir(tempfile.gettempdir()):
+        if not name.startswith("cfkll-eo-fixture-") or name.endswith(
+            f"-{key}"
+        ):
+            continue
+        stale = os.path.join(tempfile.gettempdir(), name)
+        try:
+            if time.time() - os.stat(stale).st_mtime > 6 * 3600:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     if not os.path.isdir(in_dir):
         build = f"{in_dir}.building-{os.getpid()}"
         shutil.rmtree(build, ignore_errors=True)

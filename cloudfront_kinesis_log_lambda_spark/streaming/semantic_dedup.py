@@ -59,7 +59,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
     kmeans_centroids,
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
-    atomic_write_json,
+    ensure_frozen_centroids,
     read_batch_store,
 )
 
@@ -114,32 +114,17 @@ class StreamingSemanticDedup:
             return json.load(f)["centroids"]
 
     def _centroids(self, batch_df: DataFrame) -> list[list[float]]:
-        cents = self.frozen_centroids()
-        if cents is not None:
-            return cents
-        cents = kmeans_centroids(
-            batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
+        return ensure_frozen_centroids(
+            self.store_dir,
+            self.centroids_path,
+            lambda: kmeans_centroids(
+                batch_df,
+                self.n_centroids,
+                self.iters,
+                self.id_col,
+                self.vec_col,
+            ),
         )
-        os.makedirs(self.store_dir, exist_ok=True)
-        # sweep only THIS pid's orphaned tmp (a crashed earlier attempt
-        # in this process slot): removing other pids' in-flight tmps
-        # would crash their atomic_write_json mid-rename (r6 review
-        # finding). Like every store in streaming/, the detector is
-        # SINGLE-WRITER — one foreachBatch driver owns store_dir; two
-        # concurrent detectors on one store is a caller contract
-        # violation (their geometries would disagree and cross-index
-        # cells would be meaningless), not a tolerated mode.
-        own_tmp = os.path.join(
-            self.store_dir, f"centroids.json.tmp-{os.getpid()}"
-        )
-        try:
-            os.remove(own_tmp)
-        except OSError:
-            pass
-        # fsync'd atomic write: a plain tmp+rename can commit an EMPTY
-        # file on power loss, poisoning every later batch
-        atomic_write_json(self.centroids_path, {"centroids": cents})
-        return self.frozen_centroids()
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # first triggers routinely fire empty; training geometry on an

@@ -62,6 +62,39 @@ def atomic_write_json(path: str, obj: dict) -> None:
     os.rename(tmp, path)
 
 
+def ensure_frozen_centroids(
+    store_dir: str, centroids_path: str, train
+) -> list[list[float]]:
+    """Train-once frozen-geometry discipline, shared by every streaming
+    vector store (index + semantic dedup — r6 review finding: the block
+    had been duplicated and a fix already had to land twice in lockstep).
+
+    If ``centroids_path`` exists its geometry is authoritative — every
+    later batch and query must use it so the store stays
+    self-consistent as it grows. Otherwise ``train()`` is called once
+    and the result persisted. Stores are SINGLE-WRITER (one foreachBatch
+    driver owns store_dir): two concurrent trainers' geometries would
+    disagree, a caller contract violation, so only THIS pid's orphaned
+    tmp (a crashed earlier attempt in this process slot) is swept —
+    removing other pids' in-flight tmps would crash their
+    atomic_write_json mid-rename. The fsync'd write matters: a plain
+    tmp+rename can commit an EMPTY file on power loss (journaled fs
+    orders the rename before the data blocks), wedging every later
+    batch and query."""
+    if os.path.exists(centroids_path):
+        with open(centroids_path) as f:
+            return json.load(f)["centroids"]
+    cents = train()
+    os.makedirs(store_dir, exist_ok=True)
+    try:
+        os.remove(f"{centroids_path}.tmp-{os.getpid()}")
+    except OSError:
+        pass
+    atomic_write_json(centroids_path, {"centroids": cents})
+    with open(centroids_path) as f:
+        return json.load(f)["centroids"]
+
+
 def _pointer_path(path: str) -> str:
     return os.path.join(path, "_fold_pointer.json")
 

@@ -39,7 +39,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
     quantize_int8,
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
-    atomic_write_json,
+    ensure_frozen_centroids,
 )
 
 
@@ -68,31 +68,17 @@ class StreamingVectorIndex:
         self.vec_col = vec_col
 
     def _centroids(self, batch_df: DataFrame) -> list[list[float]]:
-        if os.path.exists(self.centroids_path):
-            return _load_centroids(self.centroids_path)
-        cents = kmeans_centroids(
-            batch_df, self.n_centroids, self.iters, self.id_col, self.vec_col
+        return ensure_frozen_centroids(
+            self.store_dir,
+            self.centroids_path,
+            lambda: kmeans_centroids(
+                batch_df,
+                self.n_centroids,
+                self.iters,
+                self.id_col,
+                self.vec_col,
+            ),
         )
-        os.makedirs(self.store_dir, exist_ok=True)
-        # sweep only THIS pid's orphaned tmp (a crashed earlier attempt
-        # in this process slot): removing other pids' in-flight tmps
-        # would crash their atomic_write_json mid-rename. The index is
-        # SINGLE-WRITER (one foreachBatch driver owns store_dir) like
-        # every store in streaming/ — two concurrent builders' frozen
-        # geometries would disagree, a caller contract violation.
-        try:
-            os.remove(
-                os.path.join(
-                    self.store_dir, f"centroids.json.tmp-{os.getpid()}"
-                )
-            )
-        except OSError:
-            pass
-        # the shared fsync'd write — a plain tmp+rename can commit an
-        # EMPTY file on power loss (journaled fs orders the rename
-        # before the data blocks), wedging every later batch and query
-        atomic_write_json(self.centroids_path, {"centroids": cents})
-        return _load_centroids(self.centroids_path)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         # a streaming query's first triggers routinely fire empty (no
