@@ -460,6 +460,13 @@ def winnow_near_pairs(
         # localCheckpoint, not cache() — see near_dup_pairs_exact
         .localCheckpoint(eager=True)
     )
+    # the checkpoint freezes AQE's post-shuffle coalesce (the compact
+    # bucket table is a few MB → ~3 partitions), but the pair explode
+    # below multiplies each bucket into up to C(max_doc_freq, 2) rows —
+    # measured 1.3 M pairs in 3 tasks = 1.1 s of the 1.9 s sf0.1 wall.
+    # Re-expand the tiny table first; the round-robin shuffle it costs
+    # is bucket rows (ids arrays), not pairs.
+    rare = ensure_parallelism(rare)
     sizes = (
         rare.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")
