@@ -56,30 +56,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 1 new oracle entry + 7 oracle entries whose
-    # implementation changed this round (rule 1: no driver row for the
-    # CURRENT code) + the 9-entry one-time rows-only pass (the 7 debts
-    # deferred from r5 — r5 VERDICT item 1 — plus the two new rows-only
-    # entries) + 33 promoted-stale r4-green refreshes. 16 r4-green
-    # entries defer to r7 with 2-round-stale hash evidence — the 8 bench
-    # headliners (pricing_summary, revenue_by_segment,
-    # top_orders_per_customer, running_customer_spend, cube_orders,
-    # events_hourly, sessionize_events, doc_quality — each executed in
-    # the driver environment every round by BENCH_r{N}), 6 plain
-    # aggregate/set-op entries whose code has been frozen since r1
-    # (filtered_revenue, group_having, conditional_agg_status,
-    # distinct_suppliers_per_flag, rollup_returns, nation_set_ops), and
-    # 2 plain r1-frozen join entries bumped to make room for this
-    # round's changed-code re-verification (customers_per_region,
-    # supplier_nation_outer — r6 review finding: changed entries
-    # doc_pack_sequences_sql + kinesis_exactly_once_rollup outrank
-    # stale refreshes under rule 1).
+    # r6 window = 4 new oracle entries (subword + the 3 deterministic
+    # sketches) + 7 oracle entries whose implementation changed this
+    # round (rule 1: no driver row for the CURRENT code) + the 9-entry
+    # one-time rows-only pass (the 7 debts deferred from r5 — r5
+    # VERDICT item 1 — plus the two new rows-only entries) + 30
+    # promoted-stale r4-green refreshes. 19 r4-green entries defer to
+    # r7 with 2-round-stale hash evidence — the 8 bench headliners
+    # (pricing_summary, revenue_by_segment, top_orders_per_customer,
+    # running_customer_spend, cube_orders, events_hourly,
+    # sessionize_events, doc_quality — each executed in the driver
+    # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
+    # entries whose code has been frozen since r1 (filtered_revenue,
+    # group_having, conditional_agg_status, distinct_suppliers_per_flag,
+    # rollup_returns, nation_set_ops), and 5 plain r1-frozen join/window
+    # entries bumped to make room for new + changed-code entries, which
+    # outrank stale refreshes under rule 1 (customers_per_region,
+    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
+    # unpivot_order_metrics).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
     #
     # never-verified hash-capable code outranks everything
     "doc_subword_tokens",
+    "events_hll_users",
+    "events_hll_daily_merge",
+    "word_countmin_topk",
     # oracle entries whose code changed this round (asof NULL-ts guard;
     # pack_sequences token_mode refactor; upsert read() retry loop)
     "purchases_asof_view",
@@ -131,10 +134,7 @@ _FRONT = [
     "region_nations_agg",
     "scalar_function_showcase",
     "shipping_priority",
-    "theta_join_price_band",
-    "top_event_per_user",
     "top_orders",
-    "unpivot_order_metrics",
 ]
 _FILL: list[str] = [
     # empty again this round: changed-code re-verification + the

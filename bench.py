@@ -76,6 +76,8 @@ EXTENSION = [
     # round-6 additions
     "doc_subword_tokens",       # distinct-word Arrow kernel + re-agg
     "ann_recall_report",        # 4 ANN tiers vs brute force, semi-join
+    "events_hll_users",         # deterministic HLL register partial agg
+    "word_countmin_topk",       # 4x512 CMS counters + broadcast probe
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))

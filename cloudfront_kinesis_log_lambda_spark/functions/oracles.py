@@ -1545,3 +1545,94 @@ ORACLE_SQL["doc_subword_tokens"] = rf"""
     FROM wcount w JOIN wordtok t USING (word)
     GROUP BY 1
 """
+
+# --- deterministic sketches (hash/estimator fragments shared with ---------
+# --- operators/sketch.py — parity by construction) ------------------------
+from cloudfront_kinesis_log_lambda_spark.operators.sketch import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_WIDTH,
+    HLL_M,
+    hll_bucket_sql_duck,
+    hll_estimate_sql,
+    hll_h2_sql_duck,
+    hll_rho_sql,
+    md5_hash_sql_duck,
+)
+
+ORACLE_SQL["events_hll_users"] = f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {hll_bucket_sql_duck('user_id')} AS bucket,
+             {hll_h2_sql_duck('user_id')}     AS h2
+      FROM events WHERE user_id IS NOT NULL),
+    keyed AS (
+      SELECT event_type, bucket, {hll_rho_sql('h2')} AS rho FROM hashed),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM keyed GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)  AS n_registers,
+             SUM(POWER(2.0, -rho))     AS s
+      FROM regs GROUP BY 1)
+    SELECT event_type, n_registers,
+           CAST({HLL_M} - n_registers AS BIGINT) AS v_zero,
+           ROUND({hll_estimate_sql('n_registers', 's')}, 4) AS approx_distinct
+    FROM agg
+"""
+
+ORACLE_SQL["events_hll_daily_merge"] = f"""
+    WITH hashed AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             {hll_bucket_sql_duck('user_id')} AS bucket,
+             {hll_h2_sql_duck('user_id')}     AS h2
+      FROM events WHERE user_id IS NOT NULL),
+    keyed AS (
+      SELECT event_type, day, bucket, {hll_rho_sql('h2')} AS rho
+      FROM hashed),
+    daily AS (
+      SELECT event_type, day, bucket, MAX(rho) AS rho
+      FROM keyed GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM daily GROUP BY 1, 2),
+    days AS (
+      SELECT event_type, CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT)  AS n_registers,
+             SUM(POWER(2.0, -rho))     AS s
+      FROM merged GROUP BY 1)
+    SELECT a.event_type, d.n_days, a.n_registers,
+           CAST({HLL_M} - a.n_registers AS BIGINT) AS v_zero,
+           ROUND({hll_estimate_sql('a.n_registers', 'a.s')}, 4)
+             AS approx_distinct
+    FROM agg a JOIN days d ON a.event_type = d.event_type
+"""
+
+_CMS_CELLS = "\n      UNION ALL\n".join(
+    f"      SELECT word, n_exact, {r} AS r, "
+    f"{md5_hash_sql_duck('word', r)} % {CMS_WIDTH} AS col FROM wc"
+    for r in range(CMS_DEPTH)
+)
+ORACLE_SQL["word_countmin_topk"] = rf"""
+    WITH toks AS (
+      SELECT UNNEST(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents),
+    wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM toks WHERE word <> '' GROUP BY 1),
+    cells AS (
+{_CMS_CELLS}),
+    counters AS (
+      SELECT r, col, CAST(SUM(n_exact) AS BIGINT) AS cell_n
+      FROM cells GROUP BY 1, 2),
+    top AS (
+      SELECT word, n_exact FROM wc
+      ORDER BY n_exact DESC, word ASC LIMIT 20),
+    probe AS (
+      SELECT t.word, t.n_exact, c.r, c.col
+      FROM top t JOIN cells c USING (word))
+    SELECT p.word, p.n_exact, CAST(MIN(k.cell_n) AS BIGINT) AS cms_est
+    FROM probe p JOIN counters k ON p.r = k.r AND p.col = k.col
+    GROUP BY 1, 2
+"""

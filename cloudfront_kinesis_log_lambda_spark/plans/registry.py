@@ -22,6 +22,7 @@ from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
 from cloudfront_kinesis_log_lambda_spark.operators import pandas_grouped as PG
 from cloudfront_kinesis_log_lambda_spark.operators import relational as R
 from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
+from cloudfront_kinesis_log_lambda_spark.operators import sketch as SKT
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
 from cloudfront_kinesis_log_lambda_spark.functions import subword as SW
 from cloudfront_kinesis_log_lambda_spark.functions.udtf import doc_chunks
@@ -992,6 +993,9 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked
+    "events_hll_users": SKT.events_hll_users,
+    "events_hll_daily_merge": SKT.events_hll_daily_merge,
+    "word_countmin_topk": SKT.word_countmin_topk,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_tokens": doc_subword_tokens,
