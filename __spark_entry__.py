@@ -56,12 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 4 new oracle entries (subword + the 3 deterministic
-    # sketches) + 7 oracle entries whose implementation changed this
-    # round (rule 1: no driver row for the CURRENT code) + the 9-entry
-    # one-time rows-only pass (the 7 debts deferred from r5 — r5
-    # VERDICT item 1 — plus the two new rows-only entries) + 30
-    # promoted-stale r4-green refreshes. 19 r4-green entries defer to
+    # r6 window = 5 new oracle entries (subword + the 4 deterministic
+    # sketch entries incl. the streaming twin) + 7 oracle entries whose
+    # implementation changed this round (rule 1: no driver row for the
+    # CURRENT code) + the 9-entry one-time rows-only pass (the 7 debts
+    # deferred from r5 — r5 VERDICT item 1 — plus the two new rows-only
+    # entries) + 29 promoted-stale r4-green refreshes. 20 r4-green
+    # entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -69,11 +70,11 @@ _FRONT = [
     # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
     # entries whose code has been frozen since r1 (filtered_revenue,
     # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 5 plain r1-frozen join/window
-    # entries bumped to make room for new + changed-code entries, which
-    # outrank stale refreshes under rule 1 (customers_per_region,
+    # rollup_returns, nation_set_ops), and 6 plain r1-frozen entries
+    # bumped to make room for new + changed-code entries, which outrank
+    # stale refreshes under rule 1 (customers_per_region,
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
-    # unpivot_order_metrics).
+    # unpivot_order_metrics, order_item_arrays).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -82,6 +83,7 @@ _FRONT = [
     "doc_subword_tokens",
     "events_hll_users",
     "events_hll_daily_merge",
+    "events_hll_incremental",
     "word_countmin_topk",
     # oracle entries whose code changed this round (asof NULL-ts guard;
     # pack_sequences token_mode refactor; upsert read() retry loop)
@@ -127,7 +129,6 @@ _FRONT = [
     "events_range_join",
     "events_tumbling_windows",
     "events_zscore",
-    "order_item_arrays",
     "order_price_delta",
     "order_price_histogram",
     "pivot_qty_by_linestatus",

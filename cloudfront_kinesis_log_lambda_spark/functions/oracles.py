@@ -1636,3 +1636,5 @@ ORACLE_SQL["word_countmin_topk"] = rf"""
     FROM probe p JOIN counters k ON p.r = k.r AND p.col = k.col
     GROUP BY 1, 2
 """
+
+ORACLE_SQL["events_hll_incremental"] = ORACLE_SQL["events_hll_users"]

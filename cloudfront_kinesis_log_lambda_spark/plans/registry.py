@@ -234,6 +234,32 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign
 
 
+def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING HLL twin (streaming/hll.py) driven over the events
+    table as three arrival waves split by event_id residue — users
+    recur across waves, so the register store must accumulate, not
+    recount. HASH-GREEN even though it is a streaming operator: the
+    register merge law makes the accumulated estimate BIT-IDENTICAL to
+    the batch sketch, so the oracle is the same SQL as
+    ``events_hll_users`` (the writeStream-driven leg + retry
+    idempotence live in test_streaming_hll)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.streaming.hll import StreamingHLL
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"cfkll-stream-hll-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    sk = StreamingHLL(root, ["event_type"], "user_id")
+    e = R.load(spark, sf_dir, "events")
+    for wave in range(3):
+        sk(e.filter(F.col("event_id") % 3 == wave), wave)
+    est = sk.estimate(spark).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return est
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
     the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
@@ -995,6 +1021,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # oracle-checked
     "events_hll_users": SKT.events_hll_users,
     "events_hll_daily_merge": SKT.events_hll_daily_merge,
+    "events_hll_incremental": events_hll_incremental,
     "word_countmin_topk": SKT.word_countmin_topk,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
