@@ -56,13 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 5 new oracle entries (subword + the 4 deterministic
-    # sketch entries incl. the streaming twin) + 7 oracle entries whose
-    # implementation changed this round (rule 1: no driver row for the
-    # CURRENT code) + the 9-entry one-time rows-only pass (the 7 debts
-    # deferred from r5 — r5 VERDICT item 1 — plus the two new rows-only
-    # entries) + 29 promoted-stale r4-green refreshes. 20 r4-green
-    # entries defer to
+    # r6 window = 6 new oracle entries (subword, the 4 deterministic
+    # sketch entries incl. the streaming twin, BPE encode) + 7 oracle
+    # entries whose implementation changed this round (rule 1: no
+    # driver row for the CURRENT code) + the 10-entry one-time
+    # rows-only pass (the 7 debts deferred from r5 — r5 VERDICT item 1
+    # — plus the three new rows-only entries) + 27 promoted-stale
+    # r4-green refreshes. 22 r4-green entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -70,11 +70,12 @@ _FRONT = [
     # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
     # entries whose code has been frozen since r1 (filtered_revenue,
     # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 6 plain r1-frozen entries
+    # rollup_returns, nation_set_ops), and 8 plain r1-frozen entries
     # bumped to make room for new + changed-code entries, which outrank
     # stale refreshes under rule 1 (customers_per_region,
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
-    # unpivot_order_metrics, order_item_arrays).
+    # unpivot_order_metrics, order_item_arrays, order_price_histogram,
+    # pivot_qty_by_linestatus).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -85,6 +86,7 @@ _FRONT = [
     "events_hll_daily_merge",
     "events_hll_incremental",
     "word_countmin_topk",
+    "doc_bpe_tokens",
     # oracle entries whose code changed this round (asof NULL-ts guard;
     # pack_sequences token_mode refactor; upsert read() retry loop)
     "purchases_asof_view",
@@ -98,6 +100,7 @@ _FRONT = [
     # deferral debt + the two new rows-only entries this round)
     "semantic_dedup_incremental",
     "ann_recall_report",
+    "bpe_learn_merges",
     "near_dup_incremental",
     "ann_incremental_index",
     "ann_lsh_topk",
@@ -130,8 +133,6 @@ _FRONT = [
     "events_tumbling_windows",
     "events_zscore",
     "order_price_delta",
-    "order_price_histogram",
-    "pivot_qty_by_linestatus",
     "region_nations_agg",
     "scalar_function_showcase",
     "shipping_priority",

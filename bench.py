@@ -78,6 +78,7 @@ EXTENSION = [
     "ann_recall_report",        # 4 ANN tiers vs brute force, semi-join
     "events_hll_users",         # deterministic HLL register partial agg
     "word_countmin_topk",       # 4x512 CMS counters + broadcast probe
+    "doc_bpe_tokens",           # codegen replace-chain BPE encode
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))

@@ -1,0 +1,273 @@
+"""Byte-pair-encoding vocabulary LEARNING and encoding, Spark-first.
+
+``functions/subword.py`` counts tokens under a FIXED WordPiece
+vocabulary; real pipelines also need the step that produces such a
+vocabulary — BPE merge learning (Sennrich et al. 2016,
+arXiv:1508.07909) over the corpus. This module implements both halves
+with one shared, exactly-specified merge semantics:
+
+**Merge semantics (one rank):** replace adjacent symbol pairs
+``(a, b) → ab`` left-to-right, non-overlapping, in a single pass
+("aaa" under (a,a) → ["aa","a"]). Deterministic by construction; ties
+in the learner break on (count DESC, left ASC, right ASC).
+
+**Learning** (:func:`learn_bpe_merges`) is the distributed iteration:
+
+  distinct (word, count) — vocab-bounded, the corpus text is touched
+  exactly once — → per-word symbol arrays (chars) → per iteration:
+    adjacent-pair explode → groupBy pair → SUM(count) → global argmax
+    (a 1-row driver collect — the only driver-side data, by design)
+    → apply the merge to every symbol array (a JVM-side ``aggregate``
+    HOF fold — no Python in the loop) → localCheckpoint (flat lineage)
+
+100 TB shape: every iteration aggregates the *type* table (distinct
+words), not the corpus — at web scale that is ~10⁸ rows of a few
+symbols each, a routine shuffle, and the merge application is map-only
+codegen. The per-iteration argmax is 1 row. What does NOT scale is a
+driver-side dictionary of the corpus — exactly what this avoids.
+
+**Encoding** (:func:`bpe_pieces_expr`) applies a FIXED merge list with
+a two-pass sentinel-delimited ``replace`` chain, fully JVM-side (and
+replayable verbatim in DuckDB, which makes ``doc_bpe_tokens``
+exact-hash-checkable):
+
+  '␟a␟b␟' → '␟ab␟' over  '␟' + join(symbols, '␟') + '␟'
+
+A single ``replace`` pass misses every second occurrence in a chain
+(consecutive matches share their boundary sentinel, and replace resumes
+AFTER the replacement), so each rank applies the replace TWICE: pass 1
+takes the odd occurrences of any chain, which isolates the evens for
+pass 2 — two passes are always sufficient, and the result equals the
+single-pass fold semantics above (test_bpe fuzzes this equivalence
+against a pure-Python reference).
+
+The pinned :data:`FIXED_MERGES` used by the hash-green encode query is
+the learner's own output on :data:`SYNTH_CORPUS` — test_bpe asserts
+``learn_bpe_merges(SYNTH_CORPUS) == FIXED_MERGES``, so the literal
+cannot drift from the learner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+# Sentinel between symbols in the encode representation: U+001F (unit
+# separator), absent from natural text. Words containing it are
+# excluded from encoding (counted as 1 piece) rather than silently
+# mis-segmented.
+SEP = "\x1f"
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping single-pass merge of (a, b) → ab
+    over an array<string> of symbols, as a JVM-side aggregate fold.
+
+    Accumulator: (acc: merged prefix, prev: symbol held back pending a
+    possible merge with the next one, has: whether prev is held).
+    After a merge the new token is NOT held (it can never equal ``a``
+    — that would need ``b`` empty), which is what makes the pass
+    non-overlapping.
+    """
+    merged = a + b
+    init = F.struct(
+        F.array().cast("array<string>").alias("acc"),
+        F.lit("").alias("prev"),
+        F.lit(False).alias("has"),
+    )
+
+    def step(st: Column, x: Column) -> Column:
+        flush = F.when(
+            st["has"], F.concat(st["acc"], F.array(st["prev"]))
+        ).otherwise(st["acc"])
+        return F.when(
+            st["has"] & (st["prev"] == a) & (x == b),
+            F.struct(
+                F.concat(st["acc"], F.array(F.lit(merged))).alias("acc"),
+                F.lit("").alias("prev"),
+                F.lit(False).alias("has"),
+            ),
+        ).otherwise(
+            F.struct(flush.alias("acc"), x.alias("prev"), F.lit(True).alias("has"))
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda st: F.when(
+            st["has"], F.concat(st["acc"], F.array(st["prev"]))
+        ).otherwise(st["acc"]),
+    )
+
+
+_CHARS = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+
+
+def learn_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 24,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges from a document corpus.
+
+    Returns (rank, left, right, merged, pair_count) in learning order.
+    Stops early when no adjacent pair reaches ``min_pair_count``.
+    """
+    spark = docs.sparkSession
+    wc = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+        )
+        .filter((F.col("word") != "") & ~F.col("word").contains(SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the corpus is read once; everything after iterates on the compact
+    # type table. localCheckpoint (never cache — house rule) both
+    # materializes and keeps each iteration's lineage flat.
+    cur = wc.select("n", F.expr(_CHARS).alias("syms")).localCheckpoint(
+        eager=True
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = cur.select(
+            "n",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("n").alias("c"))
+            .orderBy(
+                F.col("c").desc(), F.col("p.a").asc(), F.col("p.b").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_pair_count:
+            break
+        a, b, c = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["c"])
+        merges.append((rank, a, b, a + b, c))
+        cur = cur.select(
+            "n", _merge_pair_expr(F.col("syms"), a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+# --- fixed merge table for the oracle-checked encode query ---------------
+# SYNTH_CORPUS is a tiny deterministic corpus with heavy bigram
+# structure; FIXED_MERGES is EXACTLY learn_bpe_merges(SYNTH_CORPUS,
+# n_merges=12) — pinned in test_bpe so the literal cannot drift.
+SYNTH_CORPUS = [
+    "the then there these theme",
+    "ing sing ring bring string",
+    "er her here mother other",
+    "the there other thing string",
+    "in inside string bring thing",
+]
+FIXED_MERGES: list[tuple[str, str]] = [
+    ("h", "e"),
+    ("i", "n"),
+    ("in", "g"),
+    ("t", "he"),
+    ("r", "ing"),
+    ("the", "r"),
+    ("o", "ther"),
+    ("s", "t"),
+    ("st", "ring"),
+    ("b", "ring"),
+    ("h", "ing"),
+    ("he", "r"),
+]
+
+
+def _sepped_sql(word_sql: str, *, duck: bool) -> str:
+    # '(.)' → '<c><SEP>' after every char, then add the leading SEP.
+    # Engine forks: backreference spelling (RE2 '\1' vs Java '$1') and
+    # DuckDB's regexp_replace being FIRST-match-only without the 'g'
+    # flag (Spark's is global and takes no flag argument).
+    backref, flags = (r"\1", ", 'g'") if duck else ("$1", "")
+    return (
+        f"('{SEP}' || regexp_replace({word_sql}, '(.)', "
+        f"'{backref}{SEP}'{flags}))"
+    )
+
+
+def bpe_pieces_sql(word_sql: str, merges: list[tuple[str, str]], *, duck: bool) -> str:
+    """Number of BPE pieces of ``word_sql`` under the given merge list,
+    as SQL that runs on Spark and DuckDB — the parity trick behind the
+    hash-green ``doc_bpe_tokens``. Builds '␟'+chars+'␟', then per rank
+    applies the boundary-anchored replace twice (see module docstring
+    for why two passes equal the fold semantics). ``duck`` picks the
+    regex backreference spelling and global-flag convention (see
+    ``_sepped_sql``) — the only non-portable characters; every
+    replace() in the chain is identical text on both engines."""
+    s = _sepped_sql(word_sql, duck=duck)
+    for a, b in merges:
+        pat, rep = f"'{SEP}{a}{SEP}{b}{SEP}'", f"'{SEP}{a}{b}{SEP}'"
+        s = f"replace({s}, {pat}, {rep})"
+        s = f"replace({s}, {pat}, {rep})"
+    # leading + trailing separators → segments = splits - 2
+    if duck:
+        return f"(len(string_split({s}, '{SEP}')) - 2)"
+    return f"(size(split({s}, '{SEP}')) - 2)"
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under :data:`FIXED_MERGES`.
+
+    Same scale shape as ``doc_subword_tokens``: the encode chain runs
+    over DISTINCT words only (vocabulary-bounded, map-only, pure
+    whole-stage codegen — no Python anywhere), per-doc counts
+    re-aggregate compact (doc_id, word, n) rows; document text never
+    shuffles. Exact-hash-checked against the DuckDB replay of the same
+    replace chain."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wcount = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dwords = wcount.select("word").distinct()
+    pieces = dwords.select(
+        "word",
+        F.expr(bpe_pieces_sql("word", FIXED_MERGES, duck=False))
+        .cast("long")
+        .alias("n_pieces"),
+    )
+    return (
+        wcount.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_pieces"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_learn_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: learn 24 merges from the documents corpus.
+
+    Rows-only by necessity — each learning round is a global argmax
+    over re-aggregated pair counts, which a recursive CTE cannot
+    express (no aggregation over the recursive term). The exact
+    contract lives in test_bpe: a pure-Python BPE reference replays
+    learning on the same corpus and must match row-for-row."""
+    return learn_bpe_merges(
+        load(spark, sf_dir, "documents"), n_merges=24
+    )

@@ -1638,3 +1638,29 @@ ORACLE_SQL["word_countmin_topk"] = rf"""
 """
 
 ORACLE_SQL["events_hll_incremental"] = ORACLE_SQL["events_hll_users"]
+
+# --- BPE encode (merge table + replace chain shared with functions/bpe.py) -
+from cloudfront_kinesis_log_lambda_spark.functions.bpe import (  # noqa: E402
+    FIXED_MERGES,
+    bpe_pieces_sql,
+)
+
+ORACLE_SQL["doc_bpe_tokens"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents),
+    wcount AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE word <> '' GROUP BY 1, 2),
+    dwords AS (SELECT DISTINCT word FROM wcount),
+    pieces AS (
+      SELECT word,
+             CAST({bpe_pieces_sql('word', FIXED_MERGES, duck=True)} AS BIGINT)
+               AS n_pieces
+      FROM dwords)
+    SELECT w.doc_id,
+           CAST(SUM(w.n) AS BIGINT)              AS n_words,
+           CAST(SUM(w.n * p.n_pieces) AS BIGINT) AS n_bpe_tokens
+    FROM wcount w JOIN pieces p USING (word)
+    GROUP BY 1
+"""

@@ -24,6 +24,7 @@ from cloudfront_kinesis_log_lambda_spark.operators import relational as R
 from cloudfront_kinesis_log_lambda_spark.operators import similarity as S
 from cloudfront_kinesis_log_lambda_spark.operators import sketch as SKT
 from cloudfront_kinesis_log_lambda_spark.operators import text as T
+from cloudfront_kinesis_log_lambda_spark.functions import bpe as BPE
 from cloudfront_kinesis_log_lambda_spark.functions import subword as SW
 from cloudfront_kinesis_log_lambda_spark.functions.udtf import doc_chunks
 from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
@@ -1023,6 +1024,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_daily_merge": SKT.events_hll_daily_merge,
     "events_hll_incremental": events_hll_incremental,
     "word_countmin_topk": SKT.word_countmin_topk,
+    "doc_bpe_tokens": BPE.doc_bpe_tokens,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
     "doc_subword_tokens": doc_subword_tokens,
@@ -1076,6 +1078,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cloudfront_enriched": cloudfront_enriched,
     "cloudfront_wire": cloudfront_wire,
     "cloudfront_status_rollup": cloudfront_status_rollup,
+    # rows-only (iterative global argmax — not recursive-CTE-expressible;
+    # exact Python-replay contract in test_bpe)
+    "bpe_learn_merges": BPE.bpe_learn_merges_query,
     # rows-only (hash-seeded; recall-gated in tests)
     "doc_semantic_dedup": doc_semantic_dedup,
     "semantic_dedup_incremental": semantic_dedup_incremental,

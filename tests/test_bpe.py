@@ -1,0 +1,165 @@
+"""BPE learning + encode contracts: the distributed learner must match
+a pure-Python BPE reference row-for-row (exact, not statistical); the
+two-pass replace-chain encode must equal single-pass fold semantics on
+adversarial inputs; and the pinned FIXED_MERGES literal must be exactly
+what the learner produces on its synthetic corpus."""
+
+from __future__ import annotations
+
+import random
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.functions import bpe
+
+
+# --- pure-Python reference (the spec) ------------------------------------
+def py_merge_once(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def py_learn(texts, n_merges, min_pair_count=2):
+    wc = Counter(
+        w
+        for t in texts
+        for w in re.split(r"\s+", t)
+        if w and bpe.SEP not in w
+    )
+    seqs = {w: list(w) for w in wc}
+    merges = []
+    for rank in range(n_merges):
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if c < min_pair_count:
+            break
+        merges.append((rank, a, b, a + b, c))
+        seqs = {w: py_merge_once(s, a, b) for w, s in seqs.items()}
+    return merges
+
+
+def py_pieces(word, merges):
+    s = list(word)
+    for a, b in merges:
+        s = py_merge_once(s, a, b)
+    return len(s)
+
+
+def _learn_rows(df):
+    return [
+        (r["rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in df.orderBy("rank").collect()
+    ]
+
+
+def test_fixed_merges_is_the_learner_output_on_synth(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(bpe.SYNTH_CORPUS)],
+        "doc_id long, text string",
+    )
+    learned = _learn_rows(bpe.learn_bpe_merges(docs, n_merges=12))
+    assert [(left, right) for _, left, right, _, _ in learned] == list(
+        bpe.FIXED_MERGES
+    )
+    # and the reference agrees with the distributed learner
+    assert learned == py_learn(bpe.SYNTH_CORPUS, 12)
+
+
+def test_learner_matches_python_reference_on_random_corpus(spark):
+    rng = random.Random(13)
+    vocab = ["ab", "abc", "bca", "aa", "cab", "b", "x"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(8)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    assert _learn_rows(bpe.learn_bpe_merges(docs, n_merges=10)) == py_learn(
+        texts, 10
+    )
+
+
+def test_learner_early_stop_and_single_char_words(spark):
+    docs = spark.createDataFrame(
+        [(0, "a bb a x yz a bb")], "doc_id long, text string"
+    )
+    rows = _learn_rows(bpe.learn_bpe_merges(docs, n_merges=5))
+    # only (b,b) reaches min_pair_count=2; everything else is unique
+    assert rows == [(0, "b", "b", "bb", 2)]
+
+
+def test_replace_chain_equals_fold_semantics(spark):
+    """The subtle encode claim: two boundary-anchored replaces per rank
+    over the sentinel string == one left-to-right non-overlapping fold
+    pass. Adversarial inputs: overlapping chains (abab…), self-pairs
+    (aaa…), merged-symbol reuse (merge result is the left of a later
+    merge), prefix/suffix lookalikes (xa·b must not merge as a·b)."""
+    merges = [("a", "b"), ("ab", "ab"), ("a", "a"), ("aa", "b"), ("c", "ab")]
+    words = [
+        "abababab", "ababab", "aaa", "aaaa", "aaab", "xab", "xaab",
+        "cab", "ccab", "abc", "ba", "a", "", "bbb", "aabb", "abab",
+    ]
+    rng = random.Random(7)
+    words += [
+        "".join(rng.choice("abcx") for _ in range(rng.randrange(1, 14)))
+        for _ in range(200)
+    ]
+    words = sorted(set(w for w in words if w))
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["p"]
+        for r in df.select(
+            "word",
+            F.expr(bpe.bpe_pieces_sql("word", merges, duck=False)).alias("p"),
+        ).collect()
+    }
+    for w in words:
+        assert got[w] == py_pieces(w, merges), (w, got[w], py_pieces(w, merges))
+
+
+def test_doc_bpe_tokens_shape_and_reference(spark, sf_dir):
+    out = {r["doc_id"]: r for r in bpe.doc_bpe_tokens(spark, sf_dir).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == {
+        i for i, t in docs.items() if [w for w in re.split(r"\s+", t) if w]
+    }
+    for i in list(out)[:50]:
+        ws = [w for w in re.split(r"\s+", docs[i]) if w]
+        assert out[i]["n_words"] == len(ws)
+        assert out[i]["n_bpe_tokens"] == sum(
+            py_pieces(w, bpe.FIXED_MERGES) for w in ws
+        )
+
+
+def test_encode_is_pure_codegen_no_python(spark, sf_dir):
+    """The encode path must stay JVM-side: no ArrowEvalPython /
+    BatchEvalPython anywhere in the plan."""
+    plan = (
+        bpe.doc_bpe_tokens(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan[:2000]

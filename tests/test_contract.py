@@ -29,15 +29,16 @@ ROWS_ONLY = {
     "doc_semantic_dedup",
     "semantic_dedup_incremental",
     "ann_recall_report",
+    "bpe_learn_merges",
 }
 
 #: rows-only entries granted a ONE-TIME slot inside the r6 gate window
 #: so every registry entry has at least one driver-environment execution
 #: row (standing policy in __spark_entry__.py). This round drains the
 #: full r5 deferral debt (the 7 entries r5 VERDICT item 1 named) plus
-#: the two rows-only entries NEW this round (streaming semantic dedup,
-#: ANN recall report). From r7 all of these move behind every
-#: oracle-backed entry again — drain this set then.
+#: the rows-only entries NEW this round (streaming semantic dedup,
+#: ANN recall report, BPE merge learning). From r7 all of these move
+#: behind every oracle-backed entry again — drain this set then.
 ROWS_ONLY_ONE_TIME_WINDOW = {
     "near_dup_incremental",
     "ann_incremental_index",
@@ -48,6 +49,7 @@ ROWS_ONLY_ONE_TIME_WINDOW = {
     "cloudfront_status_rollup",
     "semantic_dedup_incremental",
     "ann_recall_report",
+    "bpe_learn_merges",
 }
 
 
