@@ -56,13 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 6 new oracle entries (subword, the 4 deterministic
-    # sketch entries incl. the streaming twin, BPE encode) + 7 oracle
-    # entries whose implementation changed this round (rule 1: no
-    # driver row for the CURRENT code) + the 10-entry one-time
-    # rows-only pass (the 7 debts deferred from r5 — r5 VERDICT item 1
-    # — plus the three new rows-only entries) + 27 promoted-stale
-    # r4-green refreshes. 22 r4-green entries defer to
+    # r6 window = 8 new oracle entries (subword, the 6 deterministic
+    # sketch entries incl. the streaming twin + set algebra + DDSketch,
+    # BPE encode) + 7 oracle entries whose implementation changed this
+    # round (rule 1: no driver row for the CURRENT code) + the 10-entry
+    # one-time rows-only pass (the 7 debts deferred from r5 — r5
+    # VERDICT item 1 — plus the three new rows-only entries) + 25
+    # promoted-stale r4-green refreshes. 24 r4-green entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -70,12 +70,13 @@ _FRONT = [
     # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
     # entries whose code has been frozen since r1 (filtered_revenue,
     # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 8 plain r1-frozen entries
+    # rollup_returns, nation_set_ops), and 10 plain r1-frozen entries
     # bumped to make room for new + changed-code entries, which outrank
     # stale refreshes under rule 1 (customers_per_region,
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
     # unpivot_order_metrics, order_item_arrays, order_price_histogram,
-    # pivot_qty_by_linestatus).
+    # pivot_qty_by_linestatus, region_nations_agg,
+    # scalar_function_showcase).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -86,6 +87,8 @@ _FRONT = [
     "events_hll_daily_merge",
     "events_hll_incremental",
     "word_countmin_topk",
+    "events_hll_type_overlap",
+    "events_value_ddsketch",
     "doc_bpe_tokens",
     # oracle entries whose code changed this round (asof NULL-ts guard;
     # pack_sequences token_mode refactor; upsert read() retry loop)
@@ -133,8 +136,6 @@ _FRONT = [
     "events_tumbling_windows",
     "events_zscore",
     "order_price_delta",
-    "region_nations_agg",
-    "scalar_function_showcase",
     "shipping_priority",
     "top_orders",
 ]

@@ -1664,3 +1664,63 @@ ORACLE_SQL["doc_bpe_tokens"] = rf"""
     FROM wcount w JOIN pieces p USING (word)
     GROUP BY 1
 """
+
+# --- HLL set algebra + DDSketch quantiles (fragments shared with ----------
+# --- operators/sketch.py) -------------------------------------------------
+from cloudfront_kinesis_log_lambda_spark.operators.sketch import (  # noqa: E402
+    DD_BUCKET_SQL,
+    dd_quantile_sql,
+)
+
+ORACLE_SQL["events_hll_type_overlap"] = f"""
+    WITH hashed AS (
+      SELECT event_type,
+             {hll_bucket_sql_duck('user_id')} AS bucket,
+             {hll_h2_sql_duck('user_id')}     AS h2
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('view', 'purchase')),
+    keyed AS (
+      SELECT event_type, bucket, {hll_rho_sql('h2')} AS rho FROM hashed),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS rho FROM keyed GROUP BY 1, 2),
+    per AS (
+      SELECT event_type,
+             ROUND({hll_estimate_sql(
+                 'CAST(COUNT(*) AS BIGINT)', "SUM(POWER(2.0, -rho))")}, 4)
+               AS est
+      FROM regs GROUP BY 1),
+    u AS (SELECT bucket, MAX(rho) AS rho FROM regs GROUP BY 1),
+    ua AS (
+      SELECT ROUND({hll_estimate_sql(
+          'CAST(COUNT(*) AS BIGINT)', "SUM(POWER(2.0, -rho))")}, 4)
+               AS approx_union
+      FROM u)
+    SELECT (SELECT est FROM per WHERE event_type = 'view')     AS approx_view,
+           (SELECT est FROM per WHERE event_type = 'purchase') AS approx_purchase,
+           ua.approx_union,
+           ROUND((SELECT est FROM per WHERE event_type = 'view')
+                 + (SELECT est FROM per WHERE event_type = 'purchase')
+                 - ua.approx_union, 4) AS approx_both
+    FROM ua
+"""
+
+ORACLE_SQL["events_value_ddsketch"] = f"""
+    WITH h AS (
+      SELECT event_type, {DD_BUCKET_SQL} AS bucket
+      FROM events WHERE value > 0),
+    hist AS (
+      SELECT event_type, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket,
+             SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(n) OVER (PARTITION BY event_type) AS total
+      FROM hist)
+    SELECT event_type,
+           CAST(MAX(total) AS BIGINT) AS n_values,
+           {dd_quantile_sql(0.5)}     AS p50,
+           {dd_quantile_sql(0.95)}    AS p95,
+           {dd_quantile_sql(0.99)}    AS p99
+    FROM cum GROUP BY 1
+"""

@@ -240,6 +240,114 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set INTERSECTION estimate via inclusion-exclusion over
+    HLL registers: |view ∩ purchase| ≈ est(view) + est(purchase) −
+    est(view ∪ purchase), where the union sketch is just the MAX-merge
+    of the two groups' register vectors — no data rescan, the same
+    compact register rows three ways (the theta-sketch-style set
+    algebra that replaces a distinct self-join at 100 TB)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    regs = hll_registers(e, ["event_type"], "user_id").localCheckpoint(
+        eager=True
+    )
+    per_type = hll_estimate(regs, ["event_type"])
+    union = hll_estimate(
+        regs.groupBy("bucket").agg(F.max("rho").alias("rho")), []
+    ).select(F.col("approx_distinct").alias("approx_union"))
+    wide = (
+        per_type.groupBy()
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.first("approx_distinct"))
+        .select(
+            F.col("view").alias("approx_view"),
+            F.col("purchase").alias("approx_purchase"),
+        )
+    )
+    return wide.crossJoin(union).select(
+        "approx_view",
+        "approx_purchase",
+        "approx_union",
+        F.round(
+            F.col("approx_view")
+            + F.col("approx_purchase")
+            - F.col("approx_union"),
+            4,
+        ).alias("approx_both"),
+    )
+
+
+# DDSketch (Masson/Rim/Lee 2019, VLDB): relative-error quantiles from
+# log-spaced buckets — deterministic given the data, and the bucket
+# counts are SUM-mergeable (the quantile analogue of the HLL register
+# story; t-digest/KLL centroids are order-dependent, which is why the
+# built-in approx_percentile can only ever be tolerance-checked).
+# gamma = 1.02 → worst-case relative error (γ−1)/(γ+1) ≈ 1%.
+DD_GAMMA = 1.02
+
+# Bucket index = FLOOR(ln(v)/ln(γ)) — but Java's and libm's ln can
+# differ in the last ulp, and FLOOR turns a 1-ulp disagreement into a
+# different bucket. ROUND to 9 decimals first: a boundary flip now
+# needs the true ratio within 5e-10 of an integer (none in the test
+# tables — asserted in test_sketch — and at worst a one-bucket shift,
+# inside the sketch's error budget, for 1-in-2e9 adversarial values).
+DD_BUCKET_SQL = (
+    f"CAST(FLOOR(ROUND(LN(value) / LN({DD_GAMMA}), 9)) AS BIGINT)"
+)
+
+
+def dd_quantile_sql(q: float) -> str:
+    """Value estimate for quantile ``q`` from (bucket, n, cum) rows:
+    the first bucket whose cumulative count reaches q·total, mapped to
+    the bucket's midpoint 2γ^i/(γ+1). MIN over a CASE keeps it a plain
+    aggregate on both engines."""
+    return (
+        f"ROUND(2.0 * POWER({DD_GAMMA}, MIN(CASE WHEN cum >= {q} * total "
+        f"THEN bucket END) + 1) / ({DD_GAMMA} + 1.0), 4)"
+    )
+
+
+def events_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of events.value per event type from a DDSketch-style
+    log-bucket histogram.
+
+    Plan: one groupBy (event_type, bucket) COUNT — the partial
+    aggregate IS the mergeable sketch, ≤ groups × ~1200 buckets on the
+    exchange — then a cumulative window over the tiny bucket table and
+    one MIN-CASE aggregate per quantile. Positive values only (the
+    standard DDSketch contract; zero/negative go to dedicated stores
+    in the paper — absent from this table)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    hist = (
+        e.select("event_type", F.expr(DD_BUCKET_SQL).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "bucket",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n")
+        .over(Window.partitionBy("event_type"))
+        .alias("total"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_values"),
+        F.expr(dd_quantile_sql(0.5)).alias("p50"),
+        F.expr(dd_quantile_sql(0.95)).alias("p95"),
+        F.expr(dd_quantile_sql(0.99)).alias("p99"),
+    )
+
+
 def word_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency estimates for the corpus's top-k words,
     alongside their exact counts.

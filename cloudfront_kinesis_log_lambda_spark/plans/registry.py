@@ -1024,6 +1024,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_daily_merge": SKT.events_hll_daily_merge,
     "events_hll_incremental": events_hll_incremental,
     "word_countmin_topk": SKT.word_countmin_topk,
+    "events_hll_type_overlap": SKT.events_hll_type_overlap,
+    "events_value_ddsketch": SKT.events_value_ddsketch,
     "doc_bpe_tokens": BPE.doc_bpe_tokens,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,

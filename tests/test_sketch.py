@@ -117,3 +117,104 @@ def test_hll_registers_shuffle_stays_compact(spark, sf_dir):
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[first_exchange:], plan
     assert "partial_max" in plan.lower() or "partial" in plan.lower(), plan
+
+
+def test_hll_overlap_inclusion_exclusion_on_planted_sets(spark, tmp_path):
+    """A≈{0..99} view, B≈{50..149} purchase → |A∩B|=50; the
+    register-level inclusion-exclusion estimate must land within the
+    compounded 3-sketch error band."""
+    rows = [("view", u) for u in range(100)] + [
+        ("purchase", u) for u in range(50, 150)
+    ]
+    df = spark.createDataFrame(
+        [(i, "2026-01-01 00:00:00", et, u) for i, (et, u) in enumerate(rows)],
+        "event_id long, ts string, event_type string, user_id long",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "event_type", "user_id")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = SK.events_hll_type_overlap(spark, d).collect()[0]
+    # three estimates each within ~3σ (σ=4.6%); the difference compounds
+    assert abs(out["approx_view"] - 100) <= 15
+    assert abs(out["approx_purchase"] - 100) <= 15
+    assert abs(out["approx_union"] - 150) <= 20
+    assert abs(out["approx_both"] - 50) <= 35
+
+
+def test_ddsketch_quantiles_within_relative_error(spark, sf_dir):
+    """The sketch guarantee is ~1% on the VALUE at a bucketed RANK —
+    like the t-digest contract in test_sketches, value accuracy at an
+    exact rank is NOT guaranteed when a heavy tail jumps between
+    adjacent ranks. Assert each estimate lands inside a ±0.75-rank-%
+    band of the exact distribution, widened by the γ bucket width."""
+    bands = {"p50": (0.4925, 0.5075), "p95": (0.9425, 0.9575), "p99": (0.9825, 0.9975)}
+    exact = {
+        r["event_type"]: r
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.expr(f"percentile(value, {lo})").alias(f"{q}_lo")
+                for q, (lo, _) in bands.items()
+            ],
+            *[
+                F.expr(f"percentile(value, {hi})").alias(f"{q}_hi")
+                for q, (_, hi) in bands.items()
+            ],
+        )
+        .collect()
+    }
+    got = {
+        r["event_type"]: r
+        for r in SK.events_value_ddsketch(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    for et, ex in exact.items():
+        for q in bands:
+            lo, hi = ex[f"{q}_lo"] * 0.98, ex[f"{q}_hi"] * 1.02
+            assert lo <= got[et][q] <= hi, (et, q, got[et][q], lo, hi)
+
+
+def test_ddsketch_bucket_boundaries_are_ulp_safe(spark, sf_dir):
+    """The FLOOR(ROUND(ln-ratio, 9)) portability guard: no value in the
+    test tables sits within 1e-9 of a bucket boundary, so a last-ulp
+    ln() disagreement between Java and libm cannot flip any bucket."""
+    import math
+
+    vals = [
+        r["value"]
+        for r in load(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .select("value")
+        .collect()
+    ]
+    for v in vals:
+        ratio = math.log(v) / math.log(SK.DD_GAMMA)
+        assert abs(ratio - round(ratio)) > 1e-6, v
+
+
+def test_ddsketch_histogram_is_sum_mergeable(spark, sf_dir):
+    """Daily partial histograms summed == direct histogram (the
+    quantile analogue of the HLL register merge law — what makes the
+    sketch safe to build shard-by-shard)."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bucketed = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.expr(SK.DD_BUCKET_SQL).alias("bucket"),
+    )
+    direct = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in bucketed.groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    merged = {
+        (r["event_type"], r["bucket"]): r["n"]
+        for r in bucketed.groupBy("event_type", "day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert merged == direct
