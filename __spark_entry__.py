@@ -56,13 +56,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 8 new oracle entries (subword, the 6 deterministic
-    # sketch entries incl. the streaming twin + set algebra + DDSketch,
-    # BPE encode) + 7 oracle entries whose implementation changed this
-    # round (rule 1: no driver row for the CURRENT code) + the 10-entry
-    # one-time rows-only pass (the 7 debts deferred from r5 — r5
-    # VERDICT item 1 — plus the three new rows-only entries) + 25
-    # promoted-stale r4-green refreshes. 24 r4-green entries defer to
+    # r6 window = 9 new oracle entries (subword, the 7 deterministic
+    # sketch entries incl. both streaming twins + set algebra +
+    # DDSketch, BPE encode) + 7 oracle entries whose implementation
+    # changed this round (rule 1: no driver row for the CURRENT code)
+    # + the 10-entry one-time rows-only pass (the 7 debts deferred from
+    # r5 — r5 VERDICT item 1 — plus the three new rows-only entries) +
+    # 24 promoted-stale r4-green refreshes. 25 r4-green entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -76,7 +76,7 @@ _FRONT = [
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
     # unpivot_order_metrics, order_item_arrays, order_price_histogram,
     # pivot_qty_by_linestatus, region_nations_agg,
-    # scalar_function_showcase).
+    # scalar_function_showcase, events_metric_map).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -87,6 +87,7 @@ _FRONT = [
     "events_hll_daily_merge",
     "events_hll_incremental",
     "word_countmin_topk",
+    "word_countmin_incremental",
     "events_hll_type_overlap",
     "events_value_ddsketch",
     "doc_bpe_tokens",
@@ -130,7 +131,6 @@ _FRONT = [
     "events_gapfill",
     "events_json_props",
     "events_median_udaf",
-    "events_metric_map",
     "events_moving_hour_sum",
     "events_range_join",
     "events_tumbling_windows",

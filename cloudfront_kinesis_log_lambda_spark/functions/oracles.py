@@ -1724,3 +1724,5 @@ ORACLE_SQL["events_value_ddsketch"] = f"""
            {dd_quantile_sql(0.99)}    AS p99
     FROM cum GROUP BY 1
 """
+
+ORACLE_SQL["word_countmin_incremental"] = ORACLE_SQL["word_countmin_topk"]

@@ -240,6 +240,23 @@ def events_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_cells_expr(word_col: str) -> "Column":
+    """The d counter cells of a word: array of (r, col) structs, one
+    md5-slice hash per row — shared by the batch query and the
+    streaming counter store so both bucket identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"),
+                F.expr(
+                    f"{md5_hash_sql_spark(word_col, r)} % {CMS_WIDTH}"
+                ).alias("col"),
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+
+
 def events_hll_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-set INTERSECTION estimate via inclusion-exclusion over
     HLL registers: |view ∩ purchase| ≈ est(view) + est(purchase) −
@@ -372,17 +389,7 @@ def word_countmin_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_exact"))
         .localCheckpoint(eager=True)
     )
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("r"),
-                F.expr(f"{md5_hash_sql_spark('word', r)} % {CMS_WIDTH}").alias(
-                    "col"
-                ),
-            )
-            for r in range(CMS_DEPTH)
-        ]
-    )
+    cells = cms_cells_expr("word")
     counters = (
         wc.select(F.explode(cells).alias("c"), "n_exact")
         .groupBy(F.col("c.r").alias("r"), F.col("c.col").alias("col"))

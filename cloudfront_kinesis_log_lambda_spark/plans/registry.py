@@ -261,6 +261,44 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est
 
 
+def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Count-Min twin (streaming/countmin.py) driven over
+    the documents table as three arrival waves split by doc_id residue —
+    heavy words recur in every wave, so counter cells must accumulate.
+    HASH-GREEN like events_hll_incremental: counter cells are
+    SUM-mergeable, so probing the accumulated matrix with the corpus's
+    exact top-20 words reproduces the batch query bit-for-bit — the
+    oracle IS word_countmin_topk's SQL (writeStream leg + the
+    NON-idempotence of SUM under re-delivery live in
+    test_streaming_countmin)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.operators.sketch import CMS_TOPK
+    from cloudfront_kinesis_log_lambda_spark.streaming.countmin import (
+        StreamingCountMin,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"cfkll-stream-cms-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cms = StreamingCountMin(root)
+    d = R.load(spark, sf_dir, "documents").select("doc_id", "text")
+    for wave in range(3):
+        cms(d.filter(F.col("doc_id") % 3 == wave), wave)
+    top = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("word").asc())
+        .limit(CMS_TOPK)
+    )
+    out = cms.probe(top).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
     the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
@@ -1024,6 +1062,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_daily_merge": SKT.events_hll_daily_merge,
     "events_hll_incremental": events_hll_incremental,
     "word_countmin_topk": SKT.word_countmin_topk,
+    "word_countmin_incremental": word_countmin_incremental,
     "events_hll_type_overlap": SKT.events_hll_type_overlap,
     "events_value_ddsketch": SKT.events_value_ddsketch,
     "doc_bpe_tokens": BPE.doc_bpe_tokens,
