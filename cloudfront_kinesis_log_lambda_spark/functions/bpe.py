@@ -225,18 +225,14 @@ def bpe_pieces_sql(word_sql: str, merges: list[tuple[str, str]], *, duck: bool) 
     return f"(size(split({s}, '{SEP}')) - 2)"
 
 
-def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document BPE token counts under :data:`FIXED_MERGES`.
-
-    Same scale shape as ``doc_subword_tokens``: the encode chain runs
-    over DISTINCT words only (vocabulary-bounded, map-only, pure
-    whole-stage codegen — no Python anywhere), per-doc counts
-    re-aggregate compact (doc_id, word, n) rows; document text never
-    shuffles. Exact-hash-checked against the DuckDB replay of the same
-    replace chain."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    words = d.select(
-        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+def doc_bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, n_bpe_tokens) for any docs DataFrame — the
+    core behind :func:`doc_bpe_tokens` and
+    ``pack_sequences(token_mode='bpe')``. Docs with no words (blank
+    text) are absent, matching the word-level aggregate shape callers
+    0-fill against."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(text_col, r"\s+")).alias("word")
     ).filter(F.col("word") != "")
     wcount = words.groupBy("doc_id", "word").agg(
         F.count(F.lit(1)).alias("n")
@@ -257,6 +253,29 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_bpe_tokens"),
         )
+    )
+
+
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE token counts under :data:`FIXED_MERGES`.
+
+    Same scale shape as ``doc_subword_tokens``: the encode chain runs
+    over DISTINCT words only (vocabulary-bounded, map-only, pure
+    whole-stage codegen — no Python anywhere), per-doc counts
+    re-aggregate compact (doc_id, word, n) rows; document text never
+    shuffles. Exact-hash-checked against the DuckDB replay of the same
+    replace chain."""
+    return doc_bpe_token_counts(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+def bpe_token_count_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, n_tokens)`` in BPE units — the drop-in token column
+    for pack_sequences(token_mode='bpe'), mirroring
+    subword_token_count_df."""
+    return doc_bpe_token_counts(docs, text_col).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
     )
 
 

@@ -221,11 +221,12 @@ def pack_sequences(
     on ``docs`` and is carried into the output).
 
     ``token_mode`` picks the budget unit: ``"whitespace"`` (default,
-    the JVM-side split count) or ``"subword"`` — the deterministic
-    WordPiece count from functions/subword.py, the unit a real context
-    budget is denominated in. Subword mode adds one join against the
-    distinct-word piece counts before the pack shuffle; the packing
-    scan itself is unit-agnostic.
+    the JVM-side split count), ``"subword"`` (the deterministic
+    WordPiece count from functions/subword.py) or ``"bpe"`` (the
+    FIXED_MERGES encode from functions/bpe.py) — the units a real
+    context budget is denominated in. Both non-whitespace modes add one
+    join against the distinct-word piece counts before the pack
+    shuffle; the packing scan itself is unit-agnostic.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side type only
 
@@ -235,24 +236,30 @@ def pack_sequences(
         counted = docs.select(
             "doc_id", *gcols, _n_tokens(text_col).alias("n_tokens")
         )
-    elif token_mode == "subword":
-        from cloudfront_kinesis_log_lambda_spark.functions.subword import (
-            subword_token_count_df,
-        )
+    elif token_mode in ("subword", "bpe"):
+        if token_mode == "subword":
+            from cloudfront_kinesis_log_lambda_spark.functions.subword import (
+                subword_token_count_df as _count_df,
+            )
+        else:
+            from cloudfront_kinesis_log_lambda_spark.functions.bpe import (
+                bpe_token_count_df as _count_df,
+            )
 
         # left join + 0-fill: a blank doc has no words at all, so it is
         # absent from the word-level aggregate — it must still pack
         # (with 0 tokens), matching whitespace mode's blank-doc guard
         counted = (
             docs.select("doc_id", *gcols)
-            .join(subword_token_count_df(docs, text_col), "doc_id", "left")
+            .join(_count_df(docs, text_col), "doc_id", "left")
             .withColumn(
                 "n_tokens", F.coalesce(F.col("n_tokens"), F.lit(0).cast("long"))
             )
         )
     else:
         raise ValueError(
-            f"token_mode must be 'whitespace' or 'subword', got {token_mode!r}"
+            "token_mode must be 'whitespace', 'subword' or 'bpe', "
+            f"got {token_mode!r}"
         )
     base = counted.select(
         "doc_id",

@@ -163,3 +163,34 @@ def test_encode_is_pure_codegen_no_python(spark, sf_dir):
         .toString()
     )
     assert "EvalPython" not in plan, plan[:2000]
+
+
+def test_pack_sequences_bpe_mode_budgets_in_bpe_pieces(spark):
+    """pack_sequences(token_mode='bpe'): budget denominated in
+    FIXED_MERGES pieces — 'the string' is 1+1=2 pieces (both fully
+    merged) vs 9 whitespace-irrelevant chars; blank docs pack with 0."""
+    from pyspark.sql import Row
+
+    from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (
+        pack_sequences,
+    )
+
+    assert py_pieces("the", bpe.FIXED_MERGES) == 1
+    assert py_pieces("string", bpe.FIXED_MERGES) == 1
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="the string") for i in range(6)]
+        + [Row(doc_id=6, text="  ")]
+    )
+    packed = pack_sequences(
+        docs, budget=4, n_groups=2, token_mode="bpe"
+    ).collect()
+    assert len(packed) == 7
+    by_doc = {r["doc_id"]: r for r in packed}
+    assert by_doc[6]["n_tokens"] == 0
+    assert all(by_doc[i]["n_tokens"] == 2 for i in range(6))
+    from collections import defaultdict
+
+    seq_sum = defaultdict(int)
+    for r in packed:
+        seq_sum[(r["pack_group"], r["seq_id"])] += r["n_tokens"]
+    assert all(s <= 4 for s in seq_sum.values())
