@@ -56,13 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 9 new oracle entries (subword, the 7 deterministic
+    # r6 window = 10 new oracle entries (subword, the 7 deterministic
     # sketch entries incl. both streaming twins + set algebra +
-    # DDSketch, BPE encode) + 7 oracle entries whose implementation
-    # changed this round (rule 1: no driver row for the CURRENT code)
-    # + the 10-entry one-time rows-only pass (the 7 debts deferred from
-    # r5 — r5 VERDICT item 1 — plus the three new rows-only entries) +
-    # 24 promoted-stale r4-green refreshes. 25 r4-green entries defer to
+    # DDSketch, BPE encode, A-Res weighted sample) + 7 oracle entries
+    # whose implementation changed this round (rule 1: no driver row
+    # for the CURRENT code) + the 10-entry one-time rows-only pass (the
+    # 7 debts deferred from r5 — r5 VERDICT item 1 — plus the three new
+    # rows-only entries) + 23 promoted-stale r4-green refreshes. 26
+    # r4-green entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -76,7 +77,7 @@ _FRONT = [
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
     # unpivot_order_metrics, order_item_arrays, order_price_histogram,
     # pivot_qty_by_linestatus, region_nations_agg,
-    # scalar_function_showcase, events_metric_map).
+    # scalar_function_showcase, events_metric_map, events_gapfill).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -91,6 +92,7 @@ _FRONT = [
     "events_hll_type_overlap",
     "events_value_ddsketch",
     "doc_bpe_tokens",
+    "doc_weighted_sample",
     # oracle entries whose code changed this round (asof NULL-ts guard;
     # pack_sequences token_mode refactor; upsert read() retry loop)
     "purchases_asof_view",
@@ -128,7 +130,6 @@ _FRONT = [
     "doc_tfidf_topk",
     "doc_token_stats",
     "doc_word_explode",
-    "events_gapfill",
     "events_json_props",
     "events_median_udaf",
     "events_moving_hour_sum",
@@ -210,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_word_explode": RS.doc_word_explode,
         "events_range_join": RS.events_range_join,
         "stratified_event_sample": RS.stratified_event_sample,
+        "doc_weighted_sample": RS.doc_weighted_sample,
         # events
         "events_hourly": R.events_hourly,
         "events_metric_map": R.events_metric_map,

@@ -1726,3 +1726,17 @@ ORACLE_SQL["events_value_ddsketch"] = f"""
 """
 
 ORACLE_SQL["word_countmin_incremental"] = ORACLE_SQL["word_countmin_topk"]
+
+# --- weighted sampling (key fragment shared with operators/reshape.py) ----
+from cloudfront_kinesis_log_lambda_spark.operators.reshape import (  # noqa: E402
+    WEIGHTED_SAMPLE_K,
+    weighted_sample_key_sql,
+)
+
+ORACLE_SQL["doc_weighted_sample"] = f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           {weighted_sample_key_sql('doc_id', 'n_chars', duck=True)}
+             AS sample_key
+    FROM documents WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
+"""

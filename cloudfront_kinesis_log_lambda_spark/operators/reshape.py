@@ -168,3 +168,53 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.avg("value"), 6).alias("avg_value"),
     )
+
+
+#: sample size for :func:`doc_weighted_sample`
+WEIGHTED_SAMPLE_K = 50
+
+
+def weighted_sample_key_sql(id_sql: str, weight_sql: str, *, duck: bool) -> str:
+    """Efraimidis–Spirakis A-Res sampling key, deterministic and
+    portable: key = ln(u)/w with u an md5-derived uniform in (0, 1] —
+    the top-k rows by key ARE a weight-proportional sample without
+    replacement (arXiv:cs/0502078 via the ln-monotone form of u^(1/w)).
+
+    Deterministic u (an md5 slice of the row id) replaces the RNG so
+    the sample is reproducible AND exactly replayable in DuckDB; the
+    final ROUND(·, 9) + id tiebreak make the top-k ordering immune to
+    last-ulp ln() differences between engines (same guard as the
+    DDSketch bucket index). +1 on the 32-bit slice keeps u > 0."""
+    from cloudfront_kinesis_log_lambda_spark.operators.sketch import (
+        md5_hash_sql_duck,
+        md5_hash_sql_spark,
+    )
+
+    h = (md5_hash_sql_duck if duck else md5_hash_sql_spark)(
+        f"CAST({id_sql} AS VARCHAR)" if duck else f"CAST({id_sql} AS STRING)",
+        0,
+    )
+    u = f"(CAST({h} + 1 AS DOUBLE) / 4294967297.0)"
+    return f"ROUND(LN({u}) / CAST({weight_sql} AS DOUBLE), 9)"
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 50 documents without replacement
+    (A-Res): inclusion probability ∝ n_chars, the standard
+    size-weighted pick for curation subsets.
+
+    Plan shape: one map-side key projection + TakeOrderedAndProject —
+    no global sort, no shuffle beyond the top-k combine; at 100 TB the
+    per-partition top-50 heaps are all that moves. Zero-weight (empty)
+    docs are excluded — their key is undefined (ln u / 0)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            weighted_sample_key_sql("doc_id", "n_chars", duck=False)
+        ).alias("sample_key"),
+    )
+    return keyed.orderBy(
+        F.col("sample_key").desc(), F.col("doc_id").asc()
+    ).limit(WEIGHTED_SAMPLE_K)

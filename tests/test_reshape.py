@@ -104,3 +104,30 @@ def test_events_gapfill_semantics(spark, tmp_path):
     assert c0["n_events"] == 0 and c0["locf_sum"] == 0.0
     c3 = rows[("2024-01-01 03:00:00", "click")]
     assert c3["locf_sum"] == 8.0
+
+
+def test_weighted_sample_favors_heavy_docs_and_excludes_zero(spark, tmp_path):
+    """A-Res contract: inclusion ∝ weight. 10 docs at weight 10000 vs
+    990 at weight 1 → the heavy docs should essentially all make the
+    top-50 (deterministic given the md5-derived uniforms); zero-weight
+    docs never appear; the plan is a TakeOrderedAndProject (per-
+    partition top-k heaps, no global sort)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.reshape import (
+        WEIGHTED_SAMPLE_K,
+        doc_weighted_sample,
+    )
+
+    rows = [(i, 10_000) for i in range(10)]
+    rows += [(i, 1) for i in range(10, 1000)]
+    rows += [(1000, 0), (1001, 0)]
+    spark.createDataFrame(rows, "doc_id long, n_chars long").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    df = doc_weighted_sample(spark, str(tmp_path))
+    out = df.collect()
+    assert len(out) == WEIGHTED_SAMPLE_K
+    ids = {r["doc_id"] for r in out}
+    assert not ids & {1000, 1001}
+    assert len(ids & set(range(10))) >= 8
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
