@@ -71,7 +71,7 @@ _FRONT = [
     # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
     # entries whose code has been frozen since r1 (filtered_revenue,
     # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 10 plain r1-frozen entries
+    # rollup_returns, nation_set_ops), and 12 plain r1-frozen entries
     # bumped to make room for new + changed-code entries, which outrank
     # stale refreshes under rule 1 (customers_per_region,
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,

@@ -26,20 +26,28 @@ symbols each, a routine shuffle, and the merge application is map-only
 codegen. The per-iteration argmax is 1 row. What does NOT scale is a
 driver-side dictionary of the corpus — exactly what this avoids.
 
-**Encoding** (:func:`bpe_pieces_expr`) applies a FIXED merge list with
-a two-pass sentinel-delimited ``replace`` chain, fully JVM-side (and
-replayable verbatim in DuckDB, which makes ``doc_bpe_tokens``
-exact-hash-checkable):
+**Encoding** has two implementations with one spec:
 
-  '␟a␟b␟' → '␟ab␟' over  '␟' + join(symbols, '␟') + '␟'
+- :func:`bpe_pieces_sql` applies a FIXED merge list with a two-pass
+  sentinel-delimited ``replace`` chain, fully JVM-side AND replayable
+  verbatim in DuckDB (what makes ``doc_bpe_tokens``
+  exact-hash-checkable):
 
-A single ``replace`` pass misses every second occurrence in a chain
-(consecutive matches share their boundary sentinel, and replace resumes
-AFTER the replacement), so each rank applies the replace TWICE: pass 1
-takes the odd occurrences of any chain, which isolates the evens for
-pass 2 — two passes are always sufficient, and the result equals the
-single-pass fold semantics above (test_bpe fuzzes this equivalence
-against a pure-Python reference).
+    '␟a␟b␟' → '␟ab␟' over  '␟' + join(symbols, '␟') + '␟'
+
+  A single ``replace`` pass misses every second occurrence in a chain
+  (consecutive matches share their boundary sentinel, and replace
+  resumes AFTER the replacement), so each rank applies the replace
+  TWICE: for a ≠ b, pass 1 takes the odd occurrences of any chain,
+  which isolates the evens for pass 2 (test_bpe fuzzes the
+  equivalence against a pure-Python reference). For SELF-pairs
+  (a == b) no pass count suffices — on 'aaaaaa' the resume-after-
+  replacement scan pairs (0,1),(3,4) leaving non-adjacent singles, 4
+  pieces where the fold gives 3 (r6 review finding) — so self-pair
+  merge lists are rejected with ValueError.
+- :func:`bpe_pieces_col` chains the same ``aggregate`` fold the
+  learner uses — exact for ANY merge list including self-pairs, but
+  Spark-only (no DuckDB twin). Use it to encode raw learner output.
 
 The pinned :data:`FIXED_MERGES` used by the hash-green encode query is
 the learner's own output on :data:`SYNTH_CORPUS` — test_bpe asserts
@@ -205,24 +213,77 @@ def _sepped_sql(word_sql: str, *, duck: bool) -> str:
     )
 
 
+def _sql_str(s: str, *, duck: bool) -> str:
+    """A string literal both engines parse to exactly ``s``: quotes
+    double on both; Spark's parser additionally treats backslash as an
+    escape (DuckDB doesn't), so it doubles only there."""
+    s = s.replace("'", "''")
+    if not duck:
+        s = s.replace("\\", "\\\\")
+    return f"'{s}'"
+
+
 def bpe_pieces_sql(word_sql: str, merges: list[tuple[str, str]], *, duck: bool) -> str:
     """Number of BPE pieces of ``word_sql`` under the given merge list,
     as SQL that runs on Spark and DuckDB — the parity trick behind the
     hash-green ``doc_bpe_tokens``. Builds '␟'+chars+'␟', then per rank
     applies the boundary-anchored replace twice (see module docstring
-    for why two passes equal the fold semantics). ``duck`` picks the
-    regex backreference spelling and global-flag convention (see
-    ``_sepped_sql``) — the only non-portable characters; every
-    replace() in the chain is identical text on both engines."""
+    for why two passes equal the fold semantics for a ≠ b). ``duck``
+    picks the regex backreference spelling, global-flag convention (see
+    ``_sepped_sql``) and literal escaping — the only non-portable
+    characters; every replace() in the chain is otherwise identical
+    text on both engines.
+
+    SELF-PAIR merges (a == b) are REJECTED: replace() resumes scanning
+    AFTER each replacement, so on a run of 2k ≥ 6 identical symbols the
+    two-pass chain merges pairs (0,1),(3,4),… leaving non-adjacent
+    singles no pass count can fix — 'aaaaaa' under (a,a) is 3 pieces by
+    the fold but 4 by any replace chain (r6 review finding; the
+    original equivalence claim was wrong for this case). Encode merge
+    lists containing self-pairs with :func:`bpe_pieces_col`, which
+    implements the fold exactly but is Spark-only."""
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                f"self-pair merge ({a!r},{b!r}) is not expressible as a "
+                "replace chain — use bpe_pieces_col for such merge lists"
+            )
     s = _sepped_sql(word_sql, duck=duck)
     for a, b in merges:
-        pat, rep = f"'{SEP}{a}{SEP}{b}{SEP}'", f"'{SEP}{a}{b}{SEP}'"
+        pat = _sql_str(f"{SEP}{a}{SEP}{b}{SEP}", duck=duck)
+        rep = _sql_str(f"{SEP}{a}{b}{SEP}", duck=duck)
         s = f"replace({s}, {pat}, {rep})"
         s = f"replace({s}, {pat}, {rep})"
-    # leading + trailing separators → segments = splits - 2
+    # leading + trailing separators → segments = splits - 2; a word
+    # containing the sentinel cannot be represented — count it as one
+    # opaque piece instead of silently mis-segmenting (instr() spells
+    # identically on both engines)
     if duck:
-        return f"(len(string_split({s}, '{SEP}')) - 2)"
-    return f"(size(split({s}, '{SEP}')) - 2)"
+        n = f"(len(string_split({s}, '{SEP}')) - 2)"
+    else:
+        n = f"(size(split({s}, '{SEP}')) - 2)"
+    return f"(CASE WHEN instr({word_sql}, '{SEP}') > 0 THEN 1 ELSE {n} END)"
+
+
+def bpe_pieces_col(word: Column, merges: list[tuple[str, str]]) -> Column:
+    """Piece count as a JVM-side fold chain — exact single-pass-per-
+    rank semantics for ANY merge list, self-pairs included (the encoder
+    to use on learner output, which can legitimately contain them).
+    Not DuckDB-replayable — oracle-checked paths use
+    :func:`bpe_pieces_sql` with self-pair-free merge tables."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, 1),
+    )
+    for a, b in merges:
+        syms = _merge_pair_expr(syms, a, b)
+    # length-0 guard first: sequence(1, 0) runs DOWNWARD in Spark, so
+    # an empty word would otherwise get two phantom symbols
+    return (
+        F.when(F.length(word) == 0, F.lit(0))
+        .when(F.instr(word, SEP) > 0, F.lit(1))
+        .otherwise(F.size(syms))
+    )
 
 
 def doc_bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

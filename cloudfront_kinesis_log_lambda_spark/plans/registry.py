@@ -849,10 +849,16 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:12]
     in_dir = os.path.join(tempfile.gettempdir(), f"cfkll-eo-fixture-{key}")
     # deferred cleanup for superseded fixture trees (old content or old
-    # generator): age-gated so a concurrent sweep still mid-read on its
-    # own (differently-keyed) tree is never pulled out from under it
+    # generator): age-gated on mtime, which each REUSE refreshes below
+    # (r6 review finding: creation-time alone would let a sweep delete
+    # a >6h-old tree an older-keyed process is actively re-reading)
     import time
 
+    if os.path.isdir(in_dir):
+        try:
+            os.utime(in_dir)
+        except OSError:
+            pass
     for name in os.listdir(tempfile.gettempdir()):
         if not name.startswith("cfkll-eo-fixture-") or name.endswith(
             f"-{key}"

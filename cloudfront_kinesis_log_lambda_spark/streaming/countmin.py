@@ -86,19 +86,37 @@ class StreamingCountMin:
             F.sum("cell_n").cast("long").alias("cell_n")
         )
 
-    def probe(self, words: DataFrame, word_col: str = "word") -> DataFrame:
+    def probe(
+        self,
+        words: DataFrame,
+        word_col: str = "word",
+        exclude_batch: int = -1,
+    ) -> DataFrame:
         """Frequency estimate for each probe word: MIN over its d
         merged counter cells. Input columns pass through; adds
         ``cms_est``. Estimates are ≥ the true count of every word
         arrived so far (the CMS guarantee), and exactly equal the batch
-        matrix's estimates by the sum-merge law."""
+        matrix's estimates by the sum-merge law.
+
+        LEFT join + 0-fill (r6 review finding): only incremented cells
+        exist in the store, so a never-seen word has absent cells — the
+        correct CMS estimate is 0 (the min includes its empty cells),
+        not a dropped row, and not the min over whichever of its cells
+        happen to collide with seen words. Pass ``exclude_batch`` when
+        probing from inside a foreachBatch that may be mid-write — the
+        same load-bearing contract as :meth:`counters`."""
         spark = words.sparkSession
         pcols = [c for c in words.columns]
         probe = words.select(
             *pcols, F.explode(cms_cells_expr(word_col)).alias("c")
         ).select(*pcols, F.col("c.r").alias("r"), F.col("c.col").alias("col"))
         return (
-            probe.join(F.broadcast(self.counters(spark)), ["r", "col"])
+            probe.join(
+                F.broadcast(self.counters(spark, exclude_batch)),
+                ["r", "col"],
+                "left",
+            )
+            .withColumn("cell_n", F.coalesce("cell_n", F.lit(0)))
             .groupBy(*pcols)
             .agg(F.min("cell_n").cast("long").alias("cms_est"))
         )

@@ -105,23 +105,29 @@ def test_learner_early_stop_and_single_char_words(spark):
     assert rows == [(0, "b", "b", "bb", 2)]
 
 
-def test_replace_chain_equals_fold_semantics(spark):
-    """The subtle encode claim: two boundary-anchored replaces per rank
-    over the sentinel string == one left-to-right non-overlapping fold
-    pass. Adversarial inputs: overlapping chains (abab…), self-pairs
-    (aaa…), merged-symbol reuse (merge result is the left of a later
-    merge), prefix/suffix lookalikes (xa·b must not merge as a·b)."""
-    merges = [("a", "b"), ("ab", "ab"), ("a", "a"), ("aa", "b"), ("c", "ab")]
+def _fuzz_words(seed=7, n=200, alphabet="abcx"):
     words = [
-        "abababab", "ababab", "aaa", "aaaa", "aaab", "xab", "xaab",
-        "cab", "ccab", "abc", "ba", "a", "", "bbb", "aabb", "abab",
+        "abababab", "ababab", "aaa", "aaaa", "aaaaaa", "aaab", "xab",
+        "xaab", "cab", "ccab", "abc", "ba", "a", "", "bbb", "aabb",
+        "abab", "a" * 8, "a" * 11,
     ]
-    rng = random.Random(7)
+    rng = random.Random(seed)
     words += [
-        "".join(rng.choice("abcx") for _ in range(rng.randrange(1, 14)))
-        for _ in range(200)
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(1, 14)))
+        for _ in range(n)
     ]
-    words = sorted(set(w for w in words if w))
+    return sorted(set(w for w in words if w))
+
+
+def test_replace_chain_equals_fold_semantics(spark):
+    """The subtle encode claim, for a ≠ b merges: two boundary-anchored
+    replaces per rank over the sentinel string == one left-to-right
+    non-overlapping fold pass. Adversarial inputs: overlapping chains
+    (abab…), merged-symbol reuse (merge result is the left of a later
+    merge), prefix/suffix lookalikes (xa·b must not merge as a·b),
+    long runs."""
+    merges = [("a", "b"), ("ab", "x"), ("aa", "b"), ("c", "ab"), ("b", "a")]
+    words = _fuzz_words()
     df = spark.createDataFrame([(w,) for w in words], "word string")
     got = {
         r["word"]: r["p"]
@@ -132,6 +138,87 @@ def test_replace_chain_equals_fold_semantics(spark):
     }
     for w in words:
         assert got[w] == py_pieces(w, merges), (w, got[w], py_pieces(w, merges))
+
+
+def test_replace_chain_rejects_self_pairs(spark):
+    """Self-pairs are fundamentally inexpressible as a replace chain:
+    replace() resumes after each replacement, so on 'aaaaaa' under
+    (a,a) any chain yields 4 pieces where the fold gives 3 (r6 review
+    finding — the original two-pass claim was wrong here). The SQL
+    encoder must refuse rather than miscount while the oracle agrees."""
+    import pytest
+
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe.bpe_pieces_sql("word", [("a", "a")], duck=False)
+    with pytest.raises(ValueError, match="self-pair"):
+        bpe.bpe_pieces_sql("word", [("x", "y"), ("ab", "ab")], duck=True)
+
+
+def test_fold_column_encoder_exact_for_any_merges(spark):
+    """bpe_pieces_col (the Spark-only fold chain) must equal the Python
+    reference for merge lists INCLUDING self-pairs — the encoder for
+    raw learner output — on the counterexample words above all else."""
+    merges = [("a", "a"), ("aa", "aa"), ("a", "b"), ("aa", "b"), ("c", "ab")]
+    words = _fuzz_words(seed=11)
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["p"]
+        for r in df.select(
+            "word", bpe.bpe_pieces_col(F.col("word"), merges).alias("p")
+        ).collect()
+    }
+    assert py_pieces("aaaaaa", [("a", "a")]) == 3  # the fold spec
+    for w in words:
+        assert got[w] == py_pieces(w, merges), (w, got[w], py_pieces(w, merges))
+
+
+def test_sql_literal_escaping_quotes_and_backslashes(spark):
+    """Learned merges can contain apostrophes (don't, it's) and
+    backslashes; the generated literals must parse to the same strings
+    on both engines (quote doubling everywhere, backslash doubling on
+    Spark only — r6 review finding: unescaped quotes were SQL injection
+    by construction)."""
+    import duckdb
+
+    merges = [("'", "s"), ("n", "'t"), ("\\", "x")]
+    words = ["'s", "don't", "n't", "\\x", "a\\xb", "''s"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["p"]
+        for r in df.select(
+            "word",
+            F.expr(bpe.bpe_pieces_sql("word", merges, duck=False)).alias("p"),
+        ).collect()
+    }
+    duck_sql = bpe.bpe_pieces_sql("word", merges, duck=True)
+    con = duckdb.connect()
+    dk = {
+        r[0]: r[1]
+        for r in con.sql(
+            "SELECT word, " + duck_sql + " FROM (SELECT UNNEST(?) AS word)",
+            params=[words],
+        ).fetchall()
+    }
+    for w in words:
+        assert got[w] == py_pieces(w, merges) == dk[w], (w, got[w], dk[w])
+
+
+def test_sep_words_count_as_one_opaque_piece(spark):
+    """A word containing the U+001F sentinel cannot be represented in
+    the replace chain; the documented contract is 1 opaque piece (not
+    silent mis-segmentation — r6 review finding), identically on both
+    engines and in the fold encoder."""
+    w = "x\x1fy"
+    df = spark.createDataFrame([(1, f"plain {w}")], "doc_id long, text string")
+    row = bpe.doc_bpe_token_counts(df).collect()[0]
+    assert row["n_words"] == 2
+    # 'plain' = 5 chars under FIXED_MERGES (in → 1 merge: p,l,a,in) = 4
+    assert row["n_bpe_tokens"] == py_pieces("plain", bpe.FIXED_MERGES) + 1
+    assert (
+        df.select(bpe.bpe_pieces_col(F.lit(w), bpe.FIXED_MERGES).alias("p"))
+        .collect()[0]["p"]
+        == 1
+    )
 
 
 def test_doc_bpe_tokens_shape_and_reference(spark, sf_dir):

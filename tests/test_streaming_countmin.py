@@ -109,3 +109,17 @@ def test_per_batch_state_bounded_by_matrix_size(spark, streamed):
             continue
         n = spark.read.parquet(os.path.join(streamed.counters_dir, b)).count()
         assert n <= SK.CMS_DEPTH * SK.CMS_WIDTH
+
+
+def test_probe_unseen_word_estimates_zero_not_dropped(spark, streamed):
+    """r6 review finding: only incremented cells exist in the store, so
+    an inner join dropped never-seen words entirely (or, worse, took
+    the MIN over only the colliding subset of cells, inventing a
+    positive count). The CMS answer for an unseen word is 0."""
+    words = spark.createDataFrame(
+        [("spark",), ("neverseenword",), ("alsounseen",)], "word string"
+    )
+    got = {r["word"]: r["cms_est"] for r in streamed.probe(words).collect()}
+    assert got["spark"] == 5
+    assert got["neverseenword"] == 0
+    assert got["alsounseen"] == 0
