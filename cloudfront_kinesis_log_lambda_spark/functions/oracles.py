@@ -1740,3 +1740,5 @@ ORACLE_SQL["doc_weighted_sample"] = f"""
     FROM documents WHERE n_chars > 0
     ORDER BY sample_key DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_K}
 """
+
+ORACLE_SQL["doc_weighted_sample_incremental"] = ORACLE_SQL["doc_weighted_sample"]

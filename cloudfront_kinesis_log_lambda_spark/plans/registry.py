@@ -299,6 +299,38 @@ def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def doc_weighted_sample_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING A-Res twin (streaming/weighted_sample.py) driven
+    over the documents table as three arrival waves. HASH-GREEN via the
+    top-k merge law: every global top-k member is in its own batch's
+    top-k, so re-selecting over the stored per-batch candidates
+    reproduces the batch sample bit-for-bit — the oracle IS
+    doc_weighted_sample's SQL (writeStream leg + re-delivery
+    harmlessness live in test_streaming_weighted_sample)."""
+    import shutil
+
+    from cloudfront_kinesis_log_lambda_spark.operators.reshape import (
+        WEIGHTED_SAMPLE_K,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.weighted_sample import (
+        StreamingWeightedSample,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"cfkll-stream-ws-{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ws = StreamingWeightedSample(root, k=WEIGHTED_SAMPLE_K)
+    d = R.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    for wave in range(3):
+        ws(d.filter(F.col("doc_id") % 3 == wave), wave)
+    out = ws.sample(spark).localCheckpoint(eager=True)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-dedup: connected components (min-label propagation) over
     the MinHash-LSH pair graph → (doc_id, canon_id) for every document.
@@ -1069,6 +1101,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hll_incremental": events_hll_incremental,
     "word_countmin_topk": SKT.word_countmin_topk,
     "word_countmin_incremental": word_countmin_incremental,
+    "doc_weighted_sample_incremental": doc_weighted_sample_incremental,
     "events_hll_type_overlap": SKT.events_hll_type_overlap,
     "events_value_ddsketch": SKT.events_value_ddsketch,
     "doc_bpe_tokens": BPE.doc_bpe_tokens,
