@@ -94,6 +94,23 @@ def main() -> None:
         lambda: semantic_dedup(embN, n_centroids=kn).count(),
     )
     print(f"semantic_dedup wall ratio: {tn / t1:.1f}x for {n}x rows (k {k1}->{kn})")
+
+    # BPE learning: the iteration runs on the distinct-word TYPE table,
+    # which N-fold duplication leaves UNCHANGED — the smoke's pass
+    # signal is a near-flat wall (the only N-dependent work is the
+    # first word-count scan)
+    from cloudfront_kinesis_log_lambda_spark.functions.bpe import (
+        learn_bpe_merges,
+    )
+
+    t1 = timed(
+        "bpe_learn(8) 1x", lambda: learn_bpe_merges(docs1, n_merges=8).count()
+    )
+    tn = timed(
+        f"bpe_learn(8) {n}x",
+        lambda: learn_bpe_merges(docsN, n_merges=8).count(),
+    )
+    print(f"bpe_learn wall ratio: {tn / t1:.1f}x for {n}x rows (type table unchanged)")
     spark.stop()
 
 
