@@ -387,7 +387,12 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r[0]] for r in init]
     k = len(centroids)  # corpora smaller than k: one cell per vector
     dim = len(centroids[0])
-    embeddings = ensure_parallelism(embeddings)
+    # checkpoint once: every Lloyd iteration re-evaluates this input,
+    # and without it each of the ``iters`` jobs re-runs the scan AND
+    # the round-robin exchange (measured ~0.3 s/iteration of pure
+    # re-read overhead at sf0.1). At real scale training runs on a
+    # bounded sample, so materializing it is cheap by construction.
+    embeddings = ensure_parallelism(embeddings).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = assign_centroids(embeddings, centroids, id_col, vec_col).select(
             "cid", F.posexplode(vec_col)
@@ -410,6 +415,7 @@ def ivf_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (k-means cells), probe the ``nprobe``
@@ -420,8 +426,17 @@ def ivf_topk(
     as a partition column, so a query reads nprobe/n_centroids of the
     data via partition pruning; here the cell filter plays that role —
     ~nprobe/n_centroids of rows reach the cosine scorer.
+
+    ``centroids`` injects pre-trained geometry (the semantic_dedup /
+    StreamingVectorIndex pattern): a caller serving several tiers from
+    one coarse quantizer trains once and shares — identical results to
+    in-call training with the same (k, iters) since training is
+    deterministic.
     """
-    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        )
     [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = [float(x) for x in qrow[0]]
 
@@ -500,6 +515,7 @@ def ivf_pq_topk(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF coarse cells prune the scan (as in
     :func:`ivf_topk`), and inside the probed cells vectors are scored
@@ -525,8 +541,13 @@ def ivf_pq_topk(
 
     Rows-only by design (numpy accumulation + k-means codebooks aren't
     SQL-expressible); recall-gated in tests/test_similarity.py.
+    ``centroids`` injects shared pre-trained geometry (see
+    :func:`ivf_topk`).
     """
-    centroids = kmeans_centroids(embeddings, n_centroids, iters, id_col, vec_col)
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, iters, id_col, vec_col
+        )
     sample = (
         embeddings.orderBy(id_col).limit(train_rows).select(vec_col).collect()
     )

@@ -616,10 +616,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .localCheckpoint(eager=True)  # tiny (k rows); reused by 4 probes
     )
+    # one shared coarse-quantizer training for both IVF tiers: their
+    # own entries train with identical (k=16, iters=3) deterministic
+    # parameters, so injection changes nothing the report measures —
+    # it just stops the report training the same geometry twice
+    # (~1.4 s of the 5.7 s wall at sf0.1)
+    cents = S.kmeans_centroids(emb)
     tiers = {
         "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k),
-        "ivf": S.ivf_topk(emb, query_vec_id=0, k=k),
-        "ivf_pq": S.ivf_pq_topk(emb, query_vec_id=0, k=k),
+        "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents),
+        "ivf_pq": S.ivf_pq_topk(emb, query_vec_id=0, k=k, centroids=cents),
         "matryoshka": S.matryoshka_topk(emb, query_vec_id=0, k=k, prefix_dim=16),
     }
     tagged = None
