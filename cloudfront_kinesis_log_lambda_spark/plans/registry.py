@@ -44,6 +44,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.load(spark, sf_dir, "embeddings")
 
 
+def _with_scratch(tag: str, build: Callable[[str], DataFrame]) -> DataFrame:
+    """Scratch-store scaffold shared by the incremental-twin entries:
+    pre-clean a pid-scoped tmp root, run ``build(root)`` (which drives
+    foreachBatch callables against stores under ``root``), materialize
+    the result via localCheckpoint so it outlives the store, then
+    remove the tree even when build raises."""
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), f"cfkll-{tag}-{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    try:
+        return build(root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # --- text analysis ----------------------------------------------------------
 
 
@@ -175,28 +191,23 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair is only discoverable via the persisted band/gram index. Returns
     the accumulated pair log (rows-only: MinHash buckets are
     hash-seeded; batch-equivalence is proven in test_streaming_dedup)."""
-    import shutil
-
     from cloudfront_kinesis_log_lambda_spark.streaming.dedup import (
         StreamingNearDup,
         near_dup_pair_log,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"cfkll-stream-dedup-{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    detector = StreamingNearDup(
-        os.path.join(root, "store"), os.path.join(root, "out"), threshold=0.5
-    )
-    docs = _docs(spark, sf_dir)
-    detector(docs.filter(F.col("doc_id") % 2 == 1), 0)
-    detector(docs.filter(F.col("doc_id") % 2 == 0), 1)
-    log = near_dup_pair_log(spark, os.path.join(root, "out")).localCheckpoint(
-        eager=True
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    return log
+    def build(root: str) -> DataFrame:
+        detector = StreamingNearDup(
+            os.path.join(root, "store"),
+            os.path.join(root, "out"),
+            threshold=0.5,
+        )
+        docs = _docs(spark, sf_dir)
+        detector(docs.filter(F.col("doc_id") % 2 == 1), 0)
+        detector(docs.filter(F.col("doc_id") % 2 == 0), 1)
+        return near_dup_pair_log(spark, os.path.join(root, "out"))
+
+    return _with_scratch("stream-dedup", build)
 
 
 def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,31 +219,24 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the accumulated (vec_id, canon_id) assignment (rows-only: k-means
     geometry is data-trained; exact stream==batch parity under shared
     geometry is proven in test_streaming_semantic_dedup)."""
-    import shutil
-
     from cloudfront_kinesis_log_lambda_spark.streaming.semantic_dedup import (
         StreamingSemanticDedup,
         semantic_assignment,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"cfkll-stream-semdedup-{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    detector = StreamingSemanticDedup(
-        os.path.join(root, "store"),
-        os.path.join(root, "out"),
-        threshold=0.92,
-        n_centroids=16,
-    )
-    emb = _emb(spark, sf_dir)
-    detector(emb.filter(F.col("vec_id") % 2 == 1), 0)
-    detector(emb.filter(F.col("vec_id") % 2 == 0), 1)
-    assign = semantic_assignment(
-        spark, os.path.join(root, "out"), emb
-    ).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return assign
+    def build(root: str) -> DataFrame:
+        detector = StreamingSemanticDedup(
+            os.path.join(root, "store"),
+            os.path.join(root, "out"),
+            threshold=0.92,
+            n_centroids=16,
+        )
+        emb = _emb(spark, sf_dir)
+        detector(emb.filter(F.col("vec_id") % 2 == 1), 0)
+        detector(emb.filter(F.col("vec_id") % 2 == 0), 1)
+        return semantic_assignment(spark, os.path.join(root, "out"), emb)
+
+    return _with_scratch("stream-semdedup", build)
 
 
 def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,21 +248,16 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch sketch, so the oracle is the same SQL as
     ``events_hll_users`` (the writeStream-driven leg + retry
     idempotence live in test_streaming_hll)."""
-    import shutil
-
     from cloudfront_kinesis_log_lambda_spark.streaming.hll import StreamingHLL
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"cfkll-stream-hll-{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    sk = StreamingHLL(root, ["event_type"], "user_id")
-    e = R.load(spark, sf_dir, "events")
-    for wave in range(3):
-        sk(e.filter(F.col("event_id") % 3 == wave), wave)
-    est = sk.estimate(spark).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return est
+    def build(root: str) -> DataFrame:
+        sk = StreamingHLL(root, ["event_type"], "user_id")
+        e = R.load(spark, sf_dir, "events")
+        for wave in range(3):
+            sk(e.filter(F.col("event_id") % 3 == wave), wave)
+        return sk.estimate(spark)
+
+    return _with_scratch("stream-hll", build)
 
 
 def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,32 +270,27 @@ def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle IS word_countmin_topk's SQL (writeStream leg + the
     NON-idempotence of SUM under re-delivery live in
     test_streaming_countmin)."""
-    import shutil
-
     from cloudfront_kinesis_log_lambda_spark.operators.sketch import CMS_TOPK
     from cloudfront_kinesis_log_lambda_spark.streaming.countmin import (
         StreamingCountMin,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"cfkll-stream-cms-{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    cms = StreamingCountMin(root)
-    d = R.load(spark, sf_dir, "documents").select("doc_id", "text")
-    for wave in range(3):
-        cms(d.filter(F.col("doc_id") % 3 == wave), wave)
-    top = (
-        d.select(F.explode(F.split("text", r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .orderBy(F.col("n_exact").desc(), F.col("word").asc())
-        .limit(CMS_TOPK)
-    )
-    out = cms.probe(top).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    def build(root: str) -> DataFrame:
+        cms = StreamingCountMin(root)
+        d = R.load(spark, sf_dir, "documents").select("doc_id", "text")
+        for wave in range(3):
+            cms(d.filter(F.col("doc_id") % 3 == wave), wave)
+        top = (
+            d.select(F.explode(F.split("text", r"\s+")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .orderBy(F.col("n_exact").desc(), F.col("word").asc())
+            .limit(CMS_TOPK)
+        )
+        return cms.probe(top)
+
+    return _with_scratch("stream-cms", build)
 
 
 def doc_weighted_sample_incremental(
@@ -309,8 +303,6 @@ def doc_weighted_sample_incremental(
     reproduces the batch sample bit-for-bit — the oracle IS
     doc_weighted_sample's SQL (writeStream leg + re-delivery
     harmlessness live in test_streaming_weighted_sample)."""
-    import shutil
-
     from cloudfront_kinesis_log_lambda_spark.operators.reshape import (
         WEIGHTED_SAMPLE_K,
     )
@@ -318,17 +310,14 @@ def doc_weighted_sample_incremental(
         StreamingWeightedSample,
     )
 
-    root = os.path.join(
-        tempfile.gettempdir(), f"cfkll-stream-ws-{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    ws = StreamingWeightedSample(root, k=WEIGHTED_SAMPLE_K)
-    d = R.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    for wave in range(3):
-        ws(d.filter(F.col("doc_id") % 3 == wave), wave)
-    out = ws.sample(spark).localCheckpoint(eager=True)
-    shutil.rmtree(root, ignore_errors=True)
-    return out
+    def build(root: str) -> DataFrame:
+        ws = StreamingWeightedSample(root, k=WEIGHTED_SAMPLE_K)
+        d = R.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        for wave in range(3):
+            ws(d.filter(F.col("doc_id") % 3 == wave), wave)
+        return ws.sample(spark)
+
+    return _with_scratch("stream-ws", build)
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,7 +43,6 @@ and every cross-batch pair meets through the index probe.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,6 +59,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
     ensure_frozen_centroids,
+    load_centroids,
     read_batch_store,
 )
 
@@ -110,8 +110,7 @@ class StreamingSemanticDedup:
         exposed so a batch re-run can be injected with it (parity)."""
         if not os.path.exists(self.centroids_path):
             return None
-        with open(self.centroids_path) as f:
-            return json.load(f)["centroids"]
+        return load_centroids(self.centroids_path)
 
     def _centroids(self, batch_df: DataFrame) -> list[list[float]]:
         return ensure_frozen_centroids(

@@ -62,6 +62,12 @@ def atomic_write_json(path: str, obj: dict) -> None:
     os.rename(tmp, path)
 
 
+def load_centroids(path: str) -> list[list[float]]:
+    """Read a frozen-geometry file written by ensure_frozen_centroids."""
+    with open(path) as f:
+        return json.load(f)["centroids"]
+
+
 def ensure_frozen_centroids(
     store_dir: str, centroids_path: str, train
 ) -> list[list[float]]:
@@ -82,8 +88,7 @@ def ensure_frozen_centroids(
     orders the rename before the data blocks), wedging every later
     batch and query."""
     if os.path.exists(centroids_path):
-        with open(centroids_path) as f:
-            return json.load(f)["centroids"]
+        return load_centroids(centroids_path)
     cents = train()
     os.makedirs(store_dir, exist_ok=True)
     try:
@@ -91,8 +96,7 @@ def ensure_frozen_centroids(
     except OSError:
         pass
     atomic_write_json(centroids_path, {"centroids": cents})
-    with open(centroids_path) as f:
-        return json.load(f)["centroids"]
+    return load_centroids(centroids_path)
 
 
 def _pointer_path(path: str) -> str:

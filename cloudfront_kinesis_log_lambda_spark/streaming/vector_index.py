@@ -26,7 +26,6 @@ leave a half-written geometry behind.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,12 +39,8 @@ from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
     ensure_frozen_centroids,
+    load_centroids,
 )
-
-
-def _load_centroids(path: str) -> list[list[float]]:
-    with open(path) as f:
-        return json.load(f)["centroids"]
 
 
 class StreamingVectorIndex:
@@ -133,7 +128,7 @@ def index_topk(
         # not-yet-created store: empty result, like the sibling log
         # readers — not a FileNotFoundError
         return spark.createDataFrame([], empty_schema)
-    cents = _load_centroids(cents_path)
+    cents = load_centroids(cents_path)
     qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
 
     def cos_c(c: list[float]) -> float:
