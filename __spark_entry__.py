@@ -56,14 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 11 new oracle entries (subword, the 7 deterministic
-    # sketch entries incl. both streaming twins + set algebra +
+    # r6 window = 12 new oracle entries (subword, the 8 deterministic
+    # sketch entries incl. three streaming twins + set algebra +
     # DDSketch, BPE encode, A-Res weighted sample batch + streaming) +
     # 7 oracle entries whose implementation changed this round (rule 1:
     # no driver row for the CURRENT code) + the 10-entry one-time
     # rows-only pass (the 7 debts deferred from r5 — r5 VERDICT item 1
-    # — plus the three new rows-only entries) + 22 promoted-stale
-    # r4-green refreshes. 27 r4-green entries defer to
+    # — plus the three new rows-only entries) + 21 promoted-stale
+    # r4-green refreshes. 28 r4-green entries defer to
     # r7 with 2-round-stale hash evidence — the 8 bench headliners
     # (pricing_summary, revenue_by_segment, top_orders_per_customer,
     # running_customer_spend, cube_orders, events_hourly,
@@ -71,14 +71,14 @@ _FRONT = [
     # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
     # entries whose code has been frozen since r1 (filtered_revenue,
     # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 13 plain r1-frozen entries
+    # rollup_returns, nation_set_ops), and 14 plain r1-frozen entries
     # bumped to make room for new + changed-code entries, which outrank
     # stale refreshes under rule 1 (customers_per_region,
     # supplier_nation_outer, theta_join_price_band, top_event_per_user,
     # unpivot_order_metrics, order_item_arrays, order_price_histogram,
     # pivot_qty_by_linestatus, region_nations_agg,
     # scalar_function_showcase, events_metric_map, events_gapfill,
-    # events_json_props).
+    # events_json_props, events_moving_hour_sum).
     # doc_semantic_dedup's r6 change (centroids=None injection default)
     # is a no-op on its default path; it keeps its r5 one-time row and
     # stays in _TAIL rather than burning a hash-capable slot.
@@ -92,6 +92,7 @@ _FRONT = [
     "word_countmin_incremental",
     "events_hll_type_overlap",
     "events_value_ddsketch",
+    "events_ddsketch_incremental",
     "doc_bpe_tokens",
     "doc_weighted_sample",
     "doc_weighted_sample_incremental",
@@ -133,7 +134,6 @@ _FRONT = [
     "doc_token_stats",
     "doc_word_explode",
     "events_median_udaf",
-    "events_moving_hour_sum",
     "events_range_join",
     "events_tumbling_windows",
     "events_zscore",

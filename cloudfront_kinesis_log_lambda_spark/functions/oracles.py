@@ -1742,3 +1742,5 @@ ORACLE_SQL["doc_weighted_sample"] = f"""
 """
 
 ORACLE_SQL["doc_weighted_sample_incremental"] = ORACLE_SQL["doc_weighted_sample"]
+
+ORACLE_SQL["events_ddsketch_incremental"] = ORACLE_SQL["events_value_ddsketch"]

@@ -310,9 +310,11 @@ DD_GAMMA = 1.02
 # needs the true ratio within 5e-10 of an integer (none in the test
 # tables — asserted in test_sketch — and at worst a one-bucket shift,
 # inside the sketch's error budget, for 1-in-2e9 adversarial values).
-DD_BUCKET_SQL = (
-    f"CAST(FLOOR(ROUND(LN(value) / LN({DD_GAMMA}), 9)) AS BIGINT)"
-)
+def dd_bucket_sql(value_sql: str) -> str:
+    return f"CAST(FLOOR(ROUND(LN({value_sql}) / LN({DD_GAMMA}), 9)) AS BIGINT)"
+
+
+DD_BUCKET_SQL = dd_bucket_sql("value")
 
 
 def dd_quantile_sql(q: float) -> str:

@@ -260,6 +260,27 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-hll", build)
 
 
+def events_ddsketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING DDSketch twin (streaming/ddsketch.py) driven over
+    the events table as three arrival waves. HASH-GREEN via the
+    histogram sum-merge law: the accumulated log-γ buckets equal the
+    batch histogram bit-for-bit, so the quantile read matches the batch
+    sketch — the oracle IS events_value_ddsketch's SQL (writeStream leg
+    + SUM non-idempotence live in test_streaming_ddsketch)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.ddsketch import (
+        StreamingDDSketch,
+    )
+
+    def build(root: str) -> DataFrame:
+        dd = StreamingDDSketch(root, ["event_type"])
+        e = R.load(spark, sf_dir, "events")
+        for wave in range(3):
+            dd(e.filter(F.col("event_id") % 3 == wave), wave)
+        return dd.quantiles(spark)
+
+    return _with_scratch("stream-dd", build)
+
+
 def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING Count-Min twin (streaming/countmin.py) driven over
     the documents table as three arrival waves split by doc_id residue —
@@ -1099,6 +1120,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_weighted_sample_incremental": doc_weighted_sample_incremental,
     "events_hll_type_overlap": SKT.events_hll_type_overlap,
     "events_value_ddsketch": SKT.events_value_ddsketch,
+    "events_ddsketch_incremental": events_ddsketch_incremental,
     "doc_bpe_tokens": BPE.doc_bpe_tokens,
     "doc_token_stats": doc_token_stats,
     "doc_quality": doc_quality,
