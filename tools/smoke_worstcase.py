@@ -103,6 +103,10 @@ def main() -> None:
         learn_bpe_merges,
     )
 
+    # throwaway warm-up: JIT/codegen warm-up otherwise inflates the 1×
+    # wall and deflates the ratio — a real 25× scaling regression could
+    # then still print near 1.0× (r6 review finding)
+    learn_bpe_merges(docs1, n_merges=2).count()
     t1 = timed(
         "bpe_learn(8) 1x", lambda: learn_bpe_merges(docs1, n_merges=8).count()
     )
