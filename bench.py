@@ -79,6 +79,8 @@ EXTENSION = [
     "events_hll_users",         # deterministic HLL register partial agg
     "word_countmin_topk",       # 4x512 CMS counters + broadcast probe
     "doc_bpe_tokens",           # codegen replace-chain BPE encode
+    "events_value_ddsketch",    # log-gamma histogram quantiles
+    "doc_weighted_sample",      # A-Res key + TakeOrderedAndProject
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))
