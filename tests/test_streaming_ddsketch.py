@@ -106,3 +106,15 @@ def test_per_batch_state_is_bounded_by_buckets(spark, streamed):
         n = spark.read.parquet(os.path.join(dd.hist_dir, b)).count()
         # 2 groups × the log-γ bucket span of the value range
         assert n <= 2 * 1500
+
+
+def test_nonstring_group_ddl(spark, tmp_path):
+    dd = StreamingDDSketch(
+        str(tmp_path / "d"), ["day"], group_ddl="day date"
+    )
+    df = spark.createDataFrame(
+        [("2026-02-01", 10.0), ("2026-02-01", 20.0)], "day string, value double"
+    ).select(F.to_date("day").alias("day"), "value")
+    dd(df, 0)
+    out = dd.quantiles(spark).collect()
+    assert len(out) == 1 and out[0]["n_values"] == 2

@@ -125,3 +125,12 @@ def test_nonstring_group_ddl(spark, tmp_path):
     sk(df, 0)
     est = sk.estimate(spark).collect()
     assert len(est) == 1 and est[0]["n_registers"] == 1
+
+
+def test_empty_batch_write_is_harmless(spark, streamed):
+    """A wave whose filter matches nothing writes an empty batch=<id>
+    partition; the merged read and every estimate must be unaffected."""
+    _, _, sk = streamed
+    before = _est(sk.estimate(spark))
+    sk(spark.createDataFrame([], SCHEMA), 7)
+    assert _est(sk.estimate(spark)) == before

@@ -109,3 +109,12 @@ def test_per_batch_state_bounded_by_k(spark, streamed):
             continue
         n = spark.read.parquet(os.path.join(ws.candidates_dir, b)).count()
         assert n <= K
+
+
+def test_k_larger_than_corpus_returns_everything_weighted(spark, tmp_path):
+    """k > positive-weight rows: the sample is simply all of them —
+    the candidate union is the whole (keyed) corpus."""
+    ws = StreamingWeightedSample(str(tmp_path / "s"), k=100)
+    ws(spark.createDataFrame([(1, 5), (2, 9), (3, 0)], SCHEMA), 0)
+    out = ws.sample(spark).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
