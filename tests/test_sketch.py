@@ -218,3 +218,48 @@ def test_ddsketch_histogram_is_sum_mergeable(spark, sf_dir):
         .collect()
     }
     assert merged == direct
+
+
+def test_hash_fragment_parity_on_adversarial_keys(spark):
+    """The portable-SQL hash fragments must agree between Spark and
+    DuckDB for ANY key, not just the test tables' friendly ones:
+    negative/zero/huge BIGINTs through the HLL bucket/rho-hash pair,
+    and unicode/quote/empty-adjacent words through the CMS md5 slices."""
+    import duckdb
+    import random
+
+    rng = random.Random(3)
+    keys = [0, -1, 1, -(2**63), 2**63 - 1, 42] + [
+        rng.randrange(-(2**62), 2**62) for _ in range(200)
+    ]
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    srow = kdf.select(
+        "k",
+        F.expr(SK.hll_bucket_sql_spark("k")).alias("b"),
+        F.expr(SK.hll_h2_sql_spark("k")).alias("h"),
+    ).collect()
+    con = duckdb.connect()
+    drow = con.sql(
+        f"SELECT k, {SK.hll_bucket_sql_duck('k')} AS b, "
+        f"{SK.hll_h2_sql_duck('k')} AS h "
+        "FROM (SELECT UNNEST(?) AS k)",
+        params=[keys],
+    ).fetchall()
+    assert sorted((r["k"], r["b"], r["h"]) for r in srow) == sorted(drow)
+
+    words = ["naïve", "日本語", "it's", "a", "Z" * 100, "x y"] + [
+        "".join(rng.choice("abcdefgh'β") for _ in range(rng.randrange(1, 12)))
+        for _ in range(120)
+    ]
+    words = sorted(set(words))
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    sw = wdf.select(
+        "w", *[F.expr(SK.md5_hash_sql_spark("w", r)).alias(f"h{r}") for r in range(4)]
+    ).collect()
+    duck_cols = ", ".join(
+        f"{SK.md5_hash_sql_duck('w', r)} AS h{r}" for r in range(4)
+    )
+    dw = con.sql(
+        f"SELECT w, {duck_cols} FROM (SELECT UNNEST(?) AS w)", params=[words]
+    ).fetchall()
+    assert sorted(tuple(r) for r in sw) == sorted(dw)
