@@ -202,13 +202,17 @@ FIXED_MERGES: list[tuple[str, str]] = [
 
 
 def _sepped_sql(word_sql: str, *, duck: bool) -> str:
-    # '(.)' → '<c><SEP>' after every char, then add the leading SEP.
+    # '(?s)(.)' → '<c><SEP>' after every char, then add the leading SEP.
     # Engine forks: backreference spelling (RE2 '\1' vs Java '$1') and
     # DuckDB's regexp_replace being FIRST-match-only without the 'g'
     # flag (Spark's is global and takes no flag argument).
+    # (?s) because the engines disagree on what '.' excludes: Java drops
+    # all line terminators (U+2028/U+2029/U+0085), RE2 only \n — and \s+
+    # splitting leaves U+2028/U+0085 INSIDE words, so without DOTALL a
+    # word containing them seps differently per engine.
     backref, flags = (r"\1", ", 'g'") if duck else ("$1", "")
     return (
-        f"('{SEP}' || regexp_replace({word_sql}, '(.)', "
+        f"('{SEP}' || regexp_replace({word_sql}, '(?s)(.)', "
         f"'{backref}{SEP}'{flags}))"
     )
 

@@ -184,7 +184,16 @@ def weighted_sample_key_sql(id_sql: str, weight_sql: str, *, duck: bool) -> str:
     the sample is reproducible AND exactly replayable in DuckDB; the
     final ROUND(·, 9) + id tiebreak make the top-k ordering immune to
     last-ulp ln() differences between engines (same guard as the
-    DDSketch bucket index). +1 on the 32-bit slice keeps u > 0."""
+    DDSketch bucket index). +1 on the 32-bit slice keeps u > 0.
+
+    Rounding regime (r6 advice): keys live in (ln(2^-32)/w, 0) ≈
+    (-22.18/w, 0), so once w ≳ 2e9 the whole key range collapses below
+    the 5e-10 rounding quantum — everything ties and the doc_id ASC
+    tiebreak, not A-Res, picks the sample. Weights up to ~1e7 (±22 ulp
+    of key spread per unit weight at 9 decimals) are safe; for larger
+    weight scales pre-normalize (divide by max weight) rather than
+    raising the rounding precision, which would re-expose cross-engine
+    ulp drift."""
     from cloudfront_kinesis_log_lambda_spark.operators.sketch import (
         md5_hash_sql_duck,
         md5_hash_sql_spark,

@@ -320,7 +320,11 @@ DD_BUCKET_SQL = dd_bucket_sql("value")
 def dd_quantile_sql(q: float) -> str:
     """Value estimate for quantile ``q`` from (bucket, n, cum) rows:
     the first bucket whose cumulative count reaches q·total, mapped to
-    the bucket's midpoint 2γ^i/(γ+1). MIN over a CASE keeps it a plain
+    the bucket's midpoint 2γ^(i+1)/(γ+1). The +1 belongs there: buckets
+    use the FLOOR(ln v / ln γ) convention, so bucket i holds values in
+    [γ^i, γ^(i+1)) and that interval's log-midpoint is 2γ^(i+1)/(γ+1)
+    — do not "fix" the exponent without changing dd_bucket_sql's
+    indexing to match (r6 advice). MIN over a CASE keeps it a plain
     aggregate on both engines."""
     return (
         f"ROUND(2.0 * POWER({DD_GAMMA}, MIN(CASE WHEN cum >= {q} * total "

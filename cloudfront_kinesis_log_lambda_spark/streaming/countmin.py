@@ -107,6 +107,15 @@ class StreamingCountMin:
         same load-bearing contract as :meth:`counters`."""
         spark = words.sparkSession
         pcols = [c for c in words.columns]
+        clash = sorted(set(pcols) & {"r", "col", "cell_n", "cms_est"})
+        if clash:
+            # refuse loudly, same contract as _asof_join's reserved-name
+            # guard — a silent join on a passed-through 'r'/'col' would
+            # corrupt every estimate (r6 advice)
+            raise ValueError(
+                f"column name(s) {clash} are reserved by the Count-Min "
+                "probe — rename them before probing"
+            )
         probe = words.select(
             *pcols, F.explode(cms_cells_expr(word_col)).alias("c")
         ).select(*pcols, F.col("c.r").alias("r"), F.col("c.col").alias("col"))

@@ -181,7 +181,14 @@ def test_sql_literal_escaping_quotes_and_backslashes(spark):
     import duckdb
 
     merges = [("'", "s"), ("n", "'t"), ("\\", "x")]
-    words = ["'s", "don't", "n't", "\\x", "a\\xb", "''s"]
+    # The U+2028/U+2029/U+0085 words pin the (?s) DOTALL fix (r6 advice):
+    # Java's '.' excludes all line terminators, RE2's only \n, and \s+
+    # splitting leaves these chars inside words — without (?s) the
+    # char-separator pass fuses them with their neighbor on Spark only.
+    words = [
+        "'s", "don't", "n't", "\\x", "a\\xb", "''s",
+        "a\u2028b", "xn't\u0085", "\u2029's", "a\u0085b",
+    ]
     df = spark.createDataFrame([(w,) for w in words], "word string")
     got = {
         r["word"]: r["p"]

@@ -85,7 +85,7 @@ def test_countmin_never_undercounts_and_is_tight_on_real_data(spark, sf_dir):
         assert r["cms_est"] <= 2 * r["n_exact"], r
 
 
-def test_countmin_exact_on_collision_free_vocab(spark):
+def test_countmin_exact_on_collision_free_vocab(spark, tmp_path):
     """7 distinct words in a 4×512 matrix: the md5 slices place them in
     distinct cells (fixed hashes — deterministic), so every estimate is
     exactly the true count."""
@@ -94,9 +94,7 @@ def test_countmin_exact_on_collision_free_vocab(spark):
         [(i, " ".join([w] * (i + 1))) for i, w in enumerate(words)],
         "doc_id long, text string",
     )
-    import tempfile
-
-    d = tempfile.mkdtemp()
+    d = str(tmp_path)
     docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
     out = {r["word"]: r for r in SK.word_countmin_topk(spark, d).collect()}
     assert set(out) == set(words)

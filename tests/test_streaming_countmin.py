@@ -123,3 +123,18 @@ def test_probe_unseen_word_estimates_zero_not_dropped(spark, streamed):
     assert got["spark"] == 5
     assert got["neverseenword"] == 0
     assert got["alsounseen"] == 0
+
+
+def test_probe_rejects_reserved_column_names(spark, streamed):
+    """r6 advice: the probe joins/aggregates on generated columns
+    (r, col, cell_n, cms_est); a probe input already carrying one of
+    those would silently corrupt every estimate. The contract is a
+    loud ValueError, matching the as-of / stream-stream guards."""
+    import pytest
+
+    bad = spark.createDataFrame([("spark", 1)], "word string, col int")
+    with pytest.raises(ValueError, match="reserved"):
+        streamed.probe(bad)
+    bad2 = spark.createDataFrame([("spark", 1)], "word string, cms_est int")
+    with pytest.raises(ValueError, match="reserved"):
+        streamed.probe(bad2)
