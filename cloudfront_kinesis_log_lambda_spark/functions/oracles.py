@@ -1744,3 +1744,225 @@ ORACLE_SQL["doc_weighted_sample"] = f"""
 ORACLE_SQL["doc_weighted_sample_incremental"] = ORACLE_SQL["doc_weighted_sample"]
 
 ORACLE_SQL["events_ddsketch_incremental"] = ORACLE_SQL["events_value_ddsketch"]
+
+# --- retrieval: BM25 / inverted index / fuzzy matching (r7) ---------------
+# Constants imported from the operator modules so query and oracle can
+# never drift. Float-literal discipline: every scalar in the BM25 chain
+# is DOUBLE before any division (bare decimal literals divide at
+# DECIMAL scale on both engines — the r7 idf-drift lesson); per-term
+# contributions are ROUND(·,9)-quantized and summed as DECIMAL(18,9)
+# (exact, order-free), rendered to DOUBLE only at the end.
+from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (  # noqa: E402
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY,
+    BM25_TOPK,
+    FUZZY_MAX_DIST,
+    FUZZY_PREFIX,
+    INDEX_MIN_DF,
+    POSTINGS_K,
+)
+
+_BM25_TERMS = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+ORACLE_SQL["doc_bm25_topk"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents),
+    t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+    scal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                    CAST(AVG(dl) AS DOUBLE) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM t WHERE word IN ({_BM25_TERMS}) GROUP BY 1, 2),
+    dft AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id, dl.dl,
+             CAST(ROUND(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({BM25_K1} + 1.0)
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * (CAST(dl.dl AS DOUBLE) / avgdl))), 9)
+               AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (word) CROSS JOIN scal)
+    SELECT doc_id,
+           CAST(MAX(dl) AS BIGINT)  AS doc_len,
+           CAST(SUM(c) AS DOUBLE)   AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY SUM(c) DESC, doc_id ASC
+    LIMIT {BM25_TOPK}
+"""
+
+ORACLE_SQL["doc_inverted_index"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents),
+    t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    stats AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(tf) AS BIGINT) AS total_tf
+              FROM tf GROUP BY 1 HAVING COUNT(*) >= {INDEX_MIN_DF}),
+    ranked AS (SELECT word, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY word
+                                         ORDER BY tf DESC, doc_id ASC) AS rn
+               FROM tf),
+    post AS (SELECT word, list(doc_id ORDER BY rn) AS top_doc_ids
+             FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY word)
+    SELECT word, n_docs, total_tf, top_doc_ids
+    FROM stats JOIN post USING (word)
+"""
+
+ORACLE_SQL["part_fuzzy_pairs"] = f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON substr(a.name, 1, {FUZZY_PREFIX}) = substr(b.name, 1, {FUZZY_PREFIX})
+     AND a.name < b.name
+     AND abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_DIST}
+    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
+
+# --- time series / sequences (r7) -----------------------------------------
+# EWMA is a sequential left fold: list_reduce here, the aggregate()
+# higher-order function on Spark — both fold IEEE doubles in the same
+# order, so the un-rounded results are bit-identical (pinned in
+# tests/test_timeseries.py); ROUND(·,6) is belt-and-braces.
+from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: E402
+    ATTRIBUTION_WINDOW_DAYS,
+    EWMA_ALPHA,
+    MAD_SIGMA,
+)
+
+ORACLE_SQL["events_ewma"] = f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (a, x) -> a * {1.0 - EWMA_ALPHA!r} +
+                                       x * {EWMA_ALPHA!r}), 6) AS ewma
+    FROM events GROUP BY user_id
+"""
+
+ORACLE_SQL["events_ohlc"] = """
+    WITH k AS (
+      SELECT event_type, value,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events)
+    SELECT event_type, hour,
+           arg_min(value, k) AS open,
+           MAX(value)        AS high,
+           MIN(value)        AS low,
+           arg_max(value, k) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM k GROUP BY 1, 2
+"""
+
+ORACLE_SQL["events_mad_outliers"] = f"""
+    WITH med AS (SELECT event_type,
+                        ROUND(quantile_cont(value, 0.5), 9) AS med
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_type, med,
+                   ROUND(abs(e.value - med), 9) AS adev
+            FROM events e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, ROUND(quantile_cont(adev, 0.5), 9) AS mad
+            FROM dev GROUP BY 1)
+    SELECT d.event_type,
+           MAX(med) AS median_value,
+           MAX(mad) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN adev > {MAD_SIGMA!r} * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN adev > {MAD_SIGMA!r} * mad
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad USING (event_type) GROUP BY 1
+"""
+
+ORACLE_SQL["event_transitions"] = """
+    WITH pairs AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+               FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE),
+                 6) AS prob
+    FROM counts
+"""
+
+# The streaming twin accumulates the identical matrix (within-batch
+# lead pairs + state-bridged boundary pairs; SUM-merge law) — the
+# oracle IS the batch query's SQL.
+ORACLE_SQL["event_transitions_incremental"] = ORACLE_SQL["event_transitions"]
+
+_TOUCH_US = ATTRIBUTION_WINDOW_DAYS * 86_400_000_000
+
+ORACLE_SQL["attribution_last_touch"] = f"""
+    WITH carried AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events),
+    p AS (
+      SELECT value,
+             CASE WHEN touch_ts IS NOT NULL
+                       AND epoch_us(ts) - epoch_us(touch_ts) <= {_TOUCH_US}
+                  THEN touch_type ELSE 'none' END AS touch,
+             epoch_us(ts) - epoch_us(touch_ts) AS lag_us
+      FROM carried WHERE event_type = 'purchase')
+    SELECT touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(value), 2)     AS attributed_value,
+           ROUND(CAST(SUM(CASE WHEN touch <> 'none' THEN lag_us END)
+                      AS DOUBLE)
+                 / CAST(SUM(CASE WHEN touch <> 'none' THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                 / 3600000000.0, 4) AS avg_hours_to_convert
+    FROM p GROUP BY touch
+"""
+
+# --- snapshot diff (r7) ---------------------------------------------------
+from cloudfront_kinesis_log_lambda_spark.operators.cdc import (  # noqa: E402
+    SNAPSHOT_T1,
+    SNAPSHOT_T2,
+)
+
+_T1 = SNAPSHOT_T1.strftime("%Y-%m-%d %H:%M:%S")
+_T2 = SNAPSHOT_T2.strftime("%Y-%m-%d %H:%M:%S")
+
+ORACLE_SQL["customer_rollup_diff"] = f"""
+    WITH old AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS BIGINT) AS old_n_orders,
+             ROUND(SUM(o_totalprice), 2) AS old_total
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_T1}' GROUP BY 1),
+    new AS (
+      SELECT o_custkey AS custkey,
+             CAST(COUNT(*) AS BIGINT) AS new_n_orders,
+             ROUND(SUM(o_totalprice), 2) AS new_total
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_T2}' GROUP BY 1)
+    SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+           CASE WHEN o.custkey IS NULL THEN 'added'
+                WHEN n.custkey IS NULL THEN 'removed'
+                WHEN old_n_orders = new_n_orders
+                     AND old_total = new_total THEN 'unchanged'
+                ELSE 'changed' END AS change_type,
+           old_n_orders, new_n_orders, old_total, new_total,
+           ROUND(COALESCE(new_total, 0.0) - COALESCE(old_total, 0.0), 2)
+             AS delta
+    FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+"""

@@ -1,0 +1,206 @@
+"""Text-retrieval operators: BM25 ranking, inverted-index build, and
+blocked fuzzy string matching.
+
+A training-data pipeline needs retrieval primitives for benchmark
+decontamination lookups, quality-ranked subset selection, and catalog /
+metadata entity resolution. Everything here is plain DataFrame algebra
+(no UDFs): tokenization is the house whitespace split shared by the
+word-stats operators, scoring is built-in math expressions, and the
+fuzzy join uses Spark's JVM ``levenshtein`` behind an equi-join block
+key so Catalyst plans a shuffled hash/merge join, never a cartesian.
+
+Numerics policy (same as operators/sketch.py): every cross-engine
+float expression is built from true DOUBLE literals (bare ``0.5`` in
+SQL text parses as DECIMAL on BOTH engines, with different division
+scales — the r7 idf-drift lesson), per-term scores are quantized with
+ROUND(·, 9) and summed as DECIMAL(18,9) so the aggregation is exact
+integer arithmetic — bit-identical regardless of partial-agg order —
+and only the final rendered score is cast back to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+# BM25 parameters (Robertson/Sparck Jones defaults) and the fixed demo
+# query — pinned so the oracle SQL and the registry entry agree.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "hash", "vector", "slow")
+BM25_TOPK = 20
+
+# Inverted-index bounds: terms must reach MIN_DF docs to be indexed
+# (drops the hapax tail — at 100 TB the tail is most of the vocabulary)
+# and each posting list keeps the POSTINGS_K highest-tf docs.
+INDEX_MIN_DF = 100
+POSTINGS_K = 10
+
+# Fuzzy-match bounds: candidate pairs must share a FUZZY_PREFIX-char
+# block and differ by at most FUZZY_MAX_DIST edits.
+FUZZY_PREFIX = 3
+FUZZY_MAX_DIST = 3
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) rows: whitespace split, empties dropped — the
+    house tokenization (identical to doc_word_explode / word counts)."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 score for the fixed query terms.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene's
+    non-negative variant). N counts tokenized docs; avgdl averages
+    their lengths.
+
+    Plan shape for 100 TB: the text column never shuffles — the scan
+    side reduces to (doc_id, word) → (doc_id, dl) and the query-term tf
+    rows before any exchange. The per-term df table (≤|query| rows) and
+    the N/avgdl scalar row are broadcast; the only sized shuffle is the
+    tf⋈dl join on doc_id, whose left side is already filtered to docs
+    containing a query term. Top-k is TakeOrderedAndProject, not a
+    global sort.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(docs)
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    tf = (
+        toks.filter(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+
+    k1, b = F.lit(float(BM25_K1)), F.lit(float(BM25_B))
+    one, half = F.lit(1.0), F.lit(0.5)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + half) / (F.col("df") + half) + one
+    )
+    norm = F.col("tf") + k1 * (
+        one - b + b * (F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(
+        idf * F.col("tf") * (k1 + one) / norm, 9
+    ).cast("decimal(18,9)")
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(contrib).alias("score_exact"),
+            F.max("dl").alias("dl"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            F.col("score_exact").cast("double").alias("bm25"),
+        )
+        .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: one row per indexed term with
+    document frequency, total term frequency, and the posting list of
+    the POSTINGS_K highest-tf documents (tf desc, doc_id asc).
+
+    Plan shape: tf reduces (doc_id, word) before anything wide; the
+    per-term top-k posting selection is a rank window over (word) —
+    partition-parallel, no global sort — and the posting arrays carry
+    only doc_ids, never text. At 100 TB the index build is two
+    word-keyed exchanges of compact rows.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        _tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    ).filter(F.col("n_docs") >= INDEX_MIN_DF)
+
+    w = Window.partitionBy("word").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    postings = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= POSTINGS_K)
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                lambda x: x["doc_id"],
+            ).alias("top_doc_ids")
+        )
+    )
+    return stats.join(postings, "word").select(
+        "word", "n_docs", "total_tf", "top_doc_ids"
+    )
+
+
+def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string matching over distinct part names: pairs
+    within FUZZY_MAX_DIST Levenshtein edits that share a FUZZY_PREFIX
+    character block.
+
+    This is the entity-resolution shape (catalog titles, author names,
+    product strings): NEVER all-pairs — the prefix block is an EQUI-join
+    key, so Catalyst plans a keyed join whose per-block population
+    bounds the candidate count, exactly like the LSH band buckets in
+    operators/dedup.py. The length-band predicate prunes candidates
+    before the O(len²) edit-distance evaluation, and ``a < b``
+    deduplicates the symmetric pair. Blocking trades recall for scale
+    (a pair differing inside the first 3 chars is unseen) — the same
+    documented contract as every blocked dedup op here.
+    """
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    a = names.select(
+        F.col("name").alias("name_a"),
+        F.substring("name", 1, FUZZY_PREFIX).alias("blk"),
+        F.length("name").alias("len_a"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.substring("name", 1, FUZZY_PREFIX).alias("blk"),
+        F.length("name").alias("len_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(FUZZY_MAX_DIST)
+            )
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= F.lit(FUZZY_MAX_DIST))
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

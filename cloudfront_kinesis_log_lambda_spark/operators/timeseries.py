@@ -1,0 +1,244 @@
+"""Time-series / event-sequence operators: EWMA smoothing, OHLC bars,
+robust (median/MAD) outlier detection, Markov transition matrices, and
+marketing-style last-touch attribution.
+
+These close the gap between the sessionize/funnel family (already in
+operators/relational.py) and what a metrics/observability pipeline
+runs: per-entity smoothed series, candlestick rollups, and
+distribution-robust anomaly flags.
+
+Cross-engine numerics: EWMA is a LEFT FOLD over the per-user
+event-ordered value array — both Spark's ``aggregate`` higher-order
+function and DuckDB's ``list_reduce`` fold sequentially in IEEE
+doubles, so the result is bit-exact without any tolerance (verified in
+tests). Medians use exact linear-interpolation percentile
+(``percentile`` ↔ ``quantile_cont``), quantized at 9 decimals before
+reuse so the derived MAD comparison is identical on both engines.
+Extremum-by-key (open/close) uses a zero-padded string composite key
+because DuckDB's ``arg_min`` cannot order by a struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+EWMA_ALPHA = 0.3
+MAD_SIGMA = 3.0
+ATTRIBUTION_WINDOW_DAYS = 3
+TOUCH_TYPES = ("view", "click")
+CONVERSION_TYPE = "purchase"
+
+
+def _event_key() -> "F.Column":
+    """Zero-padded (epoch-µs, event_id) composite string: a total order
+    over events that both engines compare identically (string order ==
+    numeric order thanks to the fixed-width pads)."""
+    return F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (α=0.3) of each user's event-ordered value series:
+    y₀ = x₀, yᵢ = (1−α)·yᵢ₋₁ + α·xᵢ.
+
+    The recursion is inherently sequential per user, so it runs as a
+    fold over the per-user sorted array — grouped state stays inside
+    one task per user, there is exactly one shuffle (the groupBy), and
+    nothing is iterative driver-side. The same shape extends to any
+    per-entity recursive smoother (Kalman-ish filters, decayed
+    counters). Per-user arrays are bounded by per-entity event counts,
+    the usual assumption for per-user state (same contract as
+    sessionize / SCD2)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("series")
+        )
+    )
+    a = float(EWMA_ALPHA)
+    fold = (
+        f"aggregate(slice(series, 2, size(series) - 1), "
+        f"series[0].value, "
+        f"(acc, x) -> acc * {1.0 - a!r}D + x.value * {a!r}D)"
+    )
+    return arr.select(
+        "user_id",
+        F.size("series").cast("long").alias("n_events"),
+        F.round(F.expr(fold), 6).alias("ewma"),
+    )
+
+
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles per event type — the
+    classic downsampling rollup. open/close are extremum-by-composite-
+    key (first/last event in the hour, event_id tie-break); one hash
+    aggregate, partial+final, no window needed."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    keyed = e.withColumn("k", _event_key()).withColumn(
+        "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
+    )
+    return (
+        keyed.groupBy("event_type", "hour")
+        .agg(
+            F.expr("min_by(value, k)").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, k)").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier stats per event type: median, MAD (median
+    absolute deviation), and how many events sit beyond median ±
+    3·MAD. Median/MAD resist the heavy tails that wreck mean/stddev
+    z-scores (the events_zscore twin) on production metrics.
+
+    Two exact-percentile aggregates with a broadcast stats join between
+    them — the events table streams through twice but never shuffles
+    wide; each aggregate's partial state is the percentile buffer.
+    Medians are quantized (ROUND 9) before the deviation pass so both
+    engines branch identically on the 3·MAD threshold."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.round(F.abs(F.col("value") - F.col("med")), 9)
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > F.lit(float(MAD_SIGMA)) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(
+                F.col("n_outliers").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def transition_pairs(events: DataFrame) -> DataFrame:
+    """(from_type, to_type) adjacency pairs per user in event-time
+    order — the shared kernel of the batch query and the streaming
+    twin's within-batch leg."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    count and row-normalized probability for each (from_type, to_type)
+    edge. One window pass (user-partitioned lead — the sessionize
+    shuffle) plus a tiny |types|² aggregate; the probability
+    normalizer is a window over the aggregated matrix, so it costs
+    nothing at scale."""
+    pairs = transition_pairs(load(spark, sf_dir, "events"))
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double"), 6
+        ).alias("prob"),
+    )
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent view/click within the 3-day window; purchases with no
+    eligible touch report as 'none'. Output per touch type: conversions
+    attributed, revenue credited, and mean hours-to-convert.
+
+    Single user-partitioned window pass (IGNORE NULLS last_value over
+    strictly-preceding rows) — the same shuffle sessionize pays, no
+    self-join. The hours average divides two exact integer sums, so
+    both engines render the identical double."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*TOUCH_TYPES)
+    carried = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    window_us = ATTRIBUTION_WINDOW_DAYS * 86_400_000_000
+    purchases = carried.filter(
+        F.col("event_type") == CONVERSION_TYPE
+    ).select(
+        "value",
+        F.when(
+            F.col("touch_ts").isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros("touch_ts")
+                <= F.lit(window_us)
+            ),
+            F.col("touch_type"),
+        )
+        .otherwise(F.lit("none"))
+        .alias("touch"),
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("lag_us"),
+    )
+    return purchases.groupBy("touch").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("attributed_value"),
+        F.round(
+            F.sum(F.when(F.col("touch") != "none", F.col("lag_us")))
+            .cast("double")
+            / F.sum((F.col("touch") != "none").cast("long")).cast("double")
+            / F.lit(3.6e9),
+            4,
+        ).alias("avg_hours_to_convert"),
+    )

@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import asof as A
+from cloudfront_kinesis_log_lambda_spark.operators import cdc as CDC
+from cloudfront_kinesis_log_lambda_spark.operators import retrieval as RT
+from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
 from cloudfront_kinesis_log_lambda_spark.operators import dedup as D
 from cloudfront_kinesis_log_lambda_spark.operators import multimodal as M
@@ -1107,6 +1110,42 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_transitions_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING Markov-transition twin (streaming/transitions.py)
+    driven over the events table as three TIME-ORDERED arrival waves
+    (event_id terciles — the generator writes event_id in ts order, a
+    monotonicity the fixture asserts). Unlike the residue-split sketch
+    twins, adjacency pairs SPAN wave boundaries, so the per-user
+    last-event state store is load-bearing: dropping it loses exactly
+    (#users active in ≥2 waves) pairs. HASH-GREEN: within-batch lead
+    pairs + state-bridged boundary pairs reconstruct the batch lead
+    exactly (SUM-merge law for the counts) — the oracle IS
+    event_transitions' SQL (writeStream leg + re-delivery contracts
+    live in test_streaming_transitions)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.transitions import (
+        StreamingTransitions,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = StreamingTransitions(root)
+        e = R.load(spark, sf_dir, "events")
+        n = e.count()
+        c1, c2 = n // 3, (2 * n) // 3
+        for wave, cond in enumerate(
+            [
+                F.col("event_id") < c1,
+                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
+                F.col("event_id") >= c2,
+            ]
+        ):
+            st(e.filter(cond), wave)
+        return st.transitions(spark)
+
+    return _with_scratch("stream-transitions", build)
+
+
 # Unordered registry of the extension surface; the driver-facing walk
 # order (which decides what the gate's entry budget evaluates) is imposed
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
@@ -1170,6 +1209,16 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_global_shuffle": doc_global_shuffle,
     "doc_collocations": doc_collocations,
     "matryoshka_topk": matryoshka_topk,
+    "doc_bm25_topk": RT.doc_bm25_topk,
+    "doc_inverted_index": RT.doc_inverted_index,
+    "part_fuzzy_pairs": RT.part_fuzzy_pairs,
+    "events_ewma": TS.events_ewma,
+    "events_ohlc": TS.events_ohlc,
+    "events_mad_outliers": TS.events_mad_outliers,
+    "event_transitions": TS.event_transitions,
+    "event_transitions_incremental": event_transitions_incremental,
+    "attribution_last_touch": TS.attribution_last_touch,
+    "customer_rollup_diff": CDC.customer_rollup_diff,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

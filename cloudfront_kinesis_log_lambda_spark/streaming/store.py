@@ -128,6 +128,30 @@ def read_batch_store(
     (empty DataFrame of ``schema`` if the store doesn't exist yet).
     Resolves the fold pointer once — see the module docstring for why
     this is race-free against a concurrent fold."""
+    return _read_batch_store(spark, path, schema, exclude_batch, before=False)
+
+
+def read_batch_store_before(
+    spark: SparkSession, path: str, schema: str, before_batch: int
+) -> DataFrame:
+    """AS-OF read: only rows from batches STRICTLY BELOW ``before_batch``.
+
+    ``read_batch_store``'s exclude-current contract is enough for
+    commutative merges (SUM/MAX — later rows change nothing the retry
+    writes), but NOT for state a retried batch's own output DEPENDS on:
+    a boundary join that saw a later batch's state would rewrite
+    ``batch=<id>`` with DIFFERENT content, breaking overwrite
+    idempotence (the r7 streaming-transitions retry bug). Fold
+    interplay: folded generations are assumed strictly older than any
+    retryable batch — guaranteed under Structured Streaming, where only
+    the NEWEST batch can retry and ``fold_batch_store`` keeps it as a
+    delta."""
+    return _read_batch_store(spark, path, schema, before_batch, before=True)
+
+
+def _read_batch_store(
+    spark: SparkSession, path: str, schema: str, pivot: int, *, before: bool
+) -> DataFrame:
     if not os.path.isdir(path):
         return spark.createDataFrame([], schema)
     ptr = _read_pointer(path)
@@ -139,11 +163,14 @@ def read_batch_store(
     ]
     parts = []
     if delta_dirs:
+        cond = (
+            F.col("batch") < pivot if before else F.col("batch") != pivot
+        )
         parts.append(
             spark.read.schema(schema + ", batch long")
             .option("basePath", path)
             .parquet(*[os.path.join(path, e) for e in delta_dirs])
-            .filter(F.col("batch") != exclude_batch)
+            .filter(cond)
             .drop("batch")
         )
     if ptr["dir"] and os.path.isdir(os.path.join(path, ptr["dir"])):

@@ -1,0 +1,153 @@
+"""Retrieval operators: BM25 ranking against a hand-computed Python
+reference, inverted-index posting contracts, blocked fuzzy matching
+recall/precision on planted typos, and the 100 TB plan gates (broadcast
+sides, no cartesian, text never shuffles)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import retrieval as RT
+
+
+def _py_bm25(docs: dict[int, str], query, k1=RT.BM25_K1, b=RT.BM25_B):
+    toks = {i: [w for w in re.split(r"\s+", t) if w] for i, t in docs.items()}
+    toks = {i: ws for i, ws in toks.items() if ws}
+    n = len(toks)
+    avgdl = sum(len(ws) for ws in toks.values()) / n
+    scores = {}
+    for term in query:
+        df = sum(1 for ws in toks.values() if term in ws)
+        if df == 0:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, ws in toks.items():
+            tf = ws.count(term)
+            if tf == 0:
+                continue
+            c = round(
+                idf * tf * (k1 + 1.0)
+                / (tf + k1 * (1.0 - b + b * (len(ws) / avgdl))),
+                9,
+            )
+            scores[i] = round(scores.get(i, 0.0) + c, 9)
+    return scores
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_bm25_matches_python_reference(spark, tmp_path):
+    docs = {
+        0: "join hash join vector table scan",
+        1: "slow slow slow join",
+        2: "row batch merge filter column",
+        3: "vector",
+        4: "join " * 30,          # long doc: length normalization bites
+        5: "",                    # empty doc: excluded from N and avgdl
+    }
+    d = _write_docs(spark, tmp_path, list(docs.items()))
+    got = {
+        r["doc_id"]: r["bm25"] for r in RT.doc_bm25_topk(spark, d).collect()
+    }
+    want = _py_bm25(docs, RT.BM25_QUERY)
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=1e-9), (i, got[i], want[i])
+
+
+def test_bm25_ranking_prefers_rare_terms_and_penalizes_length(spark, tmp_path):
+    # 'vector' appears in 1 of 40 docs → its doc must outrank a doc
+    # with the same tf of the common term 'join' (present everywhere).
+    rows = [(i, "join filler text here") for i in range(39)]
+    rows.append((39, "vector filler text here"))
+    d = _write_docs(spark, tmp_path, rows)
+    top = RT.doc_bm25_topk(spark, d).collect()
+    assert top[0]["doc_id"] == 39
+
+
+def test_inverted_index_postings_order_and_bounds(spark, tmp_path):
+    # term 'x' in 120 docs (tf = doc_id % 5 + 1): postings must be the
+    # 10 highest-tf docs, tf desc then doc_id asc, and df exact.
+    rows = [(i, " ".join(["x"] * (i % 5 + 1))) for i in range(120)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = RT.doc_inverted_index(spark, d).collect()
+    assert len(out) == 1 and out[0]["word"] == "x"
+    assert out[0]["n_docs"] == 120
+    assert out[0]["total_tf"] == sum(i % 5 + 1 for i in range(120))
+    # tf=5 ⇔ doc_id % 5 == 4 → lowest ten such ids
+    assert out[0]["top_doc_ids"] == [4, 9, 14, 19, 24, 29, 34, 39, 44, 49]
+
+
+def test_inverted_index_min_df_threshold(spark, tmp_path):
+    rows = [(i, "common") for i in range(RT.INDEX_MIN_DF)]
+    rows += [(1000 + i, "rare") for i in range(RT.INDEX_MIN_DF - 1)]
+    d = _write_docs(spark, tmp_path, rows)
+    words = {r["word"] for r in RT.doc_inverted_index(spark, d).collect()}
+    assert words == {"common"}
+
+
+def test_fuzzy_pairs_planted_typos(spark, tmp_path):
+    names = [
+        "acme widget", "acme wigdet",   # transposition, dist 2, same block
+        "acme bolt",                    # dist > 3 from widget
+        "zenith gear", "zenith gears",  # suffix insert, dist 1
+        "zzz gear",                     # same-ish name, different block →
+                                        # unreachable by design (blocking)
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in RT.part_fuzzy_pairs(spark, d).collect()
+    }
+    assert got[("acme widget", "acme wigdet")] == 2
+    assert got[("zenith gear", "zenith gears")] == 1
+    assert ("acme bolt", "acme widget") not in got
+    # blocking contract: cross-block near-match is NOT found
+    assert all("zzz gear" not in pair for pair in got)
+
+
+def test_fuzzy_join_is_keyed_not_cartesian(spark, sf_dir):
+    """The block prefix must surface as an equi-join key: no
+    CartesianProduct / BroadcastNestedLoopJoin in the plan."""
+    plan = (
+        RT.part_fuzzy_pairs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_bm25_broadcasts_scalars_and_df(spark, sf_dir):
+    """The df table and N/avgdl scalars must be broadcast — the only
+    sized exchange is the tf⋈dl doc_id join."""
+    plan = (
+        RT.doc_bm25_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_on_real_corpus_is_stable(spark, sf_dir):
+    rows = RT.doc_bm25_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= RT.BM25_TOPK
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)

@@ -1,0 +1,166 @@
+"""Time-series operators: EWMA fold exactness vs a Python recursion,
+OHLC tie-break semantics, MAD robustness vs z-scores, transition
+matrix edges, and attribution window boundaries — the cases the
+uniform synthetic events can't produce."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, event_type, second_offset, value)
+    base = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, base + datetime.timedelta(seconds=s), u, et, v, "{}")
+            for (i, u, et, s, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _patched(monkeypatch, df):
+    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
+
+    orig = R.load
+    monkeypatch.setattr(
+        TS,
+        "load",
+        lambda spark, sf, name: df if name == "events" else orig(spark, sf, name),
+    )
+
+
+def test_ewma_matches_python_recursion(spark, monkeypatch):
+    vals = [6.55, 12.31, 1.63, 9.87, 3.14159, 100.0, 0.01, 55.5]
+    rows = [(i, 1, "view", i, v) for i, v in enumerate(vals)]
+    rows += [(100, 2, "view", 0, 42.5)]  # single-event user → ewma = x0
+    _patched(monkeypatch, _events(spark, rows))
+    got = {r["user_id"]: r for r in TS.events_ewma(spark, "unused").collect()}
+
+    acc = vals[0]
+    for x in vals[1:]:
+        acc = acc * (1.0 - TS.EWMA_ALPHA) + x * TS.EWMA_ALPHA
+    assert got[1]["ewma"] == round(acc, 6)
+    assert got[1]["n_events"] == len(vals)
+    assert got[2]["ewma"] == 42.5
+
+
+def test_ewma_orders_by_ts_then_event_id(spark, monkeypatch):
+    # same ts, ids 10 and 2: fold order must be (2, 10) — id tiebreak
+    rows = [(10, 1, "view", 5, 100.0), (2, 1, "view", 5, 0.0)]
+    _patched(monkeypatch, _events(spark, rows))
+    got = TS.events_ewma(spark, "unused").collect()[0]["ewma"]
+    assert got == round(0.0 * 0.7 + 100.0 * 0.3, 6)  # starts from id=2
+
+
+def test_ohlc_open_close_tiebreak_and_extremes(spark, monkeypatch):
+    rows = [
+        (0, 1, "view", 0, 5.0),     # open (earliest)
+        (1, 1, "view", 60, 99.0),   # high
+        (2, 1, "view", 120, 0.5),   # low
+        (3, 1, "view", 3599, 7.0),  # close (latest in hour)
+        (4, 1, "view", 3600, 1.0),  # next hour
+    ]
+    _patched(monkeypatch, _events(spark, rows))
+    out = {r["hour"]: r for r in TS.events_ohlc(spark, "unused").collect()}
+    h0 = out["2024-01-01 00:00"]
+    assert (h0["open"], h0["high"], h0["low"], h0["close"]) == (
+        5.0, 99.0, 0.5, 7.0,
+    )
+    assert h0["n_events"] == 4
+    assert out["2024-01-01 01:00"]["open"] == 1.0
+
+
+def test_mad_flags_planted_outliers_zscore_wouldnt(spark, monkeypatch):
+    # 30 values at 10±0.5 plus two spikes: MAD stays ~0.5 so both
+    # spikes flag; stddev is inflated by the spikes themselves.
+    rows = [(i, 1, "metric", i, 10.0 + (0.5 if i % 2 else -0.5))
+            for i in range(30)]
+    rows += [(100, 1, "metric", 100, 500.0), (101, 1, "metric", 101, -400.0)]
+    _patched(monkeypatch, _events(spark, rows))
+    out = TS.events_mad_outliers(spark, "unused").collect()[0]
+    assert out["median_value"] == pytest.approx(10.0, abs=0.5)
+    assert out["mad"] == pytest.approx(0.5, abs=1e-9)
+    assert out["n_outliers"] == 2
+    assert out["outlier_rate"] == round(2 / 32, 6)
+
+
+def test_mad_all_constant_series_has_zero_outliers(spark, monkeypatch):
+    # constant series: MAD = 0, nothing beyond 3·0 — and no div-by-zero
+    rows = [(i, 1, "metric", i, 7.0) for i in range(10)]
+    _patched(monkeypatch, _events(spark, rows))
+    out = TS.events_mad_outliers(spark, "unused").collect()[0]
+    assert out["mad"] == 0.0 and out["n_outliers"] == 0
+
+
+def test_transitions_counts_and_probs(spark, monkeypatch):
+    # user 1: a->b->a->b ; user 2: a->b  ⇒ a->b ×3, b->a ×1
+    rows = [
+        (0, 1, "a", 0, 1.0), (1, 1, "b", 1, 1.0),
+        (2, 1, "a", 2, 1.0), (3, 1, "b", 3, 1.0),
+        (4, 2, "a", 0, 1.0), (5, 2, "b", 1, 1.0),
+    ]
+    _patched(monkeypatch, _events(spark, rows))
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in TS.event_transitions(spark, "unused").collect()
+    }
+    assert got[("a", "b")] == (3, 1.0)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 2  # no cross-user pair (user2.b -> nothing)
+
+
+def test_attribution_window_and_none_bucket(spark, monkeypatch):
+    day = 86_400
+    rows = [
+        # user 1: click 1h before purchase → attributed to click
+        (0, 1, "click", 0, 1.0),
+        (1, 1, "purchase", 3600, 50.0),
+        # user 2: view 4 days before purchase → outside 3-day window
+        (2, 2, "view", 0, 1.0),
+        (3, 2, "purchase", 4 * day, 30.0),
+        # user 3: purchase with no prior touch at all
+        (4, 3, "purchase", 100, 20.0),
+        # user 4: view then click → LAST touch (click) wins
+        (5, 4, "view", 0, 1.0),
+        (6, 4, "click", 600, 1.0),
+        (7, 4, "purchase", 1200, 40.0),
+        # user 5: touch exactly AT the window boundary → still inside
+        (8, 5, "view", 0, 1.0),
+        (9, 5, "purchase", 3 * day, 10.0),
+    ]
+    _patched(monkeypatch, _events(spark, rows))
+    got = {
+        r["touch"]: r
+        for r in TS.attribution_last_touch(spark, "unused").collect()
+    }
+    assert got["click"]["n_purchases"] == 2
+    assert got["click"]["attributed_value"] == 90.0
+    assert got["none"]["n_purchases"] == 2  # outside-window + no-touch
+    assert got["none"]["attributed_value"] == 50.0
+    assert got["none"]["avg_hours_to_convert"] is None
+    assert got["view"]["n_purchases"] == 1
+    # hours: (3600/3600 + 600/3600)/2 for click; 72h for view
+    assert got["click"]["avg_hours_to_convert"] == round(
+        (3600 + 600) / 2 / 3600, 4
+    )
+    assert got["view"]["avg_hours_to_convert"] == 72.0
+
+
+def test_purchase_is_not_its_own_touch(spark, monkeypatch):
+    # consecutive purchases: the second must NOT attribute to the first
+    rows = [
+        (0, 1, "purchase", 0, 5.0),
+        (1, 1, "purchase", 60, 6.0),
+    ]
+    _patched(monkeypatch, _events(spark, rows))
+    got = TS.attribution_last_touch(spark, "unused").collect()
+    assert len(got) == 1 and got[0]["touch"] == "none"
+    assert got[0]["n_purchases"] == 2
