@@ -56,57 +56,94 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r6 window = 12 new oracle entries (subword, the 8 deterministic
-    # sketch entries incl. three streaming twins + set algebra +
-    # DDSketch, BPE encode, A-Res weighted sample batch + streaming) +
-    # 7 oracle entries whose implementation changed this round (rule 1:
-    # no driver row for the CURRENT code) + the 10-entry one-time
-    # rows-only pass (the 7 debts deferred from r5 — r5 VERDICT item 1
-    # — plus the three new rows-only entries) + 21 promoted-stale
-    # r4-green refreshes. 28 r4-green entries defer to
-    # r7 with 2-round-stale hash evidence — the 8 bench headliners
-    # (pricing_summary, revenue_by_segment, top_orders_per_customer,
-    # running_customer_spend, cube_orders, events_hourly,
-    # sessionize_events, doc_quality — each executed in the driver
-    # environment every round by BENCH_r{N}), 6 plain aggregate/set-op
-    # entries whose code has been frozen since r1 (filtered_revenue,
-    # group_having, conditional_agg_status, distinct_suppliers_per_flag,
-    # rollup_returns, nation_set_ops), and 14 plain r1-frozen entries
-    # bumped to make room for new + changed-code entries, which outrank
-    # stale refreshes under rule 1 (customers_per_region,
-    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
-    # unpivot_order_metrics, order_item_arrays, order_price_histogram,
-    # pivot_qty_by_linestatus, region_nations_agg,
-    # scalar_function_showcase, events_metric_map, events_gapfill,
-    # events_json_props, events_moving_hour_sum).
-    # doc_semantic_dedup's r6 change (centroids=None injection default)
-    # is a no-op on its default path; it keeps its r5 one-time row and
-    # stays in _TAIL rather than burning a hash-capable slot.
+    # r7 window = 10 NEW oracle entries (retrieval: BM25 / inverted
+    # index / fuzzy pairs; time series: EWMA / OHLC / MAD outliers /
+    # Markov transitions batch+streaming / attribution; CDC snapshot
+    # diff) + 5 oracle entries whose implementation changed this round
+    # (rule 1: no driver row for the CURRENT code — bpe.py gained the
+    # (?s) DOTALL separator fix [doc_bpe_tokens]; streaming/store.py was
+    # refactored for the as-of read, a dependency of every batch-store
+    # incremental twin [word_countmin_incremental — also the new probe
+    # reserved-name guard — events_hll_incremental,
+    # events_ddsketch_incremental, doc_weighted_sample_incremental]) +
+    # the 28 r4-green entries the r6 window deferred (now 3 rounds
+    # stale — the whole deferral debt drains this round: 8 bench
+    # headliners, 6 r1-frozen aggregates/set-ops, 14 plain r1-frozen
+    # entries). _FILL tops up to exactly 50 with the cheapest r6-green
+    # refreshes. Everything overflowing has an r6-green row except
+    # nothing — the r4 debt is fully inside the window.
     #
     # never-verified hash-capable code outranks everything
+    "doc_bm25_topk",
+    "doc_inverted_index",
+    "part_fuzzy_pairs",
+    "events_ewma",
+    "events_ohlc",
+    "events_mad_outliers",
+    "event_transitions",
+    "event_transitions_incremental",
+    "attribution_last_touch",
+    "customer_rollup_diff",
+    # oracle entries whose code (or store dependency) changed this round
+    "doc_bpe_tokens",
+    "word_countmin_incremental",
+    "events_hll_incremental",
+    "events_ddsketch_incremental",
+    "doc_weighted_sample_incremental",
+    # the 28 r4-green deferrals (3-round-stale evidence — drain in full)
+    "pricing_summary",
+    "revenue_by_segment",
+    "top_orders_per_customer",
+    "running_customer_spend",
+    "cube_orders",
+    "events_hourly",
+    "sessionize_events",
+    "doc_quality",
+    "filtered_revenue",
+    "group_having",
+    "conditional_agg_status",
+    "distinct_suppliers_per_flag",
+    "rollup_returns",
+    "nation_set_ops",
+    "customers_per_region",
+    "supplier_nation_outer",
+    "theta_join_price_band",
+    "top_event_per_user",
+    "unpivot_order_metrics",
+    "order_item_arrays",
+    "order_price_histogram",
+    "pivot_qty_by_linestatus",
+    "region_nations_agg",
+    "scalar_function_showcase",
+    "events_metric_map",
+    "events_gapfill",
+    "events_json_props",
+    "events_moving_hour_sum",
+]
+_FILL: list[str] = [
+    # cheapest r6-green refreshes topping the window to exactly 50
     "doc_subword_tokens",
     "events_hll_users",
-    "events_hll_daily_merge",
-    "events_hll_incremental",
     "word_countmin_topk",
-    "word_countmin_incremental",
-    "events_hll_type_overlap",
     "events_value_ddsketch",
-    "events_ddsketch_incremental",
-    "doc_bpe_tokens",
     "doc_weighted_sample",
-    "doc_weighted_sample_incremental",
-    # oracle entries whose code changed this round (asof NULL-ts guard;
-    # pack_sequences token_mode refactor; upsert read() retry loop)
     "purchases_asof_view",
     "purchases_next_view",
-    "doc_pack_sequences",
-    "doc_pack_sequences_sql",
-    "kinesis_exactly_once_rollup",
-    "training_shards_roundtrip",
-    "scd2_incremental_roundtrip",
-    # one-time driver-environment pass for rows-only entries (the r5
-    # deferral debt + the two new rows-only entries this round)
+]
+_TAIL = [
+    # rows-only entries — ALL have a driver execution row now (r1-r5
+    # tail + the 10 one-time r6 rows) and recall/parity/contract gates
+    # in tests/; slots spent here can't produce hash evidence, so they
+    # stay behind every oracle entry per standing policy rule 3
+    "sketch_event_stats",
+    "stratified_event_sample",
+    "near_dup_minhash_lsh",
+    "simhash_near_pairs",
+    "winnow_near_pairs",
+    "doc_semantic_dedup",
+    "cloudfront_enriched",
+    "cloudfront_wire",
+    "cloudfront_status_rollup",
     "semantic_dedup_incremental",
     "ann_recall_report",
     "bpe_learn_merges",
@@ -116,49 +153,6 @@ _FRONT = [
     "ann_ivf_topk",
     "ann_ivf_pq_topk",
     "embedding_pairs_lsh",
-    "cloudfront_status_rollup",
-    # r4-green oracle entries, two rounds stale after r6 — promoted
-    # (standing policy rule 1, '>=2 rounds since their last green row')
-    "cosine_topk_multi_query",
-    "customer_value_ntile",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "doc_chunks_udtf",
-    "doc_curation_funnel",
-    "doc_exact_dedup",
-    "doc_lang_id",
-    "doc_pii_scrub",
-    "doc_repetition",
-    "doc_split_assign",
-    "doc_tfidf_topk",
-    "doc_token_stats",
-    "doc_word_explode",
-    "events_median_udaf",
-    "events_range_join",
-    "events_tumbling_windows",
-    "events_zscore",
-    "order_price_delta",
-    "shipping_priority",
-    "top_orders",
-]
-_FILL: list[str] = [
-    # empty again this round: changed-code re-verification + the
-    # one-time rows-only debt filled the window to exactly 50; every
-    # overflowing oracle entry has an r5-green row except the 14
-    # documented deferrals above (r4-green, bench- or test-covered)
-]
-_TAIL = [
-    # rows-only entries with existing driver rows (r1-r5). All nine r5
-    # debts moved INTO the window above; what remains here has both a
-    # driver execution row and recall/parity/rate gates in tests/
-    "sketch_event_stats",
-    "stratified_event_sample",
-    "near_dup_minhash_lsh",
-    "simhash_near_pairs",
-    "winnow_near_pairs",
-    "doc_semantic_dedup",
-    "cloudfront_enriched",
-    "cloudfront_wire",
 ]
 
 

@@ -32,25 +32,12 @@ ROWS_ONLY = {
     "bpe_learn_merges",
 }
 
-#: rows-only entries granted a ONE-TIME slot inside the r6 gate window
-#: so every registry entry has at least one driver-environment execution
-#: row (standing policy in __spark_entry__.py). This round drains the
-#: full r5 deferral debt (the 7 entries r5 VERDICT item 1 named) plus
-#: the rows-only entries NEW this round (streaming semantic dedup,
-#: ANN recall report, BPE merge learning). From r7 all of these move
-#: behind every oracle-backed entry again — drain this set then.
-ROWS_ONLY_ONE_TIME_WINDOW = {
-    "near_dup_incremental",
-    "ann_incremental_index",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_pq_topk",
-    "embedding_pairs_lsh",
-    "cloudfront_status_rollup",
-    "semantic_dedup_incremental",
-    "ann_recall_report",
-    "bpe_learn_merges",
-}
+#: r6 granted every then-existing rows-only entry its one-time slot
+#: (CORRECTNESS_r06 holds all 10 execution rows); r7 drains the set per
+#: the standing policy — rows-only entries sit behind every
+#: oracle-backed entry again, and any FUTURE rows-only entry gets its
+#: one-time pass by joining this set for exactly one round.
+ROWS_ONLY_ONE_TIME_WINDOW: set[str] = set()
 
 
 def test_every_query_has_oracle_or_documented_rows_only():
