@@ -1966,3 +1966,127 @@ ORACLE_SQL["customer_rollup_diff"] = f"""
              AS delta
     FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
 """
+
+# --- graph / blocking / paths (r7 second batch) ---------------------------
+from cloudfront_kinesis_log_lambda_spark.operators.dedup import (  # noqa: E402
+    SNM_KEY_LEN,
+    SNM_MAX_PREFIX_DIST,
+    SNM_PREFIX_LEN,
+    SNM_WINDOW,
+)
+from cloudfront_kinesis_log_lambda_spark.operators.graph import (  # noqa: E402
+    PAGERANK_DAMPING,
+    PAGERANK_ITERS,
+    PAGERANK_ROUND,
+)
+from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: E402
+    PATHS_TOPK,
+    SESSION_GAP_S,
+)
+
+# PageRank replay: the recursive term keeps every node alive with a
+# zero-valued self-loop (its 0.0 lands inside the ordered fold — an
+# exact IEEE identity, so the fold equals Spark's self-loop-free fold
+# bit-for-bit) and per-dst contributions fold in src order via
+# list_reduce, mirroring the Spark loop's sort_array+aggregate fold.
+ORACLE_SQL["nation_pagerank"] = f"""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                      CAST(s.s_nationkey AS BIGINT) AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    -- explicit nested dedup: inside a WITH RECURSIVE list DuckDB gives
+    -- a bare UNION recursive-union semantics and returns the operands
+    -- APPENDED (50 rows for 25 nodes — doubled every rank); a derived
+    -- table with DISTINCT is immune
+    nodes AS (SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges)),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY 1),
+    e2 AS (SELECT src, dst, FALSE AS self FROM edges
+           UNION ALL SELECT node, node, TRUE FROM nodes),
+    pr(it, node, rank) AS (
+      SELECT 0, node, CAST(1.0 AS DOUBLE) FROM nodes
+      UNION ALL
+      SELECT pr.it + 1, e2.dst,
+             ROUND({1.0 - PAGERANK_DAMPING!r} + {PAGERANK_DAMPING!r} *
+                   list_reduce(
+                     list(CASE WHEN e2.self THEN 0.0
+                               ELSE pr.rank / deg.deg END
+                          ORDER BY e2.src),
+                     (a, b) -> a + b), {PAGERANK_ROUND})
+      FROM pr
+      JOIN e2 ON e2.src = pr.node
+      LEFT JOIN deg ON deg.src = pr.node
+      WHERE pr.it < {PAGERANK_ITERS}
+      GROUP BY pr.it, e2.dst)
+    SELECT pr.node AS nationkey, n.n_name,
+           CAST(COALESCE(d2.n_out, 0) AS BIGINT) AS n_out,
+           pr.rank
+    FROM pr
+    JOIN nation n ON n.n_nationkey = pr.node
+    LEFT JOIN (SELECT src, COUNT(*) AS n_out FROM edges GROUP BY 1) d2
+      ON d2.src = pr.node
+    WHERE pr.it = {PAGERANK_ITERS}
+"""
+
+ORACLE_SQL["doc_sorted_neighbors"] = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(lower(text), 1, {SNM_KEY_LEN}) AS snm_key,
+             substr(text, 1, {SNM_PREFIX_LEN})     AS prefix
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, prefix,
+             ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rn
+      FROM keyed),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             levenshtein(a.prefix, b.prefix) AS prefix_dist
+      FROM ranked a
+      JOIN UNNEST(range(1, {SNM_WINDOW} + 1)) t(i) ON TRUE
+      JOIN ranked b ON b.rn = a.rn + t.i)
+    SELECT LEAST(da, db)    AS doc_a,
+           GREATEST(da, db) AS doc_b,
+           CAST(prefix_dist AS INT) AS prefix_dist
+    FROM cand WHERE prefix_dist <= {SNM_MAX_PREFIX_DIST}
+"""
+
+ORACLE_SQL["top_conversion_paths"] = f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                     - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT)
+                       > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM gaps
+    ), paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths WHERE converted = 1
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT {PATHS_TOPK}
+"""
+
+# Candle merge laws are commutative (MIN/MAX/argmin-by-key/SUM), so the
+# streaming store reproduces the batch candles exactly — the oracle IS
+# events_ohlc's SQL.
+ORACLE_SQL["events_ohlc_incremental"] = ORACLE_SQL["events_ohlc"]

@@ -719,3 +719,77 @@ def simhash_near_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.min("hamming").alias("hamming"))
     )
+
+
+# --- sorted-neighborhood blocking (r7) ------------------------------------
+
+SNM_WINDOW = 3
+SNM_KEY_LEN = 40
+SNM_PREFIX_LEN = 80
+SNM_MAX_PREFIX_DIST = 20
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+    key_len: int = SNM_KEY_LEN,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández/Stolfo): order the corpus
+    by a canonical sort key (here the lowercased text prefix), slide a
+    fixed window over the sorted sequence, and compare only documents
+    within ``window`` positions — the third blocking family next to
+    LSH bands (minhash_lsh_pairs) and equi-key blocks (the fuzzy
+    prefix join): candidates are O(N·w) by construction, never O(N²),
+    and near-duplicates with a shared prefix land adjacent.
+
+    Plan shape: ranks come from util.global_rank — a RANGE-partitioned
+    exchange + per-partition windows + a bounded offset pass, never the
+    single-partition global window that would serialize the sort at
+    scale (same discipline as doc_global_shuffle's per-shard windows);
+    the neighbor join is an EQUI-join on rank+i with i exploded from
+    1..w, so Catalyst plans a keyed join. Only (rank, doc_id, key,
+    prefix) rows move — never full text. Multi-pass SNM (a second sort
+    key sweep unioned in) is the standard recall extension; single-pass
+    here, documented.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.util import global_rank
+
+    keyed = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, key_len).alias("snm_key"),
+        F.substring(F.col("text"), 1, SNM_PREFIX_LEN).alias("prefix"),
+    )
+    ranked = global_rank(keyed, ["snm_key", "doc_id"])
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("prefix_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(i) for i in range(1, window + 1)])
+        ).alias("rn_b"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("prefix_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        left.join(right, "rn_b")
+        .withColumn("prefix_dist", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("prefix_dist") <= F.lit(SNM_MAX_PREFIX_DIST))
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+            F.col("prefix_dist").cast("int").alias("prefix_dist"),
+        )
+    )
+
+
+def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: sorted-neighborhood candidate pairs over the
+    documents table (window 3, 40-char sort key), kept when the 80-char
+    prefixes are within 20 edits — fully oracle-checked (rank windows,
+    explode, levenshtein are all plain SQL)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return sorted_neighborhood_pairs(docs)

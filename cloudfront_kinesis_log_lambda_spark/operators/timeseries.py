@@ -242,3 +242,61 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_hours_to_convert"),
     )
+
+
+SESSION_GAP_S = 1800
+PATHS_TOPK = 15
+
+
+def top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common within-session event-type paths that end in a
+    purchase: sessionize (the 30-min-gap convention shared with
+    sessionize_events), render each converting session's ordered type
+    sequence as 'a>b>c', count, keep the top 15 (count desc, path asc).
+
+    The path string is built by an ordered fold inside the per-session
+    aggregate (sort_array over (ts, event_id) structs → transform →
+    concat_ws) — one user-partitioned window pass for session ids plus
+    one session-keyed aggregate; path strings are bounded by session
+    length, and only (user, session, type, ts) columns ever shuffle.
+    Top-k is TakeOrderedAndProject."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path"),
+            F.max(
+                (F.col("event_type") == CONVERSION_TYPE).cast("int")
+            ).alias("converted"),
+        )
+        .filter(F.col("converted") == 1)
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(PATHS_TOPK)
+    )

@@ -43,3 +43,49 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if n_files < target:
         return df.repartition(target)
     return df
+
+
+def global_rank(
+    df: "DataFrame",
+    order_cols: list[str],
+    n_partitions: int = 32,
+    rank_col: str = "rn",
+) -> "DataFrame":
+    """Globally consecutive 1-based ranks in (order_cols) order WITHOUT
+    a single-partition window: range-partition on the order columns,
+    rank locally per partition, then add per-partition offsets computed
+    from a bounded (≤ n_partitions rows) driver-side count pass — the
+    classic two-phase total-order rank. The result is independent of
+    the sampled range boundaries because offset + local rank always
+    equals the row's position in the total order.
+
+    ``order_cols`` must be a total order (include a unique id as the
+    last column) or ranks are nondeterministic.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cols = [F.col(c) for c in order_cols]
+    part = df.repartitionByRange(n_partitions, *cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    part = part.localCheckpoint(eager=True)  # pin pids across the two passes
+    counts = {
+        r["_pid"]: r["n"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (
+        part.withColumn(
+            rank_col,
+            (off[F.col("_pid")] + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_pid")
+    )

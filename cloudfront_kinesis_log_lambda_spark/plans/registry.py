@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import asof as A
 from cloudfront_kinesis_log_lambda_spark.operators import cdc as CDC
+from cloudfront_kinesis_log_lambda_spark.operators import graph as G
 from cloudfront_kinesis_log_lambda_spark.operators import retrieval as RT
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
@@ -1146,6 +1147,42 @@ def event_transitions_incremental(
     return _with_scratch("stream-transitions", build)
 
 
+def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING OHLC twin (streaming/ohlc.py) driven over the
+    events table as three arrival waves split by event_id residue —
+    deliberately NOT time-ordered, because every candle merge law
+    (MIN/MAX/argmin-by-key/SUM) is commutative; a wave slicing an hour
+    in half must merge back exactly. HASH-GREEN: the oracle IS
+    events_ohlc's SQL (writeStream + re-delivery contracts live in
+    test_streaming_ohlc)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.ohlc import (
+        StreamingOHLC,
+    )
+
+    def build(root: str) -> DataFrame:
+        so = StreamingOHLC(root)
+        e = R.load(spark, sf_dir, "events")
+        for wave in range(3):
+            so(e.filter(F.col("event_id") % 3 == wave), wave)
+        return so.candles(spark)
+
+    return _with_scratch("stream-ohlc", build)
+
+
+def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/dedup.py::
+    sorted_neighborhood_pairs): the third blocking family next to LSH
+    bands and equi-key blocks — candidates O(N·w) via a range-
+    partitioned two-phase global rank, kept under a prefix edit-distance
+    cap. Fully oracle-checked (rank + explode + levenshtein are plain
+    SQL)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        doc_sorted_neighbors as _dsn,
+    )
+
+    return _dsn(spark, sf_dir)
+
+
 # Unordered registry of the extension surface; the driver-facing walk
 # order (which decides what the gate's entry budget evaluates) is imposed
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
@@ -1219,6 +1256,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions_incremental": event_transitions_incremental,
     "attribution_last_touch": TS.attribution_last_touch,
     "customer_rollup_diff": CDC.customer_rollup_diff,
+    "nation_pagerank": G.nation_pagerank,
+    "doc_sorted_neighbors": doc_sorted_neighbors,
+    "top_conversion_paths": TS.top_conversion_paths,
+    "events_ohlc_incremental": events_ohlc_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
