@@ -1757,6 +1757,8 @@ from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (  # noqa: E
     BM25_K1,
     BM25_QUERY,
     BM25_TOPK,
+    FUZZY_DEEP_PREFIX,
+    FUZZY_MAX_BLOCK,
     FUZZY_MAX_DIST,
     FUZZY_PREFIX,
     INDEX_MIN_DF,
@@ -1807,18 +1809,34 @@ ORACLE_SQL["doc_inverted_index"] = rf"""
                       ROW_NUMBER() OVER (PARTITION BY word
                                          ORDER BY tf DESC, doc_id ASC) AS rn
                FROM tf),
-    post AS (SELECT word, list(doc_id ORDER BY rn) AS top_doc_ids
+    post AS (SELECT word,
+                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+                      AS postings_csv
              FROM ranked WHERE rn <= {POSTINGS_K} GROUP BY word)
-    SELECT word, n_docs, total_tf, top_doc_ids
+    SELECT word, n_docs, total_tf, postings_csv
     FROM stats JOIN post USING (word)
 """
 
+# two-level hot-block cap mirrored from operators/retrieval.py: shallow
+# blocks over FUZZY_MAX_BLOCK re-key on the deep prefix; deep blocks
+# still over the cap are dropped ('S:'/'D:' keeps key spaces disjoint)
 ORACLE_SQL["part_fuzzy_pairs"] = f"""
-    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    c1 AS (SELECT substr(name, 1, {FUZZY_PREFIX}) AS b1, COUNT(*) AS n1
+           FROM names GROUP BY 1),
+    keyed AS (
+      SELECT name,
+             CASE WHEN n1 > {FUZZY_MAX_BLOCK}
+                  THEN 'D:' || substr(name, 1, {FUZZY_DEEP_PREFIX})
+                  ELSE 'S:' || substr(name, 1, {FUZZY_PREFIX}) END AS blk
+      FROM names JOIN c1 ON substr(name, 1, {FUZZY_PREFIX}) = b1),
+    c2 AS (SELECT blk, COUNT(*) AS n2 FROM keyed GROUP BY 1),
+    ok AS (SELECT name, blk FROM keyed JOIN c2 USING (blk)
+           WHERE n2 <= {FUZZY_MAX_BLOCK})
     SELECT a.name AS name_a, b.name AS name_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS dist
-    FROM names a JOIN names b
-      ON substr(a.name, 1, {FUZZY_PREFIX}) = substr(b.name, 1, {FUZZY_PREFIX})
+    FROM ok a JOIN ok b
+      ON a.blk = b.blk
      AND a.name < b.name
      AND abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_DIST}
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}

@@ -40,8 +40,15 @@ INDEX_MIN_DF = 100
 POSTINGS_K = 10
 
 # Fuzzy-match bounds: candidate pairs must share a FUZZY_PREFIX-char
-# block and differ by at most FUZZY_MAX_DIST edits.
+# block and differ by at most FUZZY_MAX_DIST edits. Blocks whose
+# population exceeds FUZZY_MAX_BLOCK escalate to the FUZZY_DEEP_PREFIX
+# key (splits on the second word of multi-word names); deep blocks
+# still over the cap are DROPPED — the same hard bound as
+# minhash_lsh_pairs' max_bucket_size (operators/dedup.py), trading
+# recall inside pathological blocks for a per-block O(cap²) ceiling.
 FUZZY_PREFIX = 3
+FUZZY_DEEP_PREFIX = 12
+FUZZY_MAX_BLOCK = 1000
 FUZZY_MAX_DIST = 3
 
 
@@ -130,6 +137,11 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel, no global sort — and the posting arrays carry
     only doc_ids, never text. At 100 TB the index build is two
     word-keyed exchanges of compact rows.
+
+    The posting list is emitted as a canonical CSV string (the house
+    array convention, see order_item_arrays in operators/relational.py:
+    array columns don't compare stably through pandas, so the driver
+    gate's canonicalization chokes on raw array<bigint> — the r7 err).
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tf = (
@@ -150,14 +162,17 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= POSTINGS_K)
         .groupBy("word")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
-                lambda x: x["doc_id"],
-            ).alias("top_doc_ids")
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
+                    lambda x: x["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("postings_csv")
         )
     )
     return stats.join(postings, "word").select(
-        "word", "n_docs", "total_tf", "top_doc_ids"
+        "word", "n_docs", "total_tf", "postings_csv"
     )
 
 
@@ -175,20 +190,51 @@ def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicates the symmetric pair. Blocking trades recall for scale
     (a pair differing inside the first 3 chars is unseen) — the same
     documented contract as every blocked dedup op here.
+
+    Hot-block cap (the r7 scale gap): per-block cost is O(block²), and
+    a popular prefix ("pro", "the") is a quadratic blowup at 100 TB.
+    Two-level contract, deterministic and oracle-mirrored:
+      1. blocks with ≤ FUZZY_MAX_BLOCK names join on the shallow
+         FUZZY_PREFIX key (the r7 behavior — unchanged at test SFs);
+      2. oversize blocks re-key on the FUZZY_DEEP_PREFIX prefix
+         (a 'D:'/'S:' tag keeps the two key spaces disjoint);
+      3. deep blocks still over the cap are dropped outright.
+    The shallow count table is prefix-bounded (≤ |alphabet|^FUZZY_PREFIX
+    distinct keys) so it broadcasts; the deep count table is NOT
+    force-broadcast (one hot shallow block can fan out to millions of
+    deep keys) — AQE picks the strategy. Recall lost: pairs differing
+    inside the first FUZZY_DEEP_PREFIX chars of a hot block are unseen.
     """
     names = (
         load(spark, sf_dir, "part")
         .select(F.col("p_name").alias("name"))
         .distinct()
     )
-    a = names.select(
+    shallow = F.substring("name", 1, FUZZY_PREFIX)
+    deep = F.substring("name", 1, FUZZY_DEEP_PREFIX)
+    c1 = names.groupBy(shallow.alias("b1")).agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    keyed = names.join(
+        F.broadcast(c1), shallow == F.col("b1")
+    ).select(
+        "name",
+        F.when(
+            F.col("n1") > FUZZY_MAX_BLOCK, F.concat(F.lit("D:"), deep)
+        )
+        .otherwise(F.concat(F.lit("S:"), shallow))
+        .alias("blk"),
+    )
+    c2 = keyed.groupBy("blk").agg(F.count(F.lit(1)).alias("n2"))
+    ok = keyed.join(c2, "blk").filter(F.col("n2") <= FUZZY_MAX_BLOCK)
+    a = ok.select(
         F.col("name").alias("name_a"),
-        F.substring("name", 1, FUZZY_PREFIX).alias("blk"),
+        "blk",
         F.length("name").alias("len_a"),
     )
-    b = names.select(
+    b = ok.select(
         F.col("name").alias("name_b"),
-        F.substring("name", 1, FUZZY_PREFIX).alias("blk"),
+        "blk",
         F.length("name").alias("len_b"),
     )
     return (

@@ -84,8 +84,8 @@ def test_inverted_index_postings_order_and_bounds(spark, tmp_path):
     assert len(out) == 1 and out[0]["word"] == "x"
     assert out[0]["n_docs"] == 120
     assert out[0]["total_tf"] == sum(i % 5 + 1 for i in range(120))
-    # tf=5 ⇔ doc_id % 5 == 4 → lowest ten such ids
-    assert out[0]["top_doc_ids"] == [4, 9, 14, 19, 24, 29, 34, 39, 44, 49]
+    # tf=5 ⇔ doc_id % 5 == 4 → lowest ten such ids (house CSV render)
+    assert out[0]["postings_csv"] == "4,9,14,19,24,29,34,39,44,49"
 
 
 def test_inverted_index_min_df_threshold(spark, tmp_path):
@@ -117,6 +117,41 @@ def test_fuzzy_pairs_planted_typos(spark, tmp_path):
     assert ("acme bolt", "acme widget") not in got
     # blocking contract: cross-block near-match is NOT found
     assert all("zzz gear" not in pair for pair in got)
+
+
+def _write_parts(spark, tmp_path, names):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "p_partkey long, p_name string"
+    ).write.mode("overwrite").parquet(f"{d}/part.parquet")
+    return d
+
+
+def test_fuzzy_hot_block_escalates_to_deep_prefix(spark, tmp_path):
+    """A shallow block over FUZZY_MAX_BLOCK re-keys on the deep prefix:
+    pairs sharing the 12-char prefix survive, pairs differing inside it
+    are the documented recall loss."""
+    # 1100 'pro…' names, deep-distinct → oversize shallow block
+    names = [f"pro{i:04d} widget" for i in range(1100)]
+    names += ["product alpha x", "product alpha y"]  # share deep prefix, dist 1
+    names += ["proXY thing", "proZW thing"]  # dist 2 but deep-divergent
+    d = _write_parts(spark, tmp_path, names)
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in RT.part_fuzzy_pairs(spark, d).collect()
+    }
+    assert ("product alpha x", "product alpha y") in got
+    assert ("proXY thing", "proZW thing") not in got  # recall trade
+    # the deep-distinct filler can only pair within its own deep block
+    assert all(a[:12] == b[:12] for a, b in got)
+
+
+def test_fuzzy_oversize_deep_block_is_dropped(spark, tmp_path):
+    """Deep blocks still over the cap are dropped outright — the hard
+    O(cap²) ceiling (same contract as LSH max_bucket_size)."""
+    names = [f"product alpha {i:04d}" for i in range(1100)]  # one deep block
+    d = _write_parts(spark, tmp_path, names)
+    assert RT.part_fuzzy_pairs(spark, d).count() == 0
 
 
 def test_fuzzy_join_is_keyed_not_cartesian(spark, sf_dir):
