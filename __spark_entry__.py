@@ -56,80 +56,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r7 window = 10 NEW oracle entries (retrieval: BM25 / inverted
-    # index / fuzzy pairs; time series: EWMA / OHLC / MAD outliers /
-    # Markov transitions batch+streaming / attribution; CDC snapshot
-    # diff) + 5 oracle entries whose implementation changed this round
-    # (rule 1: no driver row for the CURRENT code — bpe.py gained the
-    # (?s) DOTALL separator fix [doc_bpe_tokens]; streaming/store.py was
-    # refactored for the as-of read, a dependency of every batch-store
-    # incremental twin [word_countmin_incremental — also the new probe
-    # reserved-name guard — events_hll_incremental,
-    # events_ddsketch_incremental, doc_weighted_sample_incremental]) +
-    # the 28 r4-green entries the r6 window deferred (now 3 rounds
-    # stale — the whole deferral debt drains this round: 8 bench
-    # headliners, 6 r1-frozen aggregates/set-ops, 14 plain r1-frozen
-    # entries). _FILL tops up to exactly 50 with the cheapest r6-green
-    # refreshes. Everything overflowing has an r6-green row except
-    # nothing — the r4 debt is fully inside the window.
+    # r8 WINDOW MATH (standing policy above; 126 oracle entries / 50
+    # slots → a period-3 round-robin needs 42 slots/round on average
+    # and keeps every entry ≤2 rounds stale — the steady-state
+    # invariant this round establishes):
+    #   9 must-runs = 4 r7 end-of-round landings with zero driver
+    #     evidence (nation_pagerank, top_conversion_paths,
+    #     events_ohlc_incremental, doc_sorted_neighbors)
+    #   + 2 changed implementations (doc_inverted_index: CSV postings
+    #     fix for the r7 canon err; part_fuzzy_pairs: two-level
+    #     hot-block cap — output-affecting at hot blocks)
+    #   + 3 NEW streaming twins (events_ewma_incremental,
+    #     doc_inverted_index_incremental, doc_bm25_incremental)
+    #   41 = ALL r5-green entries (3 rounds stale — the entire r5
+    #     debt drains; after this round nothing is >2 rounds stale).
+    # doc_bm25_topk was refactored (scoring extracted into
+    # bm25_score_topk) but the plan is identical, its r7 hash row
+    # stands, and the shared helper gets fresh r8 evidence through
+    # doc_bm25_incremental — the one slot saved funds the last r5
+    # entry. r9 owes: the 28 r6-green entries + the oldest r7 greens.
     #
     # never-verified hash-capable code outranks everything
-    "doc_bm25_topk",
+    "nation_pagerank",
+    "top_conversion_paths",
+    "events_ohlc_incremental",
+    "doc_sorted_neighbors",
     "doc_inverted_index",
     "part_fuzzy_pairs",
-    "events_ewma",
-    "events_ohlc",
-    "events_mad_outliers",
-    "event_transitions",
-    "event_transitions_incremental",
-    "attribution_last_touch",
-    "customer_rollup_diff",
-    # oracle entries whose code (or store dependency) changed this round
-    "doc_bpe_tokens",
-    "word_countmin_incremental",
-    "events_hll_incremental",
-    "events_ddsketch_incremental",
-    "doc_weighted_sample_incremental",
-    # the 28 r4-green deferrals (3-round-stale evidence — drain in full)
-    "pricing_summary",
-    "revenue_by_segment",
-    "top_orders_per_customer",
-    "running_customer_spend",
-    "cube_orders",
-    "events_hourly",
-    "sessionize_events",
-    "doc_quality",
-    "filtered_revenue",
-    "group_having",
-    "conditional_agg_status",
-    "distinct_suppliers_per_flag",
-    "rollup_returns",
-    "nation_set_ops",
-    "customers_per_region",
-    "supplier_nation_outer",
-    "theta_join_price_band",
-    "top_event_per_user",
-    "unpivot_order_metrics",
-    "order_item_arrays",
-    "order_price_histogram",
-    "pivot_qty_by_linestatus",
-    "region_nations_agg",
-    "scalar_function_showcase",
-    "events_metric_map",
-    "events_gapfill",
-    "events_json_props",
-    "events_moving_hour_sum",
+    "events_ewma_incremental",
+    "doc_inverted_index_incremental",
+    "doc_bm25_incremental",
+    # the 41 r5-green entries (3-round-stale evidence — drain in full)
+    "ann_quantized_topk",
+    "cosine_topk_bruteforce",
+    "decimal_revenue_exact",
+    "doc_block_dedup",
+    "doc_collocations",
+    "doc_contamination",
+    "doc_decontaminate",
+    "doc_dedup_keep",
+    "doc_dup_span_stats",
+    "doc_global_shuffle",
+    "doc_gram_novelty",
+    "doc_mixture_sample",
+    "doc_quality_sample",
+    "doc_source_quota",
+    "doc_table_profile",
+    "doc_unigram_logprob",
+    "embedding_norms",
+    "embedding_pairs_exact",
+    "embedding_quantize_int8",
+    "events_funnel",
+    "events_interval_join",
+    "events_pattern_match",
+    "events_retention_cohorts",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_variant_props",
+    "events_zorder_roundtrip",
+    "grouping_sets_revenue",
+    "matryoshka_topk",
+    "multimodal_asset_dedup",
+    "multimodal_features",
+    "near_dup_3gram",
+    "near_dup_clusters",
+    "order_price_percentiles",
+    "orders_with_max_item",
+    "parquet_roundtrip_daily",
+    "parts_above_brand_avg",
+    "purchases_asof_cogroup",
+    "recent_orders_lateral",
+    "sql_market_share",
+    "user_value_scd2",
 ]
-_FILL: list[str] = [
-    # cheapest r6-green refreshes topping the window to exactly 50
-    "doc_subword_tokens",
-    "events_hll_users",
-    "word_countmin_topk",
-    "events_value_ddsketch",
-    "doc_weighted_sample",
-    "purchases_asof_view",
-    "purchases_next_view",
-]
+_FILL: list[str] = []
 _TAIL = [
     # rows-only entries — ALL have a driver execution row now (r1-r5
     # tail + the 10 one-time r6 rows) and recall/parity/contract gates

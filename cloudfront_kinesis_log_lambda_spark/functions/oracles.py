@@ -2108,3 +2108,14 @@ ORACLE_SQL["top_conversion_paths"] = f"""
 # streaming store reproduces the batch candles exactly — the oracle IS
 # events_ohlc's SQL.
 ORACLE_SQL["events_ohlc_incremental"] = ORACLE_SQL["events_ohlc"]
+
+# EWMA left-folds compose (fold(full) == fold(tail, seed=fold(head))),
+# so the time-ordered wave replay reproduces the batch fold bit-exactly
+# — the oracle IS events_ewma's SQL.
+ORACLE_SQL["events_ewma_incremental"] = ORACLE_SQL["events_ewma"]
+
+# Retrieval-store merges are commutative SUMs (tf, dl) feeding the
+# batch operators' own assembly/scoring code — the oracles ARE the
+# batch queries' SQL.
+ORACLE_SQL["doc_inverted_index_incremental"] = ORACLE_SQL["doc_inverted_index"]
+ORACLE_SQL["doc_bm25_incremental"] = ORACLE_SQL["doc_bm25_topk"]

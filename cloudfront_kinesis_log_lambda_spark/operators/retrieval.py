@@ -60,35 +60,24 @@ def _tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
-def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 documents by BM25 score for the fixed query terms.
+def bm25_score_topk(tf: DataFrame, dl: DataFrame) -> DataFrame:
+    """BM25 scoring core shared by the batch query and the streaming
+    serving twin (streaming/retrieval.py): ``tf`` is (doc_id, word,
+    tf DOUBLE) already restricted to the query terms; ``dl`` is
+    (doc_id, dl) over the whole corpus.
 
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (Lucene's
     non-negative variant). N counts tokenized docs; avgdl averages
-    their lengths.
-
-    Plan shape for 100 TB: the text column never shuffles — the scan
-    side reduces to (doc_id, word) → (doc_id, dl) and the query-term tf
-    rows before any exchange. The per-term df table (≤|query| rows) and
-    the N/avgdl scalar row are broadcast; the only sized shuffle is the
+    their lengths. The per-term df table (≤|query| rows) and the
+    N/avgdl scalar row are broadcast; the only sized shuffle is the
     tf⋈dl join on doc_id, whose left side is already filtered to docs
     containing a query term. Top-k is TakeOrderedAndProject, not a
     global sort.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _tokens(docs)
-
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     scalars = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    )
-
-    tf = (
-        toks.filter(F.col("word").isin(*BM25_QUERY))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
     df_t = tf.groupBy("word").agg(
         F.count(F.lit(1)).cast("double").alias("df")
@@ -127,32 +116,41 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inverted index over the corpus: one row per indexed term with
-    document frequency, total term frequency, and the posting list of
-    the POSTINGS_K highest-tf documents (tf desc, doc_id asc).
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 score for the fixed query terms.
 
-    Plan shape: tf reduces (doc_id, word) before anything wide; the
-    per-term top-k posting selection is a rank window over (word) —
-    partition-parallel, no global sort — and the posting arrays carry
-    only doc_ids, never text. At 100 TB the index build is two
-    word-keyed exchanges of compact rows.
-
-    The posting list is emitted as a canonical CSV string (the house
-    array convention, see order_item_arrays in operators/relational.py:
-    array columns don't compare stably through pandas, so the driver
-    gate's canonicalization chokes on raw array<bigint> — the r7 err).
+    Plan shape for 100 TB: the text column never shuffles — the scan
+    side reduces to (doc_id, dl) and the query-term tf rows before any
+    exchange (dl comes straight off the token stream, NOT via a full
+    word-level tf reduce). Scoring/top-k in :func:`bm25_score_topk`.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     tf = (
-        _tokens(docs)
-        .groupBy("word", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        toks.filter(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
     )
+    return bm25_score_topk(tf, dl)
+
+
+def index_from_tf(tf: DataFrame, min_df: int = INDEX_MIN_DF) -> DataFrame:
+    """Index assembly shared by the batch build and the streaming
+    serving twin: ``tf`` is (word, doc_id, tf) — one row per posting.
+
+    The per-term top-k posting selection is a rank window over (word) —
+    partition-parallel, no global sort — and the posting lists carry
+    only doc_ids, never text. The posting list is emitted as a
+    canonical CSV string (the house array convention, see
+    order_item_arrays in operators/relational.py: array columns don't
+    compare stably through pandas, so the driver gate's
+    canonicalization chokes on raw array<bigint> — the r7 err).
+    """
     stats = tf.groupBy("word").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tf").cast("long").alias("total_tf"),
-    ).filter(F.col("n_docs") >= INDEX_MIN_DF)
+    ).filter(F.col("n_docs") >= min_df)
 
     w = Window.partitionBy("word").orderBy(
         F.col("tf").desc(), F.col("doc_id").asc()
@@ -174,6 +172,24 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(postings, "word").select(
         "word", "n_docs", "total_tf", "postings_csv"
     )
+
+
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: one row per indexed term with
+    document frequency, total term frequency, and the CSV posting list
+    of the POSTINGS_K highest-tf documents (tf desc, doc_id asc).
+
+    Plan shape: tf reduces (doc_id, word) before anything wide — at
+    100 TB the index build is two word-keyed exchanges of compact rows
+    (assembly in :func:`index_from_tf`).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tf = (
+        _tokens(docs)
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return index_from_tf(tf)
 
 
 def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

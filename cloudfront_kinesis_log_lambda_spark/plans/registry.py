@@ -1169,6 +1169,79 @@ def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-ohlc", build)
 
 
+def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING EWMA twin (streaming/ewma.py) driven over the
+    events table as three TIME-ORDERED arrival waves (event_id
+    terciles, like the transition twin — EWMA is order-DEPENDENT, so
+    unlike OHLC the wave split must respect event time). Users sliced
+    across waves exercise the seeded fold; HASH-GREEN: left-fold
+    composition makes stream == batch bit-exact, so the oracle IS
+    events_ewma's SQL (writeStream + re-delivery + ordering contracts
+    live in test_streaming_ewma)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.ewma import (
+        StreamingEWMA,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = StreamingEWMA(root)
+        e = R.load(spark, sf_dir, "events")
+        n = e.count()
+        c1, c2 = n // 3, (2 * n) // 3
+        for wave, cond in enumerate(
+            [
+                F.col("event_id") < c1,
+                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
+                F.col("event_id") >= c2,
+            ]
+        ):
+            st(e.filter(cond), wave)
+        return st.ewma(spark)
+
+    return _with_scratch("stream-ewma", build)
+
+
+def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
+    """Shared wave driver for the two retrieval-serving twins: the
+    documents table as three doc_id-residue waves (every merge law is
+    a commutative SUM — deliberately NOT time/id-ordered, like the
+    OHLC twin)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.retrieval import (
+        StreamingInvertedIndex,
+    )
+
+    st = StreamingInvertedIndex(root)
+    d = _docs(spark, sf_dir)
+    for wave in range(3):
+        st(d.filter(F.col("doc_id") % 3 == wave), wave)
+    return st
+
+
+def doc_inverted_index_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING inverted-index twin (streaming/retrieval.py):
+    per-batch (word, doc_id, tf) partials SUM-merge on read and feed
+    the SAME assembly code as the batch build. HASH-GREEN: the oracle
+    IS doc_inverted_index's SQL (split-doc/retry/writeStream contracts
+    live in test_streaming_retrieval)."""
+
+    def build(root: str) -> DataFrame:
+        return _drive_inverted_index(spark, sf_dir, root).index(spark)
+
+    return _with_scratch("stream-invidx", build)
+
+
+def doc_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving off the streaming posting store — the query probes
+    the merged partials (filter on the query terms), never re-tokenizes
+    a document. HASH-GREEN: the oracle IS doc_bm25_topk's SQL."""
+
+    def build(root: str) -> DataFrame:
+        return _drive_inverted_index(spark, sf_dir, root).bm25_topk(spark)
+
+    return _with_scratch("stream-bm25", build)
+
+
 def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.py::
     sorted_neighborhood_pairs): the third blocking family next to LSH
@@ -1248,6 +1321,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matryoshka_topk": matryoshka_topk,
     "doc_bm25_topk": RT.doc_bm25_topk,
     "doc_inverted_index": RT.doc_inverted_index,
+    "doc_inverted_index_incremental": doc_inverted_index_incremental,
+    "doc_bm25_incremental": doc_bm25_incremental,
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
     "events_ewma": TS.events_ewma,
     "events_ohlc": TS.events_ohlc,
@@ -1260,6 +1335,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_sorted_neighbors": doc_sorted_neighbors,
     "top_conversion_paths": TS.top_conversion_paths,
     "events_ohlc_incremental": events_ohlc_incremental,
+    "events_ewma_incremental": events_ewma_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
