@@ -10,8 +10,21 @@ super-linear blowup: the duplication-heavy paths must stay bounded by
 their caps (block index: struct-min per distinct block; semantic: cells
 capped at max_cell_size with pair work O(cell²) only under the cap).
 
-Usage: python tools/smoke_worstcase.py [N] [sf_dir]
+Usage: python tools/smoke_worstcase.py [N] [sf_dir]        # r6 legs
+       python tools/smoke_worstcase.py r8 [N] [sf_dir]     # r8 legs
 Prints one line per measurement; paste the summary into BASELINE.md.
+
+r8 legs (VERDICT r7 item 7 + the new fuzzy cap), each an adversarial
+SHAPE, not just more rows:
+  - EWMA + transitions with one WHALE user holding all N× duplicated
+    events — the per-user array/window contract's skew stress;
+  - BM25 with every query term planted in every doc (tf table goes
+    from sparse to |docs|·|terms| rows);
+  - sorted-neighborhood with ALL-IDENTICAL sort keys (every rank tie
+    broken by doc_id; candidates must stay O(N·w));
+  - part_fuzzy_pairs with every name in ONE 12-char-identical block
+    (escalate → still oversize → dropped: wall must stay flat, the
+    O(cap²) ceiling doing its job).
 """
 
 from __future__ import annotations
@@ -23,6 +36,167 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
+
+
+def main_r8() -> None:
+    import shutil
+    import tempfile
+
+    argv = sys.argv[2:]
+    n = int(argv[0]) if argv else 25
+    sf_dir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.1"
+
+    from cloudfront_kinesis_log_lambda_spark import get_spark
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        retrieval as RT,
+        timeseries as TS,
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        doc_sorted_neighbors,
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+    spark = get_spark()
+    scratch = tempfile.mkdtemp(prefix="cfkll-smoke-r8-")
+
+    def sf_with(name, df, tag):
+        """Scratch sf_dir holding ONE adversarial table."""
+        d = os.path.join(scratch, tag)
+        df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+        return d
+
+    def timed(label, fn):
+        t0 = time.monotonic()
+        count = fn()
+        dt = time.monotonic() - t0
+        print(f"{label}: {dt:.2f}s ({count} rows)")
+        return dt
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # ---- leg 1: whale user (EWMA fold + transitions window skew) ----
+    ev = load(spark, sf_dir, "events")
+    n_ev = ev.count()
+    whale = ev
+    for i in range(1, n):
+        whale = whale.unionByName(
+            ev.withColumn("user_id", F.lit(-1).cast("long")).withColumn(
+                "event_id",
+                F.col("event_id") + F.lit(i * 10_000_000).cast("long"),
+            )
+        )
+    d1 = sf_with("events", ev, "ev1")
+    dn = sf_with("events", whale, f"ev{n}-whale")
+    print(f"events: {n_ev} rows; whale user carries {(n - 1) * n_ev}")
+    # throwaway warm-up: JIT/codegen warm-up otherwise inflates the 1×
+    # wall and deflates every ratio (the r6 bpe-leg review finding)
+    TS.events_ewma(spark, d1).count()
+    t1 = timed("events_ewma 1x", lambda: TS.events_ewma(spark, d1).count())
+    tn = timed(
+        f"events_ewma {n}x-whale", lambda: TS.events_ewma(spark, dn).count()
+    )
+    print(f"events_ewma wall ratio: {tn / t1:.1f}x for {n}x rows, one user")
+    t1 = timed(
+        "event_transitions 1x",
+        lambda: TS.event_transitions(spark, d1).count(),
+    )
+    tn = timed(
+        f"event_transitions {n}x-whale",
+        lambda: TS.event_transitions(spark, dn).count(),
+    )
+    print(f"event_transitions wall ratio: {tn / t1:.1f}x for {n}x rows, one user")
+
+    # ---- leg 2: BM25 with every query term in every doc ----
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    hot = docs.withColumn(
+        "text", F.concat_ws(" ", "text", F.lit(" ".join(RT.BM25_QUERY)))
+    )
+    hotN = hot
+    for i in range(1, n):
+        hotN = hotN.unionByName(
+            hot.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(i * 10_000_000).cast("long"),
+            )
+        )
+    d1 = sf_with("documents", docs, "doc1")
+    dh = sf_with("documents", hotN, f"doc{n}-hot")
+    t1 = timed("doc_bm25_topk 1x", lambda: RT.doc_bm25_topk(spark, d1).count())
+    tn = timed(
+        f"doc_bm25_topk {n}x-allterms",
+        lambda: RT.doc_bm25_topk(spark, dh).count(),
+    )
+    print(
+        f"doc_bm25_topk wall ratio: {tn / t1:.1f}x for {n}x docs, "
+        f"every term in every doc ({n_docs * n * len(RT.BM25_QUERY)} tf rows)"
+    )
+
+    # ---- leg 3: sorted-neighborhood, ALL-IDENTICAL sort keys ----
+    same = docs.withColumn(
+        "text", F.concat(F.lit("identical-key-prefix "), F.col("text"))
+    )
+    sameN = same
+    for i in range(1, n):
+        sameN = sameN.unionByName(
+            same.withColumn(
+                "doc_id",
+                F.col("doc_id") + F.lit(i * 10_000_000).cast("long"),
+            )
+        )
+    d1 = sf_with("documents", same, "snm1")
+    dn = sf_with("documents", sameN, f"snm{n}")
+    t1 = timed(
+        "doc_sorted_neighbors 1x",
+        lambda: doc_sorted_neighbors(spark, d1).count(),
+    )
+    tn = timed(
+        f"doc_sorted_neighbors {n}x-samekey",
+        lambda: doc_sorted_neighbors(spark, dn).count(),
+    )
+    print(f"doc_sorted_neighbors wall ratio: {tn / t1:.1f}x for {n}x rows, one key")
+
+    # ---- leg 4: fuzzy pairs, adversarial DISTINCT names ----
+    # (the real part table has only ~64 distinct names at sf0.1 — far
+    # under the cap — so the stress tables are synthetic: 20k distinct
+    # names per shape)
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    n_names = 20_000
+    ids = spark.range(n_names).select(F.col("id").cast("long"))
+    # shape A: ONE 12-char-identical deep block of 20k distinct names
+    # → escalate, still oversize, DROPPED: wall must be flat (0 pairs)
+    oneblk = ids.select(
+        F.col("id").alias("p_partkey"),
+        F.format_string("prefixprefix %05d widget", "id").alias("p_name"),
+    )
+    # shape B: one hot 3-char block, deep-DIVERSE names → escalation
+    # splits it into ~20k tiny deep blocks
+    deepdiv = ids.select(
+        F.col("id").alias("p_partkey"),
+        F.format_string("pro%05d widget assembly", "id").alias("p_name"),
+    )
+    d1 = sf_with("part", part, "part1")
+    da = sf_with("part", oneblk, "part-oneblk")
+    db = sf_with("part", deepdiv, "part-deepdiv")
+    t1 = timed(
+        "part_fuzzy_pairs 1x", lambda: RT.part_fuzzy_pairs(spark, d1).count()
+    )
+    ta = timed(
+        "part_fuzzy_pairs 20k one-block(dropped)",
+        lambda: RT.part_fuzzy_pairs(spark, da).count(),
+    )
+    tb = timed(
+        "part_fuzzy_pairs 20k deep-diverse(escalated)",
+        lambda: RT.part_fuzzy_pairs(spark, db).count(),
+    )
+    print(
+        f"part_fuzzy_pairs worst-case walls: dropped {ta:.2f}s, "
+        f"escalated {tb:.2f}s vs normal {t1:.2f}s "
+        f"(uncapped one-block would be ~{n_names}^2/2 levenshtein calls)"
+    )
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
 
 
 def main() -> None:
@@ -119,4 +293,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "r8":
+        main_r8()
+    else:
+        main()
