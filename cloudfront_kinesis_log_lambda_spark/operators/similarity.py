@@ -372,6 +372,7 @@ def kmeans_centroids(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_cap: int | None = None,
 ) -> list[list[float]]:
     """Spherical-ish k-means (cosine assignment, mean update) as Lloyd
     iterations over DataFrames.
@@ -380,7 +381,20 @@ def kmeans_centroids(
     partial-aggregated shuffle of (cid, pos, x) → per-dimension means; only
     the k×dim centroid table ever reaches the driver (same topology as
     MLlib KMeans). Init is the k lowest-id vectors — deterministic, no RNG.
+
+    ``train_cap`` bounds the TRAINING set (the FAISS practice: a coarse
+    quantizer needs ~100s of points per centroid, not the corpus): when
+    the input exceeds the cap, training runs on the deterministic
+    id-modulus sample ``id % (n // cap) == 0`` (~cap rows for roughly
+    uniform ids). Below the cap — every unit-test corpus — geometry is
+    byte-identical to uncapped. At 100 TB training the quantizer on the
+    full corpus per build is the anti-pattern this exists to avoid.
     """
+    if train_cap is not None:
+        n = embeddings.count()
+        mod = n // train_cap
+        if mod > 1:
+            embeddings = embeddings.filter(F.col(id_col) % mod == 0)
     init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     if not init:
         raise ValueError("kmeans_centroids: empty input, nothing to train on")
@@ -416,6 +430,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (k-means cells), probe the ``nprobe``
@@ -435,7 +450,7 @@ def ivf_topk(
     """
     if centroids is None:
         centroids = kmeans_centroids(
-            embeddings, n_centroids, iters, id_col, vec_col
+            embeddings, n_centroids, iters, id_col, vec_col, train_cap
         )
     [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
     qv = [float(x) for x in qrow[0]]
@@ -516,6 +531,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    train_cap: int | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF coarse cells prune the scan (as in
     :func:`ivf_topk`), and inside the probed cells vectors are scored
@@ -546,7 +562,7 @@ def ivf_pq_topk(
     """
     if centroids is None:
         centroids = kmeans_centroids(
-            embeddings, n_centroids, iters, id_col, vec_col
+            embeddings, n_centroids, iters, id_col, vec_col, train_cap
         )
     sample = (
         embeddings.orderBy(id_col).limit(train_rows).select(vec_col).collect()

@@ -598,16 +598,28 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_dot_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
+# coarse-quantizer training-set cap for the IVF serving tiers + the
+# recall report (the FAISS sizing practice: ~1500 points/centroid is
+# already generous for k=16; the full corpus is the anti-pattern).
+# Below the cap -- every unit fixture and sf0.01 -- geometry is
+# byte-identical to uncapped, so only sf0.1+ trains on the sample.
+ANN_TRAIN_CAP = 25_000
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.ivf_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    return S.ivf_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, train_cap=ANN_TRAIN_CAP
+    )
 
 
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.ivf_pq_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+    return S.ivf_pq_topk(
+        _emb(spark, sf_dir), query_vec_id=0, k=10, train_cap=ANN_TRAIN_CAP
+    )
 
 
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,7 +647,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameters, so injection changes nothing the report measures —
     # it just stops the report training the same geometry twice
     # (~1.4 s of the 5.7 s wall at sf0.1)
-    cents = S.kmeans_centroids(emb)
+    cents = S.kmeans_centroids(emb, train_cap=ANN_TRAIN_CAP)
     tiers = {
         "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k),
         "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents),
