@@ -56,25 +56,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r8 WINDOW MATH (standing policy above; 126 oracle entries / 50
-    # slots → a period-3 round-robin needs 42 slots/round on average
+    # r8 WINDOW MATH (standing policy above; 129 oracle entries / 50
+    # slots → a period-3 round-robin needs 43 slots/round on average
     # and keeps every entry ≤2 rounds stale — the steady-state
-    # invariant this round establishes):
-    #   9 must-runs = 4 r7 end-of-round landings with zero driver
+    # invariant this round establishes, modulo the 3 named deferrals):
+    #   12 must-runs = 4 r7 end-of-round landings with zero driver
     #     evidence (nation_pagerank, top_conversion_paths,
     #     events_ohlc_incremental, doc_sorted_neighbors)
     #   + 2 changed implementations (doc_inverted_index: CSV postings
     #     fix for the r7 canon err; part_fuzzy_pairs: two-level
     #     hot-block cap — output-affecting at hot blocks)
-    #   + 3 NEW streaming twins (events_ewma_incremental,
-    #     doc_inverted_index_incremental, doc_bm25_incremental)
-    #   41 = ALL r5-green entries (3 rounds stale — the entire r5
-    #     debt drains; after this round nothing is >2 rounds stale).
+    #   + 6 NEW r8 entries (streaming twins events_ewma_incremental /
+    #     doc_inverted_index_incremental / doc_bm25_incremental /
+    #     events_holt_incremental; batch events_holt,
+    #     doc_bigram_logprob)
+    #   38 of the 41 r5-green entries (3 rounds stale). The last 3
+    #     r5 entries (sql_market_share, grouping_sets_revenue,
+    #     decimal_revenue_exact — r1-frozen pure-relational code,
+    #     green five consecutive rounds) overflow to r9 and lead it:
+    #     the rule-1 never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk) but the plan is identical, its r7 hash row
     # stands, and the shared helper gets fresh r8 evidence through
-    # doc_bm25_incremental — the one slot saved funds the last r5
-    # entry. r9 owes: the 28 r6-green entries + the oldest r7 greens.
+    # doc_bm25_incremental. r9 owes: the 3 deferred r5 entries + the
+    # 28 r6-green entries + the oldest r7 greens.
     #
     # never-verified hash-capable code outranks everything
     "nation_pagerank",
@@ -86,10 +91,12 @@ _FRONT = [
     "events_ewma_incremental",
     "doc_inverted_index_incremental",
     "doc_bm25_incremental",
-    # the 41 r5-green entries (3-round-stale evidence — drain in full)
+    "events_holt",
+    "doc_bigram_logprob",
+    "events_holt_incremental",
+    # 38 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
-    "decimal_revenue_exact",
     "doc_block_dedup",
     "doc_collocations",
     "doc_contamination",
@@ -114,7 +121,6 @@ _FRONT = [
     "events_sliding_windows",
     "events_variant_props",
     "events_zorder_roundtrip",
-    "grouping_sets_revenue",
     "matryoshka_topk",
     "multimodal_asset_dedup",
     "multimodal_features",
@@ -126,7 +132,6 @@ _FRONT = [
     "parts_above_brand_avg",
     "purchases_asof_cogroup",
     "recent_orders_lateral",
-    "sql_market_share",
     "user_value_scd2",
 ]
 _FILL: list[str] = []

@@ -1245,6 +1245,42 @@ ORACLE_SQL: dict[str, str] = {
         FROM t2 JOIN model USING (term) CROSS JOIN n
         GROUP BY doc_id
     """,
+    # add-k bigram LM (k=0.5): per-bigram log-ratios ROUND(·,9)-quantized
+    # and summed as DECIMAL(18,9) (order-free), ONE double division at
+    # the edge; CAST(0.5 AS DOUBLE) everywhere — bare 0.5 parses as
+    # DECIMAL with engine-specific division scales (the r7 idf lesson)
+    "doc_bigram_logprob": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             t -> t <> '') AS w
+          FROM documents),
+        pairs AS (
+          SELECT doc_id,
+                 w[CAST(t.i AS INT)] AS w1, w[CAST(t.i AS INT) + 1] AS w2
+          FROM toks, UNNEST(range(1, len(w))) AS t(i)
+          WHERE len(w) >= 2),
+        big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+                FROM pairs GROUP BY 1, 2),
+        ctx AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a
+                FROM big GROUP BY 1),
+        vocab AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+                  FROM (SELECT UNNEST(w) AS term FROM toks)),
+        scored AS (
+          SELECT p.doc_id,
+                 CAST(ROUND(LN((CAST(c_ab AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       / (CAST(c_a AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE))), 9)
+                   AS DECIMAL(18,9)) AS c
+          FROM pairs p JOIN big USING (w1, w2) JOIN ctx USING (w1)
+          CROSS JOIN vocab)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS avg_logprob,
+               ROUND(EXP(-(CAST(SUM(c) AS DOUBLE) / COUNT(*))), 4)
+                 AS ppl_proxy
+        FROM scored GROUP BY doc_id
+    """,
     "doc_source_quota": """
         SELECT doc_id, source,
                CAST(n_chars AS BIGINT) AS n_chars,
@@ -1850,6 +1886,8 @@ ORACLE_SQL["part_fuzzy_pairs"] = f"""
 from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: E402
     ATTRIBUTION_WINDOW_DAYS,
     EWMA_ALPHA,
+    HOLT_ALPHA,
+    HOLT_BETA,
     MAD_SIGMA,
 )
 
@@ -1860,6 +1898,51 @@ ORACLE_SQL["events_ewma"] = f"""
                              (a, x) -> a * {1.0 - EWMA_ALPHA!r} +
                                        x * {EWMA_ALPHA!r}), 6) AS ewma
     FROM events GROUP BY user_id
+"""
+
+# Holt linear trend. NOT list_reduce: DuckDB 1.0 mutates the
+# accumulator struct FIELD-BY-FIELD inside the fold, so a multi-field
+# recursion reads its own partially-updated state ('b' sees the new
+# 'l' — verified: 4-element fold diverges from the single-step result
+# with identical inputs). The oracle replays the fold as a recursive
+# CTE instead (the nation_pagerank pattern): all users advance in
+# lockstep, one row of (l, b) state per user per step, with the level
+# expression textually identical to the Spark lambda
+# (operators/timeseries.py::holt_merge_lambda) so the IEEE DAG matches
+# step for step.
+_HOLT_LVL_CTE = (
+    f"{HOLT_ALPHA!r} * arr[i + 1] + {1.0 - HOLT_ALPHA!r} * (l + b)"
+)
+ORACLE_SQL["events_holt"] = f"""
+    WITH RECURSIVE arrs AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS arr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id),
+    state AS (
+      SELECT user_id, CAST(2 AS BIGINT) AS i,
+             CAST(arr[2] AS DOUBLE) AS l,
+             CAST(arr[2] - arr[1] AS DOUBLE) AS b,
+             arr, n
+      FROM arrs WHERE n >= 2
+      UNION ALL
+      SELECT user_id, i + 1,
+             {_HOLT_LVL_CTE},
+             {HOLT_BETA!r} * (({_HOLT_LVL_CTE}) - l)
+               + {1.0 - HOLT_BETA!r} * b,
+             arr, n
+      FROM state WHERE i < n),
+    fin AS (
+      SELECT user_id, n, l, b FROM state WHERE i = n
+      UNION ALL
+      SELECT user_id, n, CAST(arr[1] AS DOUBLE), CAST(0.0 AS DOUBLE)
+      FROM arrs WHERE n = 1)
+    SELECT user_id,
+           n AS n_events,
+           ROUND(l, 6)     AS level,
+           ROUND(b, 6)     AS trend,
+           ROUND(l + b, 6) AS forecast
+    FROM fin
 """
 
 ORACLE_SQL["events_ohlc"] = """
@@ -2113,6 +2196,10 @@ ORACLE_SQL["events_ohlc_incremental"] = ORACLE_SQL["events_ohlc"]
 # so the time-ordered wave replay reproduces the batch fold bit-exactly
 # — the oracle IS events_ewma's SQL.
 ORACLE_SQL["events_ewma_incremental"] = ORACLE_SQL["events_ewma"]
+
+# Holt's (l, b, n) accumulator composes the same way (shared merge
+# lambda) — the oracle IS events_holt's recursive-CTE SQL.
+ORACLE_SQL["events_holt_incremental"] = ORACLE_SQL["events_holt"]
 
 # Retrieval-store merges are commutative SUMs (tf, dl) feeding the
 # batch operators' own assembly/scoring code — the oracles ARE the

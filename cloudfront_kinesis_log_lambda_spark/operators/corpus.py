@@ -85,6 +85,84 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 0.5
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean bigram log-probability under a corpus-trained
+    add-k-smoothed bigram LM — one model order up from
+    :func:`unigram_logprob`, the next-cheapest perplexity proxy in a
+    CCNet-style quality gate (a unigram LM can't see scrambled word
+    order; a bigram LM scores it down).
+
+    logp(w_i | w_{i-1}) = ln((c(w_{i-1} w_i) + k) / (c(w_{i-1} ·) + k·V))
+    with k = 0.5, V = corpus vocabulary size, and c(w_{i-1} ·) the
+    bigram-table marginal (so the conditional sums to 1 over the
+    smoothed vocabulary). Documents with < 2 tokens have no bigrams and
+    are absent from the output (documented; the unigram op covers them).
+
+    Returns (doc_id, n_bigrams, avg_logprob, ppl_proxy).
+
+    Numerics: per-bigram log-ratios are ROUND(·,9)-quantized and summed
+    as DECIMAL(18,9) — exact integer arithmetic, order-free — then ONE
+    double division and exp at the rendered edge (the BM25 policy,
+    operators/retrieval.py; stricter than unigram_logprob's AVG, which
+    leans on ROUND-4 to absorb fold-order ulp).
+
+    Scale shape: bigram pairs are built array-side (slice-zip, map-only,
+    no self-join) and collapse to partial+final counts on (w1, w2); the
+    context marginal is a second aggregate of the bigram table (never a
+    rescan); pair→model joins are shuffle-on-term at 100 TB (AQE
+    downgrades to broadcast for small vocabularies); V and the scalar k
+    broadcast. Nothing carries ``text`` past the explode.
+    """
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
+    base = ensure_parallelism(docs).select(
+        "doc_id", toks.alias("tk")
+    ).filter(F.size("tk") >= 2)
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.size("tk") - 1).alias("w1"),
+                F.slice("tk", 2, F.size("tk") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    big = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    ctx = big.groupBy("w1").agg(F.sum("c_ab").cast("long").alias("c_a"))
+    vocab = _term_rows(docs, text_col).agg(
+        F.countDistinct("term").cast("long").alias("v")
+    )
+    k = float(BIGRAM_ADD_K)
+    contrib = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") + F.lit(k))
+            / (F.col("c_a").cast("double") + F.lit(k) * F.col("v").cast("double"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(contrib).alias("s"),
+        )
+    )
+    avg = F.col("s").cast("double") / F.col("n_bigrams").cast("double")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(avg, 4).alias("avg_logprob"),
+        F.round(F.exp(-avg), 4).alias("ppl_proxy"),
+    )
+
+
 def source_quota(
     docs: DataFrame,
     cap: int = 10,

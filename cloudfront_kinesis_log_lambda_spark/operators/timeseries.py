@@ -27,6 +27,8 @@ from pyspark.sql.window import Window
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
 
 EWMA_ALPHA = 0.3
+HOLT_ALPHA = 0.3
+HOLT_BETA = 0.2
 MAD_SIGMA = 3.0
 ATTRIBUTION_WINDOW_DAYS = 3
 TOUCH_TYPES = ("view", "click")
@@ -76,6 +78,73 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size("series").cast("long").alias("n_events"),
         F.round(F.expr(fold), 6).alias("ewma"),
+    )
+
+
+def holt_merge_lambda(
+    a: float = HOLT_ALPHA, b: float = HOLT_BETA
+) -> str:
+    """The Holt step as a fold lambda over (l, b, n) struct
+    accumulators — shared by the batch fold and the streaming twin's
+    seeded fold so stream == batch stays structural.
+
+    n tracks the init phase: the first merge (n=1 → 2) performs the
+    standard two-point init (l₁ = x₁, b₁ = x₁ − x₀); thereafter
+    lᵢ = α·xᵢ + (1−α)·(lᵢ₋₁ + bᵢ₋₁), bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁.
+    The level expression is spelled ONCE and textually duplicated into
+    the trend term so both engines evaluate the identical IEEE DAG.
+    """
+    lvl = f"{a!r}D * x.l + {1.0 - a!r}D * (acc.l + acc.b)"
+    return (
+        "(acc, x) -> CASE WHEN acc.n = 1L THEN "
+        "named_struct('l', x.l, 'b', x.l - acc.l, 'n', 2L) "
+        f"ELSE named_struct('l', {lvl}, "
+        f"'b', {b!r}D * (({lvl}) - acc.l) + {1.0 - b!r}D * acc.b, "
+        "'n', acc.n + 1L) END"
+    )
+
+
+def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing per user:
+    final level, trend, and one-step forecast (level + trend) over the
+    event-ordered value series — the trend-aware upgrade of
+    :func:`events_ewma` (EWMA lags any drifting metric; Holt tracks
+    it), and like EWMA an order-DEPENDENT left fold, so the same
+    one-shuffle per-user array shape and the same bit-exact
+    cross-engine story (DuckDB's list_reduce folds the identical
+    struct lambda; single-event users never enter the fold — their
+    level is x₀, trend 0)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    arr = (
+        e.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("series")
+        )
+        .withColumn(
+            "s",
+            F.expr(
+                "transform(series, v -> "
+                "named_struct('l', v.value, 'b', 0.0D, 'n', 1L))"
+            ),
+        )
+    )
+    fold = f"aggregate(slice(s, 2, size(s) - 1), s[0], {holt_merge_lambda()})"
+    # one fold bound to a column, three getFields — structural single
+    # evaluation rather than optimizer-CSE goodwill (the
+    # sketch_event_stats convention)
+    return (
+        arr.withColumn("h", F.expr(fold))
+        .select(
+            "user_id",
+            F.size("series").cast("long").alias("n_events"),
+            F.round(F.col("h.l"), 6).alias("level"),
+            F.round(F.col("h.b"), 6).alias("trend"),
+            F.round(F.col("h.l") + F.col("h.b"), 6).alias("forecast"),
+        )
     )
 
 

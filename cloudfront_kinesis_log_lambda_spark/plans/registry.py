@@ -424,6 +424,13 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.unigram_logprob(_docs(spark, sf_dir))
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k bigram LM quality score (operators/corpus.py::
+    bigram_logprob) — the order-sensitive perplexity proxy next to
+    doc_unigram_logprob's bag-of-words one."""
+    return C.bigram_logprob(_docs(spark, sf_dir))
+
+
 def doc_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.source_quota(_docs(spark, sf_dir), cap=10)
 
@@ -1212,6 +1219,34 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-ewma", build)
 
 
+def events_holt_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Holt twin (streaming/holt.py), time-ordered waves
+    like the EWMA/transition twins (Holt is order-dependent).
+    HASH-GREEN: the shared merge lambda composes field-for-field, so
+    the oracle IS events_holt's SQL (boundary-init/retry/writeStream
+    contracts live in test_streaming_holt)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.holt import (
+        StreamingHolt,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = StreamingHolt(root)
+        e = R.load(spark, sf_dir, "events")
+        n = e.count()
+        c1, c2 = n // 3, (2 * n) // 3
+        for wave, cond in enumerate(
+            [
+                F.col("event_id") < c1,
+                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
+                F.col("event_id") >= c2,
+            ]
+        ):
+            st(e.filter(cond), wave)
+        return st.holt(spark)
+
+    return _with_scratch("stream-holt", build)
+
+
 def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     """Shared wave driver for the two retrieval-serving twins: the
     documents table as three doc_id-residue waves (every merge law is
@@ -1313,6 +1348,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_split_assign": doc_split_assign,
     "doc_contamination": doc_contamination,
     "doc_unigram_logprob": doc_unigram_logprob,
+    "doc_bigram_logprob": doc_bigram_logprob,
     "doc_source_quota": doc_source_quota,
     "doc_mixture_sample": doc_mixture_sample,
     "doc_gram_novelty": doc_gram_novelty,
@@ -1337,6 +1373,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_incremental": doc_bm25_incremental,
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
     "events_ewma": TS.events_ewma,
+    "events_holt": TS.events_holt,
     "events_ohlc": TS.events_ohlc,
     "events_mad_outliers": TS.events_mad_outliers,
     "event_transitions": TS.event_transitions,
@@ -1348,6 +1385,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_conversion_paths": TS.top_conversion_paths,
     "events_ohlc_incremental": events_ohlc_incremental,
     "events_ewma_incremental": events_ewma_incremental,
+    "events_holt_incremental": events_holt_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

@@ -45,6 +45,44 @@ def test_unigram_logprob_flags_rare_token_soup(spark):
     assert by_id[8] > 2 * by_id[0]
 
 
+# --- bigram_logprob ---------------------------------------------------------
+
+
+def test_bigram_logprob_hand_computed(spark):
+    # corpus bigrams: (a,a) ×1, (a,b) ×2 from docs 0/1; vocab {a, b} → V=2
+    docs = _docs(spark, [("a a b", 0), ("a b", 0), ("c", 0)])
+    got = {r["doc_id"]: r for r in C.bigram_logprob(docs).collect()}
+    k, v = C.BIGRAM_ADD_K, 3  # vocab is {a, b, c}
+    c_ab = {("a", "a"): 1, ("a", "b"): 2}
+    c_a = {"a": 3}
+
+    def lp(w1, w2):
+        return round(
+            math.log((c_ab[(w1, w2)] + k) / (c_a[w1] + k * v)), 9
+        )
+
+    assert 2 not in got  # single-token doc: no bigrams, absent
+    assert got[0]["n_bigrams"] == 2
+    want0 = (lp("a", "a") + lp("a", "b")) / 2
+    assert got[0]["avg_logprob"] == round(want0, 4)
+    assert got[0]["ppl_proxy"] == round(math.exp(-want0), 4)
+    assert got[1]["n_bigrams"] == 1
+    assert got[1]["avg_logprob"] == round(lp("a", "b"), 4)
+
+
+def test_bigram_logprob_penalizes_scrambled_order(spark):
+    """The reason a bigram LM exists next to the unigram one: identical
+    bag-of-words, scrambled order → worse (lower) mean bigram logprob,
+    while the unigram score can't tell them apart."""
+    fluent = [("the cat sat on the mat", 0)] * 6
+    scrambled = [("mat the on sat cat the", 1)]
+    docs = _docs(spark, fluent + scrambled)
+    big = {r["doc_id"]: r["avg_logprob"] for r in C.bigram_logprob(docs).collect()}
+    uni = {r["doc_id"]: r["avg_logprob"] for r in C.unigram_logprob(docs).collect()}
+    assert big[6] < big[0]  # scrambled doc scored down
+    assert uni[6] == uni[0]  # unigram LM is order-blind
+
+
 # --- source_quota -----------------------------------------------------------
 
 

@@ -60,6 +60,41 @@ def test_ewma_orders_by_ts_then_event_id(spark, monkeypatch):
     assert got == round(0.0 * 0.7 + 100.0 * 0.3, 6)  # starts from id=2
 
 
+def test_holt_matches_python_recursion(spark, monkeypatch):
+    """Level/trend/forecast vs the textbook two-point-init Holt
+    recursion, EXACT (both engines fold the same IEEE DAG)."""
+    vals = [10.0, 7.5, 3.125, 9.0, 6.25, 1.0]
+    rows = [(i, 1, "t", i * 10, v) for i, v in enumerate(vals)]
+    rows.append((99, 2, "t", 0, 42.0))  # single-event user: l=x0, b=0
+    _patched(monkeypatch, _events(spark, rows))
+    a, b_ = TS.HOLT_ALPHA, TS.HOLT_BETA
+    l, b = vals[1], vals[1] - vals[0]
+    for x in vals[2:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    out = {r["user_id"]: r for r in TS.events_holt(spark, "unused").collect()}
+    assert out[1]["n_events"] == len(vals)
+    assert out[1]["level"] == round(l, 6)
+    assert out[1]["trend"] == round(b, 6)
+    assert out[1]["forecast"] == round(l + b, 6)
+    assert out[2]["level"] == 42.0 and out[2]["trend"] == 0.0
+    assert out[2]["forecast"] == 42.0
+
+
+def test_holt_tracks_linear_trend_ewma_lags(spark, monkeypatch):
+    """On a clean linear ramp the Holt forecast must sit close to the
+    true next value while EWMA lags below — the operator's reason to
+    exist next to events_ewma."""
+    vals = [float(2 * i) for i in range(30)]  # 0, 2, 4, ... 58; next=60
+    rows = [(i, 1, "t", i * 10, v) for i, v in enumerate(vals)]
+    _patched(monkeypatch, _events(spark, rows))
+    holt = TS.events_holt(spark, "unused").collect()[0]
+    ewma = TS.events_ewma(spark, "unused").collect()[0]
+    assert abs(holt["forecast"] - 60.0) < 1.0
+    assert ewma["ewma"] < 55.0  # the lag
+
+
 def test_ohlc_open_close_tiebreak_and_extremes(spark, monkeypatch):
     rows = [
         (0, 1, "view", 0, 5.0),     # open (earliest)
