@@ -1853,6 +1853,67 @@ ORACLE_SQL["doc_inverted_index"] = rf"""
     FROM stats JOIN post USING (word)
 """
 
+from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (  # noqa: E402
+    RRF_K0,
+    RRF_POOL,
+    RRF_QUERY_VEC,
+    RRF_TOPK,
+)
+
+# Hybrid RRF: the BM25 CTE is doc_bm25_topk's oracle at pool depth;
+# the cosine leg is cosine_topk_bruteforce's; fusion is 1/(k0+rank)
+# sums of small-int ranks — identical IEEE doubles on both engines.
+ORACLE_SQL["doc_hybrid_rrf"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(regexp_split_to_array(text, '\s+')) AS word
+      FROM documents),
+    t AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM t GROUP BY 1),
+    scal AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                    CAST(AVG(dl) AS DOUBLE) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM t WHERE word IN ({_BM25_TERMS}) GROUP BY 1, 2),
+    dft AS (SELECT word, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({BM25_K1} + 1.0)
+                 / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * (CAST(dl.dl AS DOUBLE) / avgdl))), 9)
+               AS DECIMAL(18,9)) AS c
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (word) CROSS JOIN scal),
+    bm25 AS (
+      SELECT doc_id, SUM(c) AS s FROM contrib GROUP BY doc_id
+      ORDER BY SUM(c) DESC, doc_id ASC LIMIT {RRF_POOL}),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC)
+               AS BIGINT) AS r_lex
+      FROM bm25),
+    cosq AS (
+      SELECT b.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])), 4)
+               AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id = {RRF_QUERY_VEC} AND b.vec_id <> {RRF_QUERY_VEC}
+      ORDER BY cos DESC, b.vec_id LIMIT {RRF_POOL}),
+    sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC)
+               AS BIGINT) AS r_sem
+      FROM cosq)
+    SELECT doc_id, r_lex, r_sem,
+           ROUND(
+             COALESCE(1.0 / ({RRF_K0}.0 + CAST(r_lex AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / ({RRF_K0}.0 + CAST(r_sem AS DOUBLE)), 0.0),
+             9) AS rrf
+    FROM lex FULL OUTER JOIN sem USING (doc_id)
+    ORDER BY rrf DESC, doc_id ASC
+    LIMIT {RRF_TOPK}
+"""
+
 # two-level hot-block cap mirrored from operators/retrieval.py: shallow
 # blocks over FUZZY_MAX_BLOCK re-key on the deep prefix; deep blocks
 # still over the cap are dropped ('S:'/'D:' keeps key spaces disjoint)
@@ -1980,6 +2041,32 @@ ORACLE_SQL["events_mad_outliers"] = f"""
                                THEN 1 ELSE 0 END) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
     FROM dev d JOIN mad USING (event_type) GROUP BY 1
+"""
+
+ORACLE_SQL["events_seasonal_outliers"] = f"""
+    WITH e AS (SELECT event_type,
+                      CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                      value
+               FROM events),
+    med AS (SELECT event_type, hod,
+                   ROUND(quantile_cont(value, 0.5), 9) AS med
+            FROM e GROUP BY 1, 2),
+    dev AS (SELECT e.event_type, e.hod, med,
+                   ROUND(abs(e.value - med), 9) AS adev
+            FROM e JOIN med USING (event_type, hod)),
+    mad AS (SELECT event_type, hod,
+                   ROUND(quantile_cont(adev, 0.5), 9) AS mad
+            FROM dev GROUP BY 1, 2)
+    SELECT d.event_type, d.hod,
+           MAX(med) AS median_value,
+           MAX(mad) AS mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN adev > {MAD_SIGMA!r} * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(CAST(SUM(CASE WHEN adev > {MAD_SIGMA!r} * mad
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM dev d JOIN mad USING (event_type, hod) GROUP BY 1, 2
 """
 
 ORACLE_SQL["event_transitions"] = """

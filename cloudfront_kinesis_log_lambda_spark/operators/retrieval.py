@@ -60,7 +60,9 @@ def _tokens(docs: DataFrame) -> DataFrame:
     ).filter(F.col("word") != "")
 
 
-def bm25_score_topk(tf: DataFrame, dl: DataFrame) -> DataFrame:
+def bm25_score_topk(
+    tf: DataFrame, dl: DataFrame, k: int = BM25_TOPK
+) -> DataFrame:
     """BM25 scoring core shared by the batch query and the streaming
     serving twin (streaming/retrieval.py): ``tf`` is (doc_id, word,
     tf DOUBLE) already restricted to the query terms; ``dl`` is
@@ -112,8 +114,24 @@ def bm25_score_topk(tf: DataFrame, dl: DataFrame) -> DataFrame:
             F.col("score_exact").cast("double").alias("bm25"),
         )
         .orderBy(F.col("score_exact").desc(), F.col("doc_id").asc())
-        .limit(BM25_TOPK)
+        .limit(k)
     )
+
+
+def _bm25_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, dl) for the fixed query over the documents table — the
+    scan-side reduction shared by doc_bm25_topk and doc_hybrid_rrf."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(docs)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("word").isin(*BM25_QUERY))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    return tf, dl
 
 
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,15 +142,70 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange (dl comes straight off the token stream, NOT via a full
     word-level tf reduce). Scoring/top-k in :func:`bm25_score_topk`.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        toks.filter(F.col("word").isin(*BM25_QUERY))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    return bm25_score_topk(*_bm25_inputs(spark, sf_dir))
+
+
+# RRF fusion constants: pool depth per ranker and the standard k₀=60
+# smoothing (Cormack/Clarke/Buettcher's value — rank 1 contributes
+# 1/61, so no single ranker's head dominates the fused list).
+RRF_POOL = 50
+RRF_K0 = 60
+RRF_QUERY_VEC = 0
+RRF_TOPK = 20
+
+
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking (fixed query terms) fused with the embedding-cosine
+    semantic ranking (query = vector RRF_QUERY_VEC; one embedding per
+    document, vec_id == doc_id in the house testdata), the standard
+    hybrid-search shape a RAG-ish serving stack runs —
+    rrf(d) = Σ_r 1/(k₀ + rank_r(d)) over the rankers listing d.
+
+    Fully oracle-checked: both input rankings are deterministic
+    (DECIMAL-exact BM25, ROUND-4 cosine, doc_id tiebreaks), and the
+    fusion arithmetic is 1/(60+r) sums of small-integer ranks —
+    identical IEEE doubles on both engines, ROUND(·,9) at the edge.
+
+    Scale shape: each ranker is its own already-bounded plan (BM25:
+    scan-side reduce + TakeOrderedAndProject; cosine: broadcast query,
+    map-only scan + TakeOrderedAndProject); fusion touches only
+    2·RRF_POOL rows — the rank windows and the full-outer join run on
+    constant-sized remnants regardless of corpus size.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_topk,
     )
-    return bm25_score_topk(tf, dl)
+
+    bm25 = bm25_score_topk(*_bm25_inputs(spark, sf_dir), k=RRF_POOL)
+    wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = bm25.select(
+        "doc_id", F.row_number().over(wb).cast("long").alias("r_lex")
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cos = cosine_topk(emb, query_vec_id=RRF_QUERY_VEC, k=RRF_POOL)
+    wc = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    sem = cos.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(wc).cast("long").alias("r_sem"),
+    )
+
+    k0 = F.lit(float(RRF_K0))
+    contrib = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (k0 + F.col(r).cast("double"))
+    ).otherwise(F.lit(0.0))
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.col("r_lex"),
+            F.col("r_sem"),
+            F.round(contrib("r_lex") + contrib("r_sem"), 9).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+    )
 
 
 def index_from_tf(tf: DataFrame, min_df: int = INDEX_MIN_DF) -> DataFrame:

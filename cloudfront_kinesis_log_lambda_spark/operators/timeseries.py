@@ -215,6 +215,54 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal robust outliers: median/MAD baselines per (event_type,
+    hour-of-day) — the observability upgrade of
+    :func:`events_mad_outliers`, whose per-type GLOBAL baseline calls a
+    normal 3 a.m. quiet hour anomalous and misses a value that is wild
+    *for 3 a.m.* but ordinary at noon. Same two exact-percentile passes
+    and ROUND-9 quantized branch points, keyed one level finer; the
+    stats join stays broadcastable (|types|·24 rows no matter the
+    corpus size). Deliberately NOT a refactor of events_mad_outliers —
+    that entry's implementation is frozen with r7 driver evidence.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "value",
+    )
+    med = e.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
+    )
+    dev = e.join(F.broadcast(med), ["event_type", "hod"]).withColumn(
+        "adev", F.round(F.abs(F.col("value") - F.col("med")), 9)
+    )
+    mad = dev.groupBy("event_type", "hod").agg(
+        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), ["event_type", "hod"])
+    return (
+        flagged.groupBy("event_type", "hod")
+        .agg(
+            F.max("med").alias("median_value"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("adev") > F.lit(float(MAD_SIGMA)) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .withColumn(
+            "outlier_rate",
+            F.round(
+                F.col("n_outliers").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def transition_pairs(events: DataFrame) -> DataFrame:
     """(from_type, to_type) adjacency pairs per user in event-time
     order — the shared kernel of the batch query and the streaming

@@ -1368,12 +1368,14 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_collocations": doc_collocations,
     "matryoshka_topk": matryoshka_topk,
     "doc_bm25_topk": RT.doc_bm25_topk,
+    "doc_hybrid_rrf": RT.doc_hybrid_rrf,
     "doc_inverted_index": RT.doc_inverted_index,
     "doc_inverted_index_incremental": doc_inverted_index_incremental,
     "doc_bm25_incremental": doc_bm25_incremental,
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
     "events_ewma": TS.events_ewma,
     "events_holt": TS.events_holt,
+    "events_seasonal_outliers": TS.events_seasonal_outliers,
     "events_ohlc": TS.events_ohlc,
     "events_mad_outliers": TS.events_mad_outliers,
     "event_transitions": TS.event_transitions,

@@ -119,6 +119,51 @@ def test_fuzzy_pairs_planted_typos(spark, tmp_path):
     assert all("zzz gear" not in pair for pair in got)
 
 
+def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
+    """A doc ranked #1 by BOTH rankers must out-fuse docs that top only
+    one list; single-list docs still appear with one contribution."""
+    import math
+
+    # doc 1: contains all BM25 query terms AND its embedding equals the
+    # query vector (vec 0) — top of both lists. doc 2: lexical only.
+    # doc 3: semantic only. docs 4+: filler.
+    docs = [
+        (0, "filler text zero"),
+        (1, "join hash vector slow"),
+        (2, "join join hash hash vector slow slow"),
+        (3, "nothing lexical here"),
+    ] + [(i, f"plain filler {i}") for i in range(4, 20)]
+    base = [1.0] + [0.0] * 15
+    orth = [0.0, 1.0] + [0.0] * 14
+    embs = [(0, [float(x) for x in base], 0),
+            (1, [float(x) for x in base], 0),       # cos 1.0 with query
+            (2, [float(x) for x in orth], 1),       # cos 0
+            (3, [float(x * 0.9 + y * 0.1) for x, y in zip(base, orth)], 0)]
+    embs += [(i, [float(x) for x in orth], 1) for i in range(4, 20)]
+    d = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    spark.createDataFrame(
+        embs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = RT.doc_hybrid_rrf(spark, d).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert out[0]["doc_id"] == 1  # top of both lists wins the fusion
+    assert by_id[1]["r_lex"] is not None and by_id[1]["r_sem"] is not None
+    # doc 3 has no query terms → absent from the lexical list (the
+    # semantic list holds every vector here since pool > corpus):
+    # exactly one contribution
+    assert by_id[3]["r_lex"] is None
+    assert by_id[3]["rrf"] == round(1.0 / (RT.RRF_K0 + by_id[3]["r_sem"]), 9)
+    # the fused score really is the sum of both reciprocal ranks
+    want1 = 1.0 / (RT.RRF_K0 + by_id[1]["r_lex"]) + 1.0 / (
+        RT.RRF_K0 + by_id[1]["r_sem"]
+    )
+    assert by_id[1]["rrf"] == round(want1, 9)
+    assert not math.isnan(want1)
+
+
 def _write_parts(spark, tmp_path, names):
     d = str(tmp_path)
     spark.createDataFrame(

@@ -135,6 +135,34 @@ def test_mad_all_constant_series_has_zero_outliers(spark, monkeypatch):
     assert out["mad"] == 0.0 and out["n_outliers"] == 0
 
 
+def test_seasonal_outliers_catch_what_global_mad_misses(spark, monkeypatch):
+    """A value wild FOR ITS HOUR but inside the global spread: the
+    hour-of-day baseline flags it, the global baseline cannot."""
+    rows = []
+    eid = 0
+    # hour 3 (seconds 3*3600+…): quiet baseline ~10, one planted 100
+    for i in range(20):
+        rows.append((eid, 1, "t", 3 * 3600 + i, 10.0 + (i % 3))); eid += 1
+    rows.append((eid, 1, "t", 3 * 3600 + 50, 100.0)); eid += 1
+    # hour 12: loud baseline ~1000 (drags the global median/MAD wide)
+    for i in range(21):
+        rows.append((eid, 1, "t", 12 * 3600 + i, 1000.0 + 10 * (i % 5))); eid += 1
+    _patched(monkeypatch, _events(spark, rows))
+    seasonal = {
+        (r["event_type"], r["hod"]): r["n_outliers"]
+        for r in TS.events_seasonal_outliers(spark, "unused").collect()
+    }
+    glob = {
+        r["event_type"]: r["n_outliers"]
+        for r in TS.events_mad_outliers(spark, "unused").collect()
+    }
+    assert seasonal[("t", 3)] == 1    # the planted 100 at 3 a.m.
+    assert seasonal[("t", 12)] == 0
+    # global MAD spans the bimodal 10/1000 mix: 100 sits INSIDE its
+    # band, so the coarse baseline flags nothing at hour 3's scale
+    assert glob["t"] == 0
+
+
 def test_transitions_counts_and_probs(spark, monkeypatch):
     # user 1: a->b->a->b ; user 2: a->b  ⇒ a->b ×3, b->a ×1
     rows = [
