@@ -284,3 +284,41 @@ def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     assert "partial_count" in plan  # map-side combine before the doc_id agg
+
+
+def test_holt_single_exchange_per_user_fold(spark, sf_dir):
+    """events_holt: ONE shuffle (the user groupBy) — the fold itself is
+    a projection, never a second exchange or a window sort."""
+    from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
+        events_holt,
+    )
+
+    plan = _plan(events_holt(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+    assert "partial_collect_list" in plan  # map-side partial before it
+
+
+def test_hybrid_rrf_rankers_stay_bounded(spark, sf_dir):
+    """doc_hybrid_rrf: both rankers end in TakeOrderedAndProject before
+    fusion, and the fusion join never becomes a SortMergeJoin over
+    corpus-sized sides (post-limit remnants broadcast under AQE)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (
+        doc_hybrid_rrf,
+    )
+
+    plan = _plan(doc_hybrid_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 2  # lex pool, sem pool + final
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_logprob_pairs_are_array_side(spark, sf_dir):
+    """doc_bigram_logprob: bigrams come from a slice-zip projection
+    (map-only), never a positional self-join of the token table."""
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import (
+        doc_bigram_logprob,
+    )
+
+    plan = _plan(doc_bigram_logprob(spark, sf_dir))
+    assert "SortMergeJoin" not in plan or "text" not in plan.split("SortMergeJoin")[1][:400]
+    assert "partial_count" in plan  # bigram counts map-side combine
