@@ -385,16 +385,21 @@ def kmeans_centroids(
     ``train_cap`` bounds the TRAINING set (the FAISS practice: a coarse
     quantizer needs ~100s of points per centroid, not the corpus): when
     the input exceeds the cap, training runs on the deterministic
-    id-modulus sample ``id % (n // cap) == 0`` (~cap rows for roughly
-    uniform ids). Below the cap — every unit-test corpus — geometry is
-    byte-identical to uncapped. At 100 TB training the quantizer on the
-    full corpus per build is the anti-pattern this exists to avoid.
+    HASH-modulus sample ``pmod(xxhash64(id), ceil(n/cap)) == 0``
+    (≈ n/ceil(n/cap) ≤ cap rows regardless of how ids are distributed —
+    a raw id-modulus would return an empty sample on e.g. all-odd ids
+    with an even modulus). At or below the cap — every unit-test
+    corpus — geometry is byte-identical to uncapped. At 100 TB training
+    the quantizer on the full corpus per build is the anti-pattern this
+    exists to avoid.
     """
     if train_cap is not None:
         n = embeddings.count()
-        mod = n // train_cap
+        mod = -(-n // train_cap)  # ceil: n > cap always downsamples
         if mod > 1:
-            embeddings = embeddings.filter(F.col(id_col) % mod == 0)
+            embeddings = embeddings.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
+            )
     init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     if not init:
         raise ValueError("kmeans_centroids: empty input, nothing to train on")

@@ -110,10 +110,13 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-ordered value series — the trend-aware upgrade of
     :func:`events_ewma` (EWMA lags any drifting metric; Holt tracks
     it), and like EWMA an order-DEPENDENT left fold, so the same
-    one-shuffle per-user array shape and the same bit-exact
-    cross-engine story (DuckDB's list_reduce folds the identical
-    struct lambda; single-event users never enter the fold — their
-    level is x₀, trend 0)."""
+    one-shuffle per-user array shape. Cross-engine parity is NOT via
+    list_reduce: DuckDB 1.0 mutates struct accumulators field-by-field
+    mid-step ('b' would read the already-updated 'l' — see the verified
+    divergence note at ORACLE_SQL["events_holt"]), so the oracle
+    replays the fold as a recursive CTE with the identical per-step
+    IEEE expressions. Single-event users never enter the fold — their
+    level is x₀, trend 0."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )

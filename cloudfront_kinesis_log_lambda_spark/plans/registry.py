@@ -1130,6 +1130,23 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drive_time_ordered_waves(st, e) -> None:
+    """Shared wave driver for the order-DEPENDENT incremental twins
+    (transitions / EWMA / Holt): the events table as three
+    TIME-ORDERED arrival waves (event_id terciles — the generator
+    writes event_id in ts order, a monotonicity the fixture asserts)."""
+    n = e.count()
+    c1, c2 = n // 3, (2 * n) // 3
+    for wave, cond in enumerate(
+        [
+            F.col("event_id") < c1,
+            (F.col("event_id") >= c1) & (F.col("event_id") < c2),
+            F.col("event_id") >= c2,
+        ]
+    ):
+        st(e.filter(cond), wave)
+
+
 def event_transitions_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1150,17 +1167,7 @@ def event_transitions_incremental(
 
     def build(root: str) -> DataFrame:
         st = StreamingTransitions(root)
-        e = R.load(spark, sf_dir, "events")
-        n = e.count()
-        c1, c2 = n // 3, (2 * n) // 3
-        for wave, cond in enumerate(
-            [
-                F.col("event_id") < c1,
-                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
-                F.col("event_id") >= c2,
-            ]
-        ):
-            st(e.filter(cond), wave)
+        _drive_time_ordered_waves(st, R.load(spark, sf_dir, "events"))
         return st.transitions(spark)
 
     return _with_scratch("stream-transitions", build)
@@ -1203,17 +1210,7 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(root: str) -> DataFrame:
         st = StreamingEWMA(root)
-        e = R.load(spark, sf_dir, "events")
-        n = e.count()
-        c1, c2 = n // 3, (2 * n) // 3
-        for wave, cond in enumerate(
-            [
-                F.col("event_id") < c1,
-                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
-                F.col("event_id") >= c2,
-            ]
-        ):
-            st(e.filter(cond), wave)
+        _drive_time_ordered_waves(st, R.load(spark, sf_dir, "events"))
         return st.ewma(spark)
 
     return _with_scratch("stream-ewma", build)
@@ -1231,17 +1228,7 @@ def events_holt_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(root: str) -> DataFrame:
         st = StreamingHolt(root)
-        e = R.load(spark, sf_dir, "events")
-        n = e.count()
-        c1, c2 = n // 3, (2 * n) // 3
-        for wave, cond in enumerate(
-            [
-                F.col("event_id") < c1,
-                (F.col("event_id") >= c1) & (F.col("event_id") < c2),
-                F.col("event_id") >= c2,
-            ]
-        ):
-            st(e.filter(cond), wave)
+        _drive_time_ordered_waves(st, R.load(spark, sf_dir, "events"))
         return st.holt(spark)
 
     return _with_scratch("stream-holt", build)

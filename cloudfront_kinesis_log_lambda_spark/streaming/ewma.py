@@ -15,13 +15,8 @@ high-water mark:
     new users                          →  fold seeded by their first value
     cumulative (ewma, n, ts, id) rows  →  ``state/batch=<id>``
 
-Reads argmax-merge the state store by (last_ts, last_id) — each state
-row carries the CUMULATIVE n and ewma, so the newest row per user IS
-the answer. Retries are idempotent because the fold seeds from the
-AS-OF read (``read_batch_store_before``): a retried batch recomputes
-against exactly the pre-batch state and rewrites ``batch=<id>``
-byte-identically (the transition twin's contract,
-streaming/transitions.py).
+The batch=<id> overwrite / argmax-merge / as-of-seed retry contract
+lives in streaming/foldstate.py (shared with the Holt twin).
 
 Ordering contract (same as StreamingTransitions): micro-batches arrive
 in event-time order per user. A batch whose events precede the stored
@@ -41,15 +36,13 @@ contract shared with sessionize / SCD2 / the batch EWMA).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.timeseries import EWMA_ALPHA
-from cloudfront_kinesis_log_lambda_spark.streaming.store import (
-    read_batch_store,
-    read_batch_store_before,
+from cloudfront_kinesis_log_lambda_spark.streaming.foldstate import (
+    FoldStateStore,
+    user_series,
 )
 
 _STATE_SCHEMA = (
@@ -69,22 +62,14 @@ class StreamingEWMA:
     """
 
     def __init__(self, store_dir: str, alpha: float = EWMA_ALPHA) -> None:
-        self.state_dir = os.path.join(store_dir, "state")
+        self.store = FoldStateStore(store_dir, _STATE_SCHEMA, ("ewma", "n"))
         self.alpha = float(alpha)
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         a = self.alpha
-        series = (
-            batch_df.select("user_id", "ts", "event_id", "value")
-            .groupBy("user_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("ts", "event_id", "value"))
-                ).alias("series")
-            )
-        )
-        prior = self.state(spark, before_batch=batch_id).select(
+        series = user_series(batch_df)
+        prior = self.store.state(spark, before_batch=batch_id).select(
             "user_id",
             F.col("ewma").alias("prior_ewma"),
             F.col("n").alias("prior_n"),
@@ -113,34 +98,12 @@ class StreamingEWMA:
             .cast("long")
             .alias("n"),
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"batch={batch_id}")
-        )
+        self.store.write(out, batch_id)
 
     def state(
         self, spark: SparkSession, before_batch: int | None = None
     ) -> DataFrame:
-        """Per-user newest cumulative state: argmax by (last_ts,
-        last_id) via struct-MAX — each row is cumulative, so MAX-merge
-        is re-delivery-safe. ``before_batch`` gives the AS-OF read a
-        retried batch must seed from (see streaming/transitions.py)."""
-        if before_batch is None:
-            raw = read_batch_store(spark, self.state_dir, _STATE_SCHEMA, -1)
-        else:
-            raw = read_batch_store_before(
-                spark, self.state_dir, _STATE_SCHEMA, before_batch
-            )
-        return (
-            raw.groupBy("user_id")
-            .agg(F.max(F.struct("last_ts", "last_id", "ewma", "n")).alias("s"))
-            .select(
-                "user_id",
-                F.col("s.last_ts").alias("last_ts"),
-                F.col("s.last_id").alias("last_id"),
-                F.col("s.ewma").alias("ewma"),
-                F.col("s.n").alias("n"),
-            )
-        )
+        return self.store.state(spark, before_batch)
 
     def ewma(self, spark: SparkSession) -> DataFrame:
         """Merged result, column-for-column the batch query's output."""

@@ -11,17 +11,14 @@ even the TWO-POINT INIT compose: a user whose first batch held a
 single event persists n=1, and the next batch's first value triggers
 the init branch (b = x₁ − x₀) exactly as the batch fold would.
 
-Write/read/retry contracts are identical to the EWMA twin: cumulative
-state rows under ``state/batch=<id>``, argmax merge by (last_ts,
-last_id), as-of seeding via ``read_batch_store_before``, time-ordered
-per-user arrival. Stream == batch is bit-exact (the merge lambda is
-shared code — ``holt_merge_lambda``), pinned in
-tests/test_streaming_holt.py.
+The batch=<id> overwrite / argmax-merge / as-of-seed retry contract
+lives in streaming/foldstate.py (shared with the EWMA twin); the
+ordering contract is the EWMA twin's (time-ordered per-user arrival).
+Stream == batch is bit-exact (the merge lambda is shared code —
+``holt_merge_lambda``), pinned in tests/test_streaming_holt.py.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -29,9 +26,9 @@ from pyspark.sql import functions as F
 from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
     holt_merge_lambda,
 )
-from cloudfront_kinesis_log_lambda_spark.streaming.store import (
-    read_batch_store,
-    read_batch_store_before,
+from cloudfront_kinesis_log_lambda_spark.streaming.foldstate import (
+    FoldStateStore,
+    user_series,
 )
 
 _STATE_SCHEMA = (
@@ -51,27 +48,18 @@ class StreamingHolt:
     """
 
     def __init__(self, store_dir: str) -> None:
-        self.state_dir = os.path.join(store_dir, "state")
+        self.store = FoldStateStore(store_dir, _STATE_SCHEMA, ("l", "b", "n"))
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        series = (
-            batch_df.select("user_id", "ts", "event_id", "value")
-            .groupBy("user_id")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("ts", "event_id", "value"))
-                ).alias("series")
-            )
-            .withColumn(
-                "s",
-                F.expr(
-                    "transform(series, v -> "
-                    "named_struct('l', v.value, 'b', 0.0D, 'n', 1L))"
-                ),
-            )
+        series = user_series(batch_df).withColumn(
+            "s",
+            F.expr(
+                "transform(series, v -> "
+                "named_struct('l', v.value, 'b', 0.0D, 'n', 1L))"
+            ),
         )
-        prior = self.state(spark, before_batch=batch_id).select(
+        prior = self.store.state(spark, before_batch=batch_id).select(
             "user_id",
             F.col("l").alias("p_l"),
             F.col("b").alias("p_b"),
@@ -97,37 +85,12 @@ class StreamingHolt:
             F.col("h.b").alias("b"),
             F.col("h.n").alias("n"),
         )
-        out.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, f"batch={batch_id}")
-        )
+        self.store.write(out, batch_id)
 
     def state(
         self, spark: SparkSession, before_batch: int | None = None
     ) -> DataFrame:
-        """Per-user newest cumulative accumulator (argmax by the
-        high-water mark — see streaming/ewma.py)."""
-        if before_batch is None:
-            raw = read_batch_store(spark, self.state_dir, _STATE_SCHEMA, -1)
-        else:
-            raw = read_batch_store_before(
-                spark, self.state_dir, _STATE_SCHEMA, before_batch
-            )
-        return (
-            raw.groupBy("user_id")
-            .agg(
-                F.max(
-                    F.struct("last_ts", "last_id", "l", "b", "n")
-                ).alias("s")
-            )
-            .select(
-                "user_id",
-                F.col("s.last_ts").alias("last_ts"),
-                F.col("s.last_id").alias("last_id"),
-                F.col("s.l").alias("l"),
-                F.col("s.b").alias("b"),
-                F.col("s.n").alias("n"),
-            )
-        )
+        return self.store.state(spark, before_batch)
 
     def holt(self, spark: SparkSession) -> DataFrame:
         """Merged result, column-for-column the batch query's output."""

@@ -49,7 +49,8 @@ def test_unigram_logprob_flags_rare_token_soup(spark):
 
 
 def test_bigram_logprob_hand_computed(spark):
-    # corpus bigrams: (a,a) ×1, (a,b) ×2 from docs 0/1; vocab {a, b} → V=2
+    # corpus bigrams: (a,a) ×1, (a,b) ×2 from docs 0/1; vocabulary is
+    # {a, b, c} → V=3 (doc 2's lone "c" contributes to V, not to bigrams)
     docs = _docs(spark, [("a a b", 0), ("a b", 0), ("c", 0)])
     got = {r["doc_id"]: r for r in C.bigram_logprob(docs).collect()}
     k, v = C.BIGRAM_ADD_K, 3  # vocab is {a, b, c}

@@ -449,3 +449,40 @@ def test_ann_recall_report_on_planted_corpus(spark, tmp_path):
         for r in ann_recall_report(spark, sf_dir).collect()
     }
     assert out2 == out
+
+
+def test_kmeans_train_cap_samples_and_stays_deterministic(spark):
+    """The train_cap branch (the only path unit fixtures don't hit by
+    default): sampling engages whenever n > cap (ceil modulus), the
+    hash-modulus survives adversarial id distributions (all-odd ids
+    would empty a raw id-modulus sample with an even modulus), and the
+    capped training is deterministic run-to-run."""
+    import random
+
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(7)
+    dim = 8
+    rows = [
+        (2 * i + 1, [float(rng.gauss(0, 1)) for _ in range(dim)], 0)
+        for i in range(400)  # all-ODD vec_ids
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    c1 = kmeans_centroids(emb, k=4, iters=2, train_cap=50)
+    c2 = kmeans_centroids(emb, k=4, iters=2, train_cap=50)
+    assert c1 == c2 and len(c1) == 4
+    assert all(any(abs(x) > 1e-12 for x in c) for c in c1)  # non-degenerate
+    # n barely over the cap still downsamples (ceil modulus): the
+    # sampled init differs from the full-data init unless the hash
+    # happens to keep the k lowest ids — assert only that it trains
+    c3 = kmeans_centroids(emb.limit(60), k=4, iters=1, train_cap=50)
+    assert len(c3) == 4
+    # at or below the cap: byte-identical to uncapped
+    small = emb.limit(40)
+    assert kmeans_centroids(small, k=4, iters=1, train_cap=50) == (
+        kmeans_centroids(small, k=4, iters=1)
+    )
