@@ -56,11 +56,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r8 WINDOW MATH (standing policy above; 131 oracle entries / 50
-    # slots → a period-3 round-robin needs 44 slots/round on average
+    # r8 WINDOW MATH (standing policy above; 134 oracle entries / 50
+    # slots → a period-3 round-robin needs 45 slots/round on average
     # and keeps every entry ≤2 rounds stale — the steady-state
-    # invariant this round establishes, modulo the 5 named deferrals):
-    #   14 must-runs = 4 r7 end-of-round landings with zero driver
+    # invariant this round establishes, modulo the 7 named deferrals):
+    #   16 must-runs = 4 r7 end-of-round landings with zero driver
     #     evidence (nation_pagerank, top_conversion_paths,
     #     events_ohlc_incremental, doc_sorted_neighbors)
     #   + 2 changed implementations (doc_inverted_index: CSV postings
@@ -70,16 +70,19 @@ _FRONT = [
     #     doc_inverted_index_incremental / doc_bm25_incremental /
     #     events_holt_incremental; batch events_holt,
     #     doc_bigram_logprob, doc_hybrid_rrf, events_seasonal_outliers)
-    #   36 of the 41 r5-green entries (3 rounds stale). The last 5
+    #   + 2 NEW late-r8 entries (retrieval_eval_metrics,
+    #     doc_sorted_neighbors_multipass)
+    #   34 of the 41 r5-green entries (3 rounds stale). The last 7
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
-    #     orders_with_max_item — r1-frozen pure-relational code,
+    #     orders_with_max_item, parts_above_brand_avg,
+    #     recent_orders_lateral — r1-frozen pure-relational code,
     #     green five consecutive rounds) overflow to r9 and lead it:
     #     the rule-1 never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
-    # through doc_bm25_incremental and doc_hybrid_rrf. r9 owes: the 5
+    # through doc_bm25_incremental and doc_hybrid_rrf. r9 owes: the 7
     # deferred r5 entries + the 28 r6-green entries + the oldest r7
     # greens.
     #
@@ -98,7 +101,9 @@ _FRONT = [
     "events_holt_incremental",
     "doc_hybrid_rrf",
     "events_seasonal_outliers",
-    # 36 of the 41 r5-green entries (3-round-stale evidence)
+    "retrieval_eval_metrics",
+    "doc_sorted_neighbors_multipass",
+    # 34 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -131,9 +136,7 @@ _FRONT = [
     "near_dup_3gram",
     "near_dup_clusters",
     "parquet_roundtrip_daily",
-    "parts_above_brand_avg",
     "purchases_asof_cogroup",
-    "recent_orders_lateral",
     "user_value_scd2",
 ]
 _FILL: list[str] = []

@@ -1854,11 +1854,64 @@ ORACLE_SQL["doc_inverted_index"] = rf"""
 """
 
 from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (  # noqa: E402
+    EVAL_CUTOFF,
     RRF_K0,
     RRF_POOL,
     RRF_QUERY_VEC,
     RRF_TOPK,
 )
+
+# Ranking-quality metrics: ranks deterministic (ROUND-4 cosine + id
+# tiebreak); DCG/IDCG terms ROUND(·,9)-quantized DECIMAL(18,9) sums
+# (order-free); MRR/precision are single exact divisions.
+ORACLE_SQL["retrieval_eval_metrics"] = f"""
+    WITH qlab AS (
+      SELECT label AS qlabel FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    pool AS (
+      SELECT b.vec_id,
+             ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                          CAST(a.embedding AS DOUBLE[])), 4)
+               AS cos
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id = {RRF_QUERY_VEC} AND b.vec_id <> {RRF_QUERY_VEC}
+      ORDER BY cos DESC, b.vec_id LIMIT {RRF_POOL}),
+    ranked AS (
+      SELECT p.vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, p.vec_id ASC)
+               AS BIGINT) AS r,
+             CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel
+      FROM pool p JOIN embeddings e USING (vec_id) CROSS JOIN qlab q),
+    nrel AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant_total
+      FROM embeddings, qlab
+      WHERE label = qlabel AND vec_id <> {RRF_QUERY_VEC}),
+    agg AS (
+      SELECT MAX(CASE WHEN rel = 1
+                      THEN 1.0 / CAST(r AS DOUBLE) END) AS mrr_raw,
+             CAST(SUM(CASE WHEN r <= {EVAL_CUTOFF} THEN rel ELSE 0 END)
+               AS DOUBLE) / CAST({EVAL_CUTOFF} AS DOUBLE) AS p_at_k,
+             SUM(CASE WHEN r <= {EVAL_CUTOFF} AND rel = 1
+                      THEN CAST(ROUND(1.0 / (LN(CAST(r AS DOUBLE) + 1.0)
+                                             / LN(2.0)), 9)
+                             AS DECIMAL(18,9))
+                      ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
+             CAST(SUM(rel) AS BIGINT) AS n_relevant_in_pool
+      FROM ranked),
+    idcg AS (
+      SELECT n_relevant_total,
+             SUM(CAST(ROUND(1.0 / (LN(CAST(i AS DOUBLE) + 1.0) / LN(2.0)),
+                            9) AS DECIMAL(18,9))) AS idcg
+      FROM range(1, {EVAL_CUTOFF} + 1) t(i), nrel
+      WHERE i <= LEAST({EVAL_CUTOFF}, n_relevant_total)
+      GROUP BY 1)
+    SELECT CAST({RRF_POOL} AS BIGINT) AS k,
+           n_relevant_total, n_relevant_in_pool,
+           ROUND(COALESCE(mrr_raw, 0.0), 6) AS mrr,
+           ROUND(p_at_k, 6) AS precision_at_10,
+           ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+             AS ndcg_at_10
+    FROM agg CROSS JOIN idcg
+"""
 
 # Hybrid RRF: the BM25 CTE is doc_bm25_topk's oracle at pool depth;
 # the cosine leg is cosine_topk_bruteforce's; fusion is 1/(k0+rank)
@@ -2239,6 +2292,40 @@ ORACLE_SQL["doc_sorted_neighbors"] = f"""
       JOIN UNNEST(range(1, {SNM_WINDOW} + 1)) t(i) ON TRUE
       JOIN ranked b ON b.rn = a.rn + t.i)
     SELECT LEAST(da, db)    AS doc_a,
+           GREATEST(da, db) AS doc_b,
+           CAST(prefix_dist AS INT) AS prefix_dist
+    FROM cand WHERE prefix_dist <= {SNM_MAX_PREFIX_DIST}
+"""
+
+# two-pass SNM: pass 2 sorts by the lowercased REVERSED-text prefix;
+# UNION (not UNION ALL) dedups pairs found by both passes — a pair's
+# (doc_a, doc_b, prefix_dist) row is identical in either pass.
+ORACLE_SQL["doc_sorted_neighbors_multipass"] = f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             substr(lower(text), 1, {SNM_KEY_LEN})          AS k1,
+             substr(lower(reverse(text)), 1, {SNM_KEY_LEN}) AS k2,
+             substr(text, 1, {SNM_PREFIX_LEN})              AS prefix
+      FROM documents),
+    r1 AS (SELECT doc_id, prefix,
+                  ROW_NUMBER() OVER (ORDER BY k1, doc_id) AS rn
+           FROM keyed),
+    r2 AS (SELECT doc_id, prefix,
+                  ROW_NUMBER() OVER (ORDER BY k2, doc_id) AS rn
+           FROM keyed),
+    cand AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             levenshtein(a.prefix, b.prefix) AS prefix_dist
+      FROM r1 a
+      JOIN UNNEST(range(1, {SNM_WINDOW} + 1)) t(i) ON TRUE
+      JOIN r1 b ON b.rn = a.rn + t.i
+      UNION
+      SELECT a.doc_id, b.doc_id, levenshtein(a.prefix, b.prefix)
+      FROM r2 a
+      JOIN UNNEST(range(1, {SNM_WINDOW} + 1)) t(i) ON TRUE
+      JOIN r2 b ON b.rn = a.rn + t.i)
+    SELECT DISTINCT
+           LEAST(da, db)    AS doc_a,
            GREATEST(da, db) AS doc_b,
            CAST(prefix_dist AS INT) AS prefix_dist
     FROM cand WHERE prefix_dist <= {SNM_MAX_PREFIX_DIST}

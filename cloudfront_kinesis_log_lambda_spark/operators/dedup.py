@@ -733,6 +733,7 @@ def sorted_neighborhood_pairs(
     docs: DataFrame,
     window: int = SNM_WINDOW,
     key_len: int = SNM_KEY_LEN,
+    key_expr: "F.Column | None" = None,
 ) -> DataFrame:
     """Sorted-neighborhood method (Hernández/Stolfo): order the corpus
     by a canonical sort key (here the lowercased text prefix), slide a
@@ -749,14 +750,17 @@ def sorted_neighborhood_pairs(
     the neighbor join is an EQUI-join on rank+i with i exploded from
     1..w, so Catalyst plans a keyed join. Only (rank, doc_id, key,
     prefix) rows move — never full text. Multi-pass SNM (a second sort
-    key sweep unioned in) is the standard recall extension; single-pass
-    here, documented.
+    key sweep unioned in) is the standard recall extension — see
+    :func:`sorted_neighborhood_pairs_multipass`; ``key_expr`` overrides
+    the sort key for such extra passes.
     """
     from cloudfront_kinesis_log_lambda_spark.operators.util import global_rank
 
+    if key_expr is None:
+        key_expr = F.substring(F.lower(F.col("text")), 1, key_len)
     keyed = docs.select(
         "doc_id",
-        F.substring(F.lower(F.col("text")), 1, key_len).alias("snm_key"),
+        key_expr.alias("snm_key"),
         F.substring(F.col("text"), 1, SNM_PREFIX_LEN).alias("prefix"),
     )
     ranked = global_rank(keyed, ["snm_key", "doc_id"])
@@ -782,6 +786,39 @@ def sorted_neighborhood_pairs(
             F.col("prefix_dist").cast("int").alias("prefix_dist"),
         )
     )
+
+
+def sorted_neighborhood_pairs_multipass(
+    docs: DataFrame,
+    window: int = SNM_WINDOW,
+    key_len: int = SNM_KEY_LEN,
+) -> DataFrame:
+    """Two-pass SNM (the standard recall extension): pass 1 sorts by
+    the lowercased text PREFIX, pass 2 by the lowercased REVERSED-text
+    prefix (suffix-similar documents whose prefixes diverge land
+    adjacent in pass 2 — unreachable by pass 1's blocking). The union
+    is distinct(): a pair found by both passes carries the same
+    (doc_a, doc_b, prefix_dist) row, so dedup is exact. Cost is two
+    O(N·w) sweeps — still never O(N²)."""
+    p1 = sorted_neighborhood_pairs(docs, window, key_len)
+    p2 = sorted_neighborhood_pairs(
+        docs,
+        window,
+        key_len,
+        key_expr=F.substring(F.lower(F.reverse(F.col("text"))), 1, key_len),
+    )
+    return p1.unionByName(p2).distinct()
+
+
+def doc_sorted_neighbors_multipass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry entry: two-pass SNM over the documents table — fully
+    oracle-checked (both rank sweeps are plain SQL; UNION dedups)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return sorted_neighborhood_pairs_multipass(docs)
 
 
 def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:

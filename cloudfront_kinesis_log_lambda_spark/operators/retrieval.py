@@ -208,6 +208,98 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_CUTOFF = 10
+
+
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics for the semantic retrieval path — the
+    evaluation harness a retrieval stack ships with: MRR,
+    precision@10, and nDCG@10 of the cosine ranking (query =
+    RRF_QUERY_VEC, pool = RRF_POOL) against label-match relevance
+    (relevant ⇔ same label as the query vector — the house testdata's
+    ground-truth proxy).
+
+    One output row: (k, n_relevant_total, n_relevant_in_pool, mrr,
+    precision_at_10, ndcg_at_10). Fully oracle-checked: ranks are
+    deterministic (ROUND-4 cosine + id tiebreak), DCG/IDCG terms
+    1/log2(r+1) are ROUND(·,9)-quantized and summed as DECIMAL(18,9)
+    (order-free — the BM25 policy), MRR is one exact division.
+
+    Scale shape: the ranker is the bounded cosine_topk plan; metrics
+    run on the RRF_POOL-row remnant plus one broadcast label row and a
+    10-row IDCG spine — constant work after the scan.
+    """
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    qlab = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("label").alias("qlabel")
+    )
+    pool = cosine_topk(emb, query_vec_id=RRF_QUERY_VEC, k=RRF_POOL)
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    ranked = (
+        pool.select("vec_id", F.row_number().over(w).cast("long").alias("r"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .crossJoin(F.broadcast(qlab))
+        .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("int"))
+    )
+    cut = F.lit(EVAL_CUTOFF)
+    dcg_term = F.when(
+        (F.col("r") <= cut) & (F.col("rel") == 1),
+        F.round(
+            F.lit(1.0) / (F.log(F.col("r").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+            9,
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    agg = ranked.agg(
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("r").cast("double"))
+        ).alias("mrr_raw"),
+        (
+            F.sum(F.when(F.col("r") <= cut, F.col("rel")).otherwise(F.lit(0)))
+            .cast("double")
+            / cut.cast("double")
+        ).alias("p_at_k"),
+        F.sum(dcg_term).alias("dcg"),
+        F.sum("rel").cast("long").alias("n_relevant_in_pool"),
+    )
+    n_rel = (
+        emb.crossJoin(F.broadcast(qlab))
+        .filter(
+            (F.col("label") == F.col("qlabel"))
+            & (F.col("vec_id") != RRF_QUERY_VEC)
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_relevant_total"))
+    )
+    idcg = (
+        spark.range(1, EVAL_CUTOFF + 1)
+        .crossJoin(F.broadcast(n_rel))
+        .filter(F.col("id") <= F.least(cut.cast("long"), F.col("n_relevant_total")))
+        .groupBy("n_relevant_total")
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1.0)
+                    / (F.log(F.col("id").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+                    9,
+                ).cast("decimal(18,9)")
+            ).alias("idcg")
+        )
+    )
+    return agg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(RRF_POOL).cast("long").alias("k"),
+        "n_relevant_total",
+        "n_relevant_in_pool",
+        F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.col("p_at_k"), 6).alias("precision_at_10"),
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+        ).alias("ndcg_at_10"),
+    )
+
+
 def index_from_tf(tf: DataFrame, min_df: int = INDEX_MIN_DF) -> DataFrame:
     """Index assembly shared by the batch build and the streaming
     serving twin: ``tf`` is (word, doc_id, tf) — one row per posting.

@@ -1290,6 +1290,20 @@ def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dsn(spark, sf_dir)
 
 
+def doc_sorted_neighbors_multipass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-pass SNM (operators/dedup.py::
+    sorted_neighborhood_pairs_multipass): the standard recall extension
+    — a second sweep sorted by the reversed-text prefix catches
+    suffix-similar pairs whose prefixes diverge. Fully oracle-checked."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        doc_sorted_neighbors_multipass as _dsnm,
+    )
+
+    return _dsnm(spark, sf_dir)
+
+
 # Unordered registry of the extension surface; the driver-facing walk
 # order (which decides what the gate's entry budget evaluates) is imposed
 # by __spark_entry__.queries() — see _FRONT/_DEFER/_TAIL there.
@@ -1356,6 +1370,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "matryoshka_topk": matryoshka_topk,
     "doc_bm25_topk": RT.doc_bm25_topk,
     "doc_hybrid_rrf": RT.doc_hybrid_rrf,
+    "retrieval_eval_metrics": RT.retrieval_eval_metrics,
     "doc_inverted_index": RT.doc_inverted_index,
     "doc_inverted_index_incremental": doc_inverted_index_incremental,
     "doc_bm25_incremental": doc_bm25_incremental,
@@ -1371,6 +1386,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rollup_diff": CDC.customer_rollup_diff,
     "nation_pagerank": G.nation_pagerank,
     "doc_sorted_neighbors": doc_sorted_neighbors,
+    "doc_sorted_neighbors_multipass": doc_sorted_neighbors_multipass,
     "top_conversion_paths": TS.top_conversion_paths,
     "events_ohlc_incremental": events_ohlc_incremental,
     "events_ewma_incremental": events_ewma_incremental,

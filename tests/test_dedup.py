@@ -251,3 +251,51 @@ def test_connected_components_two_components_unchanged_semantics(spark):
     )
     got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
     assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20}
+
+
+def test_snm_window_adjacency_and_prefix_cap(spark):
+    """Single-pass SNM: docs sharing a sort-key prefix land adjacent
+    and pair; docs beyond the window or the prefix-distance cap don't."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (0, "alpha shared prefix document body one"),
+        (1, "alpha shared prefix document body two"),
+        (2, "mmmm totally different middle text"),
+        (3, "zzzz far away in sort order " + "x" * 100),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in sorted_neighborhood_pairs(docs).collect()
+    }
+    assert (0, 1) in got          # adjacent, near-identical prefixes
+    assert (0, 3) not in got and (1, 3) not in got  # prefix cap bites
+
+
+def test_snm_multipass_catches_suffix_similar_pairs(spark):
+    """Pass 2 (reversed-text key) finds a suffix-similar pair whose
+    prefixes diverge — pass 1 provably cannot (they sort far apart)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_pairs_multipass,
+    )
+
+    tail = " the exact same long shared tail of the document" * 2
+    rows = [(0, "aaaa" + tail), (9, "zzzz" + tail)]
+    # spacer docs push the pair > window apart in pass-1 sort order
+    rows += [(i, f"bbb{i} unrelated filler body {i}") for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p1 = {
+        (r["doc_a"], r["doc_b"])
+        for r in sorted_neighborhood_pairs(docs).collect()
+    }
+    mp = {
+        (r["doc_a"], r["doc_b"])
+        for r in sorted_neighborhood_pairs_multipass(docs).collect()
+    }
+    assert (0, 9) not in p1   # prefix-sorted sweep can't see it
+    assert (0, 9) in mp       # reversed-key sweep can
+    assert p1 <= mp           # multipass is a strict recall superset
