@@ -59,8 +59,8 @@ _FRONT = [
     # r8 WINDOW MATH (standing policy above; 134 oracle entries / 50
     # slots → a period-3 round-robin needs 45 slots/round on average
     # and keeps every entry ≤2 rounds stale — the steady-state
-    # invariant this round establishes, modulo the 7 named deferrals):
-    #   16 must-runs = 4 r7 end-of-round landings with zero driver
+    # invariant this round establishes, modulo the 8 named deferrals):
+    #   17 must-runs = 4 r7 end-of-round landings with zero driver
     #     evidence (nation_pagerank, top_conversion_paths,
     #     events_ohlc_incremental, doc_sorted_neighbors)
     #   + 2 changed implementations (doc_inverted_index: CSV postings
@@ -70,19 +70,19 @@ _FRONT = [
     #     doc_inverted_index_incremental / doc_bm25_incremental /
     #     events_holt_incremental; batch events_holt,
     #     doc_bigram_logprob, doc_hybrid_rrf, events_seasonal_outliers)
-    #   + 2 NEW late-r8 entries (retrieval_eval_metrics,
-    #     doc_sorted_neighbors_multipass)
-    #   34 of the 41 r5-green entries (3 rounds stale). The last 7
+    #   + 3 NEW late-r8 entries (retrieval_eval_metrics,
+    #     doc_sorted_neighbors_multipass, doc_hybrid_rrf_incremental)
+    #   33 of the 41 r5-green entries (3 rounds stale). The last 8
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
-    #     recent_orders_lateral — r1-frozen pure-relational code,
+    #     recent_orders_lateral, events_variant_props — r1-frozen code,
     #     green five consecutive rounds) overflow to r9 and lead it:
     #     the rule-1 never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
-    # through doc_bm25_incremental and doc_hybrid_rrf. r9 owes: the 7
+    # through doc_bm25_incremental and doc_hybrid_rrf. r9 owes: the 8
     # deferred r5 entries + the 28 r6-green entries + the oldest r7
     # greens.
     #
@@ -103,7 +103,8 @@ _FRONT = [
     "events_seasonal_outliers",
     "retrieval_eval_metrics",
     "doc_sorted_neighbors_multipass",
-    # 34 of the 41 r5-green entries (3-round-stale evidence)
+    "doc_hybrid_rrf_incremental",
+    # 33 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -128,7 +129,6 @@ _FRONT = [
     "events_retention_cohorts",
     "events_session_windows",
     "events_sliding_windows",
-    "events_variant_props",
     "events_zorder_roundtrip",
     "matryoshka_topk",
     "multimodal_asset_dedup",

@@ -2380,3 +2380,4 @@ ORACLE_SQL["events_holt_incremental"] = ORACLE_SQL["events_holt"]
 # batch queries' SQL.
 ORACLE_SQL["doc_inverted_index_incremental"] = ORACLE_SQL["doc_inverted_index"]
 ORACLE_SQL["doc_bm25_incremental"] = ORACLE_SQL["doc_bm25_topk"]
+ORACLE_SQL["doc_hybrid_rrf_incremental"] = ORACLE_SQL["doc_hybrid_rrf"]

@@ -178,23 +178,32 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     bm25 = bm25_score_topk(*_bm25_inputs(spark, sf_dir), k=RRF_POOL)
+    emb = load(spark, sf_dir, "embeddings")
+    cos = cosine_topk(emb, query_vec_id=RRF_QUERY_VEC, k=RRF_POOL)
+    return rrf_fuse(bm25, cos)
+
+
+def rrf_fuse(bm25: DataFrame, cos: DataFrame) -> DataFrame:
+    """The RRF fusion core shared by the batch hybrid query and the
+    incremental-store serving twin: rank each bounded ranker output
+    (``bm25``: doc_id/bm25; ``cos``: vec_id/cos), full-outer join,
+    fuse, top-RRF_TOPK."""
     wb = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
     lex = bm25.select(
         "doc_id", F.row_number().over(wb).cast("long").alias("r_lex")
     )
-
-    emb = load(spark, sf_dir, "embeddings")
-    cos = cosine_topk(emb, query_vec_id=RRF_QUERY_VEC, k=RRF_POOL)
     wc = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     sem = cos.select(
         F.col("vec_id").alias("doc_id"),
         F.row_number().over(wc).cast("long").alias("r_sem"),
     )
-
     k0 = F.lit(float(RRF_K0))
-    contrib = lambda r: F.when(  # noqa: E731
-        F.col(r).isNotNull(), F.lit(1.0) / (k0 + F.col(r).cast("double"))
-    ).otherwise(F.lit(0.0))
+
+    def contrib(r: str):
+        return F.when(
+            F.col(r).isNotNull(), F.lit(1.0) / (k0 + F.col(r).cast("double"))
+        ).otherwise(F.lit(0.0))
+
     return (
         lex.join(sem, "doc_id", "full_outer")
         .select(

@@ -1276,6 +1276,27 @@ def doc_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-bm25", build)
 
 
+def doc_hybrid_rrf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF serving END-TO-END off incremental state: the lexical
+    pool comes from the streaming posting store (no re-tokenize), fused
+    by the SAME rrf_fuse core with the cosine pool. HASH-GREEN: SUM
+    merges make the store-served BM25 ranking identical to batch, so
+    the oracle IS doc_hybrid_rrf's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = _drive_inverted_index(spark, sf_dir, root)
+        bm25 = st.bm25_topk(spark, k=RT.RRF_POOL)
+        cos = cosine_topk(
+            _emb(spark, sf_dir), query_vec_id=RT.RRF_QUERY_VEC, k=RT.RRF_POOL
+        )
+        return RT.rrf_fuse(bm25, cos)
+
+    return _with_scratch("stream-rrf", build)
+
+
 def doc_sorted_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (operators/dedup.py::
     sorted_neighborhood_pairs): the third blocking family next to LSH
@@ -1374,6 +1395,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_inverted_index": RT.doc_inverted_index,
     "doc_inverted_index_incremental": doc_inverted_index_incremental,
     "doc_bm25_incremental": doc_bm25_incremental,
+    "doc_hybrid_rrf_incremental": doc_hybrid_rrf_incremental,
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
     "events_ewma": TS.events_ewma,
     "events_holt": TS.events_holt,

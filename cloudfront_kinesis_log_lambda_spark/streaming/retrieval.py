@@ -109,7 +109,10 @@ class StreamingInvertedIndex:
         return index_from_tf(self._merged_tf(spark), min_df)
 
     def bm25_topk(
-        self, spark: SparkSession, terms: tuple[str, ...] = BM25_QUERY
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...] = BM25_QUERY,
+        k: int | None = None,
     ) -> DataFrame:
         """BM25 top-k over the accumulated corpus — the serving path:
         the query probes the posting store (filter on the ≤|terms| hot
@@ -119,4 +122,6 @@ class StreamingInvertedIndex:
             .filter(F.col("word").isin(*terms))
             .select("doc_id", "word", F.col("tf").cast("double").alias("tf"))
         )
-        return bm25_score_topk(tf, self._merged_dl(spark))
+        if k is None:
+            return bm25_score_topk(tf, self._merged_dl(spark))
+        return bm25_score_topk(tf, self._merged_dl(spark), k)
