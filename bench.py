@@ -81,6 +81,17 @@ EXTENSION = [
     "doc_bpe_tokens",           # codegen replace-chain BPE encode
     "events_value_ddsketch",    # log-gamma histogram quantiles
     "doc_weighted_sample",      # A-Res key + TakeOrderedAndProject
+    # round-7/8 additions (retrieval + time-series families)
+    "doc_bm25_topk",            # scan-side reduce + broadcast df/scalars
+    "doc_inverted_index",       # two word-keyed exchanges + posting rank
+    "doc_hybrid_rrf",           # two bounded rankers + constant fusion
+    "part_fuzzy_pairs",         # two-level capped block join
+    "doc_bigram_logprob",       # bigram LM train + per-doc score
+    "events_ewma",              # per-user array fold
+    "events_holt",              # per-user struct-accumulator fold
+    "event_transitions",        # per-user lead pairs + matrix rollup
+    "events_seasonal_outliers", # 2x exact percentile per (type, hod)
+    "nation_pagerank",          # 10 lineage-truncated sweeps
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))
