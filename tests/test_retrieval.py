@@ -164,6 +164,40 @@ def test_hybrid_rrf_fuses_both_rankers(spark, tmp_path):
     assert not math.isnan(want1)
 
 
+def test_retrieval_eval_metrics_hand_computed(spark, tmp_path):
+    """MRR / P@10 / nDCG@10 against a corpus engineered so the rank
+    list is known: ranks follow cosine to the query direction, and
+    relevance (label match) is planted at known positions."""
+    import math
+
+    dim = 8
+    base = [1.0] + [0.0] * (dim - 1)
+
+    def mix(theta):  # unit vector at angle theta from base in dims 0-1
+        return [math.cos(theta), math.sin(theta)] + [0.0] * (dim - 2)
+
+    # query vec 0 (label 0). Ranks by decreasing cosine: vec 1 (rel),
+    # vec 2 (irrel), vec 3 (rel), then 4..9 irrelevant tail.
+    rows = [(0, base, 0), (1, mix(0.1), 0), (2, mix(0.2), 1),
+            (3, mix(0.3), 0), (4, mix(0.4), 1), (5, mix(0.5), 1),
+            (6, mix(0.6), 1), (7, mix(0.7), 1), (8, mix(0.8), 1),
+            (9, mix(0.9), 1)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in rows],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+    [r] = RT.retrieval_eval_metrics(spark, d).collect()
+    assert r["n_relevant_total"] == 2        # vecs 1 and 3
+    assert r["n_relevant_in_pool"] == 2
+    assert r["mrr"] == 1.0                   # first hit at rank 1
+    assert r["precision_at_10"] == round(2 / 10, 6)
+    # DCG = 1/log2(2) + 1/log2(4); IDCG (2 relevant) = 1/log2(2) + 1/log2(3)
+    dcg = round(1 / math.log2(2), 9) + round(1 / math.log2(4), 9)
+    idcg = round(1 / math.log2(2), 9) + round(1 / math.log2(3), 9)
+    assert r["ndcg_at_10"] == round(dcg / idcg, 6)
+
+
 def _write_parts(spark, tmp_path, names):
     d = str(tmp_path)
     spark.createDataFrame(
