@@ -227,3 +227,79 @@ def test_purchase_is_not_its_own_touch(spark, monkeypatch):
     got = TS.attribution_last_touch(spark, "unused").collect()
     assert len(got) == 1 and got[0]["touch"] == "none"
     assert got[0]["n_purchases"] == 2
+
+
+# --- property-based fold parity (the §5.4 pattern) --------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_val = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+# structured adversarial cases FIRST (the r6 fuzz lesson: runs,
+# extremes, and sign flips explicitly, not left to rng luck)
+_ADVERSARIAL = [
+    [5.0] * 30,                       # constant run
+    [1e6, -1e6] * 15,                 # alternating extremes
+    [1e-12] * 5 + [1e6] * 5,          # magnitude cliff
+    [-1.0, -2.0, -4.0, -8.0],         # monotone negative
+    [0.0, 0.0, 1.0],                  # zeros then step
+]
+_series = st.one_of(
+    st.sampled_from(_ADVERSARIAL),
+    st.lists(_val, min_size=1, max_size=40),
+)
+
+
+def _py_ewma(vals, a=0.3):
+    y = vals[0]
+    for x in vals[1:]:
+        y = y * (1 - a) + x * a
+    return y
+
+
+def _py_holt(vals, a=0.3, b_=0.2):
+    if len(vals) == 1:
+        return vals[0], 0.0
+    l, b = vals[1], vals[1] - vals[0]
+    for x in vals[2:]:
+        nl = a * x + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    return l, b
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_series, min_size=1, max_size=4))
+def test_fold_parity_fuzz_vs_python(spark, series_batch):
+    """EWMA and Holt folds vs the Python recursion, EXACT (bit-equal
+    before the ROUND-6 edge) across adversarial and random series —
+    each hypothesis example is a multi-user batch (one user per
+    series) so one Spark job checks several folds. (Patches TS.load
+    directly — function-scoped monkeypatch doesn't reset between
+    hypothesis examples.)"""
+    rows = []
+    eid = 0
+    for u, vals in enumerate(series_batch):
+        for i, v in enumerate(vals):
+            rows.append((eid, u, "t", i * 10, float(v)))
+            eid += 1
+    df = _events(spark, rows)
+    orig = TS.load
+    TS.load = lambda s, sf, name: df
+    try:
+        ew = {
+            r["user_id"]: r["ewma"]
+            for r in TS.events_ewma(spark, "x").collect()
+        }
+        ho = {
+            r["user_id"]: (r["level"], r["trend"])
+            for r in TS.events_holt(spark, "x").collect()
+        }
+    finally:
+        TS.load = orig
+    for u, vals in enumerate(series_batch):
+        assert ew[u] == round(_py_ewma(vals), 6), (u, vals)
+        l, b = _py_holt(vals)
+        assert ho[u] == (round(l, 6), round(b, 6)), (u, vals)
