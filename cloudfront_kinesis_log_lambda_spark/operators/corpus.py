@@ -110,11 +110,19 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     leans on ROUND-4 to absorb fold-order ulp).
 
     Scale shape: bigram pairs are built array-side (slice-zip, map-only,
-    no self-join) and collapse to partial+final counts on (w1, w2); the
-    context marginal is a second aggregate of the bigram table (never a
-    rescan); pair→model joins are shuffle-on-term at 100 TB (AQE
-    downgrades to broadcast for small vocabularies); V and the scalar k
-    broadcast. Nothing carries ``text`` past the explode.
+    no self-join) and collapse to partial+final counts on (w1, w2). The
+    bigram MODEL table is localCheckpoint-materialized: it is
+    vocabulary-bounded (aggregate output, orders of magnitude smaller
+    than the corpus), and without the checkpoint every downstream
+    consumer (the context marginal AND the scoring join) re-derives it
+    from a fresh full-text scan — measured 4 document scans in the
+    un-checkpointed plan vs 3 after (the remaining scans: one pair
+    build for the model, one pair re-derivation for scoring, one token
+    pass for V — scoring against a materialized model is also exactly
+    how an LM-quality gate runs in production, model built once).
+    Pair→model joins are shuffle-on-term at 100 TB (AQE downgrades to
+    broadcast for small vocabularies); V and the scalar k broadcast.
+    Nothing carries ``text`` past the explode.
     """
     toks = F.filter(_tokens(F.col(text_col)), lambda t: t != "")
     base = ensure_parallelism(docs).select(
@@ -129,8 +137,12 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    big = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c_ab")
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        # localCheckpoint, not cache() — the house rule for lazy
+        # operators (see near_dup_pairs_exact)
+        .localCheckpoint(eager=True)
     )
     ctx = big.groupBy("w1").agg(F.sum("c_ab").cast("long").alias("c_a"))
     vocab = _term_rows(docs, text_col).agg(
