@@ -27,7 +27,17 @@ CHUNK_TOKENS = 16
 _WS = re.compile(r"[ \t\n\f\r]+")
 
 
-@udtf(returnType="chunk_idx bigint, chunk string, n_tokens bigint")
+# useArrow EXPLICIT: with useArrow=None the decorator resolves the
+# Arrow choice at MODULE IMPORT time (no active session yet → plain
+# row-at-a-time BatchEvalPythonUDTF is baked in permanently, whatever
+# the session conf says later — found by tools/plan_audit.py, which
+# imports this module before creating its session). The engine
+# requires pandas+pyarrow anyway (every similarity/multimodal kernel),
+# so force the Arrow exchange unconditionally.
+@udtf(
+    returnType="chunk_idx bigint, chunk string, n_tokens bigint",
+    useArrow=True,
+)
 class ChunkTokens:
     """text → fixed-size token chunks (1-based index, chunk text, token
     count) — the context-window chunker of an LLM training pipeline."""

@@ -67,6 +67,10 @@ def _tune_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # Arrow-optimized Python UDTF exchange: without it the UDTF surface
+    # is the registry's ONLY row-at-a-time BatchEvalPython node
+    # (PLAN_AUDIT.md); with it the chunker runs ArrowEvalPythonUDTF
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
     spark.conf.set(_TUNED, "true")
 

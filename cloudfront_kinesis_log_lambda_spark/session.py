@@ -53,6 +53,7 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
         # generous broadcast threshold: all dimension tables here are tiny,
         # and at 100 TB the dims (region/nation/part metadata) still fit.
         "spark.sql.autoBroadcastJoinThreshold": "64m",
