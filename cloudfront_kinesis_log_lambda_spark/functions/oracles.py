@@ -2275,6 +2275,55 @@ ORACLE_SQL["nation_pagerank"] = f"""
     WHERE pr.it = {PAGERANK_ITERS}
 """
 
+# Part co-purchase triangle census. Mirrors
+# operators/graph.py::triangle_stats structurally: same degree
+# orientation (deg, node) total order, same orientation-minimal-corner
+# triangle identity, so the integer counts are engine-independent.
+# Division spelled CAST(2 AS DOUBLE) * t / (d * (d - 1)) — identical
+# IEEE DAG to Spark's 2.0 * t / (d * (d - 1)); bare SQL literals stay
+# DECIMAL in DuckDB, hence the explicit casts.
+ORACLE_SQL["part_triangle_stats"] = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, CAST(l_partkey AS BIGINT) AS pk
+      FROM lineitem),
+    edges AS (
+      SELECT DISTINCT o1.pk AS a, o2.pk AS b
+      FROM op o1 JOIN op o2 ON o1.ok = o2.ok AND o1.pk < o2.pk),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM edges
+        UNION ALL SELECT b FROM edges) GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.a ELSE e.b END AS s,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN e.b ELSE e.a END AS t,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                  THEN db.deg ELSE da.deg END AS dt
+      FROM edges e
+      JOIN deg da ON da.node = e.a
+      JOIN deg db ON db.node = e.b),
+    tri AS (
+      SELECT e1.s AS x, e1.t AS y, e2.t AS z
+      FROM oriented e1
+      JOIN oriented e2 ON e1.s = e2.s
+        AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+      JOIN oriented e3 ON e3.s = e1.t AND e3.t = e2.t),
+    corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri),
+    tc AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY node)
+    SELECT d.node AS part_key,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN CAST(2 AS DOUBLE) * COALESCE(tc.triangles, 0)
+                           / (d.deg * (d.deg - 1))
+                      ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+    FROM deg d LEFT JOIN tc ON tc.node = d.node
+"""
+
 ORACLE_SQL["doc_sorted_neighbors"] = f"""
     WITH keyed AS (
       SELECT doc_id,

@@ -1407,6 +1407,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution_last_touch": TS.attribution_last_touch,
     "customer_rollup_diff": CDC.customer_rollup_diff,
     "nation_pagerank": G.nation_pagerank,
+    "part_triangle_stats": G.part_triangle_stats,
     "doc_sorted_neighbors": doc_sorted_neighbors,
     "doc_sorted_neighbors_multipass": doc_sorted_neighbors_multipass,
     "top_conversion_paths": TS.top_conversion_paths,
