@@ -72,13 +72,16 @@ _FRONT = [
     #     doc_bigram_logprob, doc_hybrid_rrf, events_seasonal_outliers)
     #   + 3 NEW late-r8 entries (retrieval_eval_metrics,
     #     doc_sorted_neighbors_multipass, doc_hybrid_rrf_incremental)
-    #   33 of the 41 r5-green entries (3 rounds stale). The last 8
+    #   + 2 NEW end-of-round entries (part_triangle_stats,
+    #     events_holt_winters) → 19 must-runs
+    #   31 of the 41 r5-green entries (3 rounds stale). The last 10
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
-    #     recent_orders_lateral, events_variant_props — r1-frozen code,
-    #     green five consecutive rounds) overflow to r9 and lead it:
-    #     the rule-1 never-verified entries outrank staleness refresh.
+    #     recent_orders_lateral, events_variant_props, user_value_scd2,
+    #     purchases_asof_cogroup — r1-frozen code, green five
+    #     consecutive rounds) overflow to r9 and lead it: the rule-1
+    #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -104,7 +107,9 @@ _FRONT = [
     "retrieval_eval_metrics",
     "doc_sorted_neighbors_multipass",
     "doc_hybrid_rrf_incremental",
-    # 33 of the 41 r5-green entries (3-round-stale evidence)
+    "part_triangle_stats",
+    "events_holt_winters",
+    # 31 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -136,8 +141,6 @@ _FRONT = [
     "near_dup_3gram",
     "near_dup_clusters",
     "parquet_roundtrip_daily",
-    "purchases_asof_cogroup",
-    "user_value_scd2",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -2002,6 +2002,10 @@ from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: 
     EWMA_ALPHA,
     HOLT_ALPHA,
     HOLT_BETA,
+    HW_ALPHA,
+    HW_BETA,
+    HW_GAMMA,
+    HW_PERIOD,
     MAD_SIGMA,
 )
 
@@ -2057,6 +2061,61 @@ ORACLE_SQL["events_holt"] = f"""
            ROUND(b, 6)     AS trend,
            ROUND(l + b, 6) AS forecast
     FROM fin
+"""
+
+# Holt-Winters additive (hour-of-day seasonal, period 24). Same
+# recursive-CTE replay discipline as events_holt — the accumulator is
+# now (l, bt, s LIST(24), n); the seasonal list is rebuilt per step
+# with 1-based slices (prefix || [updated slot] || suffix — verified:
+# s[1:0] and s[26:24] are empty lists, so the edge slots work). The
+# level expression is textually duplicated into trend and seasonal
+# terms, identical to the Spark lambda
+# (operators/timeseries.py::holt_winters_merge_lambda). Hourly series
+# values are DECIMAL(18,9)-quantized sums cast to double — order-free
+# exactness before the order-dependent fold starts.
+_HW_LVL_CTE = (
+    f"{HW_ALPHA!r} * (xs[i + 1] - s[ps[i + 1] + 1]) "
+    f"+ {1.0 - HW_ALPHA!r} * (l + bt)"
+)
+ORACLE_SQL["events_holt_winters"] = f"""
+    WITH RECURSIVE b AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) AS x,
+             CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT)
+               AS p
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    arrs AS (
+      SELECT event_type,
+             list(x ORDER BY hb) AS xs,
+             list(p ORDER BY hb) AS ps,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY event_type),
+    state AS (
+      SELECT event_type, CAST(1 AS BIGINT) AS i,
+             CAST(xs[1] AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS bt,
+             list_transform(range({HW_PERIOD}),
+                            r -> CAST(0.0 AS DOUBLE)) AS s,
+             xs, ps, n
+      FROM arrs
+      UNION ALL
+      SELECT event_type, i + 1,
+             {_HW_LVL_CTE},
+             {HW_BETA!r} * (({_HW_LVL_CTE}) - l)
+               + {1.0 - HW_BETA!r} * bt,
+             s[1:CAST(ps[i + 1] AS INT)]
+               || [{HW_GAMMA!r} * (xs[i + 1] - ({_HW_LVL_CTE}))
+                   + {1.0 - HW_GAMMA!r} * s[ps[i + 1] + 1]]
+               || s[CAST(ps[i + 1] AS INT) + 2:{HW_PERIOD}],
+             xs, ps, n
+      FROM state WHERE i < n)
+    SELECT event_type,
+           n AS n_buckets,
+           ROUND(l, 6)  AS level,
+           ROUND(bt, 6) AS trend,
+           ROUND(s[((ps[n] + 1) % {HW_PERIOD}) + 1], 6) AS season_next,
+           ROUND(l + bt + s[((ps[n] + 1) % {HW_PERIOD}) + 1], 6)
+             AS forecast
+    FROM state WHERE i = n
 """
 
 ORACLE_SQL["events_ohlc"] = """

@@ -420,3 +420,111 @@ def top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(PATHS_TOPK)
     )
+
+
+HW_ALPHA = 0.3
+HW_BETA = 0.2
+HW_GAMMA = 0.3
+HW_PERIOD = 24
+
+
+def holt_winters_merge_lambda(
+    a: float = HW_ALPHA, b: float = HW_BETA, g: float = HW_GAMMA
+) -> str:
+    """The additive Holt-Winters step as a fold lambda over
+    (l, b, s[period], n) struct accumulators; elements are (x, p)
+    with p the 0-based season position.
+
+    lᵢ = α·(xᵢ − s_old[p]) + (1−α)·(lᵢ₋₁ + bᵢ₋₁)
+    bᵢ = β·(lᵢ − lᵢ₋₁) + (1−β)·bᵢ₋₁
+    s[p] ← γ·(xᵢ − lᵢ) + (1−γ)·s_old[p]        (other slots unchanged)
+
+    As with :func:`holt_merge_lambda`, the level expression is spelled
+    once and textually duplicated into the trend and seasonal terms so
+    both engines evaluate the identical IEEE DAG; the seasonal array
+    updates positionally via ``transform``'s 0-based index (the DuckDB
+    twin rebuilds the list with 1-based slices — same values)."""
+    lvl = (
+        f"{a!r}D * (x.x - element_at(acc.s, x.p + 1)) "
+        f"+ {1.0 - a!r}D * (acc.l + acc.b)"
+    )
+    return (
+        "(acc, x) -> named_struct("
+        f"'l', {lvl}, "
+        f"'b', {b!r}D * (({lvl}) - acc.l) + {1.0 - b!r}D * acc.b, "
+        "'s', transform(acc.s, (v, i) -> CASE WHEN i = x.p THEN "
+        f"{g!r}D * (x.x - ({lvl})) + {1.0 - g!r}D * v ELSE v END), "
+        "'n', acc.n + 1L)"
+    )
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing of each
+    event type's HOURLY total-value series with hour-of-day seasonality
+    (period 24): final level, trend, the seasonal component of the next
+    hour slot, and the one-step forecast level + trend + season.
+
+    The seasonal upgrade of :func:`events_holt`: a daily-rhythm metric
+    (traffic, spend) defeats a trendline; the 24-slot seasonal state
+    absorbs it. Zeros-init variant (l₀ = x₀, b₀ = 0, s = 0⃗ — no
+    first-season average pass), documented rather than classical, so
+    the fold is a pure left fold and the streaming twin can seed it.
+
+    Scale shape: the hourly pre-aggregation is the only wide exchange
+    (DECIMAL(18,9) quantized sums → order-free exactness); per-type
+    bucket arrays are bounded by hours-in-retention, not event count —
+    a year is 8 760 elements. The per-step seasonal array rewrite is
+    period-bounded (24 doubles). Cross-engine parity is the recursive-
+    CTE replay, as for Holt (multi-field fold; see the list_reduce
+    divergence note at ORACLE_SQL["events_holt"])."""
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    buckets = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,9)")).alias("xd")
+        )
+        .select(
+            "event_type",
+            "hb",
+            F.col("xd").cast("double").alias("x"),
+            # int, not long: element_at's index parameter is INT-typed
+            F.hour("hb").cast("int").alias("p"),
+        )
+    )
+    arr = buckets.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hb", "x", "p"))).alias(
+            "series"
+        )
+    )
+    init = (
+        "named_struct('l', series[0].x, 'b', 0.0D, "
+        f"'s', array_repeat(0.0D, {HW_PERIOD}), 'n', 1L)"
+    )
+    fold = (
+        f"aggregate(slice(series, 2, size(series) - 1), {init}, "
+        f"{holt_winters_merge_lambda()})"
+    )
+    return (
+        arr.withColumn("h", F.expr(fold))
+        .withColumn(
+            "p_next",
+            (F.element_at("series", -1).getField("p") + 1) % HW_PERIOD,
+        )
+        .select(
+            "event_type",
+            F.size("series").cast("long").alias("n_buckets"),
+            F.round(F.col("h.l"), 6).alias("level"),
+            F.round(F.col("h.b"), 6).alias("trend"),
+            F.round(
+                F.element_at(F.col("h.s"), F.col("p_next") + 1), 6
+            ).alias("season_next"),
+            F.round(
+                F.col("h.l")
+                + F.col("h.b")
+                + F.element_at(F.col("h.s"), F.col("p_next") + 1),
+                6,
+            ).alias("forecast"),
+        )
+    )

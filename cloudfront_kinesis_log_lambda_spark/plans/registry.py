@@ -1399,6 +1399,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
     "events_ewma": TS.events_ewma,
     "events_holt": TS.events_holt,
+    "events_holt_winters": TS.events_holt_winters,
     "events_seasonal_outliers": TS.events_seasonal_outliers,
     "events_ohlc": TS.events_ohlc,
     "events_mad_outliers": TS.events_mad_outliers,

@@ -303,3 +303,64 @@ def test_fold_parity_fuzz_vs_python(spark, series_batch):
         assert ew[u] == round(_py_ewma(vals), 6), (u, vals)
         l, b = _py_holt(vals)
         assert ho[u] == (round(l, 6), round(b, 6)), (u, vals)
+
+
+def _py_hw(buckets, a=0.3, b_=0.2, g=0.3, m=24):
+    # buckets: [(x, p)] ordered by hour; mirrors holt_winters_merge_lambda
+    l, b, s = buckets[0][0], 0.0, [0.0] * m
+    for x, p in buckets[1:]:
+        nl = a * (x - s[p]) + (1 - a) * (l + b)
+        nb = b_ * (nl - l) + (1 - b_) * b
+        s[p] = g * (x - nl) + (1 - g) * s[p]
+        l, b = nl, nb
+    p_next = (buckets[-1][1] + 1) % m
+    return l, b, s[p_next]
+
+
+def test_holt_winters_matches_python_recursion(spark, monkeypatch):
+    """Level/trend/season/forecast vs the textbook additive HW
+    recursion, EXACT before the ROUND-6 edge. Buckets span a midnight
+    wrap (30 hours) and one hour holds several events, so the
+    decimal-sum bucketing and the position wrap are both exercised
+    (values are multiples of 0.25 — float-exact sums on both sides)."""
+    rows, eid = [], 0
+    vals = [0.25 * ((7 * i) % 40 - 20) for i in range(30)]  # sign flips
+    for h, v in enumerate(vals):
+        rows.append((eid, 1, "t", h * 3600, v)); eid += 1
+        if h == 3:  # multi-event bucket: 3 extra rows summing into x
+            for extra in (0.5, -1.25, 2.0):
+                rows.append((eid, 1, "t", h * 3600 + 60, extra)); eid += 1
+    _patched(monkeypatch, _events(spark, rows))
+    buckets = [
+        (v + (1.25 if h == 3 else 0.0), h % 24) for h, v in enumerate(vals)
+    ]
+    l, b, sn = _py_hw(buckets)
+    out = {r["event_type"]: r
+           for r in TS.events_holt_winters(spark, "x").collect()}["t"]
+    assert out["n_buckets"] == 30
+    assert out["level"] == round(l, 6)
+    assert out["trend"] == round(b, 6)
+    assert out["season_next"] == round(sn, 6)
+    assert out["forecast"] == round(l + b + sn, 6)
+
+
+def test_holt_winters_single_bucket_is_init(spark, monkeypatch):
+    _patched(monkeypatch, _events(spark, [(0, 1, "t", 0, 42.0)]))
+    out = TS.events_holt_winters(spark, "x").collect()[0]
+    assert (out["n_buckets"], out["level"], out["trend"]) == (1, 42.0, 0.0)
+    assert out["season_next"] == 0.0 and out["forecast"] == 42.0
+
+
+def test_holt_winters_absorbs_seasonality_holt_cannot(spark, monkeypatch):
+    """Pure hour-of-day signal (100 at hour 0, 10 otherwise) for 7
+    days: the HW forecast for the next hour-0 spike must beat the
+    seasonless Holt forecast by a wide margin — the operator's reason
+    to exist next to events_holt."""
+    rows, eid = [], 0
+    for h in range(7 * 24):  # last bucket is hour 23 → next is the spike
+        v = 100.0 if h % 24 == 0 else 10.0
+        rows.append((eid, 1, "spiky", h * 3600, v)); eid += 1
+    _patched(monkeypatch, _events(spark, rows))
+    hw = TS.events_holt_winters(spark, "x").collect()[0]
+    assert hw["season_next"] > 30.0  # hour-0 slot has absorbed the spike
+    assert abs(hw["forecast"] - 100.0) < 40.0  # Holt would sit near ~10
