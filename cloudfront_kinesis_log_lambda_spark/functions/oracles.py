@@ -1999,6 +1999,8 @@ ORACLE_SQL["part_fuzzy_pairs"] = f"""
 # tests/test_timeseries.py); ROUND(·,6) is belt-and-braces.
 from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: E402
     ATTRIBUTION_WINDOW_DAYS,
+    CUSUM_H,
+    CUSUM_K,
     EWMA_ALPHA,
     HOLT_ALPHA,
     HOLT_BETA,
@@ -2115,6 +2117,65 @@ ORACLE_SQL["events_holt_winters"] = f"""
            ROUND(s[((ps[n] + 1) % {HW_PERIOD}) + 1], 6) AS season_next,
            ROUND(l + bt + s[((ps[n] + 1) % {HW_PERIOD}) + 1], 6)
              AS forecast
+    FROM state WHERE i = n
+"""
+
+# Two-sided CUSUM changepoint scan. The 5-field (sp, sn, na, fa, i)
+# accumulator forces the recursive-CTE replay (events_holt pattern).
+# Baseline mu/sigma derive from DECIMAL-quantized sums of x and x² —
+# order-free exact — and the sp/sn step expressions are textually
+# identical to operators/timeseries.py::cusum_merge_lambda.
+_CUSUM_SP ="GREATEST(CAST(0.0 AS DOUBLE), sp + (xs[i + 1] - mu - ks))"
+_CUSUM_SN = "GREATEST(CAST(0.0 AS DOUBLE), sn + (mu - xs[i + 1] - ks))"
+_CUSUM_ALARM = f"(({_CUSUM_SP}) > hs OR ({_CUSUM_SN}) > hs)"
+ORACLE_SQL["events_cusum_changepoints"] = f"""
+    WITH RECURSIVE b AS (
+      SELECT event_type, date_trunc('hour', ts) AS hb,
+             SUM(CAST(value AS DECIMAL(18,9))) AS xd
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    b2 AS (
+      SELECT event_type, hb, xd, CAST(xd AS DOUBLE) AS x,
+             CAST(CAST(xd AS DOUBLE) * CAST(xd AS DOUBLE)
+                  AS DECIMAL(28,9)) AS xsq
+      FROM b),
+    arrs AS (
+      SELECT event_type,
+             list(x ORDER BY hb) AS xs,
+             list(strftime(hb, '%Y-%m-%d %H:00') ORDER BY hb) AS hhs,
+             SUM(xd) AS sx, SUM(xsq) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM b2 GROUP BY event_type),
+    s1 AS (SELECT *, CAST(sx AS DOUBLE) / n AS mu FROM arrs),
+    s2 AS (SELECT *, sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+                          CAST(sxx AS DOUBLE) / n - mu * mu)) AS sigma
+           FROM s1),
+    stats AS (SELECT *, {CUSUM_K!r} * sigma AS ks,
+                        {CUSUM_H!r} * sigma AS hs
+              FROM s2),
+    state AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS i,
+             CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+             CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS fa,
+             xs, hhs, n, mu, ks, hs
+      FROM stats
+      UNION ALL
+      SELECT event_type, i + 1,
+             {_CUSUM_SP},
+             {_CUSUM_SN},
+             na + CASE WHEN {_CUSUM_ALARM}
+                       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+             CASE WHEN fa > 0 THEN fa
+                  WHEN {_CUSUM_ALARM} THEN i + 1
+                  ELSE CAST(0 AS BIGINT) END,
+             xs, hhs, n, mu, ks, hs
+      FROM state WHERE i < n)
+    SELECT event_type,
+           n  AS n_buckets,
+           na AS n_alarms,
+           fa AS first_alarm_idx,
+           CASE WHEN fa > 0 THEN hhs[fa] END AS first_alarm_hour,
+           ROUND(sp, 6) AS cusum_pos,
+           ROUND(sn, 6) AS cusum_neg
     FROM state WHERE i = n
 """
 

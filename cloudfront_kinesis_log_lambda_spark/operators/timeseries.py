@@ -528,3 +528,110 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("forecast"),
         )
     )
+
+
+CUSUM_K = 0.5   # slack, in sigmas: drift below k·sigma accumulates nothing
+CUSUM_H = 4.0   # decision threshold, in sigmas
+
+
+def cusum_merge_lambda(k: float = CUSUM_K, h: float = CUSUM_H) -> str:
+    """Two-sided CUSUM step as a fold lambda over
+    (sp, sn, na, fa, i) struct accumulators; elements carry x.
+    References row columns ``mu`` / ``ks`` / ``hs`` (baseline mean,
+    k·sigma, h·sigma) from the enclosing row — Spark resolves outer
+    columns inside ``aggregate`` lambdas.
+
+    sp ← max(0, sp + (x − μ − kσ));  sn ← max(0, sn + (μ − x − kσ));
+    alarm when either side exceeds hσ. The sp/sn expressions are
+    spelled once and textually duplicated into the alarm tests (the
+    holt_merge_lambda convention) so both engines evaluate one IEEE
+    DAG."""
+    sp = "greatest(0.0D, acc.sp + (x.x - mu - ks))"
+    sn = "greatest(0.0D, acc.sn + (mu - x.x - ks))"
+    alarm = f"(({sp}) > hs OR ({sn}) > hs)"
+    return (
+        "(acc, x) -> named_struct("
+        f"'sp', {sp}, "
+        f"'sn', {sn}, "
+        f"'na', acc.na + CASE WHEN {alarm} THEN 1L ELSE 0L END, "
+        f"'fa', CASE WHEN acc.fa > 0L THEN acc.fa "
+        f"WHEN {alarm} THEN acc.i + 1L ELSE 0L END, "
+        "'i', acc.i + 1L)"
+    )
+
+
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint scan over each event type's hourly
+    total-value series: number of alarmed buckets, the first alarm's
+    index and hour, and the final cumulative sums.
+
+    The level-SHIFT detector the MAD family can't be: a persistent
+    small drift (each point individually inside the robust band)
+    accumulates in sp/sn and crosses h·sigma, while a point outlier
+    barely moves it — the complementary failure mode to
+    :func:`events_mad_outliers`.
+
+    Baseline mu/sigma come from DECIMAL-quantized sums (x and x², both
+    order-free exact), so the only order-dependent computation is the
+    CUSUM fold itself — replayed in the oracle as a recursive CTE (the
+    events_holt pattern; 5-field accumulator). sigma = 0 (constant
+    series) makes both thresholds 0 and the strict > never fires.
+
+    Scale shape: identical to the other hourly-series operators — one
+    wide exchange (the hourly pre-aggregation), per-type arrays bounded
+    by hours-in-retention."""
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    buckets = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,9)")).alias("xd"))
+        .select(
+            "event_type",
+            "hb",
+            "xd",
+            F.col("xd").cast("double").alias("x"),
+            F.expr(
+                "cast(cast(xd as double) * cast(xd as double) "
+                "as decimal(28,9))"
+            ).alias("xsq"),
+        )
+    )
+    per_type = buckets.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("hb", "x"))).alias("series"),
+        F.sum("xd").alias("sx"),
+        F.sum("xsq").alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    stats = (
+        per_type.withColumn("mu", F.expr("cast(sx as double) / n"))
+        .withColumn(
+            "sigma",
+            F.expr(
+                "sqrt(greatest(0.0D, cast(sxx as double) / n - mu * mu))"
+            ),
+        )
+        .withColumn("ks", F.expr(f"{CUSUM_K!r}D * sigma"))
+        .withColumn("hs", F.expr(f"{CUSUM_H!r}D * sigma"))
+    )
+    seed = (
+        "named_struct('sp', 0.0D, 'sn', 0.0D, "
+        "'na', 0L, 'fa', 0L, 'i', 0L)"
+    )
+    fold = f"aggregate(series, {seed}, {cusum_merge_lambda()})"
+    return (
+        stats.withColumn("c", F.expr(fold))
+        .select(
+            "event_type",
+            F.col("n").alias("n_buckets"),
+            F.col("c.na").alias("n_alarms"),
+            F.col("c.fa").alias("first_alarm_idx"),
+            F.expr(
+                "CASE WHEN c.fa > 0L THEN date_format("
+                "element_at(series, cast(c.fa as int)).hb, "
+                "'yyyy-MM-dd HH:00') END"
+            ).alias("first_alarm_hour"),
+            F.round(F.col("c.sp"), 6).alias("cusum_pos"),
+            F.round(F.col("c.sn"), 6).alias("cusum_neg"),
+        )
+    )

@@ -1400,6 +1400,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma": TS.events_ewma,
     "events_holt": TS.events_holt,
     "events_holt_winters": TS.events_holt_winters,
+    "events_cusum_changepoints": TS.events_cusum_changepoints,
     "events_seasonal_outliers": TS.events_seasonal_outliers,
     "events_ohlc": TS.events_ohlc,
     "events_mad_outliers": TS.events_mad_outliers,

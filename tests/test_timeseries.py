@@ -364,3 +364,69 @@ def test_holt_winters_absorbs_seasonality_holt_cannot(spark, monkeypatch):
     hw = TS.events_holt_winters(spark, "x").collect()[0]
     assert hw["season_next"] > 30.0  # hour-0 slot has absorbed the spike
     assert abs(hw["forecast"] - 100.0) < 40.0  # Holt would sit near ~10
+
+
+def _py_cusum(xs, k=0.5, h=4.0):
+    # mirrors cusum_merge_lambda + the decimal-exact mu/sigma baseline
+    n = len(xs)
+    mu = sum(xs) / n  # test values are dyadic: float sum is exact
+    ex2 = sum(x * x for x in xs) / n
+    sigma = max(0.0, ex2 - mu * mu) ** 0.5
+    ks, hs = k * sigma, h * sigma
+    sp = sn = 0.0
+    na, fa = 0, 0
+    for i, x in enumerate(xs):
+        sp = max(0.0, sp + (x - mu - ks))
+        sn = max(0.0, sn + (mu - x - ks))
+        if sp > hs or sn > hs:
+            na += 1
+            if fa == 0:
+                fa = i + 1
+    return mu, sigma, sp, sn, na, fa
+
+
+def test_cusum_matches_python_replay(spark, monkeypatch):
+    """Alarm count, first-alarm index/hour, and final sums vs a Python
+    replay of the identical fold — one event per hourly bucket, dyadic
+    values so the decimal-quantized baseline equals the float one."""
+    xs = [10.0 + (0.5 if i % 2 else -0.5) for i in range(24)]
+    xs += [13.0] * 24  # level shift at bucket 25
+    rows = [(i, 1, "t", i * 3600, v) for i, v in enumerate(xs)]
+    _patched(monkeypatch, _events(spark, rows))
+    _, _, sp, sn, na, fa = _py_cusum(xs)
+    out = TS.events_cusum_changepoints(spark, "x").collect()[0]
+    assert out["n_buckets"] == 48
+    assert out["n_alarms"] == na and na > 0
+    # with a 50/50 split the global baseline sits BETWEEN the halves,
+    # so the negative side alarms in the low prefix first — engines
+    # must agree on that exact index (the 36/12 test pins the
+    # alarm-inside-the-shift case)
+    assert out["first_alarm_idx"] == fa and fa > 0
+    assert out["first_alarm_hour"] == (
+        f"2024-01-{1 + (fa - 1) // 24:02d} {(fa - 1) % 24:02d}:00"
+    )
+    assert out["cusum_pos"] == round(sp, 6)
+    assert out["cusum_neg"] == round(sn, 6)
+
+
+def test_cusum_constant_series_never_alarms(spark, monkeypatch):
+    rows = [(i, 1, "t", i * 3600, 7.0) for i in range(30)]
+    _patched(monkeypatch, _events(spark, rows))
+    out = TS.events_cusum_changepoints(spark, "x").collect()[0]
+    assert out["n_alarms"] == 0 and out["first_alarm_idx"] == 0
+    assert out["first_alarm_hour"] is None
+    assert out["cusum_pos"] == 0.0 and out["cusum_neg"] == 0.0
+
+
+def test_cusum_flags_persistent_shift_mad_misses(spark, monkeypatch):
+    """The operator's reason to exist: a +0.7-MAD-per-point drift (36
+    baseline buckets, then 12 at 11.2) never leaves the ±3·MAD band —
+    events_mad_outliers reports zero — but the drift accumulates in
+    sp and crosses h·sigma."""
+    xs = [9.5 if i % 2 else 10.5 for i in range(36)] + [11.2] * 12
+    rows = [(i, 1, "t", i * 3600, v) for i, v in enumerate(xs)]
+    _patched(monkeypatch, _events(spark, rows))
+    mad = TS.events_mad_outliers(spark, "x").collect()[0]
+    assert mad["n_outliers"] == 0
+    cu = TS.events_cusum_changepoints(spark, "x").collect()[0]
+    assert cu["n_alarms"] > 0 and cu["first_alarm_idx"] > 36
