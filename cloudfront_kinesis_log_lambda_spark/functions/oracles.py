@@ -2544,6 +2544,14 @@ ORACLE_SQL["events_ewma_incremental"] = ORACLE_SQL["events_ewma"]
 # lambda) — the oracle IS events_holt's recursive-CTE SQL.
 ORACLE_SQL["events_holt_incremental"] = ORACLE_SQL["events_holt"]
 
+# Holt-Winters folds over CLOSED hourly buckets with the open hour's
+# decimal partial composing across batches, and the serve step folds
+# the open hour on read — so the wave replay equals the batch fold
+# bit-for-bit and the oracle IS events_holt_winters's recursive CTE.
+ORACLE_SQL["events_holt_winters_incremental"] = ORACLE_SQL[
+    "events_holt_winters"
+]
+
 # Retrieval-store merges are commutative SUMs (tf, dl) feeding the
 # batch operators' own assembly/scoring code — the oracles ARE the
 # batch queries' SQL.

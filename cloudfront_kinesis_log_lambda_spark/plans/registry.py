@@ -1234,6 +1234,28 @@ def events_holt_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-holt", build)
 
 
+def events_holt_winters_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING Holt-Winters twin (streaming/holt_winters.py),
+    time-ordered waves. The fold element is an HOURLY BUCKET, so the
+    event-id-tercile wave cuts land mid-hour — exactly the split the
+    open-bucket decimal state composes across. HASH-GREEN: the serve
+    step folds the open hour on read with the shared merge lambda, so
+    the oracle IS events_holt_winters's SQL (split-hour/retry/
+    writeStream contracts live in test_streaming_holt_winters)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.holt_winters import (
+        StreamingHoltWinters,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = StreamingHoltWinters(root)
+        _drive_time_ordered_waves(st, R.load(spark, sf_dir, "events"))
+        return st.holt_winters(spark)
+
+    return _with_scratch("stream-holt-winters", build)
+
+
 def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     """Shared wave driver for the two retrieval-serving twins: the
     documents table as three doc_id-residue waves (every merge law is
@@ -1416,6 +1438,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ohlc_incremental": events_ohlc_incremental,
     "events_ewma_incremental": events_ewma_incremental,
     "events_holt_incremental": events_holt_incremental,
+    "events_holt_winters_incremental": events_holt_winters_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

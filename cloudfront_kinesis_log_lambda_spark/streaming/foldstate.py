@@ -39,11 +39,16 @@ class FoldStateStore:
     """
 
     def __init__(
-        self, store_dir: str, schema: str, value_fields: tuple[str, ...]
+        self,
+        store_dir: str,
+        schema: str,
+        value_fields: tuple[str, ...],
+        key: str = "user_id",
     ) -> None:
         self.state_dir = os.path.join(store_dir, "state")
         self.schema = schema
         self.value_fields = tuple(value_fields)
+        self.key = key
 
     def write(self, state_rows: DataFrame, batch_id: int) -> None:
         state_rows.write.mode("overwrite").parquet(
@@ -62,13 +67,13 @@ class FoldStateStore:
             raw = read_batch_store_before(
                 spark, self.state_dir, self.schema, before_batch
             )
-        merged = raw.groupBy("user_id").agg(
+        merged = raw.groupBy(self.key).agg(
             F.max(
                 F.struct("last_ts", "last_id", *self.value_fields)
             ).alias("s")
         )
         return merged.select(
-            "user_id",
+            self.key,
             F.col("s.last_ts").alias("last_ts"),
             F.col("s.last_id").alias("last_id"),
             *[F.col(f"s.{f}").alias(f) for f in self.value_fields],
