@@ -292,8 +292,90 @@ def main() -> None:
     spark.stop()
 
 
+def main_r9() -> None:
+    """r9 legs for the end-of-r8 operator additions, adversarial
+    SHAPES again:
+
+    - triangle census with a HUB part planted in EVERY order (the
+      power-law-celebrity case the degree orientation exists for: the
+      hub's edges all point into it, so it must generate zero wedges —
+      wall vs the untouched graph stays near 1×);
+    - Holt-Winters + CUSUM with ALL events collapsed onto ONE type
+      (per-type series skew: the single whale series must absorb the
+      full table without blowup — series length is hours-in-retention,
+      not event count, so the wall is the pre-aggregation's).
+    """
+    import shutil
+    import tempfile
+
+    argv = sys.argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+
+    from cloudfront_kinesis_log_lambda_spark import get_spark
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        graph as G,
+        timeseries as TS,
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+    spark = get_spark()
+    scratch = tempfile.mkdtemp(prefix="cfkll-smoke-r9-")
+
+    def sf_with(name, df, tag):
+        d = os.path.join(scratch, tag)
+        df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
+        return d
+
+    def timed(label, fn):
+        t0 = time.monotonic()
+        count = fn()
+        dt = time.monotonic() - t0
+        print(f"{label}: {dt:.2f}s ({count} rows)")
+        return dt
+
+    # ---- leg 1: hub part in every order ----
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    hub = li.unionByName(
+        li.select("l_orderkey")
+        .distinct()
+        .withColumn("l_partkey", F.lit(1).cast(li.schema["l_partkey"].dataType))
+    )
+    d1 = sf_with("lineitem", li, "li1")
+    dh = sf_with("lineitem", hub, "li-hub")
+    G.part_triangle_stats(spark, d1).count()  # warm-up
+    t1 = timed(
+        "part_triangle_stats 1x",
+        lambda: G.part_triangle_stats(spark, d1).count(),
+    )
+    th = timed(
+        "part_triangle_stats hub-in-every-order",
+        lambda: G.part_triangle_stats(spark, dh).count(),
+    )
+    print(f"triangle wall ratio: {th / t1:.1f}x with a full-graph hub")
+
+    # ---- leg 2: one whale type for the hourly-series folds ----
+    ev = load(spark, sf_dir, "events")
+    d1 = sf_with("events", ev, "ev1")
+    dw = sf_with(
+        "events", ev.withColumn("event_type", F.lit("whale")), "ev-whale"
+    )
+    TS.events_holt_winters(spark, d1).count()  # warm-up
+    for name, fn in (
+        ("events_holt_winters", TS.events_holt_winters),
+        ("events_cusum_changepoints", TS.events_cusum_changepoints),
+    ):
+        t1 = timed(f"{name} 5-type", lambda: fn(spark, d1).count())
+        tw = timed(f"{name} 1-whale-type", lambda: fn(spark, dw).count())
+        print(f"{name} wall ratio: {tw / t1:.1f}x with all events one type")
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "r8":
         main_r8()
+    elif len(sys.argv) > 1 and sys.argv[1] == "r9":
+        main_r9()
     else:
         main()
