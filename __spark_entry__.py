@@ -72,18 +72,20 @@ _FRONT = [
     #     doc_bigram_logprob, doc_hybrid_rrf, events_seasonal_outliers)
     #   + 3 NEW late-r8 entries (retrieval_eval_metrics,
     #     doc_sorted_neighbors_multipass, doc_hybrid_rrf_incremental)
-    #   + 4 NEW end-of-round entries (part_triangle_stats,
+    #   + 6 NEW end-of-round entries (part_triangle_stats,
     #     events_holt_winters, events_cusum_changepoints,
-    #     events_holt_winters_incremental) → 21 must-runs
-    #   29 of the 41 r5-green entries (3 rounds stale). The last 12
+    #     events_holt_winters_incremental, events_linear_trend,
+    #     events_linear_trend_incremental) → 23 must-runs
+    #   27 of the 41 r5-green entries (3 rounds stale). The last 14
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
     #     recent_orders_lateral, events_variant_props, user_value_scd2,
     #     purchases_asof_cogroup, parquet_roundtrip_daily,
-    #     near_dup_clusters — r1-frozen code, green five consecutive
-    #     rounds) overflow to r9 and lead it: the rule-1 never-verified
-    #     entries outrank staleness refresh.
+    #     near_dup_clusters, near_dup_3gram, multimodal_features —
+    #     r1-frozen code, green five consecutive rounds) overflow to
+    #     r9 and lead it: the rule-1 never-verified entries outrank
+    #     staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -113,7 +115,9 @@ _FRONT = [
     "events_holt_winters",
     "events_cusum_changepoints",
     "events_holt_winters_incremental",
-    # 29 of the 41 r5-green entries (3-round-stale evidence)
+    "events_linear_trend",
+    "events_linear_trend_incremental",
+    # 27 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -141,8 +145,6 @@ _FRONT = [
     "events_zorder_roundtrip",
     "matryoshka_topk",
     "multimodal_asset_dedup",
-    "multimodal_features",
-    "near_dup_3gram",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -2009,6 +2009,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (  # noqa: 
     HW_GAMMA,
     HW_PERIOD,
     MAD_SIGMA,
+    TREND_EPOCH_HOURS,
 )
 
 ORACLE_SQL["events_ewma"] = f"""
@@ -2118,6 +2119,52 @@ ORACLE_SQL["events_holt_winters"] = f"""
            ROUND(l + bt + s[((ps[n] + 1) % {HW_PERIOD}) + 1], 6)
              AS forecast
     FROM state WHERE i = n
+"""
+
+# Per-type OLS trend. Moment sums are exact (integers + DECIMALs) and
+# every decimal stays far under the 2^53 SCALED-UNIT parity bound for
+# decimal→double casts (above it DuckDB's int128→double-then-divide
+# double-rounds where the JVM rounds once — a verified 1-ulp
+# divergence; see events_linear_trend's docstring). The closed form is
+# textually identical to operators/timeseries.py::linear_trend_final.
+ORACLE_SQL["events_linear_trend"] = f"""
+    WITH prep AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 - {TREND_EPOCH_HOURS} AS x,
+             CAST(value AS DECIMAL(18,3)) AS yd
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx,
+             SUM(x * x) AS sxx,
+             CAST(SUM(yd) AS DECIMAL(28,3)) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * yd) AS DECIMAL(38,3))
+               AS sxy,
+             CAST(SUM(CAST(CAST(yd AS DOUBLE) * CAST(yd AS DOUBLE)
+                           AS DECIMAL(24,3))) AS DECIMAL(28,3)) AS syy
+      FROM prep GROUP BY event_type),
+    f1 AS (SELECT *, CAST(n AS DOUBLE) AS nd FROM agg),
+    f2 AS (
+      SELECT *,
+             CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sx AS DOUBLE) / nd AS den,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+               * CAST(sy AS DOUBLE) / nd AS num,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / nd AS syc
+      FROM f1)
+    SELECT event_type,
+           n AS n_events,
+           ROUND(CASE WHEN den = 0.0 THEN NULL
+                      ELSE num / den END, 6) AS slope_per_hour,
+           ROUND(CASE WHEN den = 0.0 THEN NULL
+                      ELSE CAST(sy AS DOUBLE) / nd
+                           - (num / den) * (CAST(sx AS DOUBLE) / nd)
+                 END, 6) AS intercept,
+           ROUND(CASE WHEN den = 0.0 OR syc = 0.0 THEN NULL
+                      ELSE num * num / (den * syc) END, 6) AS r2
+    FROM f2
 """
 
 # Two-sided CUSUM changepoint scan. The 5-field (sp, sn, na, fa, i)
@@ -2550,6 +2597,12 @@ ORACLE_SQL["events_holt_incremental"] = ORACLE_SQL["events_holt"]
 # bit-for-bit and the oracle IS events_holt_winters's recursive CTE.
 ORACLE_SQL["events_holt_winters_incremental"] = ORACLE_SQL[
     "events_holt_winters"
+]
+
+# OLS moment sums are exact and commute; the twin feeds the shared
+# closed-form finalizer — the oracle IS events_linear_trend's SQL.
+ORACLE_SQL["events_linear_trend_incremental"] = ORACLE_SQL[
+    "events_linear_trend"
 ]
 
 # Retrieval-store merges are commutative SUMs (tf, dl) feeding the

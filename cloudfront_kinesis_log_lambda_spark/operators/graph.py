@@ -177,7 +177,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     oriented edge; per-node counts come from unioning the three
     corners. Integer counts → hash-exact across engines; the
     clustering coefficient 2T/(d(d−1)) is rounded at the float edge.
+
+    ``edges`` and the oriented list are localCheckpoint-ed: both are
+    referenced two and three times downstream (deg/orientation; the
+    two wedge sides + the closing probe), and without materialization
+    the whole upstream edge derivation re-executes per reference
+    (observed: 13 exchanges in the un-checkpointed plan vs 6 after —
+    at 100 TB that is three redundant passes over the fact table).
     """
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -203,6 +211,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t", "e.ds", "e.dt")
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(
         F.col("s").alias("x"), F.col("t").alias("y"),

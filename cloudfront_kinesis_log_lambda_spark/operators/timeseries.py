@@ -635,3 +635,113 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("c.sn"), 6).alias("cusum_neg"),
         )
     )
+
+
+# hours since 2024-01-01 00:00 UTC — keeps the regression x small so
+# every moment sum stays inside the 2^53 scaled-unit parity bound
+# (see events_linear_trend docstring)
+TREND_EPOCH_HOURS = 1_704_067_200 // 3600
+
+
+def linear_trend_final(stats: DataFrame) -> DataFrame:
+    """OLS closed form over exact moment sums — shared verbatim by the
+    batch operator and the streaming twin's serve step so their final
+    IEEE DAGs are identical. Input columns: event_type, n, sx, sxx,
+    sy, sxy, syy."""
+    return (
+        stats.withColumn("nd", F.expr("cast(n as double)"))
+        .withColumn(
+            "den",
+            F.expr(
+                "cast(sxx as double) - cast(sx as double) "
+                "* cast(sx as double) / nd"
+            ),
+        )
+        .withColumn(
+            "num",
+            F.expr(
+                "cast(sxy as double) - cast(sx as double) "
+                "* cast(sy as double) / nd"
+            ),
+        )
+        .withColumn(
+            "syc",
+            F.expr(
+                "cast(syy as double) - cast(sy as double) "
+                "* cast(sy as double) / nd"
+            ),
+        )
+        .withColumn(
+            "slope", F.expr("CASE WHEN den = 0.0D THEN NULL ELSE num / den END")
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("slope", 6).alias("slope_per_hour"),
+            F.round(
+                F.expr(
+                    "CASE WHEN den = 0.0D THEN NULL ELSE "
+                    "cast(sy as double) / nd "
+                    "- (num / den) * (cast(sx as double) / nd) END"
+                ),
+                6,
+            ).alias("intercept"),
+            F.round(
+                F.expr(
+                    "CASE WHEN den = 0.0D OR syc = 0.0D THEN NULL "
+                    "ELSE num * num / (den * syc) END"
+                ),
+                6,
+            ).alias("r2"),
+        )
+    )
+
+
+def linear_trend_partials(e: DataFrame) -> DataFrame:
+    """Per-type exact moment sums for the OLS trend — the map-side
+    shape both the batch operator and the streaming twin aggregate
+    (partials are plain SUMs, so they merge commutatively across
+    batches)."""
+    prep = e.select(
+        "event_type",
+        F.expr(
+            f"unix_micros(ts) div 3600000000 - {TREND_EPOCH_HOURS}L"
+        ).alias("x"),
+        F.expr("cast(value as decimal(18,3))").alias("yd"),
+    )
+    return prep.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.expr("sum(x * x)").alias("sxx"),
+        F.expr("cast(sum(yd) as decimal(28,3))").alias("sy"),
+        F.expr(
+            "cast(sum(cast(x as decimal(10,0)) * yd) as decimal(38,3))"
+        ).alias("sxy"),
+        F.expr(
+            "cast(sum(cast(cast(yd as double) * cast(yd as double) "
+            "as decimal(24,3))) as decimal(28,3))"
+        ).alias("syy"),
+    )
+
+
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend line over (event hour, value): slope per
+    hour, intercept (at the 2024-01-01 epoch), and R² — the
+    'is this metric drifting, and how fast' companion to the
+    smoothing/changepoint family.
+
+    Pure partial+final aggregation: one shuffle of six moment sums per
+    type, no arrays, no window — the best possible 100 TB shape.
+
+    Cross-engine numerics: a decimal→double CAST is only bit-identical
+    across engines while the decimal's SCALED units stay under 2^53
+    (above it, DuckDB's int128→double-then-divide double-rounds where
+    the JVM rounds once — verified with a 1-ulp divergence at
+    123456789.987654321 scaled 1e9). So the operator quantizes y at 3
+    decimals and measures x in hours since 2024-01-01 (small ints):
+    every sum here is orders of magnitude inside the bound at gate
+    scale. The closed form then runs in doubles with textually
+    identical expressions on both engines (single-hour types: slope
+    NULL; constant y: R² NULL)."""
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return linear_trend_final(linear_trend_partials(e))

@@ -1256,6 +1256,28 @@ def events_holt_winters_incremental(
     return _with_scratch("stream-holt-winters", build)
 
 
+def events_linear_trend_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING OLS-trend twin (streaming/lintrend.py): per-batch
+    exact moment-sum partials SUM-merge on read into the shared
+    closed-form finalizer. Order-free merges, so the waves are the
+    sketch twins' residue split, not time-ordered. HASH-GREEN: the
+    oracle IS events_linear_trend's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.lintrend import (
+        StreamingLinearTrend,
+    )
+
+    def build(root: str) -> DataFrame:
+        st = StreamingLinearTrend(root)
+        e = R.load(spark, sf_dir, "events")
+        for wave in range(3):
+            st(e.filter(F.col("event_id") % 3 == wave), wave)
+        return st.trend(spark)
+
+    return _with_scratch("stream-lintrend", build)
+
+
 def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     """Shared wave driver for the two retrieval-serving twins: the
     documents table as three doc_id-residue waves (every merge law is
@@ -1423,6 +1445,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt": TS.events_holt,
     "events_holt_winters": TS.events_holt_winters,
     "events_cusum_changepoints": TS.events_cusum_changepoints,
+    "events_linear_trend": TS.events_linear_trend,
     "events_seasonal_outliers": TS.events_seasonal_outliers,
     "events_ohlc": TS.events_ohlc,
     "events_mad_outliers": TS.events_mad_outliers,
@@ -1439,6 +1462,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ewma_incremental": events_ewma_incremental,
     "events_holt_incremental": events_holt_incremental,
     "events_holt_winters_incremental": events_holt_winters_incremental,
+    "events_linear_trend_incremental": events_linear_trend_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
