@@ -75,17 +75,22 @@ _FRONT = [
     #   + 6 NEW end-of-round entries (part_triangle_stats,
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
-    #     events_linear_trend_incremental) → 23 must-runs
-    #   27 of the 41 r5-green entries (3 rounds stale). The last 14
+    #     events_linear_trend_incremental)
+    #   + 4 NEW mining/quality entries (order_basket_rules,
+    #     events_psi_drift, events_psi_drift_incremental,
+    #     orders_quality_checks) → 27 must-runs
+    #   23 of the 41 r5-green entries (3 rounds stale). The last 18
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
     #     recent_orders_lateral, events_variant_props, user_value_scd2,
     #     purchases_asof_cogroup, parquet_roundtrip_daily,
-    #     near_dup_clusters, near_dup_3gram, multimodal_features —
-    #     r1-frozen code, green five consecutive rounds) overflow to
-    #     r9 and lead it: the rule-1 never-verified entries outrank
-    #     staleness refresh.
+    #     near_dup_clusters, near_dup_3gram, multimodal_features,
+    #     events_zorder_roundtrip, matryoshka_topk,
+    #     multimodal_asset_dedup, events_sliding_windows — r1-frozen
+    #     code, green five consecutive rounds) overflow to r9 and lead
+    #     it: the rule-1 never-verified entries outrank staleness
+    #     refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -117,7 +122,11 @@ _FRONT = [
     "events_holt_winters_incremental",
     "events_linear_trend",
     "events_linear_trend_incremental",
-    # 27 of the 41 r5-green entries (3-round-stale evidence)
+    "order_basket_rules",
+    "events_psi_drift",
+    "events_psi_drift_incremental",
+    "orders_quality_checks",
+    # 23 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -141,10 +150,6 @@ _FRONT = [
     "events_pattern_match",
     "events_retention_cohorts",
     "events_session_windows",
-    "events_sliding_windows",
-    "events_zorder_roundtrip",
-    "matryoshka_topk",
-    "multimodal_asset_dedup",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -2611,3 +2611,163 @@ ORACLE_SQL["events_linear_trend_incremental"] = ORACLE_SQL[
 ORACLE_SQL["doc_inverted_index_incremental"] = ORACLE_SQL["doc_inverted_index"]
 ORACLE_SQL["doc_bm25_incremental"] = ORACLE_SQL["doc_bm25_topk"]
 ORACLE_SQL["doc_hybrid_rrf_incremental"] = ORACLE_SQL["doc_hybrid_rrf"]
+
+# --- frequent-pattern mining / data quality (r8 third batch) --------------
+from cloudfront_kinesis_log_lambda_spark.operators.mining import (  # noqa: E402
+    MIN_SUPPORT,
+)
+from cloudfront_kinesis_log_lambda_spark.operators.quality import (  # noqa: E402
+    PSI_BINS,
+    PSI_DRIFT_THRESHOLD,
+    PSI_SPLIT,
+)
+
+ORACLE_SQL["order_basket_rules"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+           FROM items),
+    ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n
+           FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM items a JOIN items b
+        ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2)
+    SELECT p.item_a, p.item_b, p.pair_n,
+           ROUND(CAST(p.pair_n AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE),
+                 6) AS support,
+           ROUND(CAST(p.pair_n AS DOUBLE) / CAST(na.item_n AS DOUBLE),
+                 6) AS conf_a_to_b,
+           ROUND(CAST(p.pair_n AS DOUBLE) / CAST(ib.item_n AS DOUBLE),
+                 6) AS conf_b_to_a,
+           ROUND(CAST(p.pair_n AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(na.item_n AS DOUBLE) * CAST(ib.item_n AS DOUBLE)),
+                 6) AS lift
+    FROM pairs p
+    CROSS JOIN nb
+    JOIN ic na ON na.item = p.item_a
+    JOIN ic ib ON ib.item = p.item_b
+    WHERE CAST(p.pair_n AS DOUBLE)
+          >= CAST({MIN_SUPPORT} AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+"""
+
+_PSI_SPLIT = PSI_SPLIT.strftime("%Y-%m-%d %H:%M:%S")
+_PSI_LAST = PSI_BINS - 1
+_PSI_PAD = float(PSI_BINS) * 0.5
+
+# bin expression mirrors operators/quality.py::psi_bin_expr shape for
+# shape; DuckDB FLOOR(double) returns DOUBLE, hence the BIGINT cast.
+ORACLE_SQL["events_psi_drift"] = f"""
+    WITH stats AS (
+      SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}' GROUP BY 1),
+    binned AS (
+      SELECT e.event_type,
+             CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
+                  ELSE LEAST(CAST({_PSI_LAST} AS BIGINT),
+                             GREATEST(CAST(0 AS BIGINT),
+                       CAST(FLOOR((e.value - s.vmin) / (s.vmax - s.vmin)
+                                  * CAST({PSI_BINS}.0 AS DOUBLE))
+                            AS BIGINT))) END AS bin,
+             (e.ts < TIMESTAMP '{_PSI_SPLIT}') AS is_ref
+      FROM events e JOIN stats s USING (event_type)),
+    counts AS (
+      SELECT event_type, bin,
+             CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM binned GROUP BY 1, 2),
+    grid AS (
+      SELECT s.event_type, CAST(g.g AS BIGINT) AS bin
+      FROM stats s CROSS JOIN generate_series(0, {_PSI_LAST}) g(g)),
+    filled AS (
+      SELECT gr.event_type, gr.bin,
+             COALESCE(c.n_ref, 0) AS n_ref,
+             COALESCE(c.n_cur, 0) AS n_cur
+      FROM grid gr LEFT JOIN counts c
+        ON gr.event_type = c.event_type AND gr.bin = c.bin),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM filled GROUP BY 1),
+    contrib AS (
+      SELECT f.event_type, f.bin, t.t_ref, t.t_cur,
+             ((CAST(f.n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(t.t_cur AS DOUBLE) + CAST({_PSI_PAD} AS DOUBLE))
+              - (CAST(f.n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(t.t_ref AS DOUBLE) + CAST({_PSI_PAD} AS DOUBLE)))
+             * LN(((CAST(f.n_cur AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / (CAST(t.t_cur AS DOUBLE) + CAST({_PSI_PAD} AS DOUBLE)))
+                  / ((CAST(f.n_ref AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                     / (CAST(t.t_ref AS DOUBLE)
+                        + CAST({_PSI_PAD} AS DOUBLE)))) AS c
+      FROM filled f JOIN totals t USING (event_type))
+    SELECT s.event_type,
+           MAX(s.t_ref) AS n_ref,
+           MAX(s.t_cur) AS n_cur,
+           ROUND(SUM(s.c), 6) AS psi,
+           ROUND(SUM(s.c), 6) > CAST({PSI_DRIFT_THRESHOLD} AS DOUBLE)
+             AS drifted,
+           (MAX(struct_pack(a := ABS(s.c), b := s.bin))).b AS worst_bin
+    FROM contrib s GROUP BY s.event_type
+"""
+
+ORACLE_SQL["orders_quality_checks"] = """
+    WITH wide AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             ROUND(CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1
+                                 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS custkey_complete,
+             ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS orderkey_unique,
+             ROUND(CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS status_in_set,
+             ROUND(CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS totalprice_positive,
+             ROUND(CAST(SUM(CASE WHEN SUBSTRING(o_orderpriority, 1, 1)
+                                      IN ('1','2','3','4','5')
+                                  AND SUBSTRING(o_orderpriority, 2, 1)
+                                      = '-'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS priority_format,
+             ROUND(CAST(SUM(CASE WHEN o_orderdate
+                                      >= TIMESTAMP '1995-01-01'
+                                  AND o_orderdate
+                                      < TIMESTAMP '2002-01-01'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS orderdate_in_range
+      FROM orders),
+    resolved AS (
+      SELECT ROUND(
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                    AS DOUBLE)
+               / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE),
+               6) AS metric),
+    longf AS (
+      SELECT 'custkey_complete' AS "check", custkey_complete AS metric
+        FROM wide
+      UNION ALL SELECT 'orderkey_unique', orderkey_unique FROM wide
+      UNION ALL SELECT 'status_in_set', status_in_set FROM wide
+      UNION ALL SELECT 'totalprice_positive', totalprice_positive FROM wide
+      UNION ALL SELECT 'priority_format', priority_format FROM wide
+      UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM wide
+      UNION ALL SELECT 'custkey_resolves', metric FROM resolved)
+    SELECT "check", metric,
+           metric >= CAST(1.0 AS DOUBLE) AS passed
+    FROM longf
+"""
+
+# PSI bin counts are SUMs against a FROZEN reference geometry, so the
+# accumulated store equals the batch counts bit-for-bit and the read
+# goes through the batch finalizer — the oracle IS events_psi_drift's
+# SQL.
+ORACLE_SQL["events_psi_drift_incremental"] = ORACLE_SQL["events_psi_drift"]

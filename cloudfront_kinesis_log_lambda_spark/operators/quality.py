@@ -1,0 +1,289 @@
+"""Data-quality operators: distribution-drift monitoring (PSI) and
+declarative constraint validation.
+
+``events_psi_drift`` computes the Population Stability Index of the
+event value distribution per event type between a REFERENCE window
+and a CURRENT window — the standard "has my feature distribution
+moved" monitor in front of any model or curation pipeline.
+
+``orders_quality_checks`` is the Deequ-style constraint suite: a
+small set of declarative checks (completeness, uniqueness, set
+membership, range, referential integrity) evaluated in as few passes
+as the checks allow, emitting one (check, metric, passed) row each —
+the validation gate a 100 TB ingest runs before promoting a drop.
+
+PSI design choices (all deterministic and engine-portable):
+
+- Equal-WIDTH bins over the reference window's [min, max] per type
+  (10 bins). Equal-width is the deterministic PSI variant — quantile
+  edges would drag in cross-engine interpolation semantics for no
+  monitoring benefit. Current-window values outside the reference
+  range clamp into the edge bins (bin 0 / bin 9), which is exactly
+  where out-of-range drift should land.
+- Additive 0.5 smoothing per bin (p = (n_bin + 0.5)/(n_total + 5)),
+  so empty bins are defined and PSI is finite — the add-k choice
+  mirrors the bigram LM scorer (operators/corpus.py).
+- Drift is only DEFINED for types present in the reference window:
+  binning needs reference min/max, so current-only types drop out of
+  the inner stats join (documented contract; a brand-new type is a
+  schema event, not a drift score).
+
+Scale shape: one tiny per-type stats aggregate, broadcast into a
+single full scan that bins every row, then ONE (type, bin) partial
+aggregate — 10 rows per type leave the exchange regardless of input
+size. The streaming twin (streaming/psi.py) accumulates those same
+(type, bin) SUM partials against frozen reference stats, so its
+read-side PSI is bit-identical to this batch operator's.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+# events span 2024-01-01..2024-01-30; split the month into a
+# reference fortnight and a current fortnight
+PSI_SPLIT = datetime.datetime(2024, 1, 16)
+PSI_BINS = 10
+PSI_ROUND = 6
+# textbook thresholds: <0.1 stable, 0.1-0.2 moderate, >0.2 drifted
+PSI_DRIFT_THRESHOLD = 0.2
+
+
+def psi_ref_stats(ref: DataFrame, type_col: str, value_col: str) -> DataFrame:
+    """Per-type reference bin geometry: (type, vmin, vmax)."""
+    return ref.groupBy(F.col(type_col).alias("event_type")).agg(
+        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    )
+
+
+def psi_bin_expr(value: F.Column, vmin: F.Column, vmax: F.Column) -> F.Column:
+    """Equal-width bin index in [0, PSI_BINS-1], clamped at the edges.
+
+    The expression shape ((v - min) / (max - min) * BINS, floor,
+    clamp) is mirrored verbatim in the DuckDB oracle — IEEE doubles
+    make the division/multiply bit-identical across engines, so the
+    integer bin is exactly reproducible. Degenerate ranges
+    (vmax == vmin) put everything in bin 0.
+    """
+    raw = F.floor(
+        (value - vmin) / (vmax - vmin) * F.lit(float(PSI_BINS))
+    )
+    clamped = F.least(
+        F.lit(PSI_BINS - 1).cast("long"),
+        F.greatest(F.lit(0).cast("long"), raw),
+    )
+    return F.when(vmax == vmin, F.lit(0).cast("long")).otherwise(clamped)
+
+
+def psi_bin_counts(
+    events: DataFrame,
+    stats: DataFrame,
+    split: datetime.datetime,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-scan (event_type, bin, n_ref, n_cur) counts: every row is
+    binned against the broadcast reference geometry and counted into
+    its window by a conditional aggregate — the only wide exchange in
+    the whole operator, carrying 10·|types| partial rows."""
+    is_ref = F.col(ts_col) < F.lit(split)
+    binned = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(value_col).alias("v"),
+        is_ref.alias("is_ref"),
+    ).join(F.broadcast(stats), "event_type")
+    return (
+        binned.select(
+            "event_type",
+            psi_bin_expr(F.col("v"), F.col("vmin"), F.col("vmax")).alias(
+                "bin"
+            ),
+            "is_ref",
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+
+
+def psi_from_counts(counts: DataFrame, stats: DataFrame) -> DataFrame:
+    """PSI per type from (event_type, bin, n_ref, n_cur) counts.
+
+    Expands to the full 10-bin grid per reference type (empty bins
+    carry the 0.5 smoothing mass, and asymmetric totals make even an
+    all-empty bin contribute), then folds Σ (p_cur − p_ref)·ln(p_cur/
+    p_ref). Also reports each type's worst bin by |contribution|.
+    """
+    grid = stats.select("event_type").select(
+        "event_type",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(PSI_BINS - 1).cast("long"))
+        ).alias("bin"),
+    )
+    filled = grid.join(counts, ["event_type", "bin"], "left").select(
+        "event_type",
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    totals = filled.groupBy("event_type").agg(
+        F.sum("n_ref").cast("long").alias("t_ref"),
+        F.sum("n_cur").cast("long").alias("t_cur"),
+    )
+    half = F.lit(0.5)
+    pad = F.lit(float(PSI_BINS) * 0.5)
+    p_ref = (F.col("n_ref").cast("double") + half) / (
+        F.col("t_ref").cast("double") + pad
+    )
+    p_cur = (F.col("n_cur").cast("double") + half) / (
+        F.col("t_cur").cast("double") + pad
+    )
+    contrib = filled.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "bin",
+        "n_ref",
+        "n_cur",
+        "t_ref",
+        "t_cur",
+        ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("c"),
+    )
+    # deterministic arg-max: lexicographic struct max breaks |c| ties
+    # toward the larger bin (max_by alone is tie-nondeterministic)
+    worst = contrib.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.abs(F.col("c")).alias("a"), F.col("bin").alias("b"))
+        )["b"].alias("worst_bin")
+    )
+    return (
+        contrib.groupBy("event_type")
+        .agg(
+            F.max("t_ref").alias("n_ref"),
+            F.max("t_cur").alias("n_cur"),
+            F.round(F.sum("c"), PSI_ROUND).alias("psi"),
+        )
+        .join(F.broadcast(worst), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi",
+            (F.col("psi") > F.lit(PSI_DRIFT_THRESHOLD)).alias("drifted"),
+            "worst_bin",
+        )
+    )
+
+
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI of the per-type event value distribution, reference
+    fortnight vs current fortnight of the events month."""
+    events = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    stats = psi_ref_stats(
+        events.filter(F.col("ts") < F.lit(PSI_SPLIT)), "event_type", "value"
+    )
+    counts = psi_bin_counts(events, stats, PSI_SPLIT)
+    return psi_from_counts(counts, stats)
+
+
+# --- declarative constraint suite ----------------------------------------
+
+# (check name, pass threshold). Metrics are fractions in [0, 1]; a
+# check passes when metric >= threshold.
+QUALITY_THRESHOLDS = {
+    "custkey_complete": 1.0,
+    "orderkey_unique": 1.0,
+    "status_in_set": 1.0,
+    "totalprice_positive": 1.0,
+    "priority_format": 1.0,
+    "orderdate_in_range": 1.0,
+    "custkey_resolves": 1.0,
+}
+
+
+def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Deequ-style validation: one (check, metric, passed) row per
+    declared constraint over the orders table.
+
+    Row-local checks (completeness, set membership, range, format)
+    evaluate in ONE conditional-aggregate pass; uniqueness rides the
+    same pass as a distinct-count; referential integrity is the one
+    check that genuinely needs a second input — a keyed LEFT SEMI
+    count against customer. Output is long-form so a 100-check suite
+    is still one scan + one tiny union, never N scans.
+    """
+    n = F.count(F.lit(1)).cast("double")
+
+    def frac(cond: F.Column) -> F.Column:
+        return F.round(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n, PSI_ROUND
+        )
+
+    status_ok = F.col("o_orderstatus").isin("O", "F", "P")
+    prio_ok = F.substring("o_orderpriority", 1, 1).isin(
+        "1", "2", "3", "4", "5"
+    ) & (F.substring("o_orderpriority", 2, 1) == F.lit("-"))
+    date_ok = (
+        F.col("o_orderdate") >= F.lit(datetime.datetime(1995, 1, 1))
+    ) & (F.col("o_orderdate") < F.lit(datetime.datetime(2002, 1, 1)))
+
+    wide = orders.agg(
+        frac(F.col("o_custkey").isNotNull()).alias("custkey_complete"),
+        F.round(
+            F.count_distinct(F.col("o_orderkey")).cast("double") / n,
+            PSI_ROUND,
+        ).alias("orderkey_unique"),
+        frac(status_ok).alias("status_in_set"),
+        frac(F.col("o_totalprice") > 0).alias("totalprice_positive"),
+        frac(prio_ok).alias("priority_format"),
+        frac(date_ok).alias("orderdate_in_range"),
+    )
+    row_checks = wide.unpivot(
+        [], list(QUALITY_THRESHOLDS)[:6], "check", "metric"
+    )
+
+    n_orders = orders.agg(F.count(F.lit(1)).cast("double").alias("n_all"))
+    resolved = (
+        orders.join(
+            customer,
+            orders.o_custkey == customer.c_custkey,
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n_ok"))
+        .join(F.broadcast(n_orders))
+        .select(
+            F.lit("custkey_resolves").alias("check"),
+            F.round(F.col("n_ok") / F.col("n_all"), PSI_ROUND).alias(
+                "metric"
+            ),
+        )
+    )
+
+    thresholds = F.create_map(
+        *[
+            part
+            for name, thr in QUALITY_THRESHOLDS.items()
+            for part in (F.lit(name), F.lit(thr))
+        ]
+    )
+    return row_checks.unionByName(resolved).select(
+        "check",
+        "metric",
+        (F.col("metric") >= thresholds[F.col("check")]).alias("passed"),
+    )
+
+
+def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    return quality_checks(orders, customer)

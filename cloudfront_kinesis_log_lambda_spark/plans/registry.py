@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from cloudfront_kinesis_log_lambda_spark.operators import asof as A
 from cloudfront_kinesis_log_lambda_spark.operators import cdc as CDC
 from cloudfront_kinesis_log_lambda_spark.operators import graph as G
+from cloudfront_kinesis_log_lambda_spark.operators import mining as MN
+from cloudfront_kinesis_log_lambda_spark.operators import quality as Q
 from cloudfront_kinesis_log_lambda_spark.operators import retrieval as RT
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
@@ -1278,6 +1280,34 @@ def events_linear_trend_incremental(
     return _with_scratch("stream-lintrend", build)
 
 
+def events_psi_drift_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING PSI twin (streaming/psi.py): reference geometry
+    frozen once, per-batch (type, bin) count partials SUM-merge on
+    read into the batch operator's own psi_from_counts finalizer.
+    Order-free merges, so the waves are the sketch twins' residue
+    split. HASH-GREEN: the oracle IS events_psi_drift's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.operators.quality import (
+        PSI_SPLIT,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.psi import (
+        StreamingPSI,
+    )
+
+    def build(root: str) -> DataFrame:
+        mon = StreamingPSI(root)
+        e = R.load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        mon.freeze_reference(e.filter(F.col("ts") < F.lit(PSI_SPLIT)))
+        for wave in range(3):
+            mon(e.filter(F.col("event_id") % 3 == wave), wave)
+        return mon.psi(spark)
+
+    return _with_scratch("stream-psi", build)
+
+
 def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     """Shared wave driver for the two retrieval-serving twins: the
     documents table as three doc_id-residue waves (every merge law is
@@ -1463,6 +1493,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_holt_incremental": events_holt_incremental,
     "events_holt_winters_incremental": events_holt_winters_incremental,
     "events_linear_trend_incremental": events_linear_trend_incremental,
+    "order_basket_rules": MN.order_basket_rules,
+    "events_psi_drift": Q.events_psi_drift,
+    "events_psi_drift_incremental": events_psi_drift_incremental,
+    "orders_quality_checks": Q.orders_quality_checks,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
