@@ -76,10 +76,11 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 4 NEW mining/quality entries (order_basket_rules,
+    #   + 6 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
-    #     orders_quality_checks) → 27 must-runs
-    #   23 of the 41 r5-green entries (3 rounds stale). The last 18
+    #     orders_quality_checks, events_chi2_type_hour,
+    #     lineitem_corr_matrix) → 29 must-runs
+    #   21 of the 41 r5-green entries (3 rounds stale). The last 20
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -87,7 +88,8 @@ _FRONT = [
     #     purchases_asof_cogroup, parquet_roundtrip_daily,
     #     near_dup_clusters, near_dup_3gram, multimodal_features,
     #     events_zorder_roundtrip, matryoshka_topk,
-    #     multimodal_asset_dedup, events_sliding_windows — r1-frozen
+    #     multimodal_asset_dedup, events_sliding_windows,
+    #     events_session_windows, events_retention_cohorts — r1-frozen
     #     code, green five consecutive rounds) overflow to r9 and lead
     #     it: the rule-1 never-verified entries outrank staleness
     #     refresh.
@@ -126,7 +128,9 @@ _FRONT = [
     "events_psi_drift",
     "events_psi_drift_incremental",
     "orders_quality_checks",
-    # 23 of the 41 r5-green entries (3-round-stale evidence)
+    "events_chi2_type_hour",
+    "lineitem_corr_matrix",
+    # 21 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -148,8 +152,6 @@ _FRONT = [
     "events_funnel",
     "events_interval_join",
     "events_pattern_match",
-    "events_retention_cohorts",
-    "events_session_windows",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -2614,6 +2614,7 @@ ORACLE_SQL["doc_hybrid_rrf_incremental"] = ORACLE_SQL["doc_hybrid_rrf"]
 
 # --- frequent-pattern mining / data quality (r8 third batch) --------------
 from cloudfront_kinesis_log_lambda_spark.operators.mining import (  # noqa: E402
+    MAX_BASKET_SIZE,
     MIN_SUPPORT,
 )
 from cloudfront_kinesis_log_lambda_spark.operators.quality import (  # noqa: E402
@@ -2623,9 +2624,15 @@ from cloudfront_kinesis_log_lambda_spark.operators.quality import (  # noqa: E40
 )
 
 ORACLE_SQL["order_basket_rules"] = f"""
-    WITH items AS (
+    WITH raw_items AS (
       SELECT DISTINCT l_orderkey AS basket, p_brand AS item
       FROM lineitem JOIN part ON l_partkey = p_partkey),
+    sizes AS (
+      SELECT basket FROM raw_items GROUP BY 1
+      HAVING COUNT(*) <= {MAX_BASKET_SIZE}),
+    items AS (
+      SELECT i.basket, i.item
+      FROM raw_items i JOIN sizes s ON i.basket = s.basket),
     nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
            FROM items),
     ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS item_n
@@ -2771,3 +2778,73 @@ ORACLE_SQL["orders_quality_checks"] = """
 # goes through the batch finalizer — the oracle IS events_psi_drift's
 # SQL.
 ORACLE_SQL["events_psi_drift_incremental"] = ORACLE_SQL["events_psi_drift"]
+
+# --- statistical tests (r8 third batch) -----------------------------------
+
+ORACLE_SQL["events_chi2_type_hour"] = """
+    WITH counts AS (
+      SELECT event_type AS rv,
+             CAST(EXTRACT(hour FROM ts) AS INT) AS cv,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2),
+    rt AS (SELECT rv, CAST(SUM(o) AS BIGINT) AS rn FROM counts GROUP BY 1),
+    ct AS (SELECT cv, CAST(SUM(o) AS BIGINT) AS cn FROM counts GROUP BY 1),
+    g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
+    grid AS (
+      SELECT rt.rv, ct.cv,
+             CAST(COALESCE(c.o, 0) AS BIGINT) AS o,
+             CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE)
+               / CAST(g.n AS DOUBLE) AS e,
+             g.n
+      FROM rt CROSS JOIN ct CROSS JOIN g
+      LEFT JOIN counts c ON c.rv = rt.rv AND c.cv = ct.cv),
+    agg AS (
+      SELECT MAX(n) AS n,
+             CAST(COUNT(DISTINCT rv) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT cv) AS BIGINT) AS n_cols,
+             SUM((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e)
+               AS chi2_raw
+      FROM grid)
+    SELECT n, n_rows, n_cols,
+           ROUND(chi2_raw, 6) AS chi2,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(chi2_raw
+                      / (CAST(n AS DOUBLE)
+                         * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))),
+                 6) AS cramers_v
+    FROM agg
+"""
+
+# Pearson r: built-in co-moment aggregation on both engines (the
+# events_zscore STDDEV precedent) — ROUND absorbs accumulation-order
+# noise, which stays ~1e-13 relative for a ratio of co-moments.
+ORACLE_SQL["lineitem_corr_matrix"] = """
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(COVAR_SAMP(l_quantity, l_extendedprice)
+                   / NULLIF(STDDEV_SAMP(l_quantity)
+                            * STDDEV_SAMP(l_extendedprice), 0), 6) AS r_qp,
+             ROUND(COVAR_SAMP(l_quantity, l_discount)
+                   / NULLIF(STDDEV_SAMP(l_quantity)
+                            * STDDEV_SAMP(l_discount), 0), 6)      AS r_qd,
+             ROUND(COVAR_SAMP(l_quantity, l_tax)
+                   / NULLIF(STDDEV_SAMP(l_quantity)
+                            * STDDEV_SAMP(l_tax), 0), 6)           AS r_qt,
+             ROUND(COVAR_SAMP(l_extendedprice, l_discount)
+                   / NULLIF(STDDEV_SAMP(l_extendedprice)
+                            * STDDEV_SAMP(l_discount), 0), 6)      AS r_pd,
+             ROUND(COVAR_SAMP(l_extendedprice, l_tax)
+                   / NULLIF(STDDEV_SAMP(l_extendedprice)
+                            * STDDEV_SAMP(l_tax), 0), 6)           AS r_pt,
+             ROUND(COVAR_SAMP(l_discount, l_tax)
+                   / NULLIF(STDDEV_SAMP(l_discount)
+                            * STDDEV_SAMP(l_tax), 0), 6)           AS r_dt
+      FROM lineitem)
+    SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           r_qp AS pearson_r, n FROM base
+    UNION ALL SELECT 'l_quantity', 'l_discount', r_qd, n FROM base
+    UNION ALL SELECT 'l_quantity', 'l_tax', r_qt, n FROM base
+    UNION ALL SELECT 'l_extendedprice', 'l_discount', r_pd, n FROM base
+    UNION ALL SELECT 'l_extendedprice', 'l_tax', r_pt, n FROM base
+    UNION ALL SELECT 'l_discount', 'l_tax', r_dt, n FROM base
+"""

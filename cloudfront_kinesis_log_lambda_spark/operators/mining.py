@@ -37,6 +37,12 @@ from cloudfront_kinesis_log_lambda_spark.operators.relational import load
 # the pruning path.
 MIN_SUPPORT = 0.02
 RULE_ROUND = 6
+# Hot-basket cap (the max_bucket_size contract, operators/dedup.py):
+# a basket with more distinct items than this is DROPPED before pair
+# expansion — its k²/2 pairs would dominate the stage, and a whale
+# basket (a crawler session, a bulk order) is noise for rule mining
+# anyway. Documented recall trade, mirrored in the oracle.
+MAX_BASKET_SIZE = 200
 
 
 def basket_rules(
@@ -44,6 +50,7 @@ def basket_rules(
     basket_col: str = "basket",
     item_col: str = "item",
     min_support: float = MIN_SUPPORT,
+    max_basket_size: int = MAX_BASKET_SIZE,
 ) -> DataFrame:
     """Association rules over (basket, item) pairs.
 
@@ -54,14 +61,25 @@ def basket_rules(
     Input need not be distinct — duplicates within a basket are
     collapsed (``collect_set``) so a basket contributes each pair at
     most once, the standard market-basket contract.
+
+    ``max_basket_size`` bounds the QUADRATIC stage: baskets with more
+    distinct items are dropped before pair expansion (documented
+    recall trade, the LSH ``max_bucket_size`` contract). The
+    per-basket array itself is linear in the basket's distinct-item
+    count — the same linear-state contract as the per-user event
+    arrays in operators/timeseries.py.
     """
     spark = items.sparkSession
     b = F.col(basket_col)
     it = F.col(item_col)
 
-    # one shuffle: per-basket sorted distinct item array
-    baskets = items.groupBy(b.alias("basket")).agg(
-        F.array_sort(F.collect_set(it)).alias("arr")
+    # one shuffle: per-basket sorted distinct item array; whale
+    # baskets drop here, BEFORE any pair expands (supports and the
+    # basket total consistently count retained baskets only)
+    baskets = (
+        items.groupBy(b.alias("basket"))
+        .agg(F.array_sort(F.collect_set(it)).alias("arr"))
+        .filter(F.size("arr") <= F.lit(max_basket_size))
     )
 
     # 1-row scalar + |vocab|-row item supports, both broadcast later

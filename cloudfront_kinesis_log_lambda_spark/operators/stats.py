@@ -1,0 +1,168 @@
+"""Statistical-test operators: categorical independence (chi-square)
+and a numeric correlation matrix.
+
+The monitoring siblings of the PSI drift score (operators/quality.py):
+PSI asks "did THIS distribution move between two windows", the
+chi-square test asks "are these two categoricals related at all", and
+the correlation matrix is the numeric-feature audit every training
+pipeline runs before feeding a model redundant columns.
+
+Scale shape:
+
+- ``chi2_independence`` reduces the fact table to an (r × c)
+  contingency table in ONE partial+final aggregate — the only
+  exchange that sees fact rows. Marginals, the dense grid (absent
+  cells count 0 and still contribute (0−e)²/e), and the final fold
+  all operate on r·c rows and join broadcast-side.
+- ``corr_matrix`` computes every pairwise Pearson r in ONE pass of
+  per-pair co-moment aggregates (Spark's built-in ``corr`` — JVM
+  partial+final, no Python). k columns cost k·(k−1)/2 aggregate
+  expressions in the same reduce, not k² scans.
+
+Numerics: contingency counts are exact integers, so the chi-square
+fold is deterministic double math over identical inputs on both
+engines, rounded at the edge. Pearson r follows the events_zscore
+precedent — built-in co-moment aggregation on both engines with
+ROUND absorbing last-ulp accumulation-order noise (r is a ratio of
+co-moments, so the relative error stays ~1e-13, far inside ROUND 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+
+STATS_ROUND = 6
+
+
+def chi2_independence(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one output row with the sample size, table shape, the
+    chi² statistic, degrees of freedom, and Cramér's V effect size.
+
+    Categories are the values OBSERVED in the data (a level with zero
+    marginal count is not a category — its expected counts would be 0
+    and it contributes no information); absent CELLS inside the
+    observed r × c grid still contribute their full (0 − e)²/e term
+    via the dense-grid expansion.
+    """
+    counts = (
+        df.select(
+            F.col(row_col).alias("rv"), F.col(col_col).alias("cv")
+        )
+        .groupBy("rv", "cv")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = counts.groupBy("rv").agg(F.sum("o").cast("long").alias("rn"))
+    ct = counts.groupBy("cv").agg(F.sum("o").cast("long").alias("cn"))
+    n = counts.agg(F.sum("o").cast("long").alias("n"))
+    grid = (
+        rt.join(F.broadcast(ct))
+        .join(F.broadcast(n))
+        .join(F.broadcast(counts), ["rv", "cv"], "left")
+        .select(
+            "rv",
+            "cv",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+            (
+                F.col("rn").cast("double")
+                * F.col("cn").cast("double")
+                / F.col("n").cast("double")
+            ).alias("e"),
+            "n",
+        )
+    )
+    agg = grid.agg(
+        F.max("n").alias("n"),
+        F.count_distinct("rv").alias("n_rows"),
+        F.count_distinct("cv").alias("n_cols"),
+        F.sum(
+            (F.col("o").cast("double") - F.col("e"))
+            * (F.col("o").cast("double") - F.col("e"))
+            / F.col("e")
+        ).alias("chi2_raw"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    min_dim = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.round("chi2_raw", STATS_ROUND).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_raw")
+                / (F.col("n").cast("double") * min_dim.cast("double"))
+            ),
+            STATS_ROUND,
+        ).alias("cramers_v"),
+    )
+
+
+def events_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the event-type mix independent of the hour of day? The
+    5 × 24 contingency test over the events table."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    return chi2_independence(e, "event_type", "hour_of_day")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of ``cols``, long form: one row
+    per unordered pair (col_a < col_b by the given order) with the
+    coefficient — all pairs in a single aggregate pass."""
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    # r = cov/(σa·σb) from the built-in co-moment aggregates; NOT
+    # F.corr, whose internal divide throws under Spark 4 ANSI when a
+    # column is constant — try_divide yields NULL there, matching
+    # SQL corr semantics on both engines
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(
+                F.expr(
+                    f"try_divide(covar_samp({a}, {b}), "
+                    f"stddev_samp({a}) * stddev_samp({b}))"
+                ),
+                STATS_ROUND,
+            ).alias(f"{a}__{b}")
+            for a, b in pairs
+        ],
+    )
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"{a}__{b}").alias("r"),
+                )
+                for a, b in pairs
+            ]
+        )
+    ).alias("p")
+    return agg.select("n", stack).select(
+        "p.col_a", "p.col_b", F.col("p.r").alias("pearson_r"), "n"
+    )
+
+
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation audit of the four lineitem numeric measures —
+    quantity/price correlate by construction; discount/tax should
+    read near zero against everything."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )

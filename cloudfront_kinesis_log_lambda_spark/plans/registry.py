@@ -20,6 +20,7 @@ from cloudfront_kinesis_log_lambda_spark.operators import cdc as CDC
 from cloudfront_kinesis_log_lambda_spark.operators import graph as G
 from cloudfront_kinesis_log_lambda_spark.operators import mining as MN
 from cloudfront_kinesis_log_lambda_spark.operators import quality as Q
+from cloudfront_kinesis_log_lambda_spark.operators import stats as ST
 from cloudfront_kinesis_log_lambda_spark.operators import retrieval as RT
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.operators import corpus as C
@@ -1497,6 +1498,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_drift": Q.events_psi_drift,
     "events_psi_drift_incremental": events_psi_drift_incremental,
     "orders_quality_checks": Q.orders_quality_checks,
+    "events_chi2_type_hour": ST.events_chi2_type_hour,
+    "lineitem_corr_matrix": ST.lineitem_corr_matrix,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

@@ -53,6 +53,25 @@ def test_support_floor_prunes(spark):
     assert MN.basket_rules(df, min_support=0.05).count() == 3
 
 
+def test_whale_basket_dropped_by_cap(spark):
+    # one whale basket with 30 items, two normal baskets with 2 each:
+    # capped at 10, the whale contributes NO pairs and NO supports
+    rows = [(99, f"i{k:02d}") for k in range(30)]
+    rows += [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = _items(spark, rows)
+    got = MN.basket_rules(df, min_support=0.0, max_basket_size=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["item_a"], r["item_b"]) == ("a", "b")
+    # n_baskets counts retained baskets only → support is 2/2, not 2/3
+    assert r["support"] == 1.0
+    # uncapped, the whale's 435 pairs appear
+    assert (
+        MN.basket_rules(df, min_support=0.0, max_basket_size=1000).count()
+        == 1 + 435
+    )
+
+
 def test_pair_order_is_lexical(spark):
     rows = [(1, "zz"), (1, "aa")]
     r = MN.basket_rules(_items(spark, rows), min_support=0.0).collect()[0]

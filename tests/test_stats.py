@@ -1,0 +1,98 @@
+"""Statistical-test contracts: hand-computed chi-square on a 2×2
+table, independence and perfect-association extremes, dense-grid
+zero-cell terms, correlation extremes, and the broadcast-only plan
+shape above the contingency reduce."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.operators import stats as ST
+
+
+def _cat(spark, rows):
+    return spark.createDataFrame(rows, "r string, c string")
+
+
+def test_hand_computed_2x2(spark):
+    # classic 2x2: observed [[10, 20], [20, 10]], n=60
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 20 + [("b", "y")] * 10
+    )
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    # e = 15 everywhere; chi2 = 4 * (5^2/15) = 20/3
+    assert got["n"] == 60 and got["dof"] == 1
+    assert abs(got["chi2"] - 20.0 / 3.0) < 1e-6
+    assert abs(got["cramers_v"] - math.sqrt((20.0 / 3.0) / 60.0)) < 1e-6
+
+
+def test_independent_uniform_is_zero(spark):
+    rows = [(r, c) for r in "ab" for c in "xy" for _ in range(7)]
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    assert got["chi2"] == 0.0 and got["cramers_v"] == 0.0
+
+
+def test_perfect_association_cramers_one(spark):
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    assert got["chi2"] == 10.0  # == n for a perfect 2x2
+    assert got["cramers_v"] == 1.0
+
+
+def test_zero_cells_contribute_expected_mass(spark):
+    # (b, x) never observed but its e = 2*2/6 > 0 must enter the sum
+    rows = [("a", "x")] * 2 + [("a", "y")] * 2 + [("b", "y")] * 2
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    # full 2x2 grid: chi2 = sum over 4 cells, by hand = 1.5
+    assert abs(got["chi2"] - 1.5) < 1e-6
+    assert got["n_rows"] == 2 and got["n_cols"] == 2
+
+
+def test_events_chi2_runs(spark, sf_dir):
+    got = ST.events_chi2_type_hour(spark, sf_dir).collect()[0]
+    assert got["n_rows"] == 5 and got["n_cols"] == 24
+    assert got["dof"] == 4 * 23
+    assert got["chi2"] >= 0.0
+    assert 0.0 <= got["cramers_v"] <= 1.0
+
+
+def test_chi2_plan_is_one_fact_exchange(spark, sf_dir):
+    """Only the contingency aggregate may shuffle event rows — the
+    marginal/grid joins are broadcasts of r·c-sized sides."""
+    plan = (
+        ST.events_chi2_type_hour(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+
+
+def test_corr_extremes(spark):
+    df = spark.createDataFrame(
+        [(float(i), 2.0 * i + 1.0, -3.0 * i, 5.0) for i in range(10)],
+        "a double, b double, c double, d double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["pearson_r"]
+        for r in ST.corr_matrix(df, ["a", "b", "c", "d"]).collect()
+    }
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("b", "c")] == -1.0
+    # constant column: corr undefined → NULL on both engines
+    assert got[("a", "d")] is None
+    assert len(got) == 6
+
+
+def test_lineitem_corr_matrix_runs(spark, sf_dir):
+    rows = ST.lineitem_corr_matrix(spark, sf_dir).collect()
+    assert len(rows) == 6
+    got = {(r["col_a"], r["col_b"]): r["pearson_r"] for r in rows}
+    # synthetic lineitem measures are drawn independently — every
+    # coefficient must read near zero (and be defined: none constant)
+    for v in got.values():
+        assert v is not None and abs(v) < 0.15
