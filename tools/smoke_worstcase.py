@@ -303,7 +303,10 @@ def main_r9() -> None:
     - Holt-Winters + CUSUM with ALL events collapsed onto ONE type
       (per-type series skew: the single whale series must absorb the
       full table without blowup — series length is hours-in-retention,
-      not event count, so the wall is the pre-aggregation's).
+      not event count, so the wall is the pre-aggregation's);
+    - basket rules with ONE whale basket holding EVERY distinct part
+      (uncapped it alone is ~2·10⁸ pairs; max_basket_size must drop
+      it before the pair stage — wall vs the clean run stays ~1×).
     """
     import shutil
     import tempfile
@@ -367,6 +370,32 @@ def main_r9() -> None:
         t1 = timed(f"{name} 5-type", lambda: fn(spark, d1).count())
         tw = timed(f"{name} 1-whale-type", lambda: fn(spark, dw).count())
         print(f"{name} wall ratio: {tw / t1:.1f}x with all events one type")
+
+    # ---- leg 3: whale basket for the association rules ----
+    from cloudfront_kinesis_log_lambda_spark.operators.mining import (
+        basket_rules,
+    )
+
+    items = li.select(
+        F.col("l_orderkey").alias("basket"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    whale = items.unionByName(
+        items.select("item")
+        .distinct()
+        .withColumn("basket", F.lit(-1).cast("long"))
+        .select("basket", "item")
+    )
+    basket_rules(items, min_support=0.0).count()  # warm-up
+    t1 = timed(
+        "basket_rules partkey-items 1x",
+        lambda: basket_rules(items, min_support=0.0).count(),
+    )
+    tw = timed(
+        "basket_rules whale-basket(all parts)",
+        lambda: basket_rules(whale, min_support=0.0).count(),
+    )
+    print(f"basket_rules wall ratio: {tw / t1:.1f}x with a full-vocab whale")
 
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
