@@ -76,11 +76,12 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 6 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 8 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
-    #     lineitem_corr_matrix) → 29 must-runs
-    #   21 of the 41 r5-green entries (3 rounds stale). The last 20
+    #     lineitem_corr_matrix, events_ab_conversion,
+    #     orders_benford_digits) → 31 must-runs
+    #   19 of the 41 r5-green entries (3 rounds stale). The last 22
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -89,7 +90,8 @@ _FRONT = [
     #     near_dup_clusters, near_dup_3gram, multimodal_features,
     #     events_zorder_roundtrip, matryoshka_topk,
     #     multimodal_asset_dedup, events_sliding_windows,
-    #     events_session_windows, events_retention_cohorts — r1-frozen
+    #     events_session_windows, events_retention_cohorts,
+    #     events_interval_join, events_pattern_match — r1-frozen
     #     code, green five consecutive rounds) overflow to r9 and lead
     #     it: the rule-1 never-verified entries outrank staleness
     #     refresh.
@@ -130,7 +132,9 @@ _FRONT = [
     "orders_quality_checks",
     "events_chi2_type_hour",
     "lineitem_corr_matrix",
-    # 21 of the 41 r5-green entries (3-round-stale evidence)
+    "events_ab_conversion",
+    "orders_benford_digits",
+    # 19 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -150,8 +154,6 @@ _FRONT = [
     "embedding_pairs_exact",
     "embedding_quantize_int8",
     "events_funnel",
-    "events_interval_join",
-    "events_pattern_match",
 ]
 _FILL: list[str] = []
 _TAIL = [

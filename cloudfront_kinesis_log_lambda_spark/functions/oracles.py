@@ -2848,3 +2848,89 @@ ORACLE_SQL["lineitem_corr_matrix"] = """
     UNION ALL SELECT 'l_extendedprice', 'l_tax', r_pt, n FROM base
     UNION ALL SELECT 'l_discount', 'l_tax', r_dt, n FROM base
 """
+
+ORACLE_SQL["events_ab_conversion"] = """
+    WITH units AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY 1, 2),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM units GROUP BY 1),
+    j AS (
+      SELECT a.n AS n_a, a.conv AS conv_a, b.n AS n_b, b.conv AS conv_b
+      FROM (SELECT n, conv FROM arms WHERE arm = 'A') a
+      CROSS JOIN (SELECT n, conv FROM arms WHERE arm = 'B') b),
+    m AS (
+      SELECT *,
+             SQRT((CAST(conv_a + conv_b AS DOUBLE)
+                   / CAST(n_a + n_b AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE)
+                     - CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                  * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))) AS se
+      FROM j)
+    SELECT n_a, conv_a,
+           ROUND(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+           n_b, conv_b,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+           ROUND(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                 - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+           ROUND((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                 / NULLIF(se, 0), 6) AS z,
+           ABS((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / NULLIF(se, 0)) > CAST(1.959964 AS DOUBLE) AS significant
+    FROM m
+"""
+
+# First digit extracted arithmetically (never via float-to-text);
+# DuckDB FLOOR returns DOUBLE, hence the BIGINT casts.
+ORACLE_SQL["orders_benford_digits"] = """
+    WITH digits AS (
+      SELECT CAST(FLOOR(o_totalprice
+                        / POW(CAST(10.0 AS DOUBLE),
+                              CAST(FLOOR(LOG10(o_totalprice)) AS DOUBLE)))
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY 1),
+    grid AS (SELECT CAST(g.g AS BIGINT) AS digit
+             FROM generate_series(1, 9) g(g)),
+    filled AS (
+      SELECT gr.digit, CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs
+      FROM grid gr LEFT JOIN counts c ON gr.digit = c.digit),
+    total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM filled),
+    base AS (
+      SELECT f.digit, f.n_obs, t.n_total,
+             CAST(f.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+               AS p_obs_raw,
+             LOG10(CAST(1.0 AS DOUBLE)
+                   + CAST(1.0 AS DOUBLE) / CAST(f.digit AS DOUBLE))
+               AS p_exp_raw
+      FROM filled f CROSS JOIN total t),
+    contrib AS (
+      SELECT *,
+             ((CAST(n_obs AS DOUBLE) - p_exp_raw * CAST(n_total AS DOUBLE))
+              * (CAST(n_obs AS DOUBLE) - p_exp_raw * CAST(n_total AS DOUBLE)))
+             / (p_exp_raw * CAST(n_total AS DOUBLE)) AS chi2_term,
+             ABS(p_obs_raw - p_exp_raw) AS abs_dev
+      FROM base),
+    stats AS (
+      SELECT SUM(chi2_term) AS chi2_raw, SUM(abs_dev) / CAST(9.0 AS DOUBLE)
+               AS mad_raw
+      FROM contrib)
+    SELECT c.digit, c.n_obs,
+           ROUND(c.p_obs_raw, 6) AS p_obs,
+           ROUND(c.p_exp_raw, 6) AS p_benford,
+           ROUND(c.chi2_term, 6) AS chi2_term,
+           ROUND(s.chi2_raw, 6) AS chi2,
+           ROUND(s.mad_raw, 6) AS mad
+    FROM contrib c CROSS JOIN stats s
+"""

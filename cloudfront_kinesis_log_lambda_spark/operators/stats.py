@@ -166,3 +166,97 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
+
+
+# --- A/B experiment readout -----------------------------------------------
+
+AB_Z_CRITICAL = 1.959964  # two-sided 95%
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    unit_col: str,
+    arm_col: str,
+    converted_col: str,
+) -> DataFrame:
+    """Two-proportion z-test between exactly two experiment arms.
+
+    Input: one row per observation; ``unit_col`` identifies the
+    experimental unit (user), ``arm_col`` ∈ {'A','B'}, and
+    ``converted_col`` is a boolean. A unit converts if ANY of its rows
+    converted; a unit's arm is assumed consistent (assignment by
+    hash). One output row: per-arm sizes/conversions/rates, absolute
+    lift (B − A), the pooled-variance z statistic, and significance
+    at two-sided 95%.
+
+    Scale shape: one distinct-unit aggregate (unit grain), one tiny
+    per-arm rollup, then scalar math on a 2-row table — fact rows
+    cross exactly one exchange.
+    """
+    units = (
+        df.select(
+            F.col(unit_col).alias("unit"),
+            F.col(arm_col).alias("arm"),
+            F.col(converted_col).cast("int").alias("cv"),
+        )
+        .groupBy("unit", "arm")
+        .agg(F.max("cv").alias("converted"))
+    )
+    arms = units.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    a = arms.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.join(F.broadcast(b))
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.expr(
+        "try_divide("
+        "cast(conv_b as double) / cast(n_b as double)"
+        " - cast(conv_a as double) / cast(n_a as double), se)"
+    )
+    return (
+        j.withColumn("se", se)
+        .select(
+            "n_a",
+            "conv_a",
+            F.round(rate_a, STATS_ROUND).alias("rate_a"),
+            "n_b",
+            "conv_b",
+            F.round(rate_b, STATS_ROUND).alias("rate_b"),
+            F.round(rate_b - rate_a, STATS_ROUND).alias("lift"),
+            F.round(z, STATS_ROUND).alias("z"),
+            (F.abs(z) > F.lit(AB_Z_CRITICAL)).alias("significant"),
+        )
+    )
+
+
+def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout over the events table: users split into arms by
+    user-id parity (the deterministic stand-in for an assignment
+    hash), conversion = any purchase event."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type")
+    arms = e.select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return two_proportion_ztest(arms, "user_id", "arm", "converted")

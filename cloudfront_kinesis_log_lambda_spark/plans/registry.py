@@ -1500,6 +1500,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_quality_checks": Q.orders_quality_checks,
     "events_chi2_type_hour": ST.events_chi2_type_hour,
     "lineitem_corr_matrix": ST.lineitem_corr_matrix,
+    "events_ab_conversion": ST.events_ab_conversion,
+    "orders_benford_digits": Q.orders_benford_digits,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

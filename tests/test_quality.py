@@ -156,3 +156,51 @@ def test_orders_quality_checks_runs(spark, sf_dir):
     assert set(got) == set(Q.QUALITY_THRESHOLDS)
     # synthetic orders are clean: everything passes
     assert all(r["passed"] for r in got.values())
+
+
+# --- Benford audit ---------------------------------------------------------
+
+
+def test_benford_conforming_sample(spark):
+    # exact Benford frequencies out of 1000: digit d appears
+    # round(1000*log10(1+1/d)) times at magnitude d*10^k
+    import math as m
+
+    rows = []
+    uid = 0
+    for d in range(1, 10):
+        n = round(1000 * m.log10(1 + 1.0 / d))
+        for i in range(n):
+            rows.append((float(d) * (10.0 ** (i % 3)),))
+            uid += 1
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r for r in Q.benford_digits(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    # conforming data: Nigrini MAD < 0.006 is "close conformity"
+    assert got[1]["mad"] < 0.006
+    assert got[1]["p_benford"] == round(m.log10(2.0), 6)
+
+
+def test_benford_uniform_flagged(spark):
+    # uniform first digits are maximally non-Benford
+    rows = [(float(d) * 10.0,) for d in range(1, 10) for _ in range(100)]
+    df = spark.createDataFrame(rows, "v double")
+    got = Q.benford_digits(df, "v").collect()
+    assert got[0]["mad"] > 0.015  # Nigrini nonconformity threshold
+    assert all(r["p_obs"] == round(1.0 / 9.0, 6) for r in got)
+
+
+def test_benford_nonpositive_excluded_and_digit_extraction(spark):
+    rows = [(-5.0,), (0.0,), (0.042,), (9999.0,), (1.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r["n_obs"] for r in Q.benford_digits(df, "v").collect()}
+    # 0.042 → digit 4; 9999 → 9; 1.0 → 1; negatives/zero dropped
+    assert got[4] == 1 and got[9] == 1 and got[1] == 1
+    assert sum(got.values()) == 3
+
+
+def test_orders_benford_nonconforming_negative_control(spark, sf_dir):
+    rows = Q.orders_benford_digits(spark, sf_dir).collect()
+    assert len(rows) == 9
+    # TPC-H prices span ~2 decades: the audit must flag them
+    assert rows[0]["mad"] > 0.012

@@ -96,3 +96,53 @@ def test_lineitem_corr_matrix_runs(spark, sf_dir):
     # coefficient must read near zero (and be defined: none constant)
     for v in got.values():
         assert v is not None and abs(v) < 0.15
+
+
+# --- two-proportion z-test -------------------------------------------------
+
+
+def _obs(spark, rows):
+    return spark.createDataFrame(rows, "unit long, arm string, cv boolean")
+
+
+def test_ztest_hand_computed(spark):
+    # A: 100 units, 20 convert; B: 100 units, 30 convert
+    rows = [(i, "A", i < 20) for i in range(100)]
+    rows += [(1000 + i, "B", i < 30) for i in range(100)]
+    got = ST.two_proportion_ztest(_obs(spark, rows), "unit", "arm", "cv").collect()[0]
+    assert got["n_a"] == 100 and got["conv_a"] == 20
+    assert got["rate_b"] == 0.3 and got["lift"] == 0.1
+    # pooled p=0.25, se=sqrt(0.25*0.75*0.02)
+    want_z = 0.1 / math.sqrt(0.25 * 0.75 * 0.02)
+    assert abs(got["z"] - want_z) < 1e-6
+    assert not got["significant"]  # z ≈ 1.633 < 1.96
+
+
+def test_ztest_unit_converts_on_any_row(spark):
+    # unit 1 has a non-converting row AND a converting row → converts
+    rows = [(1, "A", False), (1, "A", True), (2, "B", False)]
+    got = ST.two_proportion_ztest(_obs(spark, rows), "unit", "arm", "cv").collect()[0]
+    assert got["n_a"] == 1 and got["conv_a"] == 1
+
+
+def test_ztest_identical_arms_zero_z(spark):
+    rows = [(i, "A", i % 2 == 0) for i in range(50)]
+    rows += [(100 + i, "B", i % 2 == 0) for i in range(50)]
+    got = ST.two_proportion_ztest(_obs(spark, rows), "unit", "arm", "cv").collect()[0]
+    assert got["z"] == 0.0 and not got["significant"]
+
+
+def test_ztest_degenerate_all_convert(spark):
+    # both arms 100% conversion → se = 0 → z NULL (try_divide)
+    rows = [(1, "A", True), (2, "B", True)]
+    got = ST.two_proportion_ztest(_obs(spark, rows), "unit", "arm", "cv").collect()[0]
+    assert got["z"] is None
+
+
+def test_events_ab_conversion_runs(spark, sf_dir):
+    got = ST.events_ab_conversion(spark, sf_dir).collect()[0]
+    # parity split is near-even and conversion is ~uniform: no signal
+    assert got["n_a"] > 0 and got["n_b"] > 0
+    # tiny SFs can saturate conversion (every user purchases at least
+    # once) — the readout just has to be a well-formed proportion
+    assert 0.0 < got["rate_a"] <= 1.0 and 0.0 < got["rate_b"] <= 1.0
