@@ -76,12 +76,13 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 8 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 10 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,
-    #     orders_benford_digits) → 31 must-runs
-    #   19 of the 41 r5-green entries (3 rounds stale). The last 22
+    #     orders_benford_digits, events_chi2_incremental,
+    #     orders_benford_incremental) → 33 must-runs
+    #   17 of the 41 r5-green entries (3 rounds stale). The last 24
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -91,10 +92,10 @@ _FRONT = [
     #     events_zorder_roundtrip, matryoshka_topk,
     #     multimodal_asset_dedup, events_sliding_windows,
     #     events_session_windows, events_retention_cohorts,
-    #     events_interval_join, events_pattern_match — r1-frozen
-    #     code, green five consecutive rounds) overflow to r9 and lead
-    #     it: the rule-1 never-verified entries outrank staleness
-    #     refresh.
+    #     events_interval_join, events_pattern_match, events_funnel,
+    #     embedding_quantize_int8 — r1-frozen code, green five
+    #     consecutive rounds) overflow to r9 and lead it: the rule-1
+    #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -134,7 +135,9 @@ _FRONT = [
     "lineitem_corr_matrix",
     "events_ab_conversion",
     "orders_benford_digits",
-    # 19 of the 41 r5-green entries (3-round-stale evidence)
+    "events_chi2_incremental",
+    "orders_benford_incremental",
+    # 17 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -152,8 +155,6 @@ _FRONT = [
     "doc_unigram_logprob",
     "embedding_norms",
     "embedding_pairs_exact",
-    "embedding_quantize_int8",
-    "events_funnel",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -2809,8 +2809,9 @@ ORACLE_SQL["events_chi2_type_hour"] = """
            ROUND(chi2_raw, 6) AS chi2,
            CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
            ROUND(SQRT(chi2_raw
-                      / (CAST(n AS DOUBLE)
-                         * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))),
+                      / NULLIF(CAST(n AS DOUBLE)
+                               * CAST(LEAST(n_rows - 1, n_cols - 1)
+                                      AS DOUBLE), 0)),
                  6) AS cramers_v
     FROM agg
 """
@@ -2934,3 +2935,10 @@ ORACLE_SQL["orders_benford_digits"] = """
            ROUND(s.mad_raw, 6) AS mad
     FROM contrib c CROSS JOIN stats s
 """
+
+# Contingency / digit counts are integer SUMs feeding the batch
+# operators' own finalizers — the oracles ARE the batch entries' SQL.
+ORACLE_SQL["events_chi2_incremental"] = ORACLE_SQL["events_chi2_type_hour"]
+ORACLE_SQL["orders_benford_incremental"] = ORACLE_SQL[
+    "orders_benford_digits"
+]

@@ -315,16 +315,27 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     """
     spark = df.sparkSession
     v = F.col(value_col)
-    digits = df.filter(v > 0).select(
-        F.floor(
-            v / F.pow(F.lit(10.0), F.floor(F.log10(v)).cast("double"))
-        )
-        .cast("long")
-        .alias("digit")
-    )
+    digits = df.filter(v > 0).select(benford_digit_expr(v).alias("digit"))
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs")
     )
+    return benford_from_counts(spark, counts)
+
+
+def benford_digit_expr(v: F.Column) -> F.Column:
+    """First significant digit of a positive value, arithmetically —
+    the map-side expression shared by the batch audit and the
+    streaming twin (streaming/stats.py)."""
+    return (
+        F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)).cast("double")))
+        .cast("long")
+    )
+
+
+def benford_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """Benford finalizer over (digit, n_obs) counts — shared verbatim
+    by the batch audit and the streaming twin, so identical merged
+    counts yield identical statistics."""
     grid = spark.range(1, 10).select(F.col("id").alias("digit"))
     filled = grid.join(F.broadcast(counts), "digit", "left").select(
         "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")

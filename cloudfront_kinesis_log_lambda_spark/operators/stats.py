@@ -57,6 +57,14 @@ def chi2_independence(
         .groupBy("rv", "cv")
         .agg(F.count(F.lit(1)).alias("o"))
     )
+    return chi2_from_counts(counts)
+
+
+def chi2_from_counts(counts: DataFrame) -> DataFrame:
+    """Chi-square finalizer over an (rv, cv, o) contingency table —
+    shared verbatim by the batch operator and the streaming twin
+    (streaming/stats.py), so identical merged counts yield an
+    identical statistic."""
     rt = counts.groupBy("rv").agg(F.sum("o").cast("long").alias("rn"))
     ct = counts.groupBy("cv").agg(F.sum("o").cast("long").alias("cn"))
     n = counts.agg(F.sum("o").cast("long").alias("n"))
@@ -94,10 +102,14 @@ def chi2_independence(
         "n_cols",
         F.round("chi2_raw", STATS_ROUND).alias("chi2"),
         dof.cast("long").alias("dof"),
+        # 1×k / k×1 tables: dof = 0, effect size undefined → NULL
+        # (try_divide, not /: ANSI raises on the zero min-dimension)
         F.round(
             F.sqrt(
-                F.col("chi2_raw")
-                / (F.col("n").cast("double") * min_dim.cast("double"))
+                F.expr(
+                    "try_divide(chi2_raw, cast(n as double) "
+                    "* cast(least(n_rows - 1, n_cols - 1) as double))"
+                )
             ),
             STATS_ROUND,
         ).alias("cramers_v"),

@@ -1309,6 +1309,48 @@ def events_psi_drift_incremental(
     return _with_scratch("stream-psi", build)
 
 
+def events_chi2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING chi-square twin (streaming/stats.py): (type,
+    hour) contingency partials SUM-merge on read into the batch
+    test's own finalizer. HASH-GREEN: counts are exact integers, so
+    the oracle IS events_chi2_type_hour's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.stats import (
+        StreamingChi2,
+    )
+
+    def build(root: str) -> DataFrame:
+        t = StreamingChi2(root, "event_type", "hour_of_day")
+        e = R.load(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.hour("ts").alias("hour_of_day")
+        )
+        for wave in range(3):
+            t(e.filter(F.col("event_id") % 3 == wave), wave)
+        return t.chi2(spark)
+
+    return _with_scratch("stream-chi2", build)
+
+
+def orders_benford_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Benford twin (streaming/stats.py): first-digit
+    count partials SUM-merge on read into the batch audit's grid/χ²/
+    MAD finalizer. HASH-GREEN: the oracle IS orders_benford_digits's
+    SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.stats import (
+        StreamingBenford,
+    )
+
+    def build(root: str) -> DataFrame:
+        b = StreamingBenford(root, "o_totalprice")
+        o = R.load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        for wave in range(3):
+            b(o.filter(F.col("o_orderkey") % 3 == wave), wave)
+        return b.digits(spark)
+
+    return _with_scratch("stream-benford", build)
+
+
 def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     """Shared wave driver for the two retrieval-serving twins: the
     documents table as three doc_id-residue waves (every merge law is
@@ -1502,6 +1544,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_corr_matrix": ST.lineitem_corr_matrix,
     "events_ab_conversion": ST.events_ab_conversion,
     "orders_benford_digits": Q.orders_benford_digits,
+    "events_chi2_incremental": events_chi2_incremental,
+    "orders_benford_incremental": orders_benford_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,

@@ -146,3 +146,11 @@ def test_events_ab_conversion_runs(spark, sf_dir):
     # tiny SFs can saturate conversion (every user purchases at least
     # once) — the readout just has to be a well-formed proportion
     assert 0.0 < got["rate_a"] <= 1.0 and 0.0 < got["rate_b"] <= 1.0
+
+
+def test_chi2_degenerate_single_row_category(spark):
+    # 1×k table: chi2 = 0, dof = 0, effect size undefined → NULL
+    rows = [("a", "x")] * 3 + [("a", "y")] * 2
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    assert got["chi2"] == 0.0 and got["dof"] == 0
+    assert got["cramers_v"] is None
