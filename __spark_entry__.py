@@ -76,13 +76,14 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 10 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 12 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,
     #     orders_benford_digits, events_chi2_incremental,
-    #     orders_benford_incremental) → 33 must-runs
-    #   17 of the 41 r5-green entries (3 rounds stale). The last 24
+    #     orders_benford_incremental, order_basket_rules_incremental,
+    #     orders_quality_incremental) → 35 must-runs
+    #   15 of the 41 r5-green entries (3 rounds stale). The last 26
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -93,7 +94,8 @@ _FRONT = [
     #     multimodal_asset_dedup, events_sliding_windows,
     #     events_session_windows, events_retention_cohorts,
     #     events_interval_join, events_pattern_match, events_funnel,
-    #     embedding_quantize_int8 — r1-frozen code, green five
+    #     embedding_quantize_int8, embedding_norms,
+    #     embedding_pairs_exact — r1-frozen code, green five
     #     consecutive rounds) overflow to r9 and lead it: the rule-1
     #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
@@ -137,7 +139,9 @@ _FRONT = [
     "orders_benford_digits",
     "events_chi2_incremental",
     "orders_benford_incremental",
-    # 17 of the 41 r5-green entries (3-round-stale evidence)
+    "order_basket_rules_incremental",
+    "orders_quality_incremental",
+    # 15 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -153,8 +157,6 @@ _FRONT = [
     "doc_source_quota",
     "doc_table_profile",
     "doc_unigram_logprob",
-    "embedding_norms",
-    "embedding_pairs_exact",
 ]
 _FILL: list[str] = []
 _TAIL = [

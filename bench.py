@@ -92,6 +92,13 @@ EXTENSION = [
     "event_transitions",        # per-user lead pairs + matrix rollup
     "events_seasonal_outliers", # 2x exact percentile per (type, hod)
     "nation_pagerank",          # 10 lineage-truncated sweeps
+    # r8-continuation additions (mining / quality / statistics)
+    "order_basket_rules",       # per-basket JVM pair expansion
+    "events_psi_drift",         # broadcast-geometry bin + (type,bin) agg
+    "orders_quality_checks",    # one-pass constraint suite + semi join
+    "events_chi2_type_hour",    # contingency reduce + broadcast grid
+    "lineitem_corr_matrix",     # 6 co-moment pairs in one aggregate
+    "orders_benford_digits",    # arithmetic digit extraction + grid
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))

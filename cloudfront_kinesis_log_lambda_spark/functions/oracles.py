@@ -2942,3 +2942,14 @@ ORACLE_SQL["events_chi2_incremental"] = ORACLE_SQL["events_chi2_type_hour"]
 ORACLE_SQL["orders_benford_incremental"] = ORACLE_SQL[
     "orders_benford_digits"
 ]
+
+# The edge store is a DISTINCT fact set (idempotent even under new-id
+# re-delivery) served through the batch pair expansion; the quality
+# twin merges SUM counters + a per-key count store through the batch
+# predicates/verdicts — the oracles ARE the batch entries' SQL.
+ORACLE_SQL["order_basket_rules_incremental"] = ORACLE_SQL[
+    "order_basket_rules"
+]
+ORACLE_SQL["orders_quality_incremental"] = ORACLE_SQL[
+    "orders_quality_checks"
+]

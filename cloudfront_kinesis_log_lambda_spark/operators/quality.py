@@ -211,6 +211,42 @@ QUALITY_THRESHOLDS = {
 }
 
 
+def quality_row_conditions() -> dict[str, F.Column]:
+    """The row-local constraint predicates, keyed by check name —
+    shared by the batch suite and the streaming twin so the counted
+    condition can never drift between them."""
+    return {
+        "custkey_complete": F.col("o_custkey").isNotNull(),
+        "status_in_set": F.col("o_orderstatus").isin("O", "F", "P"),
+        "totalprice_positive": F.col("o_totalprice") > 0,
+        "priority_format": F.substring("o_orderpriority", 1, 1).isin(
+            "1", "2", "3", "4", "5"
+        )
+        & (F.substring("o_orderpriority", 2, 1) == F.lit("-")),
+        "orderdate_in_range": (
+            F.col("o_orderdate") >= F.lit(datetime.datetime(1995, 1, 1))
+        )
+        & (F.col("o_orderdate") < F.lit(datetime.datetime(2002, 1, 1))),
+    }
+
+
+def quality_verdicts(long_rows: DataFrame) -> DataFrame:
+    """Attach the pass/fail verdict to long-form (check, metric) rows
+    via the threshold map — the shared final step."""
+    thresholds = F.create_map(
+        *[
+            part
+            for name, thr in QUALITY_THRESHOLDS.items()
+            for part in (F.lit(name), F.lit(thr))
+        ]
+    )
+    return long_rows.select(
+        "check",
+        "metric",
+        (F.col("metric") >= thresholds[F.col("check")]).alias("passed"),
+    )
+
+
 def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """Deequ-style validation: one (check, metric, passed) row per
     declared constraint over the orders table.
@@ -229,22 +265,19 @@ def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
             F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n, PSI_ROUND
         )
 
-    status_ok = F.col("o_orderstatus").isin("O", "F", "P")
-    prio_ok = F.substring("o_orderpriority", 1, 1).isin(
-        "1", "2", "3", "4", "5"
-    ) & (F.substring("o_orderpriority", 2, 1) == F.lit("-"))
-    date_ok = (
-        F.col("o_orderdate") >= F.lit(datetime.datetime(1995, 1, 1))
-    ) & (F.col("o_orderdate") < F.lit(datetime.datetime(2002, 1, 1)))
+    conds = quality_row_conditions()
+    status_ok = conds["status_in_set"]
+    prio_ok = conds["priority_format"]
+    date_ok = conds["orderdate_in_range"]
 
     wide = orders.agg(
-        frac(F.col("o_custkey").isNotNull()).alias("custkey_complete"),
+        frac(conds["custkey_complete"]).alias("custkey_complete"),
         F.round(
             F.count_distinct(F.col("o_orderkey")).cast("double") / n,
             PSI_ROUND,
         ).alias("orderkey_unique"),
         frac(status_ok).alias("status_in_set"),
-        frac(F.col("o_totalprice") > 0).alias("totalprice_positive"),
+        frac(conds["totalprice_positive"]).alias("totalprice_positive"),
         frac(prio_ok).alias("priority_format"),
         frac(date_ok).alias("orderdate_in_range"),
     )
@@ -269,18 +302,7 @@ def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
         )
     )
 
-    thresholds = F.create_map(
-        *[
-            part
-            for name, thr in QUALITY_THRESHOLDS.items()
-            for part in (F.lit(name), F.lit(thr))
-        ]
-    )
-    return row_checks.unionByName(resolved).select(
-        "check",
-        "metric",
-        (F.col("metric") >= thresholds[F.col("check")]).alias("passed"),
-    )
+    return quality_verdicts(row_checks.unionByName(resolved))
 
 
 def orders_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:

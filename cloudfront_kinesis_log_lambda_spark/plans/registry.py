@@ -1330,6 +1330,60 @@ def events_chi2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-chi2", build)
 
 
+def order_basket_rules_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING association-rules twin (streaming/mining.py):
+    distinct (basket, item) edges accumulate — a basket SPLIT across
+    waves gains its cross-wave pairs only once both halves arrived —
+    and the serve step runs the batch pair expansion over the merged
+    edges. HASH-GREEN: the oracle IS order_basket_rules's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.mining import (
+        StreamingBasketRules,
+    )
+
+    def build(root: str) -> DataFrame:
+        sr = StreamingBasketRules(root)
+        li = R.load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber"
+        )
+        part = R.load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        items = li.join(part, li.l_partkey == part.p_partkey).select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("p_brand").alias("item"),
+            "l_linenumber",
+        )
+        # split by LINE number, not order: most baskets straddle waves
+        for wave in range(3):
+            sr(items.filter(F.col("l_linenumber") % 3 == wave), wave)
+        return sr.rules(spark)
+
+    return _with_scratch("stream-rules", build)
+
+
+def orders_quality_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING constraint-suite twin (streaming/quality.py):
+    SUM-merged condition counters + a per-orderkey count store for
+    cross-batch uniqueness; predicates and verdict step imported from
+    the batch operator. HASH-GREEN: the oracle IS
+    orders_quality_checks's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.quality import (
+        StreamingQualityChecks,
+    )
+
+    def build(root: str) -> DataFrame:
+        customer = R.load(spark, sf_dir, "customer")
+        qc = StreamingQualityChecks(root, customer)
+        o = R.load(spark, sf_dir, "orders")
+        for wave in range(3):
+            qc(o.filter(F.col("o_orderkey") % 3 == wave), wave)
+        return qc.checks(spark)
+
+    return _with_scratch("stream-quality", build)
+
+
 def orders_benford_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING Benford twin (streaming/stats.py): first-digit
     count partials SUM-merge on read into the batch audit's grid/χ²/
@@ -1546,6 +1600,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_benford_digits": Q.orders_benford_digits,
     "events_chi2_incremental": events_chi2_incremental,
     "orders_benford_incremental": orders_benford_incremental,
+    "order_basket_rules_incremental": order_basket_rules_incremental,
+    "orders_quality_incremental": orders_quality_incremental,
     # rows-only (the reference pipeline itself: cloudfront table isn't an
     # oracle view / PartitionKey is uuid-nondeterministic)
     "cloudfront_enriched": cloudfront_enriched,
