@@ -2953,3 +2953,53 @@ ORACLE_SQL["order_basket_rules_incremental"] = ORACLE_SQL[
 ORACLE_SQL["orders_quality_incremental"] = ORACLE_SQL[
     "orders_quality_checks"
 ]
+
+# KS grid: events values are 2-decimal by construction, so the
+# quantize-3 ROUND is an identity on this data (the knob exists for
+# continuous columns at scale); cumulative counts are exact integers
+# and D is a MAX (order-free), so only the final divisions are float.
+ORACLE_SQL["events_ks_drift"] = f"""
+    WITH grid AS (
+      SELECT event_type, ROUND(value, 3) AS v,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+      FROM events GROUP BY 1, 2),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+             CAST(SUM(c_cur) AS BIGINT) AS n_cur
+      FROM grid GROUP BY 1
+      HAVING SUM(c_ref) > 0 AND SUM(c_cur) > 0),
+    cum AS (
+      SELECT event_type,
+             CAST(SUM(c_ref) OVER (PARTITION BY event_type ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_ref,
+             CAST(SUM(c_cur) OVER (PARTITION BY event_type ORDER BY v
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_cur
+      FROM grid),
+    d AS (
+      SELECT c.event_type, t.n_ref, t.n_cur,
+             ABS(CAST(c.cum_ref AS DOUBLE) / CAST(t.n_ref AS DOUBLE)
+                 - CAST(c.cum_cur AS DOUBLE) / CAST(t.n_cur AS DOUBLE))
+               AS dd
+      FROM cum c JOIN totals t USING (event_type)),
+    agg AS (
+      SELECT event_type, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+             MAX(dd) AS d_raw
+      FROM d GROUP BY 1)
+    SELECT event_type, n_ref, n_cur,
+           ROUND(d_raw, 6) AS ks_d,
+           ROUND(CAST(1.358 AS DOUBLE)
+                 * SQRT(CAST(n_ref + n_cur AS DOUBLE)
+                        / (CAST(n_ref AS DOUBLE)
+                           * CAST(n_cur AS DOUBLE))), 6) AS ks_crit,
+           d_raw > CAST(1.358 AS DOUBLE)
+                   * SQRT(CAST(n_ref + n_cur AS DOUBLE)
+                          / (CAST(n_ref AS DOUBLE)
+                             * CAST(n_cur AS DOUBLE))) AS drifted
+    FROM agg
+"""

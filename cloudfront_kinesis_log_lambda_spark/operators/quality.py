@@ -406,3 +406,111 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_digits(
         load(spark, sf_dir, "orders").select("o_totalprice"), "o_totalprice"
     )
+
+
+# --- two-sample Kolmogorov-Smirnov drift test ------------------------------
+
+KS_ALPHA_COEF = 1.358  # two-sided alpha = 0.05
+
+
+def ks_two_sample(
+    df: DataFrame,
+    type_col: str,
+    value_col: str,
+    is_ref: F.Column,
+    quantize: int | None = 3,
+) -> DataFrame:
+    """Per-type two-sample Kolmogorov-Smirnov statistic between the
+    reference rows (``is_ref`` true) and the rest: D = max |ECDF_ref −
+    ECDF_cur|, with the α=0.05 critical value and the drift verdict —
+    the unbinned companion to the PSI monitor (PSI sees WHERE mass
+    moved; KS is the distribution-free "did it move" test).
+
+    Scale shape: rows collapse to the distinct (type, value) grid in
+    ONE aggregate (the only exchange that sees fact rows); the ECDF
+    cumulative runs as a per-type window over that grid. The grid —
+    not the row count — bounds the window, and ``quantize`` rounds
+    values first (mirrored in the oracle) so a continuous column
+    cannot make the grid row-grain: the same distinct-domain-bounded
+    contract as the n-gram exchanges. D at a quantized grid point is
+    the exact D of the quantized distributions.
+    """
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col)
+    if quantize is not None:
+        v = F.round(v, quantize)
+    grid = (
+        df.select(
+            F.col(type_col).alias("event_type"),
+            v.alias("v"),
+            is_ref.alias("is_ref"),
+        )
+        .groupBy("event_type", "v")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_cur"),
+        )
+    )
+    # totals first (KS is undefined for an empty sample: types with
+    # either side empty drop out of the inner join)
+    totals = grid.groupBy("event_type").agg(
+        F.sum("c_ref").cast("long").alias("n_ref"),
+        F.sum("c_cur").cast("long").alias("n_cur"),
+    ).filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "event_type",
+        F.sum("c_ref").over(w).cast("long").alias("cum_ref"),
+        F.sum("c_cur").over(w).cast("long").alias("cum_cur"),
+    )
+    per_type = (
+        cum.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.abs(
+                F.col("cum_ref").cast("double")
+                / F.col("n_ref").cast("double")
+                - F.col("cum_cur").cast("double")
+                / F.col("n_cur").cast("double")
+            ).alias("d"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("d").alias("d_raw"),
+        )
+    )
+    crit = F.lit(KS_ALPHA_COEF) * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur")).cast("double")
+        / (F.col("n_ref").cast("double") * F.col("n_cur").cast("double"))
+    )
+    return per_type.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.round("d_raw", PSI_ROUND).alias("ks_d"),
+        F.round(crit, PSI_ROUND).alias("ks_crit"),
+        (F.col("d_raw") > crit).alias("drifted"),
+    )
+
+
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS drift test of the per-type event value distribution,
+    reference fortnight vs current fortnight (the PSI entry's
+    unbinned companion over the same windows)."""
+    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    return ks_two_sample(
+        e, "event_type", "value", F.col("ts") < F.lit(PSI_SPLIT)
+    )

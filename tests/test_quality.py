@@ -204,3 +204,61 @@ def test_orders_benford_nonconforming_negative_control(spark, sf_dir):
     assert len(rows) == 9
     # TPC-H prices span ~2 decades: the audit must flag them
     assert rows[0]["mad"] > 0.012
+
+
+# --- KS two-sample test ----------------------------------------------------
+
+
+def _ks(spark, rows, **kw):
+    df = _events(spark, rows)
+    return Q.ks_two_sample(
+        df, "event_type", "value", F.col("ts") < F.lit(Q.PSI_SPLIT), **kw
+    ).collect()
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("t", REF, float(v)) for v in range(50)]
+    rows += [("t", CUR, float(v)) for v in range(50)]
+    (r,) = _ks(spark, rows)
+    assert r["ks_d"] == 0.0 and not r["drifted"]
+
+
+def test_ks_disjoint_supports_d_one(spark):
+    # ref in [0, 10), cur in [100, 110): ECDFs never overlap → D = 1
+    rows = [("t", REF, float(v)) for v in range(10)]
+    rows += [("t", CUR, 100.0 + v) for v in range(10)]
+    (r,) = _ks(spark, rows)
+    assert r["ks_d"] == 1.0 and r["drifted"]
+
+
+def test_ks_hand_computed_shift(spark):
+    # ref {1,2,3,4}, cur {3,4,5,6}: D = |ECDF_ref - ECDF_cur| peaks at
+    # v=2: |2/4 - 0| = 0.5
+    rows = [("t", REF, float(v)) for v in (1, 2, 3, 4)]
+    rows += [("t", CUR, float(v)) for v in (3, 4, 5, 6)]
+    (r,) = _ks(spark, rows)
+    assert r["ks_d"] == 0.5
+    assert r["n_ref"] == 4 and r["n_cur"] == 4
+
+
+def test_ks_one_sided_type_drops(spark):
+    rows = [("only_ref", REF, 1.0), ("both", REF, 1.0), ("both", CUR, 2.0)]
+    got = {r["event_type"] for r in _ks(spark, rows)}
+    assert got == {"both"}  # KS undefined for an empty sample
+
+
+def test_ks_quantize_collapses_near_ties(spark):
+    # 1.0001 vs 1.0004 are the same point at quantize=3 but distinct
+    # at quantize=None
+    rows = [("t", REF, 1.0001), ("t", CUR, 1.0004)]
+    (r3,) = _ks(spark, rows, quantize=3)
+    (rn,) = _ks(spark, rows, quantize=None)
+    assert r3["ks_d"] == 0.0  # same grid point → ECDFs move together
+    assert rn["ks_d"] == 1.0
+
+
+def test_events_ks_drift_runs(spark, sf_dir):
+    rows = Q.events_ks_drift(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["ks_d"] <= 1.0 and r["ks_crit"] > 0.0
