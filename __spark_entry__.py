@@ -82,8 +82,9 @@ _FRONT = [
     #     lineitem_corr_matrix, events_ab_conversion,
     #     orders_benford_digits, events_chi2_incremental,
     #     orders_benford_incremental, order_basket_rules_incremental,
-    #     orders_quality_incremental, events_ks_drift) → 36 must-runs
-    #   14 of the 41 r5-green entries (3 rounds stale). The last 27
+    #     orders_quality_incremental, events_ks_drift,
+    #     events_ks_incremental) → 37 must-runs
+    #   13 of the 41 r5-green entries (3 rounds stale). The last 28
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -95,9 +96,10 @@ _FRONT = [
     #     events_session_windows, events_retention_cohorts,
     #     events_interval_join, events_pattern_match, events_funnel,
     #     embedding_quantize_int8, embedding_norms,
-    #     embedding_pairs_exact, doc_unigram_logprob — r1-frozen code,
-    #     green five consecutive rounds) overflow to r9 and lead it:
-    #     the rule-1 never-verified entries outrank staleness refresh.
+    #     embedding_pairs_exact, doc_unigram_logprob,
+    #     doc_table_profile — r1-frozen code, green five consecutive
+    #     rounds) overflow to r9 and lead it: the rule-1
+    #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -142,7 +144,8 @@ _FRONT = [
     "order_basket_rules_incremental",
     "orders_quality_incremental",
     "events_ks_drift",
-    # 14 of the 41 r5-green entries (3-round-stale evidence)
+    "events_ks_incremental",
+    # 13 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -156,7 +159,6 @@ _FRONT = [
     "doc_mixture_sample",
     "doc_quality_sample",
     "doc_source_quota",
-    "doc_table_profile",
 ]
 _FILL: list[str] = []
 _TAIL = [

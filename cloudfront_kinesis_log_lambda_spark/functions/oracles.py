@@ -3003,3 +3003,7 @@ ORACLE_SQL["events_ks_drift"] = f"""
                              * CAST(n_cur AS DOUBLE))) AS drifted
     FROM agg
 """
+
+# The KS grid is SUM-mergeable counts feeding the batch finalizer —
+# the oracle IS events_ks_drift's SQL.
+ORACLE_SQL["events_ks_incremental"] = ORACLE_SQL["events_ks_drift"]

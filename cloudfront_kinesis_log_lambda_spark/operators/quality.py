@@ -435,8 +435,6 @@ def ks_two_sample(
     contract as the n-gram exchanges. D at a quantized grid point is
     the exact D of the quantized distributions.
     """
-    from pyspark.sql.window import Window
-
     v = F.col(value_col)
     if quantize is not None:
         v = F.round(v, quantize)
@@ -456,6 +454,16 @@ def ks_two_sample(
             .alias("c_cur"),
         )
     )
+    return ks_from_grid(grid)
+
+
+def ks_from_grid(grid: DataFrame) -> DataFrame:
+    """KS finalizer over an (event_type, v, c_ref, c_cur) grid —
+    shared verbatim by the batch test and the streaming twin
+    (streaming/stats.py): grid counts are SUM-mergeable, so the
+    accumulated store feeds identical integers into identical math."""
+    from pyspark.sql.window import Window
+
     # totals first (KS is undefined for an empty sample: types with
     # either side empty drop out of the inner join)
     totals = grid.groupBy("event_type").agg(

@@ -1330,6 +1330,29 @@ def events_chi2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-chi2", build)
 
 
+def events_ks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING KS twin (streaming/stats.py): (type, value) grid
+    partials SUM-merge on read into the batch test's finalizer.
+    HASH-GREEN: the oracle IS events_ks_drift's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.operators.quality import (
+        PSI_SPLIT,
+    )
+    from cloudfront_kinesis_log_lambda_spark.streaming.stats import (
+        StreamingKS,
+    )
+
+    def build(root: str) -> DataFrame:
+        ks = StreamingKS(root, PSI_SPLIT)
+        e = R.load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        )
+        for wave in range(3):
+            ks(e.filter(F.col("event_id") % 3 == wave), wave)
+        return ks.ks(spark)
+
+    return _with_scratch("stream-ks", build)
+
+
 def order_basket_rules_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1593,6 +1616,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_basket_rules": MN.order_basket_rules,
     "events_psi_drift": Q.events_psi_drift,
     "events_ks_drift": Q.events_ks_drift,
+    "events_ks_incremental": events_ks_incremental,
     "events_psi_drift_incremental": events_psi_drift_incremental,
     "orders_quality_checks": Q.orders_quality_checks,
     "events_chi2_type_hour": ST.events_chi2_type_hour,

@@ -138,3 +138,62 @@ class StreamingBenford:
         return benford_from_counts(
             spark, self.store.merged(spark, exclude_batch)
         )
+
+
+class StreamingKS:
+    """``foreachBatch`` callable maintaining the (type, value) KS grid
+    against a fixed reference split; :meth:`ks` feeds the SUM-merged
+    grid through the batch test's own finalizer — bit-identical to
+    the batch KS over the union of arrived rows. State is bounded by
+    the distinct quantized value domain, not stream volume."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        split,
+        type_col: str = "event_type",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        quantize: int | None = 3,
+    ) -> None:
+        self.store = StreamingCountStore(
+            store_dir,
+            "event_type string, v double, c_ref bigint, c_cur bigint",
+            ("event_type", "v"),
+            ("c_ref", "c_cur"),
+        )
+        self.split = split
+        self.type_col = type_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.quantize = quantize
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        v = F.col(self.value_col)
+        if self.quantize is not None:
+            v = F.round(v, self.quantize)
+        is_ref = F.col(self.ts_col) < F.lit(self.split)
+        partial = (
+            batch_df.select(
+                F.col(self.type_col).alias("event_type"),
+                v.alias("v"),
+                is_ref.alias("is_ref"),
+            )
+            .groupBy("event_type", "v")
+            .agg(
+                F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+                .cast("long")
+                .alias("c_ref"),
+                F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+                .cast("long")
+                .alias("c_cur"),
+            )
+        )
+        self.store.write(partial, batch_id)
+
+    def ks(self, spark: SparkSession, exclude_batch: int = -1) -> DataFrame:
+        from cloudfront_kinesis_log_lambda_spark.operators.quality import (
+            ks_from_grid,
+        )
+
+        return ks_from_grid(self.store.merged(spark, exclude_batch))

@@ -73,3 +73,51 @@ def test_benford_stream_equals_batch(spark, tmp_path):
         assert got == want, f"divergence after wave {i}"
     # the final audit saw 7 positive values across all 9 digit rows
     assert sum(r[1] for r in _rows(b.digits(spark))) == 7
+
+
+# --- KS twin ---------------------------------------------------------------
+
+import datetime
+
+from cloudfront_kinesis_log_lambda_spark.streaming.stats import StreamingKS
+
+KS_SPLIT = datetime.datetime(2024, 1, 16)
+KS_REF = datetime.datetime(2024, 1, 10)
+KS_CUR = datetime.datetime(2024, 1, 20)
+
+KS_WAVES = [
+    [("t", KS_REF, 1.0), ("t", KS_REF, 2.0), ("t", KS_CUR, 3.0)],
+    [("t", KS_CUR, 4.0), ("u", KS_REF, 1.0)],  # type u ref-only so far
+    [("u", KS_CUR, 9.0), ("t", KS_REF, 2.0)],  # repeated grid point
+]
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+
+
+def test_ks_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from cloudfront_kinesis_log_lambda_spark.operators.quality import (
+        ks_two_sample,
+    )
+
+    ks = StreamingKS(str(tmp_path / "ks"), KS_SPLIT)
+    for i, wave in enumerate(KS_WAVES):
+        ks(_ev(spark, wave), i)
+        arrived = [r for w in KS_WAVES[: i + 1] for r in w]
+        got = sorted(tuple(r) for r in ks.ks(spark).collect())
+        want = sorted(
+            tuple(r)
+            for r in ks_two_sample(
+                _ev(spark, arrived),
+                "event_type",
+                "value",
+                F.col("ts") < F.lit(KS_SPLIT),
+            ).collect()
+        )
+        assert got == want, f"divergence after wave {i}"
+    # after wave 1 type u had no current sample → absent; present now
+    assert {r[0] for r in ks.ks(spark).collect()} == {"t", "u"}
