@@ -76,7 +76,7 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 12 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 14 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,

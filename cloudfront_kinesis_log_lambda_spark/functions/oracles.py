@@ -2769,7 +2769,7 @@ ORACLE_SQL["orders_quality_checks"] = """
       UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM wide
       UNION ALL SELECT 'custkey_resolves', metric FROM resolved)
     SELECT "check", metric,
-           metric >= CAST(1.0 AS DOUBLE) AS passed
+           COALESCE(metric >= CAST(1.0 AS DOUBLE), FALSE) AS passed
     FROM longf
 """
 
@@ -2786,7 +2786,9 @@ ORACLE_SQL["events_chi2_type_hour"] = """
       SELECT event_type AS rv,
              CAST(EXTRACT(hour FROM ts) AS INT) AS cv,
              CAST(COUNT(*) AS BIGINT) AS o
-      FROM events GROUP BY 1, 2),
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2),
     rt AS (SELECT rv, CAST(SUM(o) AS BIGINT) AS rn FROM counts GROUP BY 1),
     ct AS (SELECT cv, CAST(SUM(o) AS BIGINT) AS cn FROM counts GROUP BY 1),
     g AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM counts),
@@ -2893,12 +2895,17 @@ ORACLE_SQL["events_ab_conversion"] = """
 # First digit extracted arithmetically (never via float-to-text);
 # DuckDB FLOOR returns DOUBLE, hence the BIGINT casts.
 ORACLE_SQL["orders_benford_digits"] = """
-    WITH digits AS (
+    WITH raw AS (
       SELECT CAST(FLOOR(o_totalprice
                         / POW(CAST(10.0 AS DOUBLE),
                               CAST(FLOOR(LOG10(o_totalprice)) AS DOUBLE)))
-                  AS BIGINT) AS digit
+                  AS BIGINT) AS d
       FROM orders WHERE o_totalprice > 0),
+    digits AS (
+      SELECT CASE WHEN d < 1 THEN CAST(9 AS BIGINT)
+                  WHEN d > 9 THEN CAST(1 AS BIGINT)
+                  ELSE d END AS digit
+      FROM raw),
     counts AS (
       SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
       FROM digits GROUP BY 1),
@@ -2910,8 +2917,8 @@ ORACLE_SQL["orders_benford_digits"] = """
     total AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM filled),
     base AS (
       SELECT f.digit, f.n_obs, t.n_total,
-             CAST(f.n_obs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
-               AS p_obs_raw,
+             CAST(f.n_obs AS DOUBLE)
+               / NULLIF(CAST(t.n_total AS DOUBLE), 0) AS p_obs_raw,
              LOG10(CAST(1.0 AS DOUBLE)
                    + CAST(1.0 AS DOUBLE) / CAST(f.digit AS DOUBLE))
                AS p_exp_raw
@@ -2920,7 +2927,7 @@ ORACLE_SQL["orders_benford_digits"] = """
       SELECT *,
              ((CAST(n_obs AS DOUBLE) - p_exp_raw * CAST(n_total AS DOUBLE))
               * (CAST(n_obs AS DOUBLE) - p_exp_raw * CAST(n_total AS DOUBLE)))
-             / (p_exp_raw * CAST(n_total AS DOUBLE)) AS chi2_term,
+             / NULLIF(p_exp_raw * CAST(n_total AS DOUBLE), 0) AS chi2_term,
              ABS(p_obs_raw - p_exp_raw) AS abs_dev
       FROM base),
     stats AS (

@@ -159,21 +159,23 @@ def psi_from_counts(counts: DataFrame, stats: DataFrame) -> DataFrame:
         "t_cur",
         ((p_cur - p_ref) * F.log(p_cur / p_ref)).alias("c"),
     )
-    # deterministic arg-max: lexicographic struct max breaks |c| ties
-    # toward the larger bin (max_by alone is tie-nondeterministic)
-    worst = contrib.groupBy("event_type").agg(
-        F.max(
-            F.struct(F.abs(F.col("c")).alias("a"), F.col("bin").alias("b"))
-        )["b"].alias("worst_bin")
-    )
+    # worst_bin rides the SAME aggregate as the psi fold (review
+    # finding: a second groupBy + join duplicated the contrib subtree
+    # for no gain). Deterministic arg-max: lexicographic struct max
+    # breaks |c| ties toward the larger bin (max_by alone is
+    # tie-nondeterministic).
     return (
         contrib.groupBy("event_type")
         .agg(
             F.max("t_ref").alias("n_ref"),
             F.max("t_cur").alias("n_cur"),
             F.round(F.sum("c"), PSI_ROUND).alias("psi"),
+            F.max(
+                F.struct(
+                    F.abs(F.col("c")).alias("a"), F.col("bin").alias("b")
+                )
+            )["b"].alias("worst_bin"),
         )
-        .join(F.broadcast(worst), "event_type")
         .select(
             "event_type",
             "n_ref",
@@ -232,7 +234,9 @@ def quality_row_conditions() -> dict[str, F.Column]:
 
 def quality_verdicts(long_rows: DataFrame) -> DataFrame:
     """Attach the pass/fail verdict to long-form (check, metric) rows
-    via the threshold map — the shared final step."""
+    via the threshold map — the shared final step. A NULL metric (no
+    data yet) FAILS: a gate that has seen nothing has verified
+    nothing, and downstream all(passed) logic needs a real boolean."""
     thresholds = F.create_map(
         *[
             part
@@ -243,7 +247,9 @@ def quality_verdicts(long_rows: DataFrame) -> DataFrame:
     return long_rows.select(
         "check",
         "metric",
-        (F.col("metric") >= thresholds[F.col("check")]).alias("passed"),
+        F.coalesce(
+            F.col("metric") >= thresholds[F.col("check")], F.lit(False)
+        ).alias("passed"),
     )
 
 
@@ -260,9 +266,15 @@ def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     """
     n = F.count(F.lit(1)).cast("double")
 
+    # zero-guard: an empty input yields NULL metrics (and a failing
+    # verdict via quality_verdicts' coalesce), not ANSI DIVIDE_BY_ZERO
     def frac(cond: F.Column) -> F.Column:
         return F.round(
-            F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n, PSI_ROUND
+            F.when(
+                n > 0,
+                F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n,
+            ),
+            PSI_ROUND,
         )
 
     conds = quality_row_conditions()
@@ -273,19 +285,24 @@ def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
     wide = orders.agg(
         frac(conds["custkey_complete"]).alias("custkey_complete"),
         F.round(
-            F.count_distinct(F.col("o_orderkey")).cast("double") / n,
+            F.when(
+                n > 0, F.count_distinct(F.col("o_orderkey")).cast("double") / n
+            ),
             PSI_ROUND,
         ).alias("orderkey_unique"),
         frac(status_ok).alias("status_in_set"),
         frac(conds["totalprice_positive"]).alias("totalprice_positive"),
         frac(prio_ok).alias("priority_format"),
         frac(date_ok).alias("orderdate_in_range"),
+        # the count the referential ratio divides by rides the SAME
+        # one-pass aggregate (review finding: a dedicated count(*)
+        # scan tripled the fact-table passes)
+        n.alias("n_all"),
     )
     row_checks = wide.unpivot(
         [], list(QUALITY_THRESHOLDS)[:6], "check", "metric"
     )
 
-    n_orders = orders.agg(F.count(F.lit(1)).cast("double").alias("n_all"))
     resolved = (
         orders.join(
             customer,
@@ -293,12 +310,12 @@ def quality_checks(orders: DataFrame, customer: DataFrame) -> DataFrame:
             "left_semi",
         )
         .agg(F.count(F.lit(1)).cast("double").alias("n_ok"))
-        .join(F.broadcast(n_orders))
+        .join(F.broadcast(wide.select("n_all")))
         .select(
             F.lit("custkey_resolves").alias("check"),
-            F.round(F.col("n_ok") / F.col("n_all"), PSI_ROUND).alias(
-                "metric"
-            ),
+            F.round(
+                F.expr("try_divide(n_ok, n_all)"), PSI_ROUND
+            ).alias("metric"),
         )
     )
 
@@ -347,10 +364,22 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
 def benford_digit_expr(v: F.Column) -> F.Column:
     """First significant digit of a positive value, arithmetically —
     the map-side expression shared by the batch audit and the
-    streaming twin (streaming/stats.py)."""
+    streaming twin (streaming/stats.py).
+
+    Boundary correction (review finding): for values an ulp below a
+    power of ten, floor(log10 v) rounds the exponent UP and the
+    mantissa ratio lands just under 1 (true digit 9); an ulp above,
+    the exponent can round DOWN and the ratio reaches 10 (true digit
+    1). Both corrections are pure arithmetic on the same doubles, so
+    engine parity holds — without them those observations landed on
+    digit 0/10 and silently fell off the 1-9 grid."""
+    raw = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v)).cast("double"))
+    ).cast("long")
     return (
-        F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)).cast("double")))
-        .cast("long")
+        F.when(raw < 1, F.lit(9).cast("long"))
+        .when(raw > 9, F.lit(1).cast("long"))
+        .otherwise(raw)
     )
 
 
@@ -367,21 +396,25 @@ def benford_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
         "digit",
         "n_obs",
         "n_total",
-        (F.col("n_obs").cast("double") / F.col("n_total").cast("double"))
-        .alias("p_obs_raw"),
+        # try_divide: zero positive values in → NULL metrics out, not
+        # an ANSI DIVIDE_BY_ZERO (the streaming twin reads before its
+        # first positive batch)
+        F.expr(
+            "try_divide(cast(n_obs as double), cast(n_total as double))"
+        ).alias("p_obs_raw"),
         F.log10(
             F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
         ).alias("p_exp_raw"),
     )
     contrib = base.withColumn(
         "chi2_term",
-        (
-            (F.col("n_obs").cast("double")
-             - F.col("p_exp_raw") * F.col("n_total").cast("double"))
-            * (F.col("n_obs").cast("double")
-               - F.col("p_exp_raw") * F.col("n_total").cast("double"))
-        )
-        / (F.col("p_exp_raw") * F.col("n_total").cast("double")),
+        F.expr(
+            "try_divide("
+            "(cast(n_obs as double) - p_exp_raw * cast(n_total as double))"
+            " * (cast(n_obs as double)"
+            "    - p_exp_raw * cast(n_total as double)), "
+            "p_exp_raw * cast(n_total as double))"
+        ),
     ).withColumn("abs_dev", F.abs(F.col("p_obs_raw") - F.col("p_exp_raw")))
     stats = contrib.agg(
         F.sum("chi2_term").alias("chi2_raw"),

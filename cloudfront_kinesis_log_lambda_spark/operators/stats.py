@@ -44,16 +44,20 @@ def chi2_independence(
     columns: one output row with the sample size, table shape, the
     chi² statistic, degrees of freedom, and Cramér's V effect size.
 
-    Categories are the values OBSERVED in the data (a level with zero
-    marginal count is not a category — its expected counts would be 0
-    and it contributes no information); absent CELLS inside the
-    observed r × c grid still contribute their full (0 − e)²/e term
-    via the dense-grid expansion.
+    Categories are the NON-NULL values observed in the data (a level
+    with zero marginal count is not a category — its expected counts
+    would be 0 and it contributes no information; a NULL is a
+    completeness defect for the constraint suite, not a category —
+    left in, its cells would silently fall out of the null-blind
+    grid join while its marginal mass stayed charged); absent CELLS
+    inside the observed r × c grid still contribute their full
+    (0 − e)²/e term via the dense-grid expansion.
     """
     counts = (
         df.select(
             F.col(row_col).alias("rv"), F.col(col_col).alias("cv")
         )
+        .filter(F.col("rv").isNotNull() & F.col("cv").isNotNull())
         .groupBy("rv", "cv")
         .agg(F.count(F.lit(1)).alias("o"))
     )

@@ -262,3 +262,34 @@ def test_events_ks_drift_runs(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert 0.0 <= r["ks_d"] <= 1.0 and r["ks_crit"] > 0.0
+
+
+def test_benford_power_of_ten_boundary_digits(spark):
+    """Review finding: values an ulp below a power of ten used to bin
+    as digit 0 and silently fall off the 1-9 grid."""
+    import math as m
+
+    below = m.nextafter(10.0, 0.0)  # 9.999999999999998 → digit 9
+    rows = [(below,), (10.0,), (1.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = {r["digit"]: r["n_obs"] for r in Q.benford_digits(df, "v").collect()}
+    assert got[9] == 1 and got[1] == 2
+    assert sum(got.values()) == 3  # nothing vanished
+
+
+def test_benford_no_positive_values_null_not_crash(spark):
+    rows = [(-1.0,), (0.0,)]
+    df = spark.createDataFrame(rows, "v double")
+    got = Q.benford_digits(df, "v").collect()
+    assert len(got) == 9
+    assert all(r["n_obs"] == 0 and r["p_obs"] is None for r in got)
+
+
+def test_quality_checks_empty_input_fails_not_crashes(spark):
+    orders = _orders(spark, [])
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    rows = Q.quality_checks(orders, customer).collect()
+    assert len(rows) == len(Q.QUALITY_THRESHOLDS)
+    # no data → NULL metrics → every check FAILS (a gate that has
+    # seen nothing has verified nothing)
+    assert all(r["metric"] is None and r["passed"] is False for r in rows)

@@ -154,3 +154,14 @@ def test_chi2_degenerate_single_row_category(spark):
     got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
     assert got["chi2"] == 0.0 and got["dof"] == 0
     assert got["cramers_v"] is None
+
+
+def test_chi2_null_categories_excluded(spark):
+    """Review finding: a NULL level's marginal mass used to stay
+    charged while its cells fell out of the null-blind grid join —
+    NULLs are now excluded up front (independent 2x2 stays chi2=0)."""
+    rows = [(r, c) for r in "ab" for c in "xy" for _ in range(3)]
+    rows += [(None, "x"), ("a", None)]
+    got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
+    assert got["chi2"] == 0.0
+    assert got["n"] == 12  # only the non-null rows count

@@ -74,3 +74,12 @@ def test_retry_rewrite_idempotent(spark, tmp_path):
     once = _rows(qc.checks(spark))
     qc(_orders(spark, WAVES[0]), 0)  # same-id retry overwrites in place
     assert _rows(qc.checks(spark)) == once
+
+
+def test_checks_before_first_batch_fail_closed(spark, tmp_path):
+    """Review finding: a dashboard polling before the first micro-batch
+    used to see NULL verdicts; the suite now fails closed."""
+    qc = StreamingQualityChecks(str(tmp_path / "qc"), _cust(spark, CUSTKEYS))
+    rows = qc.checks(spark).collect()
+    assert len(rows) == len(Q.QUALITY_THRESHOLDS)
+    assert all(r["passed"] is False for r in rows)
