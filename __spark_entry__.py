@@ -76,15 +76,16 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 14 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 15 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,
     #     orders_benford_digits, events_chi2_incremental,
     #     orders_benford_incremental, order_basket_rules_incremental,
     #     orders_quality_incremental, events_ks_drift,
-    #     events_ks_incremental) → 37 must-runs
-    #   13 of the 41 r5-green entries (3 rounds stale). The last 28
+    #     events_ks_incremental, events_user_skew_profile) →
+    #     38 must-runs
+    #   12 of the 41 r5-green entries (3 rounds stale). The last 29
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -97,9 +98,9 @@ _FRONT = [
     #     events_interval_join, events_pattern_match, events_funnel,
     #     embedding_quantize_int8, embedding_norms,
     #     embedding_pairs_exact, doc_unigram_logprob,
-    #     doc_table_profile — r1-frozen code, green five consecutive
-    #     rounds) overflow to r9 and lead it: the rule-1
-    #     never-verified entries outrank staleness refresh.
+    #     doc_table_profile, doc_source_quota — r1-frozen code, green
+    #     five consecutive rounds) overflow to r9 and lead it: the
+    #     rule-1 never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -145,7 +146,8 @@ _FRONT = [
     "orders_quality_incremental",
     "events_ks_drift",
     "events_ks_incremental",
-    # 13 of the 41 r5-green entries (3-round-stale evidence)
+    "events_user_skew_profile",
+    # 12 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -158,7 +160,6 @@ _FRONT = [
     "doc_gram_novelty",
     "doc_mixture_sample",
     "doc_quality_sample",
-    "doc_source_quota",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -3014,3 +3014,34 @@ ORACLE_SQL["events_ks_drift"] = f"""
 # The KS grid is SUM-mergeable counts feeding the batch finalizer —
 # the oracle IS events_ks_drift's SQL.
 ORACLE_SQL["events_ks_incremental"] = ORACLE_SQL["events_ks_drift"]
+
+# Skew profile: counts are exact; percentiles use the proven
+# percentile↔quantile_cont parity; entropy's n·ln n sum is a ~1e-14
+# noise float fold absorbed by ROUND 6.
+ORACLE_SQL["events_user_skew_profile"] = """
+    WITH counts AS (
+      SELECT (user_id IS NULL) AS is_null, user_id AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    prof AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(n) AS BIGINT) AS max_n,
+             ROUND(quantile_cont(n, 0.5), 6) AS p50_n,
+             ROUND(quantile_cont(n, 0.99), 6) AS p99_n,
+             SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))) AS s_nlogn,
+             CAST(MAX(CASE WHEN is_null THEN n ELSE 0 END) AS BIGINT)
+               AS null_rows
+      FROM counts)
+    SELECT n_rows, n_keys, max_n, p50_n, p99_n, null_rows,
+           ROUND(CAST(max_n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS top_share,
+           ROUND(CAST(max_n AS DOUBLE) / NULLIF(p50_n, 0), 6)
+             AS skew_ratio,
+           ROUND(LN(CAST(n_rows AS DOUBLE))
+                 - s_nlogn / CAST(n_rows AS DOUBLE), 6) AS entropy,
+           ROUND((LN(CAST(n_rows AS DOUBLE))
+                  - s_nlogn / CAST(n_rows AS DOUBLE))
+                 / NULLIF(LN(CAST(n_keys AS DOUBLE)), 0), 6) AS balance
+    FROM prof
+"""

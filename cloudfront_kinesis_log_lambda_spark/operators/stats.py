@@ -276,3 +276,71 @@ def events_ab_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "purchase").alias("converted"),
     )
     return two_proportion_ztest(arms, "user_id", "arm", "converted")
+
+
+# --- shuffle-key skew diagnostics ------------------------------------------
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Distribution profile of a prospective shuffle/partition key —
+    the diagnostic every wide plan in this engine implicitly bets on
+    (per-user windows, per-type series, keyed joins): row/key counts,
+    the hottest key's share, hot-over-median skew ratio, count
+    percentiles, and normalized key entropy (1.0 = perfectly uniform,
+    → 0 = one whale key owns the table).
+
+    One keyed aggregate sees fact rows; the profile folds the per-key
+    counts. Entropy uses the single-pass identity
+    −Σ (n/T)·ln(n/T) = ln T − (Σ n·ln n)/T, so no per-key join
+    against the total is needed. NULL keys are profiled as a real key
+    (they hash to one partition — exactly the skew this exists to
+    catch) via a sentinel flag column.
+    """
+    counts = (
+        df.select(F.col(key_col).isNull().alias("is_null"), F.col(key_col).alias("k"))
+        .groupBy("is_null", "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    prof = counts.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.round(F.expr("percentile(n, 0.5D)"), 6).alias("p50_n"),
+        F.round(F.expr("percentile(n, 0.99D)"), 6).alias("p99_n"),
+        F.sum(nd * F.log(nd)).alias("s_nlogn"),
+        F.max(F.when(F.col("is_null"), F.col("n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("null_rows"),
+    )
+    t = F.col("n_rows").cast("double")
+    entropy = F.log(t) - F.col("s_nlogn") / t
+    return prof.select(
+        "n_rows",
+        "n_keys",
+        "max_n",
+        "p50_n",
+        "p99_n",
+        "null_rows",
+        F.round(F.col("max_n").cast("double") / t, 6).alias("top_share"),
+        F.round(
+            F.expr("try_divide(cast(max_n as double), p50_n)"), 6
+        ).alias("skew_ratio"),
+        F.round(entropy, 6).alias("entropy"),
+        F.round(
+            F.expr(
+                "try_divide(ln(cast(n_rows as double)) "
+                "- s_nlogn / cast(n_rows as double), "
+                "ln(cast(n_keys as double)))"
+            ),
+            6,
+        ).alias("balance"),
+    )
+
+
+def events_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew profile of the events user_id — the partition key every
+    per-user window/fold operator in this engine shuffles on."""
+    return key_skew_profile(
+        load(spark, sf_dir, "events").select("user_id"), "user_id"
+    )

@@ -1622,6 +1622,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_chi2_type_hour": ST.events_chi2_type_hour,
     "lineitem_corr_matrix": ST.lineitem_corr_matrix,
     "events_ab_conversion": ST.events_ab_conversion,
+    "events_user_skew_profile": ST.events_user_skew_profile,
     "orders_benford_digits": Q.orders_benford_digits,
     "events_chi2_incremental": events_chi2_incremental,
     "orders_benford_incremental": orders_benford_incremental,

@@ -165,3 +165,47 @@ def test_chi2_null_categories_excluded(spark):
     got = ST.chi2_independence(_cat(spark, rows), "r", "c").collect()[0]
     assert got["chi2"] == 0.0
     assert got["n"] == 12  # only the non-null rows count
+
+
+# --- key-skew profile --------------------------------------------------------
+
+
+def test_skew_profile_uniform_vs_whale(spark):
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long"
+    )
+    u = ST.key_skew_profile(uniform, "k").collect()[0]
+    assert u["n_keys"] == 10 and u["max_n"] == 10
+    assert u["skew_ratio"] == 1.0 and u["balance"] == 1.0
+
+    whale_rows = [(1,)] * 91 + [(k,) for k in range(2, 11)]
+    w = ST.key_skew_profile(
+        spark.createDataFrame(whale_rows, "k long"), "k"
+    ).collect()[0]
+    assert w["max_n"] == 91 and w["top_share"] == 0.91
+    assert w["skew_ratio"] == 91.0  # p50 of counts is 1
+    assert w["balance"] < 0.3  # far from uniform
+
+
+def test_skew_profile_null_key_counted(spark):
+    rows = [(None,)] * 5 + [(1,), (2,)]
+    got = ST.key_skew_profile(
+        spark.createDataFrame(rows, "k long"), "k"
+    ).collect()[0]
+    assert got["null_rows"] == 5
+    assert got["n_keys"] == 3 and got["n_rows"] == 7
+    assert got["max_n"] == 5  # the null key IS the hot key
+
+
+def test_skew_profile_single_key_degenerate(spark):
+    got = ST.key_skew_profile(
+        spark.createDataFrame([(1,)] * 4, "k long"), "k"
+    ).collect()[0]
+    assert got["entropy"] == 0.0
+    assert got["balance"] is None  # ln(1) = 0 → undefined
+
+
+def test_events_user_skew_profile_runs(spark, sf_dir):
+    got = ST.events_user_skew_profile(spark, sf_dir).collect()[0]
+    assert got["n_rows"] > 0 and got["null_rows"] == 0
+    assert 0.9 < got["balance"] <= 1.0  # synthetic users are uniform
