@@ -306,7 +306,10 @@ def main_r9() -> None:
       not event count, so the wall is the pre-aggregation's);
     - basket rules with ONE whale basket holding EVERY distinct part
       (uncapped it alone is ~2·10⁸ pairs; max_basket_size must drop
-      it before the pair stage — wall vs the clean run stays ~1×).
+      it before the pair stage — wall vs the clean run stays ~1×);
+    - KS with ALL events collapsed onto one type AND every value
+      distinct (quantize=None) — the single-type ECDF window's worst
+      grid — vs the quantized default that bounds the grid.
     """
     import shutil
     import tempfile
@@ -396,6 +399,39 @@ def main_r9() -> None:
         lambda: basket_rules(whale, min_support=0.0).count(),
     )
     print(f"basket_rules wall ratio: {tw / t1:.1f}x with a full-vocab whale")
+
+    # ---- leg 4: whale-type KS grid ----
+    from cloudfront_kinesis_log_lambda_spark.operators.quality import (
+        PSI_SPLIT,
+        ks_two_sample,
+    )
+
+    whale_ev = (
+        ev.withColumn("event_type", F.lit("whale"))
+        # every value distinct: the worst possible unquantized grid
+        .withColumn(
+            "value", F.col("value") + F.col("event_id").cast("double") * 1e-7
+        )
+        .select("event_type", "ts", "value")
+    )
+    is_ref = F.col("ts") < F.lit(PSI_SPLIT)
+    ks_two_sample(whale_ev, "event_type", "value", is_ref).count()  # warm
+    tq = timed(
+        "ks whale-type quantize=3",
+        lambda: ks_two_sample(
+            whale_ev, "event_type", "value", is_ref
+        ).count(),
+    )
+    tn = timed(
+        "ks whale-type quantize=None (row-grain grid)",
+        lambda: ks_two_sample(
+            whale_ev, "event_type", "value", is_ref, quantize=None
+        ).count(),
+    )
+    print(
+        f"ks wall ratio unquantized/quantized: {tn / tq:.1f}x "
+        "(quantize bounds the single-type ECDF window)"
+    )
 
     shutil.rmtree(scratch, ignore_errors=True)
     spark.stop()
