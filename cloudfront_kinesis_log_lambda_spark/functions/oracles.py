@@ -3045,3 +3045,46 @@ ORACLE_SQL["events_user_skew_profile"] = """
                  / NULLIF(LN(CAST(n_keys AS DOUBLE)), 0), 6) AS balance
     FROM prof
 """
+
+# Embedding drift: per-dim float32 elements quantize at DECIMAL(18,9)
+# (exact sums in scaled units); only mean/cosine math is float,
+# rounded at the edge.
+ORACLE_SQL["embedding_drift"] = """
+    WITH e AS (
+      SELECT label, (vec_id % 2 = 0) AS is_ref, g.g AS dim,
+             CAST(embedding[g.g] AS DECIMAL(18,9)) AS vd
+      FROM embeddings CROSS JOIN generate_series(1, 64) g(g)),
+    counts AS (
+      SELECT label,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_cur
+      FROM embeddings GROUP BY 1
+      HAVING SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) > 0
+         AND SUM(CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END) > 0),
+    per_dim AS (
+      SELECT label, dim,
+             CAST(SUM(CASE WHEN is_ref THEN vd END) AS DECIMAL(28,9))
+               AS s_ref,
+             CAST(SUM(CASE WHEN NOT is_ref THEN vd END) AS DECIMAL(28,9))
+               AS s_cur
+      FROM e GROUP BY 1, 2),
+    means AS (
+      SELECT p.label, c.n_ref, c.n_cur,
+             CAST(p.s_ref AS DOUBLE) / CAST(c.n_ref AS DOUBLE) AS m_ref,
+             CAST(p.s_cur AS DOUBLE) / CAST(c.n_cur AS DOUBLE) AS m_cur
+      FROM per_dim p JOIN counts c USING (label)),
+    agg AS (
+      SELECT label, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+             SUM(m_ref * m_cur) AS dot,
+             SUM(m_ref * m_ref) AS nr2,
+             SUM(m_cur * m_cur) AS nc2,
+             SUM((m_ref - m_cur) * (m_ref - m_cur)) AS l2sq
+      FROM means GROUP BY 1)
+    SELECT label, n_ref, n_cur,
+           ROUND(dot / NULLIF(SQRT(nr2) * SQRT(nc2), 0), 6)
+             AS centroid_cosine,
+           ROUND(SQRT(l2sq), 6) AS centroid_l2
+    FROM agg
+"""

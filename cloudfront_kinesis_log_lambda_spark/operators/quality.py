@@ -555,3 +555,100 @@ def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(
         e, "event_type", "value", F.col("ts") < F.lit(PSI_SPLIT)
     )
+
+
+# --- embedding (vector-space) drift ----------------------------------------
+
+
+def embedding_centroid_drift(
+    emb: DataFrame, is_ref: F.Column, label_col: str = "label"
+) -> DataFrame:
+    """Vector-space drift per label between a reference and a current
+    cohort: centroid cosine similarity and L2 distance — the
+    embedding-column counterpart to the scalar PSI/KS monitors (a
+    retrained encoder or upstream content shift moves centroids long
+    before any scalar column notices).
+
+    Numerics: per-dimension sums quantize each float at DECIMAL(18,9)
+    first (the house order-free exactness tool — float32 carries ~7
+    significant digits, so 9 fractional digits lose nothing), making
+    the centroid sums exact integers in scaled units; only the final
+    mean/cosine math runs in doubles, rounded at the edge.
+
+    Scale shape: one posexplode pass reduces to (label, dim) grain —
+    the only exchange that sees vector elements, carrying
+    |labels|·|dims| partial rows regardless of corpus size; cohort
+    counts ride a separate row-grain aggregate and join broadcast.
+    Labels with an empty cohort drop (drift undefined), mirroring the
+    PSI/KS contracts.
+    """
+    counts = (
+        emb.select(F.col(label_col).alias("label"), is_ref.alias("is_ref"))
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+    )
+    exploded = emb.select(
+        F.col(label_col).alias("label"),
+        is_ref.alias("is_ref"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select(
+        "label",
+        "dim",
+        "is_ref",
+        F.expr("cast(val as decimal(18,9))").alias("vd"),
+    )
+    per_dim = exploded.groupBy("label", "dim").agg(
+        F.expr(
+            "cast(sum(case when is_ref then vd end) as decimal(28,9))"
+        ).alias("s_ref"),
+        F.expr(
+            "cast(sum(case when not is_ref then vd end) as decimal(28,9))"
+        ).alias("s_cur"),
+    )
+    means = per_dim.join(F.broadcast(counts), "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        (F.expr("cast(s_ref as double)") / F.col("n_ref").cast("double"))
+        .alias("m_ref"),
+        (F.expr("cast(s_cur as double)") / F.col("n_cur").cast("double"))
+        .alias("m_cur"),
+    )
+    per_label = means.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(F.col("m_ref") * F.col("m_cur")).alias("dot"),
+        F.sum(F.col("m_ref") * F.col("m_ref")).alias("nr2"),
+        F.sum(F.col("m_cur") * F.col("m_cur")).alias("nc2"),
+        F.sum(
+            (F.col("m_ref") - F.col("m_cur"))
+            * (F.col("m_ref") - F.col("m_cur"))
+        ).alias("l2sq"),
+    )
+    return per_label.select(
+        "label",
+        "n_ref",
+        "n_cur",
+        F.round(
+            F.expr("try_divide(dot, sqrt(nr2) * sqrt(nc2))"), PSI_ROUND
+        ).alias("centroid_cosine"),
+        F.round(F.sqrt("l2sq"), PSI_ROUND).alias("centroid_l2"),
+    )
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the even- and odd-vec_id
+    halves of the embeddings table (the deterministic stand-in for
+    reference/current time windows)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    return embedding_centroid_drift(emb, F.col("vec_id") % 2 == 0)

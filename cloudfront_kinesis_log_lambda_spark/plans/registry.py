@@ -1617,6 +1617,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_psi_drift": Q.events_psi_drift,
     "events_ks_drift": Q.events_ks_drift,
     "events_ks_incremental": events_ks_incremental,
+    "embedding_drift": Q.embedding_drift,
     "events_psi_drift_incremental": events_psi_drift_incremental,
     "orders_quality_checks": Q.orders_quality_checks,
     "events_chi2_type_hour": ST.events_chi2_type_hour,

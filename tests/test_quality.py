@@ -293,3 +293,48 @@ def test_quality_checks_empty_input_fails_not_crashes(spark):
     # no data → NULL metrics → every check FAILS (a gate that has
     # seen nothing has verified nothing)
     assert all(r["metric"] is None and r["passed"] is False for r in rows)
+
+
+# --- embedding drift ---------------------------------------------------------
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+
+def test_embedding_drift_identical_cohorts(spark):
+    # same vectors in both halves → cosine 1, L2 0
+    rows = [(i, 0, [1.0, 2.0, 3.0]) for i in range(6)]
+    got = Q.embedding_centroid_drift(
+        _emb(spark, rows), F.col("vec_id") % 2 == 0
+    ).collect()[0]
+    assert got["centroid_cosine"] == 1.0 and got["centroid_l2"] == 0.0
+
+
+def test_embedding_drift_orthogonal_cohorts(spark):
+    # ref along x, cur along y → cosine 0, L2 = sqrt(2)
+    rows = [(0, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0])]
+    rows += [(1, 0, [0.0, 1.0]), (3, 0, [0.0, 1.0])]
+    got = Q.embedding_centroid_drift(
+        _emb(spark, rows), F.col("vec_id") % 2 == 0
+    ).collect()[0]
+    assert got["centroid_cosine"] == 0.0
+    assert abs(got["centroid_l2"] - 2 ** 0.5) < 1e-6
+
+
+def test_embedding_drift_one_sided_label_drops(spark):
+    rows = [(0, 0, [1.0]), (1, 0, [1.0]), (2, 1, [1.0])]  # label 1 ref-only
+    got = {r["label"] for r in Q.embedding_centroid_drift(
+        _emb(spark, rows), F.col("vec_id") % 2 == 0
+    ).collect()}
+    assert got == {0}
+
+
+def test_embedding_drift_runs(spark, sf_dir):
+    rows = Q.embedding_drift(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1.0 <= r["centroid_cosine"] <= 1.0
+        assert r["centroid_l2"] >= 0.0
