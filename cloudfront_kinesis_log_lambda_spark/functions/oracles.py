@@ -3020,9 +3020,8 @@ ORACLE_SQL["events_ks_incremental"] = ORACLE_SQL["events_ks_drift"]
 # noise float fold absorbed by ROUND 6.
 ORACLE_SQL["events_user_skew_profile"] = """
     WITH counts AS (
-      SELECT (user_id IS NULL) AS is_null, user_id AS k,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY 1, 2),
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
     prof AS (
       SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
              CAST(COUNT(*) AS BIGINT) AS n_keys,
@@ -3030,7 +3029,7 @@ ORACLE_SQL["events_user_skew_profile"] = """
              ROUND(quantile_cont(n, 0.5), 6) AS p50_n,
              ROUND(quantile_cont(n, 0.99), 6) AS p99_n,
              SUM(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE))) AS s_nlogn,
-             CAST(MAX(CASE WHEN is_null THEN n ELSE 0 END) AS BIGINT)
+             CAST(MAX(CASE WHEN k IS NULL THEN n ELSE 0 END) AS BIGINT)
                AS null_rows
       FROM counts)
     SELECT n_rows, n_keys, max_n, p50_n, p99_n, null_rows,
@@ -3050,10 +3049,16 @@ ORACLE_SQL["events_user_skew_profile"] = """
 # (exact sums in scaled units); only mean/cosine math is float,
 # rounded at the edge.
 ORACLE_SQL["embedding_drift"] = """
+    -- DATASET CONTRACT of this oracle (review finding): 64 is THIS
+    -- dataset's embedding dim, and the IS NOT NULL guard mirrors
+    -- posexplode's skip-null-array behavior so a label whose every
+    -- vector is NULL drops identically on both sides. The Spark
+    -- operator itself is dim-generic.
     WITH e AS (
       SELECT label, (vec_id % 2 = 0) AS is_ref, g.g AS dim,
              CAST(embedding[g.g] AS DECIMAL(18,9)) AS vd
-      FROM embeddings CROSS JOIN generate_series(1, 64) g(g)),
+      FROM embeddings CROSS JOIN generate_series(1, 64) g(g)
+      WHERE embedding IS NOT NULL),
     counts AS (
       SELECT label,
              CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)

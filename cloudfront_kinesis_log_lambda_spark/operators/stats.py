@@ -293,12 +293,12 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     counts. Entropy uses the single-pass identity
     −Σ (n/T)·ln(n/T) = ln T − (Σ n·ln n)/T, so no per-key join
     against the total is needed. NULL keys are profiled as a real key
-    (they hash to one partition — exactly the skew this exists to
-    catch) via a sentinel flag column.
+    (groupBy collapses them into one group, which hashes to one
+    partition — exactly the skew this exists to catch).
     """
     counts = (
-        df.select(F.col(key_col).isNull().alias("is_null"), F.col(key_col).alias("k"))
-        .groupBy("is_null", "k")
+        df.select(F.col(key_col).alias("k"))
+        .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     nd = F.col("n").cast("double")
@@ -309,7 +309,7 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
         F.round(F.expr("percentile(n, 0.5D)"), 6).alias("p50_n"),
         F.round(F.expr("percentile(n, 0.99D)"), 6).alias("p99_n"),
         F.sum(nd * F.log(nd)).alias("s_nlogn"),
-        F.max(F.when(F.col("is_null"), F.col("n")).otherwise(F.lit(0)))
+        F.max(F.when(F.col("k").isNull(), F.col("n")).otherwise(F.lit(0)))
         .cast("long")
         .alias("null_rows"),
     )
