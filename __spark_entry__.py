@@ -80,7 +80,7 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 16 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 17 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,
@@ -88,8 +88,8 @@ _FRONT = [
     #     orders_benford_incremental, order_basket_rules_incremental,
     #     orders_quality_incremental, events_ks_drift,
     #     events_ks_incremental, events_user_skew_profile,
-    #     embedding_drift) → 39 must-runs
-    #   11 of the 41 r5-green entries (3 rounds stale). The last 30
+    #     embedding_drift, part_entity_resolution) → 40 must-runs
+    #   10 of the 41 r5-green entries (3 rounds stale). The last 31
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -102,10 +102,10 @@ _FRONT = [
     #     events_interval_join, events_pattern_match, events_funnel,
     #     embedding_quantize_int8, embedding_norms,
     #     embedding_pairs_exact, doc_unigram_logprob,
-    #     doc_table_profile, doc_source_quota, doc_quality_sample —
-    #     r1-frozen code, green five consecutive rounds) overflow to
-    #     r9 and lead it: the rule-1 never-verified entries outrank
-    #     staleness refresh.
+    #     doc_table_profile, doc_source_quota, doc_quality_sample,
+    #     doc_mixture_sample — r1-frozen code, green five consecutive
+    #     rounds) overflow to r9 and lead it: the rule-1
+    #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
     # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
     # hash row stands, and the shared helpers get fresh r8 evidence
@@ -153,7 +153,8 @@ _FRONT = [
     "events_ks_incremental",
     "events_user_skew_profile",
     "embedding_drift",
-    # 11 of the 41 r5-green entries (3-round-stale evidence)
+    "part_entity_resolution",
+    # 10 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -164,7 +165,6 @@ _FRONT = [
     "doc_dup_span_stats",
     "doc_global_shuffle",
     "doc_gram_novelty",
-    "doc_mixture_sample",
 ]
 _FILL: list[str] = []
 _TAIL = [

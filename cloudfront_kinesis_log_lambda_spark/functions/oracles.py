@@ -3093,3 +3093,50 @@ ORACLE_SQL["embedding_drift"] = """
            ROUND(SQRT(l2sq), 6) AS centroid_l2
     FROM agg
 """
+
+# Entity resolution: the fuzzy-pair CTEs verbatim from
+# part_fuzzy_pairs, closed transitively (the near_dup_clusters
+# recursive-reach pattern), then survivorship per component. The
+# struct max mirrors Spark's lexicographic (length, name) tie-break.
+ORACLE_SQL["part_entity_resolution"] = f"""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+    c1 AS (SELECT substr(name, 1, {FUZZY_PREFIX}) AS b1, COUNT(*) AS n1
+           FROM names GROUP BY 1),
+    keyed AS (
+      SELECT name,
+             CASE WHEN n1 > {FUZZY_MAX_BLOCK}
+                  THEN 'D:' || substr(name, 1, {FUZZY_DEEP_PREFIX})
+                  ELSE 'S:' || substr(name, 1, {FUZZY_PREFIX}) END AS blk
+      FROM names JOIN c1 ON substr(name, 1, {FUZZY_PREFIX}) = b1),
+    c2 AS (SELECT blk, COUNT(*) AS n2 FROM keyed GROUP BY 1),
+    ok AS (SELECT name, blk FROM keyed JOIN c2 USING (blk)
+           WHERE n2 <= {FUZZY_MAX_BLOCK}),
+    fp AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM ok a JOIN ok b
+        ON a.blk = b.blk
+       AND a.name < b.name
+       AND abs(length(a.name) - length(b.name)) <= {FUZZY_MAX_DIST}
+      WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}),
+    edges AS (
+      SELECT name_a AS u, name_b AS v FROM fp
+      UNION SELECT name_b, name_a FROM fp),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    canon AS (
+      SELECT u AS name, LEAST(u, MIN(v)) AS entity_id
+      FROM reach GROUP BY u),
+    members AS (
+      SELECT p.p_partkey, p.p_name, p.p_retailprice, c.entity_id
+      FROM part p JOIN canon c ON p.p_name = c.name)
+    SELECT entity_id,
+           CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           (MAX(struct_pack(l := length(p_name), nm := p_name))).nm
+             AS canonical_name,
+           CAST(MIN(p_partkey) AS BIGINT) AS min_partkey,
+           ROUND(MAX(p_retailprice), 2) AS max_price
+    FROM members GROUP BY 1
+"""

@@ -440,3 +440,50 @@ def part_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= F.lit(FUZZY_MAX_DIST))
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution over part names: blocked fuzzy
+    matching (:func:`part_fuzzy_pairs`) → connected components
+    (operators/dedup.py pointer-jumping) → survivorship. One row per
+    resolved entity (≥2 distinct names by construction): the minimum
+    member name as the entity id, member counts at both the name and
+    part grain, and golden-record attributes (longest name — the
+    usual most-informative-string rule, ties broken lexicographically
+    by the struct max — min partkey, max price).
+
+    The composition is the point: each stage is the already-gated
+    operator, so the pipeline inherits the hot-block cap, the O(log n)
+    component rounds, and their oracles' recall contracts. The
+    component table is bounded by names-in-pairs and joins the part
+    table broadcast-side; part rows cross one keyed exchange.
+    """
+    pairs = part_fuzzy_pairs(spark, sf_dir).select(
+        F.col("name_a").alias("doc_a"), F.col("name_b").alias("doc_b")
+    )
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs)
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    members = part.join(
+        F.broadcast(cc), part.p_name == cc.node
+    )
+    return (
+        members.groupBy(F.col("label").alias("entity_id"))
+        .agg(
+            F.count_distinct("p_name").cast("long").alias("n_names"),
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.max(
+                F.struct(
+                    F.length("p_name").alias("l"),
+                    F.col("p_name").alias("nm"),
+                )
+            )["nm"].alias("canonical_name"),
+            F.min("p_partkey").cast("long").alias("min_partkey"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )

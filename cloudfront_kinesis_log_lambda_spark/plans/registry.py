@@ -1591,6 +1591,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bm25_incremental": doc_bm25_incremental,
     "doc_hybrid_rrf_incremental": doc_hybrid_rrf_incremental,
     "part_fuzzy_pairs": RT.part_fuzzy_pairs,
+    "part_entity_resolution": RT.part_entity_resolution,
     "events_ewma": TS.events_ewma,
     "events_holt": TS.events_holt,
     "events_holt_winters": TS.events_holt_winters,

@@ -265,3 +265,37 @@ def test_bm25_on_real_corpus_is_stable(spark, sf_dir):
     scores = [r["bm25"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+# --- entity resolution composition -------------------------------------------
+
+
+def test_part_entity_resolution_contract(spark, sf_dir):
+    from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (
+        part_entity_resolution,
+        part_fuzzy_pairs,
+    )
+
+    rows = part_entity_resolution(spark, sf_dir).collect()
+    names_in_pairs = set()
+    for r in part_fuzzy_pairs(spark, sf_dir).collect():
+        names_in_pairs.add(r["name_a"])
+        names_in_pairs.add(r["name_b"])
+    if not names_in_pairs:
+        assert rows == []
+        return
+    # every resolved entity has >= 2 member names (components come
+    # from pairs), the entity id is a member name, and the canonical
+    # name is at least as long as the entity id
+    assert rows
+    total_names = 0
+    for r in rows:
+        assert r["n_names"] >= 2
+        assert r["entity_id"] in names_in_pairs
+        assert len(r["canonical_name"]) >= len(r["entity_id"]) or (
+            len(r["canonical_name"]) == len(r["entity_id"])
+        )
+        assert r["n_parts"] >= r["n_names"]
+        total_names += r["n_names"]
+    # partition property: every paired name lands in exactly one entity
+    assert total_names == len(names_in_pairs)
