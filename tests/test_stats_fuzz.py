@@ -152,3 +152,46 @@ def test_skew_profile_fuzz_vs_reference(spark):
             assert abs(
                 got["balance"] - entropy / math.log(len(counts))
             ) < 1e-5
+
+
+def test_basket_rules_fuzz_vs_reference(spark):
+    from itertools import combinations
+
+    from cloudfront_kinesis_log_lambda_spark.operators import mining as MN
+
+    rng = random.Random(509)
+    for trial in range(3):
+        n_b = rng.randint(5, 25)
+        baskets = {
+            b: set(
+                rng.sample("abcdefg", rng.randint(1, 5))
+            )
+            for b in range(n_b)
+        }
+        rows = [(b, i) for b, items in baskets.items() for i in items]
+        got = {
+            (r["item_a"], r["item_b"]): r
+            for r in MN.basket_rules(
+                spark.createDataFrame(rows, "basket long, item string"),
+                min_support=0.0,
+            ).collect()
+        }
+        # reference from first principles
+        from collections import Counter
+
+        item_n = Counter(i for s in baskets.values() for i in s)
+        pair_n = Counter(
+            p
+            for s in baskets.values()
+            for p in combinations(sorted(s), 2)
+        )
+        assert set(got) == set(pair_n), f"trial {trial}"
+        for (a, b), n in pair_n.items():
+            r = got[(a, b)]
+            assert r["pair_n"] == n
+            assert r["support"] == round(n / n_b, 6)
+            assert r["conf_a_to_b"] == round(n / item_n[a], 6)
+            assert r["conf_b_to_a"] == round(n / item_n[b], 6)
+            assert r["lift"] == round(
+                n * n_b / (item_n[a] * item_n[b]), 6
+            )
