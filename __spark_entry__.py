@@ -80,7 +80,7 @@ _FRONT = [
     #     events_holt_winters, events_cusum_changepoints,
     #     events_holt_winters_incremental, events_linear_trend,
     #     events_linear_trend_incremental)
-    #   + 17 NEW mining/quality/stats entries (order_basket_rules,
+    #   + 18 NEW mining/quality/stats entries (order_basket_rules,
     #     events_psi_drift, events_psi_drift_incremental,
     #     orders_quality_checks, events_chi2_type_hour,
     #     lineitem_corr_matrix, events_ab_conversion,
@@ -88,8 +88,9 @@ _FRONT = [
     #     orders_benford_incremental, order_basket_rules_incremental,
     #     orders_quality_incremental, events_ks_drift,
     #     events_ks_incremental, events_user_skew_profile,
-    #     embedding_drift, part_entity_resolution) → 40 must-runs
-    #   10 of the 41 r5-green entries (3 rounds stale). The last 31
+    #     embedding_drift, embedding_drift_incremental,
+    #     part_entity_resolution) → 41 must-runs
+    #   9 of the 41 r5-green entries (3 rounds stale). The last 32
     #     r5 entries (sql_market_share, grouping_sets_revenue,
     #     decimal_revenue_exact, order_price_percentiles,
     #     orders_with_max_item, parts_above_brand_avg,
@@ -103,7 +104,7 @@ _FRONT = [
     #     embedding_quantize_int8, embedding_norms,
     #     embedding_pairs_exact, doc_unigram_logprob,
     #     doc_table_profile, doc_source_quota, doc_quality_sample,
-    #     doc_mixture_sample — r1-frozen code, green five consecutive
+    #     doc_mixture_sample, doc_gram_novelty — r1-frozen code, green five consecutive
     #     rounds) overflow to r9 and lead it: the rule-1
     #     never-verified entries outrank staleness refresh.
     # doc_bm25_topk was refactored (scoring extracted into
@@ -153,8 +154,9 @@ _FRONT = [
     "events_ks_incremental",
     "events_user_skew_profile",
     "embedding_drift",
+    "embedding_drift_incremental",
     "part_entity_resolution",
-    # 10 of the 41 r5-green entries (3-round-stale evidence)
+    # 9 of the 41 r5-green entries (3-round-stale evidence)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_block_dedup",
@@ -164,7 +166,6 @@ _FRONT = [
     "doc_dedup_keep",
     "doc_dup_span_stats",
     "doc_global_shuffle",
-    "doc_gram_novelty",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -3140,3 +3140,7 @@ ORACLE_SQL["part_entity_resolution"] = f"""
            ROUND(MAX(p_retailprice), 2) AS max_price
     FROM members GROUP BY 1
 """
+
+# Per-dim decimal sums and cohort counts merge exactly, feeding the
+# batch finalizer — the oracle IS embedding_drift's SQL.
+ORACLE_SQL["embedding_drift_incremental"] = ORACLE_SQL["embedding_drift"]

@@ -613,6 +613,17 @@ def embedding_centroid_drift(
             "cast(sum(case when not is_ref then vd end) as decimal(28,9))"
         ).alias("s_cur"),
     )
+    return centroid_drift_from_sums(per_dim, counts)
+
+
+def centroid_drift_from_sums(
+    per_dim: DataFrame, counts: DataFrame
+) -> DataFrame:
+    """Drift finalizer over exact per-dimension DECIMAL(28,9) sums
+    (label, dim, s_ref, s_cur) and label-grain cohort counts — shared
+    verbatim by the batch operator and the streaming twin
+    (streaming/embedding_drift.py): decimal sums merge exactly across
+    batches, so identical merged sums yield identical centroids."""
     means = per_dim.join(F.broadcast(counts), "label").select(
         "label",
         "n_ref",

@@ -1330,6 +1330,32 @@ def events_chi2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _with_scratch("stream-chi2", build)
 
 
+def embedding_drift_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING embedding-drift twin
+    (streaming/embedding_drift.py): exact DECIMAL per-dim sums +
+    label counts SUM-merge on read into the batch finalizer.
+    HASH-GREEN: the oracle IS embedding_drift's SQL."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.embedding_drift import (
+        StreamingEmbeddingDrift,
+    )
+
+    def build(root: str) -> DataFrame:
+        mon = StreamingEmbeddingDrift(root)
+        emb = R.load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            "embedding",
+            (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        )
+        for wave in range(3):
+            mon(emb.filter(F.col("vec_id") % 3 == wave), wave)
+        return mon.drift(spark)
+
+    return _with_scratch("stream-embdrift", build)
+
+
 def events_ks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING KS twin (streaming/stats.py): (type, value) grid
     partials SUM-merge on read into the batch test's finalizer.
@@ -1619,6 +1645,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ks_drift": Q.events_ks_drift,
     "events_ks_incremental": events_ks_incremental,
     "embedding_drift": Q.embedding_drift,
+    "embedding_drift_incremental": embedding_drift_incremental,
     "events_psi_drift_incremental": events_psi_drift_incremental,
     "orders_quality_checks": Q.orders_quality_checks,
     "events_chi2_type_hour": ST.events_chi2_type_hour,
