@@ -52,16 +52,16 @@ class StreamingEmbeddingDrift:
     sums against a reference/current cohort split; query the running
     drift with :meth:`drift`."""
 
-    def __init__(
-        self,
-        store_dir: str,
-        label_col: str = "label",
-        emb_col: str = "embedding",
-    ) -> None:
+    # fixed input contract (label int, embedding array<float>,
+    # is_ref boolean) — the store schemas below pin the label type,
+    # so configurable column parameters would promise a generality
+    # the read path cannot deliver (review finding; the sibling
+    # count-store twins share this shape)
+    def __init__(self, store_dir: str) -> None:
         self.sums_dir = os.path.join(store_dir, "sums")
         self.counts_dir = os.path.join(store_dir, "counts")
-        self.label_col = label_col
-        self.emb_col = emb_col
+        self.label_col = "label"
+        self.emb_col = "embedding"
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         """``batch_df`` must carry an ``is_ref`` boolean column (the

@@ -292,9 +292,7 @@ def test_part_entity_resolution_contract(spark, sf_dir):
     for r in rows:
         assert r["n_names"] >= 2
         assert r["entity_id"] in names_in_pairs
-        assert len(r["canonical_name"]) >= len(r["entity_id"]) or (
-            len(r["canonical_name"]) == len(r["entity_id"])
-        )
+        assert len(r["canonical_name"]) >= len(r["entity_id"])
         assert r["n_parts"] >= r["n_names"]
         total_names += r["n_names"]
     # partition property: every paired name lands in exactly one entity

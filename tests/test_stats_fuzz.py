@@ -186,12 +186,13 @@ def test_basket_rules_fuzz_vs_reference(spark):
             for p in combinations(sorted(s), 2)
         )
         assert set(got) == set(pair_n), f"trial {trial}"
+        # tolerance, not ==: Spark ROUND is HALF_UP, Python round()
+        # is HALF_EVEN — exact comparison is a seed-change time bomb
+        # at .5e-6 boundaries (review finding)
         for (a, b), n in pair_n.items():
             r = got[(a, b)]
             assert r["pair_n"] == n
-            assert r["support"] == round(n / n_b, 6)
-            assert r["conf_a_to_b"] == round(n / item_n[a], 6)
-            assert r["conf_b_to_a"] == round(n / item_n[b], 6)
-            assert r["lift"] == round(
-                n * n_b / (item_n[a] * item_n[b]), 6
-            )
+            assert abs(r["support"] - n / n_b) < 1e-6
+            assert abs(r["conf_a_to_b"] - n / item_n[a]) < 1e-6
+            assert abs(r["conf_b_to_a"] - n / item_n[b]) < 1e-6
+            assert abs(r["lift"] - n * n_b / (item_n[a] * item_n[b])) < 1e-6
