@@ -99,6 +99,10 @@ EXTENSION = [
     "events_chi2_type_hour",    # contingency reduce + broadcast grid
     "lineitem_corr_matrix",     # 6 co-moment pairs in one aggregate
     "orders_benford_digits",    # arithmetic digit extraction + grid
+    "events_ks_drift",          # distinct-value grid + per-type ECDF window
+    "events_user_skew_profile", # per-key counts + entropy identity
+    "embedding_drift",          # decimal per-dim sums, (label,dim) grain
+    "part_entity_resolution",   # fuzzy pairs -> CC -> survivorship
 ]
 
 REPS = int(os.environ.get("BENCH_REPS", "4"))
