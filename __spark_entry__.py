@@ -39,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # window ROTATES each round —
 #   1. entries with no driver row for their CURRENT implementation
 #      (new, changed, or stale per the period below) go first;
-#   2. the window is topped up with the stalest green entries. At 155
-#      oracle entries / 50 slots the rotation period is 3.1 rounds, so
+#   2. the window is topped up with the stalest green entries. At 158
+#      oracle entries / 50 slots the rotation period is 3.16 rounds, so
 #      the steady-state invariant is "every oracle entry ≤3 rounds
 #      stale" (the original ≤2-round target was written at 74 entries
 #      and stopped being feasible past 100 — each NEW oracle entry
@@ -60,112 +60,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r8 WINDOW MATH (standing policy above; 134 oracle entries / 50
-    # slots → a period-3 round-robin needs 45 slots/round on average
-    # and keeps every entry ≤2 rounds stale — the steady-state
-    # invariant this round establishes, modulo the 8 named deferrals):
-    #   17 must-runs = 4 r7 end-of-round landings with zero driver
-    #     evidence (nation_pagerank, top_conversion_paths,
-    #     events_ohlc_incremental, doc_sorted_neighbors)
-    #   + 2 changed implementations (doc_inverted_index: CSV postings
-    #     fix for the r7 canon err; part_fuzzy_pairs: two-level
-    #     hot-block cap — output-affecting at hot blocks)
-    #   + 8 NEW r8 entries (streaming twins events_ewma_incremental /
-    #     doc_inverted_index_incremental / doc_bm25_incremental /
-    #     events_holt_incremental; batch events_holt,
-    #     doc_bigram_logprob, doc_hybrid_rrf, events_seasonal_outliers)
-    #   + 3 NEW late-r8 entries (retrieval_eval_metrics,
-    #     doc_sorted_neighbors_multipass, doc_hybrid_rrf_incremental)
-    #   + 6 NEW end-of-round entries (part_triangle_stats,
-    #     events_holt_winters, events_cusum_changepoints,
-    #     events_holt_winters_incremental, events_linear_trend,
-    #     events_linear_trend_incremental)
-    #   + 18 NEW mining/quality/stats entries (order_basket_rules,
-    #     events_psi_drift, events_psi_drift_incremental,
-    #     orders_quality_checks, events_chi2_type_hour,
-    #     lineitem_corr_matrix, events_ab_conversion,
-    #     orders_benford_digits, events_chi2_incremental,
-    #     orders_benford_incremental, order_basket_rules_incremental,
-    #     orders_quality_incremental, events_ks_drift,
-    #     events_ks_incremental, events_user_skew_profile,
-    #     embedding_drift, embedding_drift_incremental,
-    #     part_entity_resolution) → 41 must-runs
-    #   9 of the 41 r5-green entries (3 rounds stale). The last 32
-    #     r5 entries (sql_market_share, grouping_sets_revenue,
-    #     decimal_revenue_exact, order_price_percentiles,
-    #     orders_with_max_item, parts_above_brand_avg,
-    #     recent_orders_lateral, events_variant_props, user_value_scd2,
-    #     purchases_asof_cogroup, parquet_roundtrip_daily,
-    #     near_dup_clusters, near_dup_3gram, multimodal_features,
-    #     events_zorder_roundtrip, matryoshka_topk,
-    #     multimodal_asset_dedup, events_sliding_windows,
-    #     events_session_windows, events_retention_cohorts,
-    #     events_interval_join, events_pattern_match, events_funnel,
-    #     embedding_quantize_int8, embedding_norms,
-    #     embedding_pairs_exact, doc_unigram_logprob,
-    #     doc_table_profile, doc_source_quota, doc_quality_sample,
-    #     doc_mixture_sample, doc_gram_novelty — r1-frozen code, green five consecutive
-    #     rounds) overflow to r9 and lead it: the rule-1
-    #     never-verified entries outrank staleness refresh.
-    # doc_bm25_topk was refactored (scoring extracted into
-    # bm25_score_topk/_bm25_inputs) but the plan is identical, its r7
-    # hash row stands, and the shared helpers get fresh r8 evidence
-    # through doc_bm25_incremental and doc_hybrid_rrf. r9 owes: the 8
-    # deferred r5 entries + the 28 r6-green entries + the oldest r7
-    # greens.
+    # r9 WINDOW MATH (standing policy above, restated at the CURRENT
+    # counts so the two statements agree): 176 registry entries, 158
+    # oracle-backed, 18 rows-only. 158 oracle entries / 50 slots →
+    # rotation period 3.16 rounds, so the honest steady-state
+    # invariant is "every oracle entry ≤3 rounds stale", with a small
+    # tail briefly at 4 while the r8 growth debt drains (the r8
+    # comment's "134 entries / ≤2 rounds" was written mid-round before
+    # 24 more entries landed — superseded by this paragraph).
     #
-    # never-verified hash-capable code outranks everything
-    "nation_pagerank",
-    "top_conversion_paths",
-    "events_ohlc_incremental",
-    "doc_sorted_neighbors",
-    "doc_inverted_index",
-    "part_fuzzy_pairs",
-    "events_ewma_incremental",
-    "doc_inverted_index_incremental",
-    "doc_bm25_incremental",
-    "events_holt",
-    "doc_bigram_logprob",
-    "events_holt_incremental",
-    "doc_hybrid_rrf",
-    "events_seasonal_outliers",
-    "retrieval_eval_metrics",
-    "doc_sorted_neighbors_multipass",
-    "doc_hybrid_rrf_incremental",
-    "part_triangle_stats",
-    "events_holt_winters",
-    "events_cusum_changepoints",
-    "events_holt_winters_incremental",
-    "events_linear_trend",
-    "events_linear_trend_incremental",
-    "order_basket_rules",
-    "events_psi_drift",
-    "events_psi_drift_incremental",
-    "orders_quality_checks",
+    # This round's 50 = 3 changed implementations + the 32 r5-green
+    # deferrals (4 rounds stale — the debt named at r8 close) + the 15
+    # stalest r6 greens. Still owed to r10: the remaining 13 r6 greens
+    # (doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
+    # doc_chunks_udtf, events_tumbling_windows, cosine_topk_multi_query,
+    # doc_curation_funnel, doc_split_assign, doc_pack_sequences,
+    # scd2_incremental_roundtrip, training_shards_roundtrip,
+    # kinesis_exactly_once_rollup) + the oldest r7 greens.
+    #
+    # rule 1: changed this round (ADVICE r8 fixes; both provably
+    # output-identical on gate inputs — NULL-category filter over
+    # non-null gate columns, n>0 guard over non-empty gate history —
+    # but changed code re-verifies):
     "events_chi2_type_hour",
-    "lineitem_corr_matrix",
-    "events_ab_conversion",
-    "orders_benford_digits",
     "events_chi2_incremental",
-    "orders_benford_incremental",
-    "order_basket_rules_incremental",
     "orders_quality_incremental",
-    "events_ks_drift",
-    "events_ks_incremental",
-    "events_user_skew_profile",
-    "embedding_drift",
-    "embedding_drift_incremental",
-    "part_entity_resolution",
-    # 9 of the 41 r5-green entries (3-round-stale evidence)
-    "ann_quantized_topk",
-    "cosine_topk_bruteforce",
-    "doc_block_dedup",
-    "doc_collocations",
-    "doc_contamination",
-    "doc_decontaminate",
-    "doc_dedup_keep",
-    "doc_dup_span_stats",
-    "doc_global_shuffle",
+    # rule 2a: the 32 r5-green entries, 4 rounds stale
+    "sql_market_share",
+    "recent_orders_lateral",
+    "grouping_sets_revenue",
+    "parts_above_brand_avg",
+    "orders_with_max_item",
+    "order_price_percentiles",
+    "decimal_revenue_exact",
+    "events_variant_props",
+    "events_funnel",
+    "events_pattern_match",
+    "events_retention_cohorts",
+    "user_value_scd2",
+    "parquet_roundtrip_daily",
+    "events_zorder_roundtrip",
+    "purchases_asof_cogroup",
+    "events_sliding_windows",
+    "events_session_windows",
+    "events_interval_join",
+    "embedding_norms",
+    "embedding_pairs_exact",
+    "multimodal_features",
+    "near_dup_3gram",
+    "near_dup_clusters",
+    "doc_unigram_logprob",
+    "doc_source_quota",
+    "doc_mixture_sample",
+    "doc_gram_novelty",
+    "doc_quality_sample",
+    "doc_table_profile",
+    "multimodal_asset_dedup",
+    "embedding_quantize_int8",
+    "matryoshka_topk",
+    # rule 2b: the 15 stalest r6 greens
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "shipping_priority",
+    "order_price_delta",
+    "customer_value_ntile",
+    "top_orders",
+    "doc_pack_sequences_sql",
+    "doc_word_explode",
+    "events_range_join",
+    "events_zscore",
+    "events_median_udaf",
+    "events_hll_daily_merge",
+    "events_hll_type_overlap",
+    "doc_token_stats",
+    "doc_lang_id",
 ]
 _FILL: list[str] = []
 _TAIL = [

@@ -68,7 +68,18 @@ def chi2_from_counts(counts: DataFrame) -> DataFrame:
     """Chi-square finalizer over an (rv, cv, o) contingency table —
     shared verbatim by the batch operator and the streaming twin
     (streaming/stats.py), so identical merged counts yield an
-    identical statistic."""
+    identical statistic.
+
+    NULL-category guard lives HERE so both paths share it: a NULL
+    rv/cv count row would keep its mass in the rn/cn marginals while
+    its observed count falls out of the null-blind grid equi-join,
+    silently inflating chi². The batch operator also filters
+    pre-aggregate (cheaper); the streaming twin's merged store rows
+    land here unguarded otherwise.
+    """
+    counts = counts.filter(
+        F.col("rv").isNotNull() & F.col("cv").isNotNull()
+    )
     rt = counts.groupBy("rv").agg(F.sum("o").cast("long").alias("rn"))
     ct = counts.groupBy("cv").agg(F.sum("o").cast("long").alias("cn"))
     n = counts.agg(F.sum("o").cast("long").alias("n"))

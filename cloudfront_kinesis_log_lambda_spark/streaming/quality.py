@@ -120,17 +120,22 @@ class StreamingQualityChecks:
         uniq = keys.agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct")
         )
+        # zero-guard (mirrors the batch operator's F.when(n > 0, ...)):
+        # a history of only-empty micro-batches sums n to 0, and a bare
+        # 0/0 yields NaN — which Spark orders ABOVE every number, so
+        # every `metric >= threshold` verdict would pass fail-open.
+        # NULL metrics instead fail via quality_verdicts' coalesce.
         nd = F.col("n").cast("double")
+
+        def frac(col: str) -> F.Column:
+            return F.round(
+                F.when(F.col("n") > 0, F.col(col).cast("double") / nd),
+                PSI_ROUND,
+            ).alias(col if col != "n_distinct" else "orderkey_unique")
+
         wide = counters.join(F.broadcast(uniq)).select(
-            *[
-                F.round(F.col(name).cast("double") / nd, PSI_ROUND).alias(
-                    name
-                )
-                for name in (*_ROW_CHECKS, "custkey_resolves")
-            ],
-            F.round(F.col("n_distinct").cast("double") / nd, PSI_ROUND).alias(
-                "orderkey_unique"
-            ),
+            *[frac(name) for name in (*_ROW_CHECKS, "custkey_resolves")],
+            frac("n_distinct"),
         )
         long_rows = wide.unpivot(
             [], list(QUALITY_THRESHOLDS), "check", "metric"

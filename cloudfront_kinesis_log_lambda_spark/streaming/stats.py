@@ -89,6 +89,10 @@ class StreamingChi2:
                 F.col(self.row_col).alias("rv"),
                 F.col(self.col_col).cast("long").alias("cv"),
             )
+            # mirror the batch operator's NULL-category drop at WRITE
+            # time so the store never carries mass chi2_from_counts's
+            # shared guard would discard at every read
+            .filter(F.col("rv").isNotNull() & F.col("cv").isNotNull())
             .groupBy("rv", "cv")
             .agg(F.count(F.lit(1)).cast("long").alias("o"))
         )

@@ -76,6 +76,26 @@ def test_retry_rewrite_idempotent(spark, tmp_path):
     assert _rows(qc.checks(spark)) == once
 
 
+def test_only_empty_batches_fail_closed(spark, tmp_path):
+    """Review finding: a history of only EMPTY micro-batches sums n to
+    0, and the old bare `/` produced NaN metrics — which Spark orders
+    above every number, so `metric >= threshold` passed FAIL-OPEN.
+    The n>0 guard must yield NULL metrics → passed=False, matching the
+    batch suite over zero rows."""
+    qc = StreamingQualityChecks(str(tmp_path / "qc"), _cust(spark, CUSTKEYS))
+    qc(_orders(spark, []), 0)
+    qc(_orders(spark, []), 1)
+    got = _rows(qc.checks(spark))
+    want = _rows(
+        Q.quality_checks(_orders(spark, []), _cust(spark, CUSTKEYS))
+    )
+    assert got == want
+    rows = qc.checks(spark).collect()
+    assert len(rows) == len(Q.QUALITY_THRESHOLDS)
+    assert all(r["passed"] is False for r in rows)
+    assert all(r["metric"] is None for r in rows)
+
+
 def test_checks_before_first_batch_fail_closed(spark, tmp_path):
     """Review finding: a dashboard polling before the first micro-batch
     used to see NULL verdicts; the suite now fails closed."""

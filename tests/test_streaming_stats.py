@@ -42,6 +42,26 @@ def test_chi2_stream_equals_batch_per_wave(spark, tmp_path):
         assert got == want, f"divergence after wave {i}"
 
 
+def test_chi2_null_categories_match_batch(spark, tmp_path):
+    """Review finding: the twin used to store NULL-category rows whose
+    marginal mass stayed in rn/cn while their observed counts fell out
+    of the null-blind grid equi-join, inflating chi². Both paths must
+    drop NULL rv/cv identically."""
+    waves = [
+        [("a", 0)] * 4 + [(None, 0)] * 3 + [("a", None)] * 2,
+        [("b", 1)] * 3 + [(None, None)] * 2 + [("b", 0)] * 1,
+    ]
+    t = StreamingChi2(str(tmp_path / "chi"), "r", "c")
+    for i, wave in enumerate(waves):
+        t(_cat(spark, wave), i)
+        arrived = [r for w in waves[: i + 1] for r in w]
+        got = _rows(t.chi2(spark))
+        want = _rows(ST.chi2_independence(_cat(spark, arrived), "r", "c"))
+        assert got == want, f"divergence after wave {i}"
+    # NULLs are defects, not categories: n counts only fully-non-null rows
+    assert _rows(t.chi2(spark))[0][0] == 8
+
+
 def test_chi2_retry_and_double_count(spark, tmp_path):
     t = StreamingChi2(str(tmp_path / "chi"), "r", "c")
     t(_cat(spark, CHI_WAVES[0]), 0)
