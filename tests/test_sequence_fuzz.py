@@ -1,0 +1,174 @@
+"""Seeded-random fuzz of the event-sequence operators (Markov
+transitions, last-touch attribution, conversion paths) against
+brute-force pure-Python replays.
+
+Same rationale as test_stats_fuzz.py / test_graph_stats_fuzz.py: the
+DuckDB oracles mirror the window/session SHAPE of the Spark plans, so
+an ordering or boundary bug shared by both (wrong tie-break, off-by-one
+at the attribution window edge, gap comparison drift) hash-matches
+green. The replays below re-derive the semantics from the documented
+contracts only: (ts, event_id) total order, strictly-preceding-row
+touch carry, inclusive 3-day window, >1800 s session split.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+from collections import Counter
+
+from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
+
+BASE = datetime.datetime(2024, 1, 1)
+TYPES = ["view", "click", "purchase", "checkout"]
+
+
+def _random_stream(seed, n_users=8, max_events=30):
+    """Rows (event_id, user_id, type, sec_offset, value): integer-second
+    offsets WITH collisions (tie-break must fall to event_id), values in
+    exact quarters (binary-exact sums), lags spanning the 3-day window
+    both ways, gaps spanning the 1800 s session split both ways."""
+    rng = random.Random(seed)
+    rows = []
+    eid = 0
+    for u in range(1, n_users + 1):
+        t = rng.randrange(0, 3600)
+        for _ in range(rng.randint(1, max_events)):
+            rows.append(
+                (
+                    eid,
+                    u,
+                    rng.choice(TYPES),
+                    t,
+                    rng.randrange(0, 400) * 0.25,
+                )
+            )
+            eid += 1
+            # 30% duplicate timestamp, else jump up to ~1 day so both
+            # the session gap and the 3-day window cut somewhere
+            if rng.random() > 0.3:
+                t += rng.randrange(1, 90_000)
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, BASE + datetime.timedelta(seconds=s), u, et, v, "{}")
+            for (i, u, et, s, v) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _patched(monkeypatch, df):
+    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
+
+    orig = R.load
+    monkeypatch.setattr(
+        TS,
+        "load",
+        lambda spark, sf, name: df
+        if name == "events"
+        else orig(spark, sf, name),
+    )
+
+
+def _by_user(rows):
+    users = {}
+    for r in rows:
+        users.setdefault(r[1], []).append(r)
+    # the operators' total order: ts asc, event_id asc
+    for seq in users.values():
+        seq.sort(key=lambda r: (r[3], r[0]))
+    return users
+
+
+def test_transitions_fuzz_vs_replay(spark, monkeypatch):
+    for seed in (11, 12, 13):
+        rows = _random_stream(seed)
+        _patched(monkeypatch, _df(spark, rows))
+        got = {
+            (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+            for r in TS.event_transitions(spark, "unused").collect()
+        }
+        want = Counter()
+        for seq in _by_user(rows).values():
+            for a, b in zip(seq, seq[1:]):
+                want[(a[2], b[2])] += 1
+        assert set(got) == set(want), seed
+        totals = Counter()
+        for (f, _), n in want.items():
+            totals[f] += n
+        for k, n in want.items():
+            assert got[k][0] == n, (seed, k)
+            assert abs(got[k][1] - n / totals[k[0]]) <= 5e-7, (seed, k)
+
+
+def test_attribution_fuzz_vs_replay(spark, monkeypatch):
+    window_s = TS.ATTRIBUTION_WINDOW_DAYS * 86_400
+    for seed in (21, 22, 23):
+        rows = _random_stream(seed)
+        _patched(monkeypatch, _df(spark, rows))
+        got = {
+            r["touch"]: r
+            for r in TS.attribution_last_touch(spark, "unused").collect()
+        }
+        buckets: dict[str, list[tuple[float, int]]] = {}
+        for seq in _by_user(rows).values():
+            last_touch = None  # (type, sec) of latest PRECEDING row
+            for _, _, et, s, v in seq:
+                if et == TS.CONVERSION_TYPE:
+                    if (
+                        last_touch is not None
+                        and s - last_touch[1] <= window_s  # inclusive edge
+                    ):
+                        buckets.setdefault(last_touch[0], []).append(
+                            (v, s - last_touch[1])
+                        )
+                    else:
+                        buckets.setdefault("none", []).append((v, 0))
+                if et in TS.TOUCH_TYPES:
+                    last_touch = (et, s)
+        assert set(got) == set(buckets), seed
+        for touch, hits in buckets.items():
+            r = got[touch]
+            assert r["n_purchases"] == len(hits), (seed, touch)
+            assert r["attributed_value"] == round(
+                sum(v for v, _ in hits), 2
+            ), (seed, touch)
+            if touch == "none":
+                assert r["avg_hours_to_convert"] is None, seed
+            else:
+                want = sum(lag for _, lag in hits) / len(hits) / 3600.0
+                assert abs(r["avg_hours_to_convert"] - want) <= 2e-4, (
+                    seed,
+                    touch,
+                )
+
+
+def test_conversion_paths_fuzz_vs_replay(spark, monkeypatch):
+    for seed in (31, 32, 33):
+        rows = _random_stream(seed)
+        _patched(monkeypatch, _df(spark, rows))
+        got = [
+            (r["path"], r["n_sessions"])
+            for r in TS.top_conversion_paths(spark, "unused").collect()
+        ]
+        paths = Counter()
+        for seq in _by_user(rows).values():
+            sessions, cur, prev_s = [], [], None
+            for _, _, et, s, _ in seq:
+                if prev_s is None or s - prev_s > TS.SESSION_GAP_S:
+                    cur = []
+                    sessions.append(cur)
+                cur.append(et)
+                prev_s = s
+            for sess in sessions:
+                if TS.CONVERSION_TYPE in sess:
+                    paths[">".join(sess)] += 1
+        want = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : TS.PATHS_TOPK
+        ]
+        assert got == want, seed
