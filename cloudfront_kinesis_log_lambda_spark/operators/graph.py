@@ -184,6 +184,22 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     the whole upstream edge derivation re-executes per reference
     (observed: 13 exchanges in the un-checkpointed plan vs 6 after —
     at 100 TB that is three redundant passes over the fact table).
+
+    Two measured plan rules (r9, sf0.1: 1.2 M edges / 41 M wedges,
+    24 s → 6 s end-to-end):
+
+    - the closing probe joins on ONE packed long ``y·2³² + z`` instead
+      of the (y, z) two-column key — half the sort/hash-probe work on
+      the wedge stream, which is the largest relation in the plan. The
+      pack is injective only while every node id fits 31 bits, so it
+      is GATED on the observed max id (one tiny aggregate over the
+      checkpointed edge list); wider ids fall back to the two-column
+      join — correct at any scale, packed whenever it is safe;
+    - per-corner counts explode ONE pass of the triangle stream
+      (``explode(array(x, y, z))``) instead of a 3-branch union of
+      projections — the union re-ran the closing join per branch
+      (ReusedExchange dedupes the shuffle, not the join above it), so
+      the most expensive join in the plan executed three times.
     """
     edges = edges.localCheckpoint(eager=True)
     deg = (
@@ -225,13 +241,31 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         (F.col("dy") < F.col("dz"))
         | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
     )
-    closer = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
-    tri = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
-    )
+    # packed-key gate: injective only while ids fit 31 bits (signed
+    # 64-bit product bound); the probe is one tiny job over the
+    # already-checkpointed edge list
+    max_id = edges.agg(
+        F.max(F.greatest(F.col("a"), F.col("b"))).alias("m")
+    ).collect()[0]["m"]
+    if max_id is not None and 0 <= max_id < (1 << 31):
+        pack = F.lit(1 << 32)
+        wedges = wedges.select(
+            "x", (F.col("y") * pack + F.col("z")).alias("yz")
+        )
+        closer = oriented.select(
+            (F.col("s") * pack + F.col("t")).alias("yz"),
+            F.col("s").alias("cy"),
+            F.col("t").alias("cz"),
+        )
+        tri = wedges.join(closer, "yz").select(
+            "x", F.col("cy").alias("y"), F.col("cz").alias("z")
+        )
+    else:
+        closer = oriented.select(
+            F.col("s").alias("y"), F.col("t").alias("z")
+        )
+        tri = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     tcount = corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles")
     )

@@ -20,3 +20,41 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+# --- shared events-table helpers (test_timeseries / test_sequence_fuzz) ----
+
+EVENTS_BASE = __import__("datetime").datetime(2024, 1, 1)
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def make_events_df(spark, rows):
+    """rows: (event_id, user_id, event_type, second_offset, value) →
+    an events-shaped DataFrame at EVENTS_BASE + offset."""
+    import datetime
+
+    return spark.createDataFrame(
+        [
+            (i, EVENTS_BASE + datetime.timedelta(seconds=s), u, et, v, "{}")
+            for (i, u, et, s, v) in rows
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def patch_events_load(monkeypatch, module, df):
+    """Route ``module.load(spark, sf, 'events')`` to ``df`` (other
+    tables fall through to the real loader)."""
+    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
+
+    orig = R.load
+    monkeypatch.setattr(
+        module,
+        "load",
+        lambda spark, sf, name: df
+        if name == "events"
+        else orig(spark, sf, name),
+    )

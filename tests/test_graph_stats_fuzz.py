@@ -61,9 +61,13 @@ def test_corr_matrix_fuzz_vs_reference(spark):
             if want is None:
                 assert got[(ca, cb)] is None, (trial, ca, cb)
             else:
-                assert got[(ca, cb)] == round(want, ST.STATS_ROUND) or (
-                    abs(got[(ca, cb)] - want) < 1e-6
-                ), (trial, ca, cb, got[(ca, cb)], want)
+                assert abs(got[(ca, cb)] - want) < 1e-6, (
+                    trial,
+                    ca,
+                    cb,
+                    got[(ca, cb)],
+                    want,
+                )
 
 
 # --- two-proportion z-test -------------------------------------------------
@@ -104,16 +108,14 @@ def test_ztest_fuzz_vs_reference(spark):
             n_b,
             conv_b,
         ), trial
+        # the two guarantee rows pin 0 < pooled p < 1, so se > 0 on
+        # every trial (the se == 0 degenerate is pinned separately in
+        # test_stats.py::test_ztest_degenerate_all_convert)
         p = (conv_a + conv_b) / (n_a + n_b)
         se = math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
-        want_z = (
-            None if se == 0.0 else (conv_b / n_b - conv_a / n_a) / se
-        )
-        if want_z is None:
-            assert r["z"] is None, trial
-        else:
-            assert abs(r["z"] - want_z) < 1e-6, (trial, r["z"], want_z)
-            assert r["significant"] == (abs(want_z) > ST.AB_Z_CRITICAL)
+        want_z = (conv_b / n_b - conv_a / n_a) / se
+        assert abs(r["z"] - want_z) < 1e-6, (trial, r["z"], want_z)
+        assert r["significant"] == (abs(want_z) > ST.AB_Z_CRITICAL)
         assert abs(r["lift"] - (conv_b / n_b - conv_a / n_a)) < 1e-6
 
 
@@ -202,3 +204,18 @@ def test_triangle_stats_fuzz_vs_bruteforce(spark):
             )
             assert got[v] == (deg, tri, cc), (trial, v, got[v], (deg, tri, cc))
         assert set(got) == set(adj), trial
+
+
+def test_triangle_stats_wide_ids_take_fallback_join(spark):
+    """Node ids ≥ 2³¹ overflow the packed closing-join key, so the
+    operator must take the two-column fallback — same census either
+    way. K4 on shifted ids: every node has degree 3 and 3 triangles."""
+    base = 1 << 40
+    nodes = [base + i for i in range(4)]
+    edges = [(a, b) for a, b in combinations(nodes, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in G.triangle_stats(df).collect()
+    }
+    assert got == {v: (3, 3, 1.0) for v in nodes}

@@ -13,13 +13,13 @@ touch carry, inclusive 3-day window, >1800 s session split.
 
 from __future__ import annotations
 
-import datetime
 import random
 from collections import Counter
 
+from conftest import make_events_df, patch_events_load
+
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 
-BASE = datetime.datetime(2024, 1, 1)
 TYPES = ["view", "click", "purchase", "checkout"]
 
 
@@ -52,27 +52,11 @@ def _random_stream(seed, n_users=8, max_events=30):
 
 
 def _df(spark, rows):
-    return spark.createDataFrame(
-        [
-            (i, BASE + datetime.timedelta(seconds=s), u, et, v, "{}")
-            for (i, u, et, s, v) in rows
-        ],
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-    )
+    return make_events_df(spark, rows)
 
 
 def _patched(monkeypatch, df):
-    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
-
-    orig = R.load
-    monkeypatch.setattr(
-        TS,
-        "load",
-        lambda spark, sf, name: df
-        if name == "events"
-        else orig(spark, sf, name),
-    )
+    patch_events_load(monkeypatch, TS, df)
 
 
 def _by_user(rows):

@@ -5,36 +5,22 @@ uniform synthetic events can't produce."""
 
 from __future__ import annotations
 
-import datetime
-
 import pytest
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 
 
+from conftest import make_events_df, patch_events_load
+
+
 def _events(spark, rows):
     # rows: (event_id, user_id, event_type, second_offset, value)
-    base = datetime.datetime(2024, 1, 1)
-    return spark.createDataFrame(
-        [
-            (i, base + datetime.timedelta(seconds=s), u, et, v, "{}")
-            for (i, u, et, s, v) in rows
-        ],
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string",
-    )
+    return make_events_df(spark, rows)
 
 
 def _patched(monkeypatch, df):
-    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
-
-    orig = R.load
-    monkeypatch.setattr(
-        TS,
-        "load",
-        lambda spark, sf, name: df if name == "events" else orig(spark, sf, name),
-    )
+    patch_events_load(monkeypatch, TS, df)
 
 
 def test_ewma_matches_python_recursion(spark, monkeypatch):
