@@ -132,6 +132,72 @@ def test_attribution_fuzz_vs_replay(spark, monkeypatch):
                 )
 
 
+def test_linear_trend_fuzz_vs_ols_reference(spark, monkeypatch):
+    """Textbook OLS over (hour-since-epoch, value) per type, including
+    the two degenerate legs: a single-hour type (slope/intercept/R²
+    NULL) and a constant-value type (R² NULL).
+
+    Values are multiples of 0.1 so each per-row y² is exact at 2
+    decimals — inside the operator's documented decimal(·,3)
+    quantization of the syy term (first fuzz run caught exactly this:
+    a constant 5.25 squares to 27.5625, which quantizes to 27.563 and
+    makes syc 0.002 instead of 0, turning R² from NULL into 0.0 — a
+    contract boundary, not a bug). Reference moments accumulate the
+    10×-scaled integers, so the replay is exact by construction."""
+    for seed in (41, 42, 43):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for _ in range(rng.randint(20, 60)):
+            rows.append(
+                (
+                    eid,
+                    rng.randint(1, 5),
+                    rng.choice(["t", "u"]),
+                    rng.randrange(0, 40 * 3600),
+                    rng.randrange(-2000, 2000) / 10.0,
+                )
+            )
+            eid += 1
+        # degenerate legs
+        rows += [(eid + i, 1, "onehour", 100 + i, 1.0 * i) for i in range(4)]
+        rows += [
+            (eid + 10 + i, 1, "flat", i * 7200, 5.2) for i in range(4)
+        ]
+        _patched(monkeypatch, _df(spark, rows))
+        got = {
+            r["event_type"]: r
+            for r in TS.events_linear_trend(spark, "unused").collect()
+        }
+        pts: dict[str, list[tuple[int, int]]] = {}
+        for _, _, et, s, v in rows:
+            pts.setdefault(et, []).append((s // 3600, round(v * 10)))
+        for et, xy in pts.items():
+            n = len(xy)
+            sx = sum(x for x, _ in xy)
+            sy = sum(k for _, k in xy) / 10.0
+            sxx = sum(x * x for x, _ in xy)
+            sxy = sum(x * k for x, k in xy) / 10.0
+            syy = sum(k * k for _, k in xy) / 100.0
+            den = sxx - sx * sx / n
+            syc = syy - sy * sy / n
+            r = got[et]
+            assert r["n_events"] == n, (seed, et)
+            if den == 0.0:
+                assert r["slope_per_hour"] is None, (seed, et)
+                assert r["intercept"] is None, (seed, et)
+                assert r["r2"] is None, (seed, et)
+                continue
+            slope = (sxy - sx * sy / n) / den
+            intercept = sy / n - slope * sx / n
+            assert abs(r["slope_per_hour"] - slope) < 1e-5, (seed, et)
+            assert abs(r["intercept"] - intercept) < 1e-5, (seed, et)
+            if syc == 0.0:
+                assert r["r2"] is None, (seed, et)
+            else:
+                r2 = (sxy - sx * sy / n) ** 2 / (den * syc)
+                assert abs(r["r2"] - r2) < 1e-5, (seed, et)
+
+
 def test_conversion_paths_fuzz_vs_replay(spark, monkeypatch):
     for seed in (31, 32, 33):
         rows = _random_stream(seed)
