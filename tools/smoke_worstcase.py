@@ -38,6 +38,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def force(df) -> int:
+    """Honest wall: noop-write the FULL plan, then count the (tiny)
+    result separately. A bare ``.count()`` is NOT a valid wall for a
+    plan ending in a key-preserving outer join — Catalyst eliminates
+    the join (and its whole subtree) under count when the right side
+    is a unique-key aggregate; measured on part_triangle_stats, count
+    skipped the entire wedge/closing-join computation and reported the
+    degree table's wall (r9, BASELINE.md). The count here runs AFTER
+    the timed window closes in every caller."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
 def main_r8() -> None:
     import shutil
     import tempfile
@@ -348,14 +361,16 @@ def main_r9() -> None:
     )
     d1 = sf_with("lineitem", li, "li1")
     dh = sf_with("lineitem", hub, "li-hub")
-    G.part_triangle_stats(spark, d1).count()  # warm-up
+    # force(), not count(): count eliminates this plan's final outer
+    # join and with it the whole triangle subtree (see force docstring)
+    force(G.part_triangle_stats(spark, d1))  # warm-up
     t1 = timed(
         "part_triangle_stats 1x",
-        lambda: G.part_triangle_stats(spark, d1).count(),
+        lambda: force(G.part_triangle_stats(spark, d1)),
     )
     th = timed(
         "part_triangle_stats hub-in-every-order",
-        lambda: G.part_triangle_stats(spark, dh).count(),
+        lambda: force(G.part_triangle_stats(spark, dh)),
     )
     print(f"triangle wall ratio: {th / t1:.1f}x with a full-graph hub")
 
