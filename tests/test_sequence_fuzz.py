@@ -16,11 +16,14 @@ from __future__ import annotations
 import random
 from collections import Counter
 
+import datetime
+
 from conftest import make_events_df, patch_events_load
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 
 TYPES = ["view", "click", "purchase", "checkout"]
+BASE_DAY0 = datetime.date(2024, 1, 1)
 
 
 def _random_stream(seed, n_users=8, max_events=30):
@@ -130,6 +133,103 @@ def test_attribution_fuzz_vs_replay(spark, monkeypatch):
                     seed,
                     touch,
                 )
+
+
+def test_funnel_fuzz_vs_replay(spark, monkeypatch):
+    """view → click-after-view → purchase-after-click with STRICT
+    timestamp ordering (a click at the same second as the view does
+    not advance the funnel) and NULL users dropped."""
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        relational as R,
+    )
+
+    for seed in (51, 52, 53):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(1, 15):
+            uid = None if rng.random() < 0.15 else u
+            t = rng.randrange(0, 600)
+            for _ in range(rng.randint(1, 12)):
+                rows.append(
+                    (eid, uid, rng.choice(TYPES), t, 1.0)
+                )
+                eid += 1
+                # 25% same-second collision to hit the strict-> edge
+                if rng.random() > 0.25:
+                    t += rng.randrange(1, 900)
+        df = _df(spark, rows)
+        patch_events_load(monkeypatch, R, df)
+        got = {
+            r["stage"]: r["n_users"]
+            for r in R.events_funnel(spark, "unused").collect()
+        }
+        n_view = n_click = n_purchase = 0
+        for uid, seq in _by_user(rows).items():
+            if uid is None:
+                continue
+            t_view = min((s for _, _, et, s, _ in seq if et == "view"),
+                         default=None)
+            t_click = (
+                min((s for _, _, et, s, _ in seq
+                     if et == "click" and s > t_view), default=None)
+                if t_view is not None else None
+            )
+            t_buy = (
+                min((s for _, _, et, s, _ in seq
+                     if et == "purchase" and s > t_click), default=None)
+                if t_click is not None else None
+            )
+            n_view += t_view is not None
+            n_click += t_click is not None
+            n_purchase += t_buy is not None
+        assert got == {
+            "1_view": n_view,
+            "2_click": n_click,
+            "3_purchase": n_purchase,
+        }, seed
+
+
+def test_retention_cohorts_fuzz_vs_replay(spark, monkeypatch):
+    """First-activity-day cohorts × day offsets 0..7 over distinct
+    (user, day) activity."""
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        relational as R,
+    )
+
+    day_s = 86_400
+    for seed in (61, 62, 63):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(1, 20):
+            for _ in range(rng.randint(1, 15)):
+                rows.append(
+                    (
+                        eid,
+                        u,
+                        rng.choice(TYPES),
+                        rng.randrange(0, 12) * day_s
+                        + rng.randrange(0, day_s),
+                        1.0,
+                    )
+                )
+                eid += 1
+        df = _df(spark, rows)
+        patch_events_load(monkeypatch, R, df)
+        got = {
+            (r["cohort_day"], r["day_offset"]): r["n_users"]
+            for r in R.events_retention_cohorts(spark, "unused").collect()
+        }
+        days: dict[int, set[int]] = {}
+        for _, u, _, s, _ in rows:
+            days.setdefault(u, set()).add(s // day_s)
+        want = Counter()
+        for u, ds in days.items():
+            c = min(ds)
+            label = (BASE_DAY0 + datetime.timedelta(days=c)).isoformat()
+            for d in ds:
+                if d - c <= 7:
+                    want[(label, d - c)] += 1
+        assert got == dict(want), seed
 
 
 def test_linear_trend_fuzz_vs_ols_reference(spark, monkeypatch):
