@@ -69,10 +69,10 @@ _FRONT = [
     # comment's "134 entries / ≤2 rounds" was written mid-round before
     # 24 more entries landed — superseded by this paragraph).
     #
-    # This round's 50 = 4 changed implementations + the 32 r5-green
-    # deferrals (4 rounds stale — the debt named at r8 close) + the 14
-    # stalest r6 greens. Still owed to r10: the remaining 14 r6 greens
-    # (doc_lang_id, doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
+    # This round's 50 = 5 changed implementations + the 32 r5-green
+    # deferrals (4 rounds stale — the debt named at r8 close) + the 13
+    # stalest r6 greens. Still owed to r10: the remaining 15 r6 greens
+    # (doc_token_stats, doc_lang_id, doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
     # doc_chunks_udtf, events_tumbling_windows, cosine_topk_multi_query,
     # doc_curation_funnel, doc_split_assign, doc_pack_sequences,
     # scd2_incremental_roundtrip, training_shards_roundtrip,
@@ -82,12 +82,14 @@ _FRONT = [
     # output-identical on gate inputs: NULL-category filter over
     # non-null gate columns, n>0 guard over non-empty gate history)
     # and the triangle-census plan rewrite (packed closing-join key +
-    # single-pass corner explode, 14.4 s → 6.4 s at sf0.1; output
-    # proven identical, but changed code re-verifies):
+    # single-pass corner explode, 14.4 s → 6.4 s at sf0.1) and the
+    # pagerank checkpoint-interval change (ckpt_every=2, 3.95 → 2.86 s;
+    # both outputs proven identical, but changed code re-verifies):
     "events_chi2_type_hour",
     "events_chi2_incremental",
     "orders_quality_incremental",
     "part_triangle_stats",
+    "nation_pagerank",
     # rule 2a: the 32 r5-green entries, 4 rounds stale
     "sql_market_share",
     "recent_orders_lateral",
@@ -121,7 +123,7 @@ _FRONT = [
     "multimodal_asset_dedup",
     "embedding_quantize_int8",
     "matryoshka_topk",
-    # rule 2b: the 14 stalest r6 greens
+    # rule 2b: the 13 stalest r6 greens
     "customers_with_open_orders",
     "customers_without_orders",
     "shipping_priority",
@@ -135,7 +137,6 @@ _FRONT = [
     "events_median_udaf",
     "events_hll_daily_merge",
     "events_hll_type_overlap",
-    "doc_token_stats",
 ]
 _FILL: list[str] = []
 _TAIL = [
