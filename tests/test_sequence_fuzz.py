@@ -135,6 +135,56 @@ def test_attribution_fuzz_vs_replay(spark, monkeypatch):
                 )
 
 
+def test_pattern_match_fuzz_vs_replay(spark, monkeypatch):
+    """First-day 24-bucket hourly profiles vs the hour%6 query pattern:
+    zero-filled squared euclidean distance, top-5 by (dist, user_id).
+    The replay pins the zero-fill contract — a user with NO events at
+    hour h still pays (0 - p_h)²."""
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        relational as R,
+    )
+
+    day_s = 86_400
+    for seed in (71, 72, 73):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for u in range(1, 25):
+            # some users start on a later day → excluded from day0
+            base_day = rng.choice([0, 0, 0, 1, 2])
+            for _ in range(rng.randint(1, 20)):
+                rows.append(
+                    (
+                        eid,
+                        u,
+                        rng.choice(TYPES),
+                        base_day * day_s + rng.randrange(0, day_s),
+                        1.0,
+                    )
+                )
+                eid += 1
+        df = _df(spark, rows)
+        patch_events_load(monkeypatch, R, df)
+        got = [
+            (r["user_id"], r["dist_sq"])
+            for r in R.events_pattern_match(spark, "unused").collect()
+        ]
+        day0 = min(s // day_s for _, _, _, s, _ in rows)
+        counts: dict[int, Counter] = {}
+        for _, u, _, s, _ in rows:
+            if s // day_s == day0:
+                counts.setdefault(u, Counter())[(s % day_s) // 3600] += 1
+        want = sorted(
+            (
+                sum(
+                    (cnt.get(h, 0) - h % 6) ** 2 for h in range(24)
+                ),
+                u,
+            )
+            for u, cnt in counts.items()
+        )[:5]
+        assert got == [(u, d) for d, u in want], seed
+
+
 def test_funnel_fuzz_vs_replay(spark, monkeypatch):
     """view → click-after-view → purchase-after-click with STRICT
     timestamp ordering (a click at the same second as the view does
