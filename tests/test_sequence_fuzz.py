@@ -135,6 +135,76 @@ def test_attribution_fuzz_vs_replay(spark, monkeypatch):
                 )
 
 
+def test_sessionize_fuzz_vs_replay(spark, monkeypatch):
+    """30-min-gap sessionization: session count, sizes, and start
+    timestamps against a sequential replay over (ts, event_id) order."""
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        relational as R,
+    )
+
+    for seed in (81, 82, 83):
+        rows = _random_stream(seed)
+        df = _df(spark, rows)
+        patch_events_load(monkeypatch, R, df)
+        got = sorted(
+            (r["user_id"], r["session_id"], r["n_events"], r["session_start"])
+            for r in R.sessionize_events(spark, "unused").collect()
+        )
+        want = []
+        for u, seq in _by_user(rows).items():
+            sid, prev_s, n, start = 0, None, 0, None
+            for _, _, _, s, _ in seq:
+                if prev_s is None or s - prev_s > 1800:
+                    if n:
+                        want.append((u, sid, n, start))
+                    sid += 1
+                    n, start = 0, s
+                n += 1
+                prev_s = s
+            want.append((u, sid, n, start))
+        want = sorted(
+            (
+                u,
+                sid,
+                n,
+                (
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(seconds=start)
+                ).strftime("%Y-%m-%d %H:%M:%S"),
+            )
+            for u, sid, n, start in want
+        )
+        assert got == want, seed
+
+
+def test_moving_hour_sum_fuzz_vs_replay(spark, monkeypatch):
+    """Trailing-3599s RANGE frame: per event, sum/count over the user's
+    events in [ts-3599, ts] INCLUDING equal-timestamp peers (the frame
+    is range-based, so peers join the frame regardless of row order)."""
+    from cloudfront_kinesis_log_lambda_spark.operators import (
+        relational as R,
+    )
+
+    for seed in (91, 92, 93):
+        rows = _random_stream(seed, n_users=5, max_events=20)
+        df = _df(spark, rows)
+        patch_events_load(monkeypatch, R, df)
+        got = {
+            r["event_id"]: (r["moving_sum_1h"], r["n_events_1h"])
+            for r in R.events_moving_hour_sum(spark, "unused").collect()
+        }
+        by_user = _by_user(rows)
+        for u, seq in by_user.items():
+            for eid, _, _, s, _ in seq:
+                frame = [
+                    v for _, _, _, s2, v in seq if s - 3599 <= s2 <= s
+                ]
+                assert got[eid] == (round(sum(frame), 2), len(frame)), (
+                    seed,
+                    eid,
+                )
+
+
 def test_pattern_match_fuzz_vs_replay(spark, monkeypatch):
     """First-day 24-bucket hourly profiles vs the hour%6 query pattern:
     zero-filled squared euclidean distance, top-5 by (dist, user_id).
