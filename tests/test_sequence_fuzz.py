@@ -137,13 +137,25 @@ def test_attribution_fuzz_vs_replay(spark, monkeypatch):
 
 def test_sessionize_fuzz_vs_replay(spark, monkeypatch):
     """30-min-gap sessionization: session count, sizes, and start
-    timestamps against a sequential replay over (ts, event_id) order."""
+    timestamps against a sequential replay over (ts, event_id) order.
+
+    The injected user pins the boundary the random stream almost never
+    hits (review finding: P(random gap == exactly 1800) ≈ 0.001%, so a
+    `>= 1800` operator mutation passed every seed): gaps of exactly
+    1800 s (same session — the split is strictly >) and 1801 s (new
+    session)."""
     from cloudfront_kinesis_log_lambda_spark.operators import (
         relational as R,
     )
 
     for seed in (81, 82, 83):
         rows = _random_stream(seed)
+        eid0 = max(r[0] for r in rows) + 1
+        rows += [
+            (eid0, 999, "view", 0, 1.0),
+            (eid0 + 1, 999, "view", 1800, 1.0),       # gap == 1800: same
+            (eid0 + 2, 999, "view", 1800 + 1801, 1.0),  # gap 1801: new
+        ]
         df = _df(spark, rows)
         patch_events_load(monkeypatch, R, df)
         got = sorted(
@@ -162,47 +174,78 @@ def test_sessionize_fuzz_vs_replay(spark, monkeypatch):
                 n += 1
                 prev_s = s
             want.append((u, sid, n, start))
+        from conftest import EVENTS_BASE
+
         want = sorted(
             (
                 u,
                 sid,
                 n,
                 (
-                    datetime.datetime(2024, 1, 1)
-                    + datetime.timedelta(seconds=start)
+                    EVENTS_BASE + datetime.timedelta(seconds=start)
                 ).strftime("%Y-%m-%d %H:%M:%S"),
             )
             for u, sid, n, start in want
         )
         assert got == want, seed
+        # boundary user: exactly-1800 stayed in session 1, 1801 split
+        boundary = [w for w in want if w[0] == 999]
+        assert [(s, n) for _, s, n, _ in boundary] == [(1, 2), (2, 1)]
 
 
 def test_moving_hour_sum_fuzz_vs_replay(spark, monkeypatch):
     """Trailing-3599s RANGE frame: per event, sum/count over the user's
     events in [ts-3599, ts] INCLUDING equal-timestamp peers (the frame
-    is range-based, so peers join the frame regardless of row order)."""
+    is range-based, so peers join the frame regardless of row order).
+
+    Review findings folded in: a dense in-window user (gaps drawn from
+    [1, 3600)) makes the strictly-earlier-but-in-frame path
+    load-bearing, not a 5-data-point afterthought; an injected user
+    pins the 3599-in / 3600-out frame edge the random gaps never hit;
+    and the collected row count is asserted so duplicate-emitting
+    regressions can't hide behind the event_id dict."""
     from cloudfront_kinesis_log_lambda_spark.operators import (
         relational as R,
     )
 
     for seed in (91, 92, 93):
         rows = _random_stream(seed, n_users=5, max_events=20)
+        rng = random.Random(seed + 1000)
+        eid = max(r[0] for r in rows) + 1
+        # dense user: every gap inside the window
+        t = 0
+        for _ in range(15):
+            rows.append((eid, 998, "view", t, rng.randrange(0, 40) * 0.25))
+            eid += 1
+            t += rng.randrange(1, 3600)
+        # frame-edge user: 3599 s apart (in frame) then 3600 s (out)
+        rows += [
+            (eid, 999, "view", 0, 1.25),
+            (eid + 1, 999, "view", 3599, 2.25),
+            (eid + 2, 999, "view", 3599 + 3600, 4.25),
+        ]
         df = _df(spark, rows)
         patch_events_load(monkeypatch, R, df)
+        collected = R.events_moving_hour_sum(spark, "unused").collect()
+        assert len(collected) == len(rows), seed
         got = {
             r["event_id"]: (r["moving_sum_1h"], r["n_events_1h"])
-            for r in R.events_moving_hour_sum(spark, "unused").collect()
+            for r in collected
         }
         by_user = _by_user(rows)
         for u, seq in by_user.items():
-            for eid, _, _, s, _ in seq:
+            for eid2, _, _, s, _ in seq:
                 frame = [
                     v for _, _, _, s2, v in seq if s - 3599 <= s2 <= s
                 ]
-                assert got[eid] == (round(sum(frame), 2), len(frame)), (
+                assert got[eid2] == (round(sum(frame), 2), len(frame)), (
                     seed,
-                    eid,
+                    eid2,
                 )
+        # the edge user, spelled out: row 2 sees row 1 (3599 s back),
+        # row 3 does NOT see row 2 (3600 s back)
+        assert got[eid + 1] == (3.5, 2)
+        assert got[eid + 2] == (4.25, 1)
 
 
 def test_pattern_match_fuzz_vs_replay(spark, monkeypatch):
