@@ -462,8 +462,19 @@ def test_linear_trend_fuzz_vs_ols_reference(spark, monkeypatch):
 
 
 def test_conversion_paths_fuzz_vs_replay(spark, monkeypatch):
+    """The injected user pins the session-gap boundary for THIS
+    operator's inline sessionizer (it shares the 1800 s rule with
+    sessionize_events but not the code): exactly-1800 continues the
+    session ('view>purchase>click>purchase' one path), 1801 splits."""
     for seed in (31, 32, 33):
         rows = _random_stream(seed)
+        eid0 = max(r[0] for r in rows) + 1
+        rows += [
+            (eid0, 997, "view", 0, 1.0),
+            (eid0 + 1, 997, "purchase", 1800, 1.0),  # gap 1800: same
+            (eid0 + 2, 997, "click", 1800 + 1801, 1.0),  # 1801: split
+            (eid0 + 3, 997, "purchase", 1800 + 1801 + 60, 1.0),
+        ]
         _patched(monkeypatch, _df(spark, rows))
         got = [
             (r["path"], r["n_sessions"])
@@ -485,3 +496,8 @@ def test_conversion_paths_fuzz_vs_replay(spark, monkeypatch):
             : TS.PATHS_TOPK
         ]
         assert got == want, seed
+        # the boundary user produced exactly these two converting
+        # sessions (replay AND operator must agree the 1800 s gap did
+        # not split, the 1801 s gap did)
+        assert paths["view>purchase"] >= 1
+        assert paths["click>purchase"] >= 1
