@@ -108,7 +108,10 @@ KS_CUR = datetime.datetime(2024, 1, 20)
 KS_WAVES = [
     [("t", KS_REF, 1.0), ("t", KS_REF, 2.0), ("t", KS_CUR, 3.0)],
     [("t", KS_CUR, 4.0), ("u", KS_REF, 1.0)],  # type u ref-only so far
-    [("u", KS_CUR, 9.0), ("t", KS_REF, 2.0)],  # repeated grid point
+    # repeated grid point + a row exactly AT the split: both engines
+    # must bucket it CURRENT (the split predicate is strict <) — an
+    # `<=` drift on either side diverges here
+    [("u", KS_CUR, 9.0), ("t", KS_REF, 2.0), ("t", KS_SPLIT, 3.0)],
 ]
 
 
