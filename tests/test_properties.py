@@ -242,3 +242,52 @@ def test_pack_sequences_invariants_random_corpora(spark, token_counts, budget):
             if s + 1 in by_seq:
                 first_next = min(by_seq[s + 1], key=lambda r: r["doc_id"])
                 assert seqs[s] + first_next["n_tokens"] > budget
+
+
+# --- connected components vs union-find --------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Pointer-jumping CC vs a textbook union-find on random graphs:
+    identical node set, every node labeled with its component's MINIMUM
+    id — the invariant all three consuming registry entries
+    (near_dup_clusters, doc_block_dedup reassembly, entity resolution)
+    lean on. Random multigraphs include self-loops, duplicate edges,
+    and both orientations of the same pair; the brute-force never sees
+    the operator's code."""
+    from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["label"] for r in connected_components(pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members) for members in comps.values() for n in members}
+    assert got == want
