@@ -291,3 +291,40 @@ def test_connected_components_match_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     want = {n: min(members) for members in comps.values() for n in members}
     assert got == want
+
+
+# --- deterministic shuffle / split invariants --------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=80, unique=True),
+    st.integers(1, 8),
+)
+def test_global_shuffle_is_a_permutation(spark, doc_ids, n_shards):
+    """The training-order shuffle must be a PERMUTATION: every doc
+    appears exactly once, shard = sort_key mod n_shards (normalized
+    positive even for negative ids), per-shard positions are exactly
+    1..len(shard) in (sort_key, doc_id) order, and the whole mapping is
+    rerun-deterministic."""
+    from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
+        global_shuffle,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in doc_ids], "doc_id long")
+    out = global_shuffle(docs, n_shards=n_shards).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(doc_ids)
+    shards: dict[int, list] = {}
+    for r in out:
+        k = (r["doc_id"] * 2654435761 + 42) % 4294967296
+        assert r["sort_key"] == k, r
+        assert r["shard"] == k % n_shards, r
+        assert 0 <= r["shard"] < n_shards, r
+        shards.setdefault(r["shard"], []).append(r)
+    for members in shards.values():
+        members.sort(key=lambda r: (r["sort_key"], r["doc_id"]))
+        assert [r["pos"] for r in members] == list(
+            range(1, len(members) + 1)
+        )
+    rerun = global_shuffle(docs, n_shards=n_shards).collect()
+    assert sorted(map(tuple, rerun)) == sorted(map(tuple, out))
