@@ -328,3 +328,46 @@ def test_global_shuffle_is_a_permutation(spark, doc_ids, n_shards):
         )
     rerun = global_shuffle(docs, n_shards=n_shards).collect()
     assert sorted(map(tuple, rerun)) == sorted(map(tuple, out))
+
+
+# --- exact dedup: normalization + idempotence ---------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="ab X\t", min_size=0, max_size=12),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_exact_dedup_idempotent_and_normalization_faithful(spark, texts):
+    """exact_dedup must agree with a Python replay of its documented
+    normalization (trim → lower → collapse whitespace) on group sizes
+    and min-id representatives, and re-running it over just the kept
+    representatives must be a fixpoint (every n_copies == 1, same
+    representative set)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.text import (
+        exact_dedup,
+    )
+
+    import re as _re
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["representative"]: r["n_copies"]
+        for r in exact_dedup(docs).collect()
+    }
+    groups: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        groups.setdefault(_re.sub(r"\s+", " ", t.strip().lower()), []).append(i)
+    want = {min(ids): len(ids) for ids in groups.values()}
+    assert got == want
+    kept = docs.filter(
+        docs.doc_id.isin([int(r) for r in got])
+    )
+    again = exact_dedup(kept).collect()
+    assert sorted(r["representative"] for r in again) == sorted(got)
+    assert all(r["n_copies"] == 1 for r in again)
