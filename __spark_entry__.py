@@ -69,10 +69,10 @@ _FRONT = [
     # comment's "134 entries / ≤2 rounds" was written mid-round before
     # 24 more entries landed — superseded by this paragraph).
     #
-    # This round's 50 = 5 changed implementations + the 32 r5-green
-    # deferrals (4 rounds stale — the debt named at r8 close) + the 13
-    # stalest r6 greens. Still owed to r10: the remaining 15 r6 greens
-    # (doc_token_stats, doc_lang_id, doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
+    # This round's 50 = 6 changed implementations + the 32 r5-green
+    # deferrals (4 rounds stale — the debt named at r8 close) + the 12
+    # stalest r6 greens. Still owed to r10: the remaining 16 r6 greens
+    # (events_hll_type_overlap, doc_token_stats, doc_lang_id, doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
     # doc_chunks_udtf, events_tumbling_windows, cosine_topk_multi_query,
     # doc_curation_funnel, doc_split_assign, doc_pack_sequences,
     # scd2_incremental_roundtrip, training_shards_roundtrip,
@@ -84,12 +84,16 @@ _FRONT = [
     # and the triangle-census plan rewrite (packed closing-join key +
     # single-pass corner explode, 14.4 s → 6.4 s at sf0.1) and the
     # pagerank checkpoint-interval change (ckpt_every=2, 3.95 → 2.86 s;
-    # both outputs proven identical, but changed code re-verifies):
+    # both outputs proven identical) and the fingerprint normalization
+    # fix (collapse-then-trim on BOTH engines — edge tabs no longer
+    # split a dedup group; hypothesis found it; outputs identical on
+    # the clean gate corpus) — changed code re-verifies:
     "events_chi2_type_hour",
     "events_chi2_incremental",
     "orders_quality_incremental",
     "part_triangle_stats",
     "nation_pagerank",
+    "doc_exact_dedup",
     # rule 2a: the 32 r5-green entries, 4 rounds stale
     "sql_market_share",
     "recent_orders_lateral",
@@ -123,7 +127,7 @@ _FRONT = [
     "multimodal_asset_dedup",
     "embedding_quantize_int8",
     "matryoshka_topk",
-    # rule 2b: the 13 stalest r6 greens
+    # rule 2b: the 12 stalest r6 greens
     "customers_with_open_orders",
     "customers_without_orders",
     "shipping_priority",
@@ -136,7 +140,6 @@ _FRONT = [
     "events_zscore",
     "events_median_udaf",
     "events_hll_daily_merge",
-    "events_hll_type_overlap",
 ]
 _FILL: list[str] = []
 _TAIL = [

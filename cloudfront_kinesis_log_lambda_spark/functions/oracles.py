@@ -920,7 +920,7 @@ ORACLE_SQL: dict[str, str] = {
         FROM s
     """,
     "doc_exact_dedup": r"""
-        SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
                MIN(doc_id) AS representative,
                COUNT(*)    AS n_copies
         FROM documents

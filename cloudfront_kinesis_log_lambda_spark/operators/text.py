@@ -134,9 +134,17 @@ def lang_id(docs: DataFrame) -> DataFrame:
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the whitespace-normalized, lowercased
-    text — the exact-dedup key that survives cosmetic reformatting."""
+    text — the exact-dedup key that survives cosmetic reformatting.
+
+    Order matters: collapse whitespace FIRST, then trim. ``trim`` (both
+    engines) strips SPACES only, so the old trim-first spelling let a
+    leading/trailing tab survive collapse as an edge space — 'X' and
+    'X\\t' fingerprinted differently, defeating the operator's whole
+    purpose (found by the hypothesis normalization replay). Collapsing
+    first turns every edge-whitespace run into a space trim does
+    remove."""
     docs = ensure_parallelism(docs)
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
         F.md5(F.encode(norm, "UTF-8")).alias("fp"),
