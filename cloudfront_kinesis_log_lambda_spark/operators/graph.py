@@ -201,9 +201,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
       of the (y, z) two-column key — half the sort/hash-probe work on
       the wedge stream, which is the largest relation in the plan. The
       pack is injective only while every node id fits 31 bits, so it
-      is GATED on the observed max id (one tiny aggregate over the
-      checkpointed edge list); wider ids fall back to the two-column
-      join — correct at any scale, packed whenever it is safe;
+      is GATED on the observed id RANGE — min ≥ 0 AND max < 2³¹, both
+      from one tiny aggregate over the checkpointed edge list (a
+      negative id breaks injectivity even under a small max); ids
+      outside that range fall back to the two-column join — correct at
+      any scale, packed whenever it is safe;
     - per-corner counts explode ONE pass of the triangle stream
       (``explode(array(x, y, z))``) instead of a 3-branch union of
       projections — the union re-ran the closing join per branch
@@ -250,13 +252,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         (F.col("dy") < F.col("dz"))
         | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
     )
-    # packed-key gate: injective only while ids fit 31 bits (signed
-    # 64-bit product bound); the probe is one tiny job over the
-    # already-checkpointed edge list
-    max_id = edges.agg(
-        F.max(F.greatest(F.col("a"), F.col("b"))).alias("m")
-    ).collect()[0]["m"]
-    if max_id is not None and 0 <= max_id < (1 << 31):
+    # packed-key gate: injective only while every id is in [0, 2^31)
+    # (signed 64-bit product bound; a NEGATIVE id breaks injectivity
+    # even when the max is small — (y, 0) collides with (y+1, -2^32) —
+    # so the min is probed alongside the max); the probe is one tiny
+    # job over the already-checkpointed edge list
+    bounds = edges.agg(
+        F.min(F.least(F.col("a"), F.col("b"))).alias("lo"),
+        F.max(F.greatest(F.col("a"), F.col("b"))).alias("hi"),
+    ).collect()[0]
+    min_id, max_id = bounds["lo"], bounds["hi"]
+    if max_id is not None and 0 <= min_id and max_id < (1 << 31):
         pack = F.lit(1 << 32)
         wedges = wedges.select(
             "x", (F.col("y") * pack + F.col("z")).alias("yz")

@@ -219,3 +219,39 @@ def test_triangle_stats_wide_ids_take_fallback_join(spark):
         for r in G.triangle_stats(df).collect()
     }
     assert got == {v: (3, 3, 1.0) for v in nodes}
+
+
+def test_triangle_stats_negative_ids_take_fallback_join(spark):
+    """A NEGATIVE id breaks packed-key injectivity even when the max id
+    is small — (y, 0) collides with (y+1, -2³²) — so the gate must
+    probe the min id too and fall back. Census on K4 with mixed-sign
+    ids must be exact."""
+    nodes = [-(1 << 33), -7, 0, 5]
+    edges = [(a, b) for a, b in combinations(nodes, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in G.triangle_stats(df).collect()
+    }
+    assert got == {v: (3, 3, 1.0) for v in nodes}
+
+
+def test_triangle_stats_adversarial_packed_collision_pair(spark):
+    """The exact collision pair from the injectivity argument: the
+    wedge (y=3, z=5) packs to 3·2³²+5, and an unrelated closing edge
+    (4, 5−2³²) packs to 4·2³² + (5−2³²) = the SAME long. A correct
+    gate (min id < 0 → fallback) keeps them distinct; the pre-fix
+    packed path would close the wedge with the ghost edge and invent a
+    triangle in a triangle-free forest."""
+    ghost = 5 - (1 << 32)
+    edges = [
+        (1, 3), (1, 5),          # wedge (3, 5) centred at 1
+        (4, ghost),              # the colliding closer edge
+        # pendants pin the degree orientation: deg(3)=deg(5)=deg(ghost)=3
+        # > deg(1)=2 > deg(4)=1, so (1,3)/(1,5) orient s=1 (wedge forms)
+        # and (4, ghost) orients s=4, t=ghost (the colliding direction)
+        (3, 100), (3, 101), (5, 102), (5, 103), (ghost, 200), (ghost, 201),
+    ]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["triangles"] for r in G.triangle_stats(df).collect()}
+    assert all(t == 0 for t in got.values()), got

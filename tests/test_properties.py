@@ -336,7 +336,7 @@ def test_global_shuffle_is_a_permutation(spark, doc_ids, n_shards):
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
-        st.text(alphabet="ab X\t", min_size=0, max_size=12),
+        st.text(alphabet="ab X\t\n\x0b\f\r", min_size=0, max_size=12),
         min_size=1,
         max_size=40,
     )
@@ -360,9 +360,19 @@ def test_exact_dedup_idempotent_and_normalization_faithful(spark, texts):
         r["representative"]: r["n_copies"]
         for r in exact_dedup(docs).collect()
     }
+    # Replay the ENGINE's exact semantics (text.py fingerprint): lower,
+    # collapse Java-regex \s = [ \t\n\x0b\f\r] runs to one space, then
+    # trim SPACES only. Python's str.strip()/re \s are wider (NBSP,
+    # \x85) — using them here would fail against correct operator
+    # output if the alphabet ever grows past ASCII. (str.lower() parity
+    # with Spark lower() holds for ASCII; keep the alphabet ASCII or
+    # replay case folding too.)
+    def _norm(t: str) -> str:
+        return _re.sub(r"[ \t\n\x0b\f\r]+", " ", t.lower()).strip(" ")
+
     groups: dict[str, list[int]] = {}
     for i, t in enumerate(texts):
-        groups.setdefault(_re.sub(r"\s+", " ", t.strip().lower()), []).append(i)
+        groups.setdefault(_norm(t), []).append(i)
     want = {min(ids): len(ids) for ids in groups.values()}
     assert got == want
     kept = docs.filter(

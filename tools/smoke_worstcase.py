@@ -39,14 +39,15 @@ from pyspark.sql import functions as F
 
 
 def force(df) -> int:
-    """Honest wall: noop-write the FULL plan, then count the (tiny)
-    result separately. A bare ``.count()`` is NOT a valid wall for a
-    plan ending in a key-preserving outer join — Catalyst eliminates
-    the join (and its whole subtree) under count when the right side
-    is a unique-key aggregate; measured on part_triangle_stats, count
-    skipped the entire wedge/closing-join computation and reported the
-    degree table's wall (r9, BASELINE.md). The count here runs AFTER
-    the timed window closes in every caller."""
+    """Honest wall: noop-write the FULL plan. A bare ``.count()`` is
+    NOT a valid wall for a plan ending in a key-preserving outer
+    join — Catalyst eliminates the join (and its whole subtree) under
+    count when the right side is a unique-key aggregate; measured on
+    part_triangle_stats, count skipped the entire wedge/closing-join
+    computation and reported the degree table's wall (r9, BASELINE.md).
+    Returns -1: no row count is produced (counting would need a second
+    plan execution outside the timed window; callers that want row
+    counts do their own count after timing)."""
     df.write.format("noop").mode("overwrite").save()
     return -1
 
