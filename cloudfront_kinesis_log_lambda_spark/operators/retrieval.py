@@ -220,6 +220,96 @@ def rrf_fuse(bm25: DataFrame, cos: DataFrame) -> DataFrame:
 EVAL_CUTOFF = 10
 
 
+def ranking_metrics(
+    ranked: DataFrame,
+    n_rel: DataFrame,
+    pool_k: int,
+    cutoff: int = EVAL_CUTOFF,
+) -> DataFrame:
+    """Metric core of :func:`retrieval_eval_metrics`, split out so the
+    arithmetic is testable against a pure-Python ranking replay with an
+    INJECTED pool (r10 hardening — before this the only oracle mirrored
+    the plan shape, never challenged the math).
+
+    Contract:
+
+    - ``ranked``: one row per pooled result — ``r`` (1-based rank,
+      unique across rows; no ordering requirement, every aggregate here
+      is order-free) and ``rel`` (0/1 relevance).
+    - ``n_rel``: exactly one row, ``n_relevant_total`` ≥ 0 — corpus-wide
+      relevant count (in-pool relevants are a subset).
+    - Output: one row (k, n_relevant_total, n_relevant_in_pool, mrr,
+      precision_at_{cutoff}, ndcg_at_{cutoff}); an EMPTY pool yields
+      zeros, and ``n_relevant_total = 0`` yields ndcg NULL (0/0 is
+      undefined — before r10 the idcg spine produced zero rows and the
+      whole metrics row silently vanished).
+    - Numerics (the oracle-exactness policy): DCG/IDCG terms
+      1/log2(r+1) are ROUND(·,9)-quantized then summed as
+      DECIMAL(18,9) — order-free exact; MRR is one exact division;
+      everything reported at ROUND(·,6).
+
+    The IDCG spine is ``sequence(1, least(cutoff, n))`` folded with
+    ``aggregate`` on the single ``n_rel`` row — constant work, no
+    range/cross-join, and total for n = 0 by the guard.
+    """
+    cut = F.lit(cutoff)
+    dcg_term = F.when(
+        (F.col("r") <= cut) & (F.col("rel") == 1),
+        F.round(
+            F.lit(1.0)
+            / (F.log(F.col("r").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
+            9,
+        ).cast("decimal(18,9)"),
+    ).otherwise(F.lit(0).cast("decimal(18,9)"))
+    agg = ranked.agg(
+        F.max(
+            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("r").cast("double"))
+        ).alias("mrr_raw"),
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("r") <= cut, F.col("rel")).otherwise(F.lit(0))),
+                F.lit(0),
+            ).cast("double")
+            / cut.cast("double")
+        ).alias("p_at_k"),
+        F.coalesce(F.sum(dcg_term), F.lit(0).cast("decimal(18,9)")).alias("dcg"),
+        F.coalesce(F.sum("rel"), F.lit(0)).cast("long").alias(
+            "n_relevant_in_pool"
+        ),
+    )
+    idcg = n_rel.select(
+        "n_relevant_total",
+        F.when(
+            F.col("n_relevant_total") >= 1,
+            F.expr(
+                # the inner CAST back to DECIMAL(18,9) keeps the lambda's
+                # type equal to the accumulator's (decimal + widens to
+                # 19,9); ≤ cutoff terms each < 1.0 can't overflow it
+                f"aggregate(sequence(1L, least(CAST({cutoff} AS BIGINT),"
+                " n_relevant_total)), CAST(0 AS DECIMAL(18,9)),"
+                " (acc, i) -> CAST(acc + CAST(round(1.0D /"
+                " (ln(CAST(i AS DOUBLE) + 1.0D) / ln(2.0D)), 9)"
+                " AS DECIMAL(18,9)) AS DECIMAL(18,9)))"
+            ),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,9)"))
+        .alias("idcg"),
+    )
+    return agg.crossJoin(F.broadcast(idcg)).select(
+        F.lit(pool_k).cast("long").alias("k"),
+        "n_relevant_total",
+        "n_relevant_in_pool",
+        F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 6).alias("mrr"),
+        F.round(F.col("p_at_k"), 6).alias("precision_at_10"),
+        F.when(
+            F.col("idcg") > 0,
+            F.round(
+                F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+            ),
+        ).alias("ndcg_at_10"),
+    )
+
+
 def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality metrics for the semantic retrieval path — the
     evaluation harness a retrieval stack ships with: MRR,
@@ -236,7 +326,10 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the ranker is the bounded cosine_topk plan; metrics
     run on the RRF_POOL-row remnant plus one broadcast label row and a
-    10-row IDCG spine — constant work after the scan.
+    sequence-fold IDCG on the 1-row total — constant work after the
+    scan. The arithmetic lives in :func:`ranking_metrics` (injected
+    pool, fuzzed against a pure-Python replay in
+    tests/test_ranking_metrics_fuzz.py).
     """
     from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
         cosine_topk,
@@ -254,26 +347,6 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(qlab))
         .withColumn("rel", (F.col("label") == F.col("qlabel")).cast("int"))
     )
-    cut = F.lit(EVAL_CUTOFF)
-    dcg_term = F.when(
-        (F.col("r") <= cut) & (F.col("rel") == 1),
-        F.round(
-            F.lit(1.0) / (F.log(F.col("r").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
-            9,
-        ).cast("decimal(18,9)"),
-    ).otherwise(F.lit(0).cast("decimal(18,9)"))
-    agg = ranked.agg(
-        F.max(
-            F.when(F.col("rel") == 1, F.lit(1.0) / F.col("r").cast("double"))
-        ).alias("mrr_raw"),
-        (
-            F.sum(F.when(F.col("r") <= cut, F.col("rel")).otherwise(F.lit(0)))
-            .cast("double")
-            / cut.cast("double")
-        ).alias("p_at_k"),
-        F.sum(dcg_term).alias("dcg"),
-        F.sum("rel").cast("long").alias("n_relevant_in_pool"),
-    )
     n_rel = (
         emb.crossJoin(F.broadcast(qlab))
         .filter(
@@ -282,31 +355,7 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_relevant_total"))
     )
-    idcg = (
-        spark.range(1, EVAL_CUTOFF + 1)
-        .crossJoin(F.broadcast(n_rel))
-        .filter(F.col("id") <= F.least(cut.cast("long"), F.col("n_relevant_total")))
-        .groupBy("n_relevant_total")
-        .agg(
-            F.sum(
-                F.round(
-                    F.lit(1.0)
-                    / (F.log(F.col("id").cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))),
-                    9,
-                ).cast("decimal(18,9)")
-            ).alias("idcg")
-        )
-    )
-    return agg.crossJoin(F.broadcast(idcg)).select(
-        F.lit(RRF_POOL).cast("long").alias("k"),
-        "n_relevant_total",
-        "n_relevant_in_pool",
-        F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 6).alias("mrr"),
-        F.round(F.col("p_at_k"), 6).alias("precision_at_10"),
-        F.round(
-            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
-        ).alias("ndcg_at_10"),
-    )
+    return ranking_metrics(ranked, n_rel, pool_k=RRF_POOL)
 
 
 def index_from_tf(tf: DataFrame, min_df: int = INDEX_MIN_DF) -> DataFrame:
