@@ -1,0 +1,256 @@
+"""Hypothesis properties for the batch-store idempotence SPECTRUM
+(streaming/store.py) over RANDOM re-delivery schedules.
+
+The per-store tests (test_streaming_*.py) each pin ONE retry shape.
+This file drives the shared primitives — read_batch_store /
+read_batch_store_before / fold_batch_store + ``batch=<id>`` overwrite —
+through randomized schedules of newest-batch retries with maintenance
+folds interleaved, across the four merge-contract classes the stores
+implement:
+
+- MAX       — retry-safe for free (per-batch content is input-pure);
+- SUM       — retry-safe ONLY via the exclude-current-batch read (the
+              writer's emitted state depends on prior totals);
+- TOP-K     — top-k-of-union state, same exclude-current dependence;
+- FACT-SET  — anti-join append; the strongest class: idempotent even
+              under NEW-batch-id re-delivery of old rows.
+
+Property: the store's full visible content after any valid schedule
+equals the content after the clean one-run-per-batch schedule.
+Structured Streaming's retry model is "only the newest batch re-runs",
+and a maintenance fold may race any of it (fold keeps the newest batch
+as a delta, so the exclude-current contract stays satisfiable).
+
+The r9 properties found a real operator bug in three tries; these
+target the next-highest-density seam (r9 VERDICT item 6).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cloudfront_kinesis_log_lambda_spark.streaming.store import (
+    fold_batch_store,
+    read_batch_store,
+)
+
+TOPK = 3
+
+# --- the four writer models -------------------------------------------------
+# Each: (schema, writer(spark, path, rows, bid), final(spark, path) -> rows)
+
+
+def _write(df, path: str, bid: int) -> None:
+    df.write.mode("overwrite").parquet(os.path.join(path, f"batch={bid}"))
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema) if rows else (
+        spark.createDataFrame([], schema)
+    )
+
+
+MAX_SCHEMA = "key string, val long"
+
+
+def max_writer(spark, path, rows, bid):
+    df = _mk(spark, rows, MAX_SCHEMA)
+    _write(df.groupBy("key").agg(F.max("val").alias("val")), path, bid)
+
+
+def max_final(spark, path):
+    return (
+        read_batch_store(spark, path, MAX_SCHEMA, -1)
+        .groupBy("key")
+        .agg(F.max("val").alias("val"))
+        .collect()
+    )
+
+
+SUM_SCHEMA = "key string, partial long, prior long"
+
+
+def sum_writer(spark, path, rows, bid):
+    """The exclude-current-batch contract made load-bearing: the row a
+    batch writes CONTAINS the prior total it observed, so a retry that
+    saw its own half-written partition would write DIFFERENT bytes and
+    break overwrite idempotence."""
+    batch = _mk(spark, rows, MAX_SCHEMA)
+    partial = batch.groupBy("key").agg(F.sum("val").alias("partial"))
+    prior = (
+        read_batch_store(spark, path, SUM_SCHEMA, bid)
+        .groupBy("key")
+        .agg(F.sum("partial").alias("prior"))
+    )
+    out = (
+        partial.join(prior, "key", "left")
+        .select("key", "partial", F.coalesce("prior", F.lit(0)).alias("prior"))
+    )
+    _write(out, path, bid)
+
+
+def sum_final(spark, path):
+    # FULL content (totals AND every observed prior) — catches a retry
+    # that recomputed against the wrong state even when totals survive
+    return read_batch_store(spark, path, SUM_SCHEMA, -1).collect()
+
+
+def topk_writer(spark, path, rows, bid):
+    batch = _mk(spark, rows, MAX_SCHEMA)
+    prior = read_batch_store(spark, path, MAX_SCHEMA, bid)
+    out = (
+        prior.unionByName(batch)
+        .groupBy("key")
+        .agg(F.max("val").alias("val"))
+        .orderBy(F.col("val").desc(), F.col("key").asc())
+        .limit(TOPK)
+    )
+    _write(out, path, bid)
+
+
+def topk_final(spark, path):
+    return (
+        read_batch_store(spark, path, MAX_SCHEMA, -1)
+        .groupBy("key")
+        .agg(F.max("val").alias("val"))
+        .orderBy(F.col("val").desc(), F.col("key").asc())
+        .limit(TOPK)
+        .collect()
+    )
+
+
+FACT_SCHEMA = "key string, val long"
+
+
+def fact_writer(spark, path, rows, bid):
+    batch = _mk(spark, rows, FACT_SCHEMA).distinct()
+    prior = read_batch_store(spark, path, FACT_SCHEMA, bid)
+    _write(batch.join(prior, ["key", "val"], "left_anti"), path, bid)
+
+
+def fact_final(spark, path):
+    return read_batch_store(spark, path, FACT_SCHEMA, -1).distinct().collect()
+
+
+CLASSES = {
+    "max": (max_writer, max_final),
+    "sum": (sum_writer, sum_final),
+    "topk": (topk_writer, topk_final),
+    "factset": (fact_writer, fact_final),
+}
+
+
+# --- schedule interpreter ---------------------------------------------------
+
+_rows_st = st.lists(
+    st.tuples(st.sampled_from("abcd"), st.integers(0, 20)),
+    min_size=0,
+    max_size=5,
+)
+# per batch: (rows, n_retries, fold_between_runs, fold_after)
+_batch_st = st.tuples(
+    _rows_st, st.integers(0, 2), st.booleans(), st.booleans()
+)
+_schedule_st = st.lists(_batch_st, min_size=2, max_size=3)
+
+
+def _run_schedule(spark, cls, schedule, *, retries: bool):
+    writer, final = CLASSES[cls]
+    schema = {"sum": SUM_SCHEMA}.get(cls, MAX_SCHEMA)
+    d = tempfile.mkdtemp(prefix=f"storeprop-{cls}-")
+    path = os.path.join(d, "store")
+    try:
+        for bid, (rows, n_retry, fold_mid, fold_after) in enumerate(schedule):
+            rows = [(k, int(v)) for k, v in rows]
+            writer(spark, path, rows, bid)
+            if retries:
+                for j in range(n_retry):
+                    if fold_mid and j == 0 and os.path.isdir(path):
+                        # a maintenance fold racing the retry window:
+                        # keep_last=1 keeps THIS batch as a delta, so the
+                        # exclude-current read still resolves
+                        fold_batch_store(spark, path, schema, keep_last=1)
+                    writer(spark, path, rows, bid)
+                if fold_after and os.path.isdir(path):
+                    fold_batch_store(spark, path, schema, keep_last=1)
+        return sorted(map(tuple, final(spark, path)))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_schedule_st, st.sampled_from(sorted(CLASSES)))
+def test_store_contract_survives_retry_and_fold_schedules(
+    spark, schedule, cls
+):
+    clean = _run_schedule(spark, cls, schedule, retries=False)
+    stressed = _run_schedule(spark, cls, schedule, retries=True)
+    assert stressed == clean, (cls, schedule)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    _schedule_st,
+    st.lists(st.integers(0, 2), min_size=1, max_size=2),
+)
+def test_factset_survives_new_id_redelivery(spark, schedule, redeliver):
+    """The fact-set class alone is idempotent under re-delivery with a
+    FRESH batch id (at-least-once upstream): the anti-join against the
+    exclude-current read suppresses every already-stored fact."""
+    writer, final = CLASSES["factset"]
+    d = tempfile.mkdtemp(prefix="storeprop-redeliver-")
+    path = os.path.join(d, "store")
+    try:
+        for bid, (rows, *_rest) in enumerate(schedule):
+            writer(spark, path, [(k, int(v)) for k, v in rows], bid)
+        clean = sorted(map(tuple, final(spark, path)))
+        nxt = len(schedule)
+        for i, src in enumerate(redeliver):
+            src_rows = schedule[src % len(schedule)][0]
+            writer(spark, path, [(k, int(v)) for k, v in src_rows], nxt + i)
+        assert sorted(map(tuple, final(spark, path))) == clean
+        # and the re-delivery partitions are literally empty: the raw
+        # (pre-distinct) store holds exactly the clean fact set
+        raw = read_batch_store(spark, path, FACT_SCHEMA, -1).count()
+        assert raw == len(clean)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sum_writer_depends_on_exclude_current(spark):
+    """Teeth check: the SUM class is NOT retry-safe without the
+    exclude-current read — a retry reading its own partition doubles
+    the prior it records. Verifies the property would fail on the
+    broken contract rather than passing vacuously."""
+    d = tempfile.mkdtemp(prefix="storeprop-teeth-")
+    path = os.path.join(d, "store")
+    try:
+        sum_writer(spark, path, [("a", 5)], 0)
+        sum_writer(spark, path, [("a", 3)], 1)
+        before = sorted(map(tuple, sum_final(spark, path)))
+
+        # broken retry: exclude_batch = -1 (sees its own batch=1 rows)
+        batch = _mk(spark, [("a", 3)], MAX_SCHEMA)
+        partial = batch.groupBy("key").agg(F.sum("val").alias("partial"))
+        prior = (
+            read_batch_store(spark, path, SUM_SCHEMA, -1)
+            .groupBy("key")
+            .agg(F.sum("partial").alias("prior"))
+        )
+        out = partial.join(prior, "key", "left").select(
+            "key", "partial", F.coalesce("prior", F.lit(0)).alias("prior")
+        )
+        _write(out, path, 1)
+        after = sorted(map(tuple, sum_final(spark, path)))
+        assert after != before  # the broken read corrupts state
+        # and the correct retry restores it
+        sum_writer(spark, path, [("a", 3)], 1)
+        assert sorted(map(tuple, sum_final(spark, path))) == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
