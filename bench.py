@@ -26,6 +26,17 @@ median-based total alongside the min-based headline so the BASELINE.md
 median-of-3 number has an estimator-consistent twin; the two headline
 aggregates that drifted on the driver box (pricing_summary,
 revenue_by_segment) run 8 reps instead of 4.
+
+Round-10 protocol fix (VERDICT r9 item 3 — the minhash median-vs-min
+gap): every query now gets ONE untimed warm rep before its timed reps,
+and persisted RDDs are released BETWEEN reps, not only between queries.
+The first execution of a plan pays whole-stage codegen + first file
+listing (measured: minhash in-order reps 7.8, 2.8, 2.3, 2.2, ... — the
+cold rep alone was the r9 "median 1.84 vs best 1.42" flag), and
+accumulating checkpoint pins made un-released reps ~10% slower. The
+min-based headline is unchanged in meaning (min never selected the
+cold rep); the medians now measure warm steady-state, which is what
+they claimed to measure.
 """
 
 from __future__ import annotations
@@ -335,15 +346,28 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         canaries.append(canary_run(spark))
+        # one untimed warm rep per query: the first execution of a plan
+        # pays whole-stage codegen + first file listing (measured r10:
+        # minhash rep sequence 7.8, 2.8, 2.3, 2.2 ... — the 7.8 was the
+        # entire median-vs-min gap flagged in r9). min() never selected
+        # the cold rep anyway, so the headline is unchanged; the median
+        # now measures the warm steady-state cost, which is the number
+        # the per-query medians claim to be.
+        force(fn(spark, sf_dir))
+        release_persisted(spark)
         reps = []
         for _ in range(max(REPS, EXTRA_REPS.get(name, 0))):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             reps.append(time.perf_counter() - t0)
+            # drop checkpoint/cache pins BETWEEN reps, not just between
+            # queries: 8 accumulating minhash reps measured ~10% slower
+            # than released ones (storage-memory pressure) — the release
+            # sits outside the perf_counter window either way
+            release_persisted(spark)
         reps.sort()
         timings[name] = round(reps[0], 3)
         medians[name] = round(_median(reps), 3)
-        release_persisted(spark)
         print(f"# {name}: {timings[name]}s (runs: {[round(r, 3) for r in reps]})",
               file=sys.stderr)
     canary = {
