@@ -60,86 +60,85 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r9 WINDOW MATH (standing policy above, restated at the CURRENT
-    # counts so the two statements agree): 176 registry entries, 158
-    # oracle-backed, 18 rows-only. 158 oracle entries / 50 slots →
-    # rotation period 3.16 rounds, so the honest steady-state
-    # invariant is "every oracle entry ≤3 rounds stale", with a small
-    # tail briefly at 4 while the r8 growth debt drains (the r8
-    # comment's "134 entries / ≤2 rounds" was written mid-round before
-    # 24 more entries landed — superseded by this paragraph).
+    # r10 WINDOW MATH (standing policy above at the CURRENT counts):
+    # 176 registry entries, 158 oracle-backed, 18 rows-only. 158 / 50
+    # slots → rotation period 3.16 rounds → steady-state invariant
+    # "every oracle entry ≤3 rounds stale". Staleness after r9
+    # (union of CORRECTNESS_r01..r09 latest green rows): r6×15,
+    # r7×48, r8×45, r9×50.
     #
-    # This round's 50 = 6 changed implementations + the 32 r5-green
-    # deferrals (4 rounds stale — the debt named at r8 close) + the 12
-    # stalest r6 greens. Still owed to r10: the remaining 16 r6 greens
-    # (events_hll_type_overlap, doc_token_stats, doc_lang_id, doc_tfidf_topk, doc_exact_dedup, doc_repetition, doc_pii_scrub,
-    # doc_chunks_udtf, events_tumbling_windows, cosine_topk_multi_query,
-    # doc_curation_funnel, doc_split_assign, doc_pack_sequences,
-    # scd2_incremental_roundtrip, training_shards_roundtrip,
-    # kinesis_exactly_once_rollup) + the oldest r7 greens.
+    # This round's 50 = 2 changed implementations + the 15 r6-stale
+    # entries (the debt named at r9 close — all of them lead) + the
+    # 33 alphabetically-first r7 greens. Owed to r11: the remaining
+    # 15 r7 greens (purchases_asof_view, purchases_next_view,
+    # region_nations_agg, revenue_by_segment, rollup_returns,
+    # running_customer_spend, scalar_function_showcase,
+    # sessionize_events, supplier_nation_outer, theta_join_price_band,
+    # top_event_per_user, top_orders_per_customer,
+    # unpivot_order_metrics, word_countmin_incremental,
+    # word_countmin_topk — exactly 3 rounds stale at r11, so they MUST
+    # lead), topped up with the oldest r8 greens (45 candidates, 3
+    # rounds stale at r11) minus slots for r11-changed code.
     #
-    # rule 1: changed this round — the ADVICE r8 fixes (both provably
-    # output-identical on gate inputs: NULL-category filter over
-    # non-null gate columns, n>0 guard over non-empty gate history)
-    # and the triangle-census plan rewrite (packed closing-join key +
-    # single-pass corner explode, 14.4 s → 6.4 s at sf0.1) and the
-    # pagerank checkpoint-interval change (ckpt_every=2, 3.95 → 2.86 s;
-    # both outputs proven identical) and the fingerprint normalization
-    # fix (collapse-then-trim on BOTH engines — edge tabs no longer
-    # split a dedup group; hypothesis found it; outputs identical on
-    # the clean gate corpus) — changed code re-verifies:
-    "events_chi2_type_hour",
-    "events_chi2_incremental",
-    "orders_quality_incremental",
+    # rule 1: changed this round — the packed-triangle-join gate now
+    # probes min id ≥ 0 alongside max < 2³¹ (ADVICE r9; output
+    # identical on the non-negative gate keys, proven by the oracle
+    # rerun) and retrieval_eval_metrics' arithmetic moved into the
+    # injected-pool ranking_metrics core (sequence-fold IDCG, total
+    # edge semantics; output identical on gate data, oracle rerun
+    # green) — changed code re-verifies:
     "part_triangle_stats",
-    "nation_pagerank",
-    "doc_exact_dedup",
-    # rule 2a: the 32 r5-green entries, 4 rounds stale
-    "sql_market_share",
-    "recent_orders_lateral",
-    "grouping_sets_revenue",
-    "parts_above_brand_avg",
-    "orders_with_max_item",
-    "order_price_percentiles",
-    "decimal_revenue_exact",
-    "events_variant_props",
-    "events_funnel",
-    "events_pattern_match",
-    "events_retention_cohorts",
-    "user_value_scd2",
-    "parquet_roundtrip_daily",
-    "events_zorder_roundtrip",
-    "purchases_asof_cogroup",
-    "events_sliding_windows",
-    "events_session_windows",
-    "events_interval_join",
-    "embedding_norms",
-    "embedding_pairs_exact",
-    "multimodal_features",
-    "near_dup_3gram",
-    "near_dup_clusters",
-    "doc_unigram_logprob",
-    "doc_source_quota",
-    "doc_mixture_sample",
-    "doc_gram_novelty",
-    "doc_quality_sample",
-    "doc_table_profile",
-    "multimodal_asset_dedup",
-    "embedding_quantize_int8",
-    "matryoshka_topk",
-    # rule 2b: the 12 stalest r6 greens
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "shipping_priority",
-    "order_price_delta",
-    "customer_value_ntile",
-    "top_orders",
-    "doc_pack_sequences_sql",
-    "doc_word_explode",
-    "events_range_join",
-    "events_zscore",
-    "events_median_udaf",
-    "events_hll_daily_merge",
+    "retrieval_eval_metrics",
+    # rule 2a: the 15 r6-green entries, 4 rounds stale — all lead
+    "cosine_topk_multi_query",
+    "doc_chunks_udtf",
+    "doc_curation_funnel",
+    "doc_lang_id",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_repetition",
+    "doc_split_assign",
+    "doc_tfidf_topk",
+    "doc_token_stats",
+    "events_hll_type_overlap",
+    "events_tumbling_windows",
+    "kinesis_exactly_once_rollup",
+    "scd2_incremental_roundtrip",
+    "training_shards_roundtrip",
+    # rule 2b: the 33 alphabetically-first of the 48 r7 greens
+    "attribution_last_touch",
+    "conditional_agg_status",
+    "cube_orders",
+    "customer_rollup_diff",
+    "customers_per_region",
+    "distinct_suppliers_per_flag",
+    "doc_bm25_topk",
+    "doc_bpe_tokens",
+    "doc_quality",
+    "doc_subword_tokens",
+    "doc_weighted_sample",
+    "doc_weighted_sample_incremental",
+    "event_transitions",
+    "event_transitions_incremental",
+    "events_ddsketch_incremental",
+    "events_ewma",
+    "events_gapfill",
+    "events_hll_incremental",
+    "events_hll_users",
+    "events_hourly",
+    "events_json_props",
+    "events_mad_outliers",
+    "events_metric_map",
+    "events_moving_hour_sum",
+    "events_ohlc",
+    "events_value_ddsketch",
+    "filtered_revenue",
+    "group_having",
+    "nation_set_ops",
+    "order_item_arrays",
+    "order_price_histogram",
+    "pivot_qty_by_linestatus",
+    "pricing_summary",
 ]
 _FILL: list[str] = []
 _TAIL = [
