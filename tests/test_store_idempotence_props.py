@@ -223,6 +223,147 @@ def test_factset_survives_new_id_redelivery(spark, schedule, redeliver):
         shutil.rmtree(d, ignore_errors=True)
 
 
+# --- fifth class: the order-dependent fold (FoldStateStore) -----------------
+
+FOLD_SCHEMA = "user_id string, last_ts long, last_id long, acc double"
+_EVENT_SCHEMA = "user_id string, ts long, event_id long, value double"
+
+
+def _fold_store(path):
+    from cloudfront_kinesis_log_lambda_spark.streaming.foldstate import (
+        FoldStateStore,
+    )
+
+    # FoldStateStore appends "state/" itself
+    return FoldStateStore(path, FOLD_SCHEMA, ("acc",))
+
+
+def _fold_writer(spark, store, rows, bid, *, seed_mode="asof"):
+    """The EWMA/Holt twin shape: seed from strictly-before state, fold
+    the batch's events in (ts, event_id) order, write cumulative rows.
+    seed_mode='exclude' is the deliberately WEAKER contract used by the
+    teeth test (sees later batches on old-batch replay)."""
+    batch = (
+        spark.createDataFrame(rows, _EVENT_SCHEMA)
+        if rows
+        else spark.createDataFrame([], _EVENT_SCHEMA)
+    )
+    seed = store.state(
+        spark, before_batch=bid if seed_mode == "asof" else None
+    )
+    series = batch.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "series"
+        )
+    )
+    out = series.join(seed, "user_id", "left").select(
+        "user_id",
+        F.element_at("series", -1)["ts"].alias("last_ts"),
+        F.element_at("series", -1)["event_id"].alias("last_id"),
+        F.expr(
+            "aggregate(series, coalesce(acc, 0.0D),"
+            " (a, x) -> 0.5D * a + x.value)"
+        ).alias("acc"),
+    )
+    store.write(out, bid)
+
+
+_fold_rows_st = st.lists(
+    st.tuples(
+        st.sampled_from("ab"),
+        st.integers(0, 50),
+        st.integers(0, 99),
+        st.integers(0, 8),
+    ),
+    min_size=0,
+    max_size=4,
+)
+_fold_schedule_st = st.lists(
+    st.tuples(_fold_rows_st, st.integers(0, 2), st.booleans()),
+    min_size=2,
+    max_size=3,
+)
+
+
+def _norm_events(rows):
+    # distinct (user, ts, id) within a batch — collect_list would
+    # otherwise fold duplicate keys in nondeterministic multiplicity
+    seen = {}
+    for u, ts, eid, v in rows:
+        seen[(u, ts, eid)] = (u, int(ts), int(eid), float(v))
+    return list(seen.values())
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(_fold_schedule_st)
+def test_foldstate_asof_survives_retry_and_fold_schedules(spark, schedule):
+    """The order-dependent fold class (EWMA/Holt shape) through the
+    REAL FoldStateStore: newest-batch retries, with a maintenance fold
+    optionally racing the retry window, must leave the argmax-merged
+    state identical to the clean run — the as-of seed recomputes every
+    retry against exactly the pre-batch state."""
+
+    def run(stress):
+        d = tempfile.mkdtemp(prefix="foldprop-")
+        store = _fold_store(d)
+        try:
+            for bid, (rows, n_retry, fold_mid) in enumerate(schedule):
+                ev = _norm_events(rows)
+                _fold_writer(spark, store, ev, bid)
+                if stress:
+                    for j in range(n_retry):
+                        if fold_mid and j == 0:
+                            fold_batch_store(
+                                spark, store.state_dir, FOLD_SCHEMA, keep_last=1
+                            )
+                        _fold_writer(spark, store, ev, bid)
+            return sorted(map(tuple, store.state(spark).collect()))
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    assert run(True) == run(False), schedule
+
+
+def test_foldstate_old_batch_replay_needs_asof_not_exclude(spark):
+    """Checkpoint-replay of an OLD batch (crash recovery re-runs batch
+    i after batch i+1's state exists, no fold in between): the AS-OF
+    seed rewrites batch=i byte-identically; the weaker exclude-current
+    seed reads batch i+1's accumulator into batch i's partition and
+    corrupts the fold order — the r7 transitions retry bug class."""
+    b0 = [("a", 10, 1, 4.0)]
+    b1 = [("a", 20, 2, 2.0)]
+    d = tempfile.mkdtemp(prefix="foldreplay-")
+    store = _fold_store(d)
+    try:
+        _fold_writer(spark, store, b0, 0)
+        _fold_writer(spark, store, b1, 1)
+        clean = sorted(map(tuple, store.state(spark).collect()))
+        # acc = 0.5*(0.5*0 + 4) + 2 = 4.0
+        assert clean == [("a", 20, 2, 4.0)]
+
+        _fold_writer(spark, store, b0, 0)  # as-of replay of batch 0
+        assert sorted(map(tuple, store.state(spark).collect())) == clean
+
+        # teeth: exclude-current seed on the same replay reads batch
+        # 1's accumulator into batch 0's partition (acc 2.0 → 6.0).
+        # The argmax merge MASKS it (batch 1's high-water mark still
+        # wins) — the corruption surfaces the moment any later as-of
+        # read consumes batch 0, exactly how the r7 bug escaped the
+        # obvious check:
+        _fold_writer(spark, store, b0, 0, seed_mode="exclude")
+        assert sorted(map(tuple, store.state(spark).collect())) == clean
+        _fold_writer(spark, store, b1, 1)  # legitimate as-of retry of b1
+        corrupted = sorted(map(tuple, store.state(spark).collect()))
+        assert corrupted != clean  # seeded from the poisoned batch 0
+        assert corrupted == [("a", 20, 2, 5.0)]  # 0.5*6.0 + 2
+        # as-of replay of batch 0 then batch 1 repairs the chain
+        _fold_writer(spark, store, b0, 0)
+        _fold_writer(spark, store, b1, 1)
+        assert sorted(map(tuple, store.state(spark).collect())) == clean
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_sum_writer_depends_on_exclude_current(spark):
     """Teeth check: the SUM class is NOT retry-safe without the
     exclude-current read — a retry reading its own partition doubles
