@@ -1888,28 +1888,37 @@ ORACLE_SQL["retrieval_eval_metrics"] = f"""
     agg AS (
       SELECT MAX(CASE WHEN rel = 1
                       THEN 1.0 / CAST(r AS DOUBLE) END) AS mrr_raw,
-             CAST(SUM(CASE WHEN r <= {EVAL_CUTOFF} THEN rel ELSE 0 END)
+             CAST(COALESCE(SUM(CASE WHEN r <= {EVAL_CUTOFF}
+                                    THEN rel ELSE 0 END), 0)
                AS DOUBLE) / CAST({EVAL_CUTOFF} AS DOUBLE) AS p_at_k,
-             SUM(CASE WHEN r <= {EVAL_CUTOFF} AND rel = 1
+             COALESCE(SUM(CASE WHEN r <= {EVAL_CUTOFF} AND rel = 1
                       THEN CAST(ROUND(1.0 / (LN(CAST(r AS DOUBLE) + 1.0)
                                              / LN(2.0)), 9)
                              AS DECIMAL(18,9))
-                      ELSE CAST(0 AS DECIMAL(18,9)) END) AS dcg,
-             CAST(SUM(rel) AS BIGINT) AS n_relevant_in_pool
+                      ELSE CAST(0 AS DECIMAL(18,9)) END),
+                      CAST(0 AS DECIMAL(18,9))) AS dcg,
+             CAST(COALESCE(SUM(rel), 0) AS BIGINT) AS n_relevant_in_pool
       FROM ranked),
+    -- TOTAL edge semantics (mirrors ranking_metrics, r10): exactly one
+    -- idcg row even at n_relevant_total = 0 (the old GROUP BY emitted
+    -- zero rows there and the cross join vanished the metrics row),
+    -- and ndcg NULL when idcg = 0 (0/0 undefined)
     idcg AS (
       SELECT n_relevant_total,
-             SUM(CAST(ROUND(1.0 / (LN(CAST(i AS DOUBLE) + 1.0) / LN(2.0)),
-                            9) AS DECIMAL(18,9))) AS idcg
-      FROM range(1, {EVAL_CUTOFF} + 1) t(i), nrel
-      WHERE i <= LEAST({EVAL_CUTOFF}, n_relevant_total)
-      GROUP BY 1)
+             COALESCE((SELECT SUM(CAST(ROUND(1.0 / (LN(CAST(i AS DOUBLE)
+                                                       + 1.0) / LN(2.0)),
+                                              9) AS DECIMAL(18,9)))
+                       FROM range(1, {EVAL_CUTOFF} + 1) t(i)
+                       WHERE i <= LEAST({EVAL_CUTOFF}, n_relevant_total)),
+                      CAST(0 AS DECIMAL(18,9))) AS idcg
+      FROM nrel)
     SELECT CAST({RRF_POOL} AS BIGINT) AS k,
            n_relevant_total, n_relevant_in_pool,
            ROUND(COALESCE(mrr_raw, 0.0), 6) AS mrr,
            ROUND(p_at_k, 6) AS precision_at_10,
-           ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
-             AS ndcg_at_10
+           CASE WHEN idcg > 0
+                THEN ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+           END AS ndcg_at_10
     FROM agg CROSS JOIN idcg
 """
 

@@ -300,13 +300,13 @@ def ranking_metrics(
         "n_relevant_total",
         "n_relevant_in_pool",
         F.round(F.coalesce(F.col("mrr_raw"), F.lit(0.0)), 6).alias("mrr"),
-        F.round(F.col("p_at_k"), 6).alias("precision_at_10"),
+        F.round(F.col("p_at_k"), 6).alias(f"precision_at_{cutoff}"),
         F.when(
             F.col("idcg") > 0,
             F.round(
                 F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
             ),
-        ).alias("ndcg_at_10"),
+        ).alias(f"ndcg_at_{cutoff}"),
     )
 
 

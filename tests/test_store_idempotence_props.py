@@ -243,6 +243,10 @@ def _fold_writer(spark, store, rows, bid, *, seed_mode="asof"):
     the batch's events in (ts, event_id) order, write cumulative rows.
     seed_mode='exclude' is the deliberately WEAKER contract used by the
     teeth test (sees later batches on old-batch replay)."""
+    from cloudfront_kinesis_log_lambda_spark.streaming.foldstate import (
+        user_series,
+    )
+
     batch = (
         spark.createDataFrame(rows, _EVENT_SCHEMA)
         if rows
@@ -251,11 +255,9 @@ def _fold_writer(spark, store, rows, bid, *, seed_mode="asof"):
     seed = store.state(
         spark, before_batch=bid if seed_mode == "asof" else None
     )
-    series = batch.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
-            "series"
-        )
-    )
+    # the production series aggregate, so this property tracks the
+    # twins' actual sort contract (review finding r10)
+    series = user_series(batch)
     out = series.join(seed, "user_id", "left").select(
         "user_id",
         F.element_at("series", -1)["ts"].alias("last_ts"),

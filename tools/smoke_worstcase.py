@@ -83,7 +83,9 @@ def main_r8() -> None:
         t0 = time.monotonic()
         count = fn()
         dt = time.monotonic() - t0
-        print(f"{label}: {dt:.2f}s ({count} rows)")
+        # force() returns -1 (no row count): omit the rows suffix then
+        suffix = f" ({count} rows)" if count >= 0 else ""
+        print(f"{label}: {dt:.2f}s{suffix}")
         return dt
 
     from pyspark.sql import functions as F  # noqa: F811
@@ -244,7 +246,9 @@ def main() -> None:
         t0 = time.monotonic()
         count = fn()
         dt = time.monotonic() - t0
-        print(f"{label}: {dt:.2f}s ({count} rows)")
+        # force() returns -1 (no row count): omit the rows suffix then
+        suffix = f" ({count} rows)" if count >= 0 else ""
+        print(f"{label}: {dt:.2f}s{suffix}")
         return dt
 
     docs1 = docs.localCheckpoint(eager=True)
@@ -350,7 +354,9 @@ def main_r9() -> None:
         t0 = time.monotonic()
         count = fn()
         dt = time.monotonic() - t0
-        print(f"{label}: {dt:.2f}s ({count} rows)")
+        # force() returns -1 (no row count): omit the rows suffix then
+        suffix = f" ({count} rows)" if count >= 0 else ""
+        print(f"{label}: {dt:.2f}s{suffix}")
         return dt
 
     # ---- leg 1: hub part in every order ----
