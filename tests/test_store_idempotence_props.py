@@ -223,6 +223,50 @@ def test_factset_survives_new_id_redelivery(spark, schedule, redeliver):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_fold_crash_debris_is_invisible_and_swept(spark):
+    """Crash-point A of fold_batch_store (new generation written,
+    pointer NOT yet flipped) leaves an un-pointed ``_fold-*`` dir —
+    plus possibly a torn ``.tmp-`` pointer file. Both must be invisible
+    to every reader (even when the orphan holds POISON rows that would
+    corrupt the visible set) and swept by the next fold call."""
+    import json
+
+    writer, final = CLASSES["factset"]
+    d = tempfile.mkdtemp(prefix="foldcrash-")
+    path = os.path.join(d, "store")
+    try:
+        for bid, rows in enumerate([[("a", 1)], [("b", 2)], [("c", 3)]]):
+            writer(spark, path, rows, bid)
+        clean = sorted(map(tuple, final(spark, path)))
+        fold_batch_store(spark, path, FACT_SCHEMA, keep_last=1)
+        assert sorted(map(tuple, final(spark, path))) == clean
+
+        # crash debris: an orphaned generation full of poison rows and
+        # a torn pointer temp file
+        poison = spark.createDataFrame([("zz", 99)], FACT_SCHEMA)
+        poison.write.mode("overwrite").parquet(
+            os.path.join(path, "_fold-99")
+        )
+        with open(os.path.join(path, "_fold_pointer.json.tmp-777"), "w") as f:
+            f.write('{"gen": 99, "dir"')  # torn mid-write
+
+        assert sorted(map(tuple, final(spark, path))) == clean
+
+        # next maintenance call sweeps both; the real pointer survives
+        writer(spark, path, [("e", 5)], 3)
+        fold_batch_store(spark, path, FACT_SCHEMA, keep_last=1)
+        entries = set(os.listdir(path))
+        assert "_fold-99" not in entries
+        assert not any(".tmp-" in e for e in entries)
+        ptr = json.load(open(os.path.join(path, "_fold_pointer.json")))
+        assert os.path.isdir(os.path.join(path, ptr["dir"]))
+        assert sorted(map(tuple, final(spark, path))) == sorted(
+            clean + [("e", 5)]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 # --- fifth class: the order-dependent fold (FoldStateStore) -----------------
 
 FOLD_SCHEMA = "user_id string, last_ts long, last_id long, acc double"
