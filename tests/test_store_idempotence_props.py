@@ -223,6 +223,44 @@ def test_factset_survives_new_id_redelivery(spark, schedule, redeliver):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_lazy_reader_survives_one_racing_fold(spark):
+    """The store docstring's consistency bound, pinned: a reader that
+    resolved the pointer (plan built, directories listed) stays correct
+    across ONE maintenance fold racing it — absorbed deltas and the
+    previous generation survive as grace copies until the NEXT fold.
+    The plan here is built BEFORE the fold and collected AFTER it."""
+    writer, final = CLASSES["factset"]
+    d = tempfile.mkdtemp(prefix="foldrace-")
+    path = os.path.join(d, "store")
+    try:
+        for bid, rows in enumerate(
+            [[("a", 1)], [("b", 2)], [("c", 3)], [("d", 4)]]
+        ):
+            writer(spark, path, rows, bid)
+        clean = sorted(
+            map(tuple, read_batch_store(spark, path, FACT_SCHEMA, -1)
+                .distinct().collect())
+        )
+
+        lazy = read_batch_store(spark, path, FACT_SCHEMA, -1).distinct()
+        # the racing fold: absorbs batches 0-2 into a generation and
+        # sweeps — but the just-absorbed dirs are grace-kept
+        n = fold_batch_store(spark, path, FACT_SCHEMA, keep_last=1)
+        assert n == 3
+        assert sorted(map(tuple, lazy.collect())) == clean
+
+        # second race, one fold deeper: a FRESH plan built now, folded
+        # over again after new data, still collects correctly
+        writer(spark, path, [("e", 5)], 4)
+        lazy2 = read_batch_store(spark, path, FACT_SCHEMA, -1).distinct()
+        fold_batch_store(spark, path, FACT_SCHEMA, keep_last=1)
+        assert sorted(map(tuple, lazy2.collect())) == sorted(
+            clean + [("e", 5)]
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_fold_crash_debris_is_invisible_and_swept(spark):
     """Crash-point A of fold_batch_store (new generation written,
     pointer NOT yet flipped) leaves an un-pointed ``_fold-*`` dir —
