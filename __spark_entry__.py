@@ -60,85 +60,81 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r10 WINDOW MATH (standing policy above at the CURRENT counts):
+    # r11 WINDOW MATH (standing policy above at the CURRENT counts):
     # 176 registry entries, 158 oracle-backed, 18 rows-only. 158 / 50
     # slots → rotation period 3.16 rounds → steady-state invariant
-    # "every oracle entry ≤3 rounds stale". Staleness after r9
-    # (union of CORRECTNESS_r01..r09 latest green rows): r6×15,
-    # r7×48, r8×45, r9×50.
+    # "every oracle entry ≤3 rounds stale". Staleness after r10
+    # (union of CORRECTNESS_r01..r10 latest green rows): r7×15,
+    # r8×44, r9×49, r10×50.
     #
-    # This round's 50 = 2 changed implementations + the 15 r6-stale
-    # entries (the debt named at r9 close — all of them lead) + the
-    # 33 alphabetically-first r7 greens. Owed to r11: the remaining
-    # 15 r7 greens (purchases_asof_view, purchases_next_view,
-    # region_nations_agg, revenue_by_segment, rollup_returns,
-    # running_customer_spend, scalar_function_showcase,
-    # sessionize_events, supplier_nation_outer, theta_join_price_band,
-    # top_event_per_user, top_orders_per_customer,
-    # unpivot_order_metrics, word_countmin_incremental,
-    # word_countmin_topk — exactly 3 rounds stale at r11, so they MUST
-    # lead), topped up with the oldest r8 greens (45 candidates, 3
-    # rounds stale at r11) minus slots for r11-changed code.
+    # This round's 50 = 1 changed implementation + the 15 r7-stale
+    # entries (the debt pre-committed at r10 close — all of them
+    # lead) + the 34 alphabetically-first r8 greens. Owed to r12: the
+    # remaining 10 r8 greens (events_user_skew_profile,
+    # lineitem_corr_matrix, order_basket_rules,
+    # order_basket_rules_incremental, orders_benford_digits,
+    # orders_benford_incremental, orders_quality_checks,
+    # part_entity_resolution, part_fuzzy_pairs, top_conversion_paths
+    # — exactly 3 rounds stale at r12, so they MUST lead), topped up
+    # with the oldest r9 greens (49 candidates) minus slots for
+    # r12-changed code.
     #
-    # rule 1: changed this round — the packed-triangle-join gate now
-    # probes min id ≥ 0 alongside max < 2³¹ (ADVICE r9; output
-    # identical on the non-negative gate keys, proven by the oracle
-    # rerun) and retrieval_eval_metrics' arithmetic moved into the
-    # injected-pool ranking_metrics core (sequence-fold IDCG, total
-    # edge semantics; output identical on gate data, oracle rerun
-    # green) — changed code re-verifies:
-    "part_triangle_stats",
+    # rule 1: changed this round — ranking_metrics now ENFORCES the
+    # one-row n_rel contract (ADVICE r10: empty input coalesces to a
+    # zero row, >1 rows raise_error; output identical on gate data,
+    # oracle rerun green) — changed code re-verifies:
     "retrieval_eval_metrics",
-    # rule 2a: the 15 r6-green entries, 4 rounds stale — all lead
-    "cosine_topk_multi_query",
-    "doc_chunks_udtf",
-    "doc_curation_funnel",
-    "doc_lang_id",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_repetition",
-    "doc_split_assign",
-    "doc_tfidf_topk",
-    "doc_token_stats",
-    "events_hll_type_overlap",
-    "events_tumbling_windows",
-    "kinesis_exactly_once_rollup",
-    "scd2_incremental_roundtrip",
-    "training_shards_roundtrip",
-    # rule 2b: the 33 alphabetically-first of the 48 r7 greens
-    "attribution_last_touch",
-    "conditional_agg_status",
-    "cube_orders",
-    "customer_rollup_diff",
-    "customers_per_region",
-    "distinct_suppliers_per_flag",
-    "doc_bm25_topk",
-    "doc_bpe_tokens",
-    "doc_quality",
-    "doc_subword_tokens",
-    "doc_weighted_sample",
-    "doc_weighted_sample_incremental",
-    "event_transitions",
-    "event_transitions_incremental",
-    "events_ddsketch_incremental",
-    "events_ewma",
-    "events_gapfill",
-    "events_hll_incremental",
-    "events_hll_users",
-    "events_hourly",
-    "events_json_props",
-    "events_mad_outliers",
-    "events_metric_map",
-    "events_moving_hour_sum",
-    "events_ohlc",
-    "events_value_ddsketch",
-    "filtered_revenue",
-    "group_having",
-    "nation_set_ops",
-    "order_item_arrays",
-    "order_price_histogram",
-    "pivot_qty_by_linestatus",
-    "pricing_summary",
+    # rule 2a: the 15 r7-green entries, 4 rounds stale — all lead
+    "purchases_asof_view",
+    "purchases_next_view",
+    "region_nations_agg",
+    "revenue_by_segment",
+    "rollup_returns",
+    "running_customer_spend",
+    "scalar_function_showcase",
+    "sessionize_events",
+    "supplier_nation_outer",
+    "theta_join_price_band",
+    "top_event_per_user",
+    "top_orders_per_customer",
+    "unpivot_order_metrics",
+    "word_countmin_incremental",
+    "word_countmin_topk",
+    # rule 2b: the 34 alphabetically-first of the 44 r8 greens
+    "ann_quantized_topk",
+    "cosine_topk_bruteforce",
+    "doc_bigram_logprob",
+    "doc_block_dedup",
+    "doc_bm25_incremental",
+    "doc_collocations",
+    "doc_contamination",
+    "doc_decontaminate",
+    "doc_dedup_keep",
+    "doc_dup_span_stats",
+    "doc_global_shuffle",
+    "doc_hybrid_rrf",
+    "doc_hybrid_rrf_incremental",
+    "doc_inverted_index",
+    "doc_inverted_index_incremental",
+    "doc_sorted_neighbors",
+    "doc_sorted_neighbors_multipass",
+    "embedding_drift",
+    "embedding_drift_incremental",
+    "events_ab_conversion",
+    "events_cusum_changepoints",
+    "events_ewma_incremental",
+    "events_holt",
+    "events_holt_incremental",
+    "events_holt_winters",
+    "events_holt_winters_incremental",
+    "events_ks_drift",
+    "events_ks_incremental",
+    "events_linear_trend",
+    "events_linear_trend_incremental",
+    "events_ohlc_incremental",
+    "events_psi_drift",
+    "events_psi_drift_incremental",
+    "events_seasonal_outliers",
 ]
 _FILL: list[str] = []
 _TAIL = [

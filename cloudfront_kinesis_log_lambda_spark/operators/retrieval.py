@@ -237,7 +237,13 @@ def ranking_metrics(
       unique across rows; no ordering requirement, every aggregate here
       is order-free) and ``rel`` (0/1 relevance).
     - ``n_rel``: exactly one row, ``n_relevant_total`` ≥ 0 — corpus-wide
-      relevant count (in-pool relevants are a subset).
+      relevant count (in-pool relevants are a subset). ENFORCED (r11):
+      an empty ``n_rel`` coalesces to a single zero row (same semantics
+      as ``n_relevant_total = 0``); more than one row raises at
+      execution time — before this guard an empty input made
+      ``crossJoin(broadcast(idcg))`` silently emit zero rows, the same
+      vanishing-metrics-row failure mode the r10 refactor fixed for
+      ``n_relevant_total = 0``.
     - Output: one row (k, n_relevant_total, n_relevant_in_pool, mrr,
       precision_at_{cutoff}, ndcg_at_{cutoff}); an EMPTY pool yields
       zeros, and ``n_relevant_total = 0`` yields ndcg NULL (0/0 is
@@ -277,7 +283,32 @@ def ranking_metrics(
             "n_relevant_in_pool"
         ),
     )
-    idcg = n_rel.select(
+    # one-row contract guard (r11 ADVICE): aggregate to exactly one row —
+    # empty input → zero row (total, mirrors the empty-pool zeros
+    # semantics); >1 rows → raise_error so the violation fails loudly
+    # instead of duplicating/dropping the output row. Constant work: the
+    # input is already a scalar aggregate in every in-repo caller.
+    n_rel_one = n_rel.agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.coalesce(F.max("n_relevant_total"), F.lit(0))
+        .cast("long")
+        .alias("_n_total"),
+    ).select(
+        F.when(
+            F.col("_rows") > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "ranking_metrics: n_rel must have exactly one row, got "
+                    ),
+                    F.col("_rows").cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("_n_total"))
+        .alias("n_relevant_total")
+    )
+    idcg = n_rel_one.select(
         "n_relevant_total",
         F.when(
             F.col("n_relevant_total") >= 1,

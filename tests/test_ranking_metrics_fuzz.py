@@ -130,6 +130,29 @@ def test_ranking_metrics_empty_pool_and_zero_relevant(spark):
     assert _run(spark, [(1, 0), (2, 0)], 0) == (0, 0, 0.0, 0.0, None)
 
 
+def test_ranking_metrics_n_rel_contract_guard(spark):
+    """r11 (ADVICE): the one-row n_rel contract is ENFORCED, not just
+    documented. Empty n_rel coalesces to a single zero row (the metrics
+    row must NOT vanish — pre-guard, crossJoin(broadcast(empty)) emitted
+    zero rows, so this assertion fails against the old code); a two-row
+    n_rel raises at execution time instead of duplicating the output."""
+    import pytest
+
+    ranked = spark.createDataFrame([(1, 1), (2, 0)], "r long, rel int")
+    empty_n_rel = spark.createDataFrame(
+        [(1,)], "n_relevant_total long"
+    ).filter("n_relevant_total < 0")
+    row = ranking_metrics(ranked, empty_n_rel, pool_k=40).collect()
+    assert len(row) == 1  # vanished (0 rows) before the r11 guard
+    r = row[0]
+    assert r["n_relevant_total"] == 0 and r["ndcg_at_10"] is None
+    assert r["mrr"] == 1.0 and r["n_relevant_in_pool"] == 1
+
+    two_rows = spark.createDataFrame([(3,), (4,)], "n_relevant_total long")
+    with pytest.raises(Exception, match="exactly one row"):
+        ranking_metrics(ranked, two_rows, pool_k=40).collect()
+
+
 def test_ranking_metrics_perfect_ranking(spark):
     """All-relevant prefix: dcg == idcg exactly (same quantized terms),
     so ndcg is exactly 1.0 — any term-level quantization drift between
