@@ -37,6 +37,15 @@ accumulating checkpoint pins made un-released reps ~10% slower. The
 min-based headline is unchanged in meaning (min never selected the
 cold rep); the medians now measure warm steady-state, which is what
 they claimed to measure.
+
+Round-11 additions (VERDICT r10 items 2-3): the extension leg is now
+canary-qualified (an idle-floor probe every EXTENSION_CANARY_EVERY
+entries, reported as "extension_canary") and the six heavy extensions
+(≥1.5 s at sf0.1) run median-of-3 with the same warm-rep protocol —
+r10's +17% extension "drift" was uninterpretable because the leg was
+single-rep and unbracketed. The streaming full loop gets an adjacent
+canary pair for the same reason (its r10 gate reading jumped 50% with
+no contention signal either way).
 """
 
 from __future__ import annotations
@@ -141,6 +150,28 @@ EXTRA_REPS = {
     "near_dup_minhash_lsh": 8,
     "winnow_near_pairs": 8,
 }
+
+#: r11 (VERDICT r10 item 3): the heavy extensions (≥1.5 s at sf0.1) run
+#: median-of-3 instead of single-rep — a single co-tenant spike owned
+#: their whole number before (r10's +17% aggregate "drift" was
+#: uninterpretable because extensions were single-rep AND the canary
+#: only bracketed the headline leg). Light extensions stay single-rep:
+#: at ~0.3-0.6 s each, 45 of them x3 reps would add ~90 s of bench
+#: wall for trend-only rows.
+EXTENSION_HEAVY_REPS = 3
+EXTENSION_HEAVY = {
+    "part_triangle_stats",
+    "ann_recall_report",
+    "nation_pagerank",
+    "part_entity_resolution",
+    "order_basket_rules",
+    "doc_bigram_logprob",
+}
+
+#: r11: canary cadence inside the extension leg — one idle-floor probe
+#: before every CANARY_EVERY extension entries, so the extension numbers
+#: carry adjacent contention readings just like the headlines do
+EXTENSION_CANARY_EVERY = 10
 
 
 def force(df) -> None:
@@ -378,19 +409,48 @@ def main() -> None:
 
     # round-over-round visibility for the round-5 extension surface:
     # single warm rep each (they have no BASELINE row — the headline set
-    # stays baseline-comparable), cheapest useful trend signal
+    # stays baseline-comparable), cheapest useful trend signal. r11: the
+    # leg is canary-qualified (one idle-floor probe per CANARY_EVERY
+    # entries) and the heavy entries run median-of-EXTENSION_HEAVY_REPS —
+    # see the constants above for why.
     extension: dict[str, float] = {}
-    for name in EXTENSION:
+    ext_canaries: list[float] = []
+    for i, name in enumerate(EXTENSION):
+        if i % EXTENSION_CANARY_EVERY == 0:
+            ext_canaries.append(canary_run(spark))
         fn = queries[name]
         force(fn(spark, sf_dir))  # warm-up rep (first-run codegen)
         release_persisted(spark)  # warm-up's checkpoints, untimed
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        extension[name] = round(time.perf_counter() - t0, 3)
-        release_persisted(spark)
+        n_reps = EXTENSION_HEAVY_REPS if name in EXTENSION_HEAVY else 1
+        reps = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            reps.append(time.perf_counter() - t0)
+            release_persisted(spark)
+        extension[name] = round(_median(reps), 3)
+        if n_reps > 1:
+            print(
+                f"# ext-heavy {name}: median {extension[name]}s "
+                f"(runs: {[round(r, 3) for r in reps]})",
+                file=sys.stderr,
+            )
+    ext_canaries.append(canary_run(spark))  # close the bracket
+    ext_canary = {
+        "min": round(min(ext_canaries), 3),
+        "median": round(_median(ext_canaries), 3),
+    }
     print(f"# extension ops: {extension}", file=sys.stderr)
+    print(f"# extension canary: {ext_canary}", file=sys.stderr)
 
+    # r11: the streaming loop gets its own adjacent canary pair too —
+    # the r10 gate run read 6.03 s vs r9's 4.02 with no way to tell box
+    # from regression because no probe bracketed this leg
+    loop_canary_before = canary_run(spark)
     loop = bench_kinesis_full_loop(spark, sf_dir)
+    loop_canary_after = canary_run(spark)
+    loop["canary_before"] = round(loop_canary_before, 3)
+    loop["canary_after"] = round(loop_canary_after, 3)
     print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -406,6 +466,8 @@ def main() -> None:
         # median >> min here ⇒ the box was contended during this run
         "noise_canary": canary,
         "extension_queries": extension,
+        # median >> min ⇒ the box was contended during the extension leg
+        "extension_canary": ext_canary,
         "streaming_full_loop": loop,
         "sf": sf,
     }))

@@ -5,6 +5,16 @@ import pytest
 from cloudfront_kinesis_log_lambda_spark.session import get_spark
 
 
+def pytest_collection_modifyitems(config, items):
+    """Auto-mark the hypothesis schedule/fuzz suites as ``slow`` (the
+    two-tier split documented in pytest.ini): filename-based so a new
+    property campaign never needs per-test bookkeeping."""
+    for item in items:
+        name = item.fspath.basename
+        if name.endswith("_props.py") or name.endswith("_fuzz.py"):
+            item.add_marker(pytest.mark.slow)
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(
