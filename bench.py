@@ -178,6 +178,24 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def timed_reps(spark, fn, sf_dir: str, n: int) -> list[float]:
+    """The single-sourced rep protocol BOTH legs run (r11 review: the
+    headline and extension loops had copy-pasted it): one untimed warm
+    rep (first-run whole-stage codegen + file listing — the entire r9
+    median-vs-min gap), then ``n`` timed reps with persisted RDDs
+    released between reps (accumulating checkpoint pins measured ~10%
+    drag), every release outside the timed window."""
+    force(fn(spark, sf_dir))  # untimed warm rep
+    release_persisted(spark)
+    reps = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        reps.append(time.perf_counter() - t0)
+        release_persisted(spark)
+    return reps
+
+
 def release_persisted(spark) -> None:
     """Drop every persisted RDD/DataFrame between timings.
 
@@ -377,25 +395,9 @@ def main() -> None:
     for name in HEADLINE:
         fn = queries[name]
         canaries.append(canary_run(spark))
-        # one untimed warm rep per query: the first execution of a plan
-        # pays whole-stage codegen + first file listing (measured r10:
-        # minhash rep sequence 7.8, 2.8, 2.3, 2.2 ... — the 7.8 was the
-        # entire median-vs-min gap flagged in r9). min() never selected
-        # the cold rep anyway, so the headline is unchanged; the median
-        # now measures the warm steady-state cost, which is the number
-        # the per-query medians claim to be.
-        force(fn(spark, sf_dir))
-        release_persisted(spark)
-        reps = []
-        for _ in range(max(REPS, EXTRA_REPS.get(name, 0))):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            reps.append(time.perf_counter() - t0)
-            # drop checkpoint/cache pins BETWEEN reps, not just between
-            # queries: 8 accumulating minhash reps measured ~10% slower
-            # than released ones (storage-memory pressure) — the release
-            # sits outside the perf_counter window either way
-            release_persisted(spark)
+        reps = timed_reps(
+            spark, fn, sf_dir, max(REPS, EXTRA_REPS.get(name, 0))
+        )
         reps.sort()
         timings[name] = round(reps[0], 3)
         medians[name] = round(_median(reps), 3)
@@ -419,15 +421,8 @@ def main() -> None:
         if i % EXTENSION_CANARY_EVERY == 0:
             ext_canaries.append(canary_run(spark))
         fn = queries[name]
-        force(fn(spark, sf_dir))  # warm-up rep (first-run codegen)
-        release_persisted(spark)  # warm-up's checkpoints, untimed
         n_reps = EXTENSION_HEAVY_REPS if name in EXTENSION_HEAVY else 1
-        reps = []
-        for _ in range(n_reps):
-            t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
-            reps.append(time.perf_counter() - t0)
-            release_persisted(spark)
+        reps = timed_reps(spark, fn, sf_dir, n_reps)
         extension[name] = round(_median(reps), 3)
         if n_reps > 1:
             print(

@@ -290,9 +290,7 @@ def ranking_metrics(
     # input is already a scalar aggregate in every in-repo caller.
     n_rel_one = n_rel.agg(
         F.count(F.lit(1)).alias("_rows"),
-        F.coalesce(F.max("n_relevant_total"), F.lit(0))
-        .cast("long")
-        .alias("_n_total"),
+        F.max("n_relevant_total").cast("long").alias("_n_total"),
     ).select(
         F.when(
             F.col("_rows") > 1,
@@ -305,7 +303,16 @@ def ranking_metrics(
                 )
             ).cast("long"),
         )
-        .otherwise(F.col("_n_total"))
+        .when(
+            # a one-row NULL is a broken upstream aggregate, not the
+            # empty-input case — coercing it to 0 would hide the
+            # violation behind a normal-looking zeros row (r11 review)
+            (F.col("_rows") == 1) & F.col("_n_total").isNull(),
+            F.raise_error(
+                F.lit("ranking_metrics: n_relevant_total must not be NULL")
+            ).cast("long"),
+        )
+        .otherwise(F.coalesce(F.col("_n_total"), F.lit(0).cast("long")))
         .alias("n_relevant_total")
     )
     idcg = n_rel_one.select(

@@ -5,6 +5,19 @@ import pytest
 from cloudfront_kinesis_log_lambda_spark.session import get_spark
 
 
+def ordered_waves(rows, cuts):
+    """Shared schedule-property helper (r11 review: this body had been
+    copy-pasted across five property suites): split a pre-ordered row
+    list into contiguous waves at the given index cut points. Cuts ≥
+    len(rows) are ignored; the final wave is always nonempty."""
+    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
+    waves, start = [], 0
+    for c in bounds:
+        waves.append(rows[start:c])
+        start = c
+    return waves
+
+
 def pytest_collection_modifyitems(config, items):
     """Auto-mark the hypothesis schedule/fuzz suites as ``slow`` (the
     two-tier split documented in pytest.ini): filename-based so a new

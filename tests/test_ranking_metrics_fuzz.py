@@ -152,6 +152,12 @@ def test_ranking_metrics_n_rel_contract_guard(spark):
     with pytest.raises(Exception, match="exactly one row"):
         ranking_metrics(ranked, two_rows, pool_k=40).collect()
 
+    # a one-row NULL is a broken upstream aggregate, distinct from the
+    # empty-input case — it must raise, not coerce to a zeros row
+    null_row = spark.createDataFrame([(None,)], "n_relevant_total long")
+    with pytest.raises(Exception, match="must not be NULL"):
+        ranking_metrics(ranked, null_row, pool_k=40).collect()
+
 
 def test_ranking_metrics_perfect_ranking(spark):
     """All-relevant prefix: dcg == idcg exactly (same quantized terms),

@@ -31,6 +31,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from conftest import ordered_waves as _ordered_waves
 
 from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
     gram_novelty,
@@ -69,13 +70,6 @@ def _batch_df(spark, rows):
     )
 
 
-def _ordered_waves(rows, cuts):
-    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
-    waves, start = [], 0
-    for c in bounds:
-        waves.append(rows[start:c])
-        start = c
-    return waves
 
 
 def _drive(twin, spark, waves, retries):

@@ -17,6 +17,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from conftest import ordered_waves
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
@@ -61,11 +62,7 @@ _rows_st = st.lists(
     st.lists(st.booleans(), min_size=4, max_size=4),
 )
 def test_any_time_ordered_split_matches_batch(spark, rows, cuts, retries):
-    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
-    waves, start = [], 0
-    for c in bounds:
-        waves.append(rows[start:c])
-        start = c
+    waves = ordered_waves(rows, cuts)
 
     full = _events_df(spark, rows)
     orig = TS.load
@@ -85,7 +82,7 @@ def test_any_time_ordered_split_matches_batch(spark, rows, cuts, retries):
             r["user_id"]: (r["n_events"], r["ewma"])
             for r in twin.ewma(spark).collect()
         }
-        assert got == want, (bounds,)
+        assert got == want, (cuts,)
     finally:
         TS.load = orig
         shutil.rmtree(d, ignore_errors=True)

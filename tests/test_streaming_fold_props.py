@@ -31,6 +31,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from conftest import ordered_waves as _ordered_waves
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
@@ -63,15 +64,6 @@ def _df(spark, rows):
     )
 
 
-def _ordered_waves(rows, cuts):
-    """Contiguous time-ordered partition of rows at the given
-    event-index cut points (rows are id/ts co-sorted by construction)."""
-    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
-    waves, start = [], 0
-    for c in bounds:
-        waves.append(rows[start:c])
-        start = c
-    return waves
 
 
 def _batch(spark, full_df, op, key, fields):

@@ -21,6 +21,7 @@ import tempfile
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from conftest import ordered_waves
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.streaming.ohlc import StreamingOHLC
@@ -98,11 +99,7 @@ def test_ohlc_candles_survive_any_split(spark, rows, assign, retries):
     st.lists(st.booleans(), min_size=4, max_size=4),
 )
 def test_transitions_survive_any_ordered_cut(spark, rows, cuts, retries):
-    bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
-    waves, start = [], 0
-    for c in bounds:
-        waves.append(rows[start:c])
-        start = c
+    waves = ordered_waves(rows, cuts)
     full = _events_df(spark, rows)
     orig = TS.load
     d = tempfile.mkdtemp(prefix="transprop-")
@@ -117,7 +114,7 @@ def test_transitions_survive_any_ordered_cut(spark, rows, cuts, retries):
             if retries[bid % len(retries)]:
                 twin(_events_df(spark, wave), bid)
         got = sorted(map(tuple, twin.transitions(spark).collect()))
-        assert got == want, (bounds,)
+        assert got == want, (cuts,)
     finally:
         TS.load = orig
         shutil.rmtree(d, ignore_errors=True)
