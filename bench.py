@@ -45,7 +45,16 @@ entries, reported as "extension_canary") and the six heavy extensions
 r10's +17% extension "drift" was uninterpretable because the leg was
 single-rep and unbracketed. The streaming full loop gets an adjacent
 canary pair for the same reason (its r10 gate reading jumped 50% with
-no contention signal either way).
+no contention signal either way). Interleaved probes are MIN-OF-3
+consecutive canaries (see canary_probe): measured on an idle box, a
+single canary after a stretch of diverse plans pays a one-off in-JVM
+re-entry cost (~0.22 s vs the 0.08 s floor) that a lone reading would
+misreport as contention. Extension walls remain one-JVM sequential
+numbers: they are position-consistent round over round (the EXTENSION
+list is append-only), but an entry's wall includes in-JVM aging from
+everything before it — compare rounds, not entries to fresh-session
+walls (the r9→r10 +17% aggregate drift is adjudicated as exactly this:
+9 new entries shifted every later entry deeper into the aged JVM).
 """
 
 from __future__ import annotations
@@ -234,6 +243,18 @@ def canary_run(spark) -> float:
 from statistics import median as _median  # noqa: E402
 
 
+def canary_probe(spark, n: int = 3) -> float:
+    """Min of ``n`` consecutive canary runs — the honest interleaved
+    contention probe. Measured (r11): after a stretch of diverse plans
+    the FIRST canary pays a one-off in-JVM re-entry cost (~0.22 s vs
+    the 0.08 s floor — inline-cache/profile re-warm, box idle, load
+    0.09) and the second run is already back at the floor. A single
+    interleaved reading therefore measures JVM aging, not the box; the
+    min of three consecutive runs recovers the contention signal the
+    probe exists for."""
+    return min(canary_run(spark) for _ in range(n))
+
+
 def bench_kinesis_full_loop(spark, sf_dir: str) -> dict:
     """Streaming headline, reported as its own JSON key (NOT part of the
     batch total, which stays comparable to BASELINE.md): the engine's
@@ -419,7 +440,7 @@ def main() -> None:
     ext_canaries: list[float] = []
     for i, name in enumerate(EXTENSION):
         if i % EXTENSION_CANARY_EVERY == 0:
-            ext_canaries.append(canary_run(spark))
+            ext_canaries.append(canary_probe(spark))
         fn = queries[name]
         n_reps = EXTENSION_HEAVY_REPS if name in EXTENSION_HEAVY else 1
         reps = timed_reps(spark, fn, sf_dir, n_reps)
@@ -430,7 +451,7 @@ def main() -> None:
                 f"(runs: {[round(r, 3) for r in reps]})",
                 file=sys.stderr,
             )
-    ext_canaries.append(canary_run(spark))  # close the bracket
+    ext_canaries.append(canary_probe(spark))  # close the bracket
     ext_canary = {
         "min": round(min(ext_canaries), 3),
         "median": round(_median(ext_canaries), 3),
@@ -441,9 +462,9 @@ def main() -> None:
     # r11: the streaming loop gets its own adjacent canary pair too —
     # the r10 gate run read 6.03 s vs r9's 4.02 with no way to tell box
     # from regression because no probe bracketed this leg
-    loop_canary_before = canary_run(spark)
+    loop_canary_before = canary_probe(spark)
     loop = bench_kinesis_full_loop(spark, sf_dir)
-    loop_canary_after = canary_run(spark)
+    loop_canary_after = canary_probe(spark)
     loop["canary_before"] = round(loop_canary_before, 3)
     loop["canary_after"] = round(loop_canary_after, 3)
     print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
