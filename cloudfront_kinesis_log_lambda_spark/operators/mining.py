@@ -69,7 +69,6 @@ def basket_rules(
     count — the same linear-state contract as the per-user event
     arrays in operators/timeseries.py.
     """
-    spark = items.sparkSession
     b = F.col(basket_col)
     it = F.col(item_col)
 

@@ -31,7 +31,6 @@ from cloudfront_kinesis_log_lambda_spark.operators.relational import load
 # lineitem's linestatus domain is fixed by the generator; enumerating it
 # here is what keeps the pivot single-pass.
 _LINESTATUS_VALUES = ["F", "O"]
-_EVENT_TYPES = ["click", "view", "purchase", "error", "signup"]
 
 
 def pivot_qty_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,7 +30,17 @@ def write_log_store(
     is kept for wire fidelity on re-export).
     """
     df = enriched.withColumn("ts", F.to_timestamp(F.col("`@timestamp`")))
-    df = df.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
+    # log_day comes from the @timestamp STRING, not date_format(ts):
+    # the wire contract renders @timestamp in UTC with its offset
+    # (transforms.add_timestamp, trap §1.4.4), so its first 10 chars ARE
+    # the UTC event date — while date_format renders in the SESSION
+    # timezone, and this is public API callable from un-pinned sessions
+    # (a New York session would file a 01:00 UTC record under the
+    # previous day, splitting one UTC day across two partition values
+    # and skewing expire_partitions' lexicographic cutoff by a day).
+    # ts itself is offset-qualified, so the instant (and the ts sort
+    # below) is timezone-independent either way.
+    df = df.withColumn("log_day", F.substring(F.col("`@timestamp`"), 1, 10))
     parts = [F.col("env"), F.col("log_day")]
     # sortWithinPartitions must LEAD with the partition columns: the
     # dynamic-partition writer requires an (env, log_day) ordering and
@@ -213,8 +223,9 @@ def _recover_compaction(part_dir: str) -> None:
       rename: nothing moved; drop tmp + manifest (recompute fresh).
     - manifest[swap] + tmp + no live + trash → crashed between the
       renames: the compacted tmp is complete — promote it; the trash
-      (pre-compaction originals) stays as retained trash (deferred
-      cleanup + recovery source).
+      (pre-compaction originals) is then reclaimed by this function's
+      own trailing sweep (once the live dir is complete and no manifest
+      references the trash, no rollback copy is needed).
     - manifest[swap] + tmp + live + trash → crashed between the renames
       AND a racing append recreated the live dir: journal phase=restore
       FIRST (the restore path below deletes/renames in steps whose
@@ -224,7 +235,9 @@ def _recover_compaction(part_dir: str) -> None:
       fold any appended live files into trash (names are unique
       part-<uuid>), promote trash back to live, drop manifest.
     - manifest[swap] + no tmp → the swap committed: drop the manifest;
-      trash stays retained until the next pass.
+      the trailing sweep then reclaims the trash (same reasoning as the
+      promote case — recovery IS a maintenance pass, and the test suite
+      pins the trash as gone after it).
     """
     import json
     import os

@@ -33,6 +33,32 @@ def test_log_store_roundtrip_and_pruning(spark, tmp_path):
     assert [tuple(v) for v in vals] == [("prod", "2019-01-18")]
 
 
+def test_log_day_partition_is_utc_date_in_any_session_timezone(
+    spark, tmp_path
+):
+    """r11 review fix: log_day comes from the @timestamp STRING (whose
+    render is UTC-pinned by the wire contract), not date_format(ts) —
+    date_format renders in the SESSION timezone, and write_log_store is
+    public API callable from un-pinned sessions. A New York session
+    filing a 01:00 UTC record under the previous day would split one
+    UTC day across two partition values and skew the retention cutoff."""
+    store = str(tmp_path / "store")
+    enriched = spark.createDataFrame(
+        [("2019-01-19T01:00:00+00:00", "prod"),
+         ("2019-01-19T23:30:00+00:00", "prod")],
+        "`@timestamp` string, env string",
+    )
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_log_store(enriched, store, mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    days = sorted(os.listdir(os.path.join(store, "env=prod")))
+    # pre-fix this read env=prod/log_day=2019-01-18 for the 01:00 row
+    assert days == ["log_day=2019-01-19"], days
+
+
 def test_compact_partition_preserves_rows_and_order(spark, tmp_path):
     """Compaction rewrites ONE partition's sliver files into few
     ts-sorted files: row set identical, other partitions untouched,
