@@ -67,23 +67,28 @@ _FRONT = [
     # (union of CORRECTNESS_r01..r10 latest green rows): r7×15,
     # r8×44, r9×49, r10×50.
     #
-    # This round's 50 = 1 changed implementation + the 15 r7-stale
+    # This round's 50 = 2 changed implementations + the 15 r7-stale
     # entries (the debt pre-committed at r10 close — all of them
-    # lead) + the 34 alphabetically-first r8 greens. Owed to r12: the
-    # remaining 10 r8 greens (events_user_skew_profile,
-    # lineitem_corr_matrix, order_basket_rules,
-    # order_basket_rules_incremental, orders_benford_digits,
-    # orders_benford_incremental, orders_quality_checks,
-    # part_entity_resolution, part_fuzzy_pairs, top_conversion_paths
-    # — exactly 3 rounds stale at r12, so they MUST lead), topped up
-    # with the oldest r9 greens (49 candidates) minus slots for
+    # lead) + the 33 alphabetically-first r8 greens. Owed to r12: the
+    # remaining 11 r8 greens (events_seasonal_outliers,
+    # events_user_skew_profile, lineitem_corr_matrix,
+    # order_basket_rules, order_basket_rules_incremental,
+    # orders_benford_digits, orders_benford_incremental,
+    # orders_quality_checks, part_entity_resolution, part_fuzzy_pairs,
+    # top_conversion_paths — exactly 3 rounds stale at r12, so they
+    # MUST lead), topped up with the oldest r9 greens (48 candidates,
+    # parquet_roundtrip_daily having re-verified here) minus slots for
     # r12-changed code.
     #
     # rule 1: changed this round — ranking_metrics now ENFORCES the
     # one-row n_rel contract (ADVICE r10: empty input coalesces to a
-    # zero row, >1 rows raise_error; output identical on gate data,
-    # oracle rerun green) — changed code re-verifies:
+    # zero row, >1 rows raise_error, one-row NULL raise_error; output
+    # identical on gate data, oracle rerun green) and write_log_store
+    # derives log_day from the UTC-pinned @timestamp string instead of
+    # session-timezone date_format (output identical under the gate's
+    # UTC session, oracle rerun green) — changed code re-verifies:
     "retrieval_eval_metrics",
+    "parquet_roundtrip_daily",
     # rule 2a: the 15 r7-green entries, 4 rounds stale — all lead
     "purchases_asof_view",
     "purchases_next_view",
@@ -100,7 +105,7 @@ _FRONT = [
     "unpivot_order_metrics",
     "word_countmin_incremental",
     "word_countmin_topk",
-    # rule 2b: the 34 alphabetically-first of the 44 r8 greens
+    # rule 2b: the 33 alphabetically-first of the 44 r8 greens
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
     "doc_bigram_logprob",
@@ -134,7 +139,6 @@ _FRONT = [
     "events_ohlc_incremental",
     "events_psi_drift",
     "events_psi_drift_incremental",
-    "events_seasonal_outliers",
 ]
 _FILL: list[str] = []
 _TAIL = [
