@@ -1,9 +1,13 @@
 """Benchmark harness (SURVEY.md §7 M7).
 
 Times the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": scale_factor}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+contract JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": scale_factor} as the LAST stdout line.
+A fuller detail record (medians, per-extension walls, rep counts)
+precedes it; the contract line is kept compact because the driver
+persists only a ~2 kB tail of stdout and BENCH_r11.json lost its
+headline totals to that truncation (VERDICT r11 item 2).
 
 Each query is forced end-to-end with a noop-format write (full plan
 executes on the executors; nothing funnels through the driver, which is
@@ -470,8 +474,9 @@ def main() -> None:
     print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # full detail record first (everything trend tooling reads) ...
     print(json.dumps({
-        "metric": "headline_queries_total_wall",
+        "metric": "headline_queries_total_wall_detail",
         "value": total,
         "unit": "sec",
         # estimator-consistent twin of the median-of-3 BASELINE protocol
@@ -482,9 +487,32 @@ def main() -> None:
         # median >> min here ⇒ the box was contended during this run
         "noise_canary": canary,
         "extension_queries": extension,
+        # ADVICE r11: per-entry rep counts so trend tooling can tell the
+        # r11+ median-of-3 heavy rows from the r≤10 single-rep rows
+        "extension_reps": {
+            name: (EXTENSION_HEAVY_REPS if name in EXTENSION_HEAVY else 1)
+            for name in EXTENSION
+        },
         # median >> min ⇒ the box was contended during the extension leg
         "extension_canary": ext_canary,
         "streaming_full_loop": loop,
+        "sf": sf,
+    }))
+    # ... then the contract line LAST, kept compact: the driver stores
+    # only the tail of stdout, and BENCH_r11.json's ~2 kB capture cut the
+    # old single 3.5 kB line mid-dict, losing the headline totals
+    # (VERDICT r11 item 2). Everything essential — totals, canaries,
+    # per-query mins, loop wall — fits in well under the captured tail.
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "value_median_protocol": round(sum(medians.values()), 3),
+        "queries": timings,
+        "noise_canary": canary,
+        "extension_total": round(sum(extension.values()), 3),
+        "extension_canary": ext_canary,
+        "loop_sec": loop["sec"],
         "sf": sf,
     }))
 

@@ -45,17 +45,30 @@ def add_timestamp(df: DataFrame, column: str = "@timestamp") -> DataFrame:
     Reference: ``strptime(log_date + " " + log_time, "%Y-%m-%d %H:%M:%S")
     .astimezone().isoformat()`` (cloudfront_kinesis_lambda.py:196-203).
     ``astimezone()`` on the naive value attaches the host zone — UTC on
-    Lambda — so with the session pinned to UTC,
-    ``yyyy-MM-dd'T'HH:mm:ssxxx`` renders the identical string, offset
-    included (e.g. ``2019-01-18T02:13:04+00:00``).
+    Lambda, always, because CloudFront logs are UTC and Lambda hosts are
+    UTC — so the wire value is the log wall-clock plus ``+00:00`` (e.g.
+    ``2019-01-18T02:13:04+00:00``).
+
+    Rendered timezone-INDEPENDENTLY (ADVICE r11): the wall-clock is
+    parsed and re-rendered as TIMESTAMP_NTZ (validation + normalization
+    with no session-zone round-trip) and the UTC offset appended as a
+    literal. The previous ``date_format(ts, "...xxx")`` form was only
+    correct under a UTC-pinned session — an un-pinned America/New_York
+    session rendered ``-05:00`` offsets and even shifted wall-clocks
+    falling in the spring-forward DST gap (02:13:04 → 03:13:04). Parse
+    errors are unchanged: an invalid date raises under ANSI exactly as
+    ``to_timestamp`` did.
     """
-    ts = F.to_timestamp(
+    ntz = F.to_timestamp_ntz(
         F.concat_ws(" ", F.col("log_date"), F.col("log_time")),
-        "yyyy-MM-dd HH:mm:ss",
+        F.lit("yyyy-MM-dd HH:mm:ss"),
     )
-    return df.withColumn(
-        column, F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx")
-    ).drop("log_date", "log_time")
+    # TIMESTAMP_NTZ → string is zone-free canonical "yyyy-MM-dd HH:mm:ss"
+    iso = F.concat(
+        F.replace(ntz.cast("string"), F.lit(" "), F.lit("T")),
+        F.lit("+00:00"),
+    )
+    return df.withColumn(column, iso).drop("log_date", "log_time")
 
 
 @F.pandas_udf(StringType())

@@ -31,13 +31,16 @@ def write_log_store(
     """
     df = enriched.withColumn("ts", F.to_timestamp(F.col("`@timestamp`")))
     # log_day comes from the @timestamp STRING, not date_format(ts):
-    # the wire contract renders @timestamp in UTC with its offset
-    # (transforms.add_timestamp, trap §1.4.4), so its first 10 chars ARE
-    # the UTC event date — while date_format renders in the SESSION
-    # timezone, and this is public API callable from un-pinned sessions
-    # (a New York session would file a 01:00 UTC record under the
-    # previous day, splitting one UTC day across two partition values
-    # and skewing expire_partitions' lexicographic cutoff by a day).
+    # the wire contract renders @timestamp as the UTC wall-clock with a
+    # +00:00 offset — timezone-independently since the ADVICE-r11 fix
+    # (transforms.add_timestamp parses/renders via TIMESTAMP_NTZ, no
+    # session-zone round-trip), so its first 10 chars ARE the UTC event
+    # date in ANY producing session — while date_format renders in the
+    # SESSION timezone, and this is public API callable from un-pinned
+    # sessions (a New York session would file a 01:00 UTC record under
+    # the previous day, splitting one UTC day across two partition
+    # values and skewing expire_partitions' lexicographic cutoff by a
+    # day).
     # ts itself is offset-qualified, so the instant (and the ts sort
     # below) is timezone-independent either way.
     df = df.withColumn("log_day", F.substring(F.col("`@timestamp`"), 1, 10))

@@ -9,7 +9,9 @@ def ordered_waves(rows, cuts):
     """Shared schedule-property helper (r11 review: this body had been
     copy-pasted across five property suites): split a pre-ordered row
     list into contiguous waves at the given index cut points. Cuts ≥
-    len(rows) are ignored; the final wave is always nonempty."""
+    len(rows) are ignored; the final wave is nonempty whenever ``rows``
+    is nonempty (rows=[] yields the single empty wave [[]] — current
+    callers all draw rows with min_size=1)."""
     bounds = sorted(c for c in cuts if c < len(rows)) + [len(rows)]
     waves, start = [], 0
     for c in bounds:

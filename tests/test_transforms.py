@@ -7,7 +7,10 @@ from urllib.parse import unquote
 import pytest
 from pyspark.sql import functions as F
 
-from cloudfront_kinesis_log_lambda_spark.operators.transforms import url_unquote
+from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
+    add_timestamp,
+    url_unquote,
+)
 from cloudfront_kinesis_log_lambda_spark.schema import typed_view
 from cloudfront_kinesis_log_lambda_spark.sources.events import (
     extract_bucket_key,
@@ -47,6 +50,33 @@ def test_url_unquote_invalid_escape_fast_passthrough(spark):
     ).first()
     assert row["exact"] == unquote(s)
     assert row["fast"] == s
+
+
+def test_add_timestamp_is_session_timezone_independent(spark):
+    """ADVICE r11: the wire @timestamp is the UTC log wall-clock plus a
+    +00:00 offset (the reference runs on UTC Lambda hosts), and must
+    render that way from ANY producing session. The pre-fix
+    date_format(ts, "...xxx") form under America/New_York rendered
+    -05:00 offsets AND shifted wall-clocks in the spring-forward DST gap
+    (2019-03-10 02:13:04 → 03:13:04-04:00)."""
+    rows = [
+        ("2019-01-18", "02:13:04"),  # the SURVEY trap example
+        ("2019-03-10", "02:13:04"),  # inside the America/New_York DST gap
+        ("2019-07-04", "23:59:59"),  # DST-active date, day boundary
+    ]
+    df = spark.createDataFrame(rows, "log_date string, log_time string")
+    expect = [f"{d}T{t}+00:00" for d, t in rows]
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = [
+                r["@timestamp"]
+                for r in add_timestamp(df).orderBy("@timestamp").collect()
+            ]
+            assert got == expect, (tz, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
 
 
 def test_parse_log_key_reference_and_strict():
