@@ -63,6 +63,7 @@ _batch_st = st.tuples(
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_batch_st, min_size=2, max_size=3))
 def test_upsert_counter_survives_crash_retry_schedules(spark, schedule):
+    """In-order schedules: crash attempts + same-batch retries only."""
     d = tempfile.mkdtemp(prefix="upsertprop-")
     try:
         store = BucketedUpsertStore(d, "user_id", n_buckets=4)
@@ -82,6 +83,80 @@ def test_upsert_counter_survives_crash_retry_schedules(spark, schedule):
             store.apply(df, bid, _counter_merge)  # the (re)delivery
             for _ in range(n_retry):
                 store.apply(df, bid, _counter_merge)  # foreachBatch retry
+        got = {
+            r["user_id"]: r["total"]
+            for r in store.read(spark, SCHEMA).collect()
+        }
+        assert got == dict(want), schedule
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+# --- reordered replays (VERDICT r11 item 4) --------------------------------
+#
+# The schedule property above never delivers an OLDER batch id after a
+# newer one, so it cannot distinguish the `_applied(b) < batch_id`
+# watermark from a `!=` weakening (retries carry an EQUAL id either
+# way). At-least-once delivery can redeliver any previously committed
+# batch arbitrarily late — e.g. a checkpoint restored to older offsets
+# replays batches the store already merged past. The watermark's job at
+# that boundary is total silence: an out-of-order replay (full or
+# partial-bucket) must rewrite ZERO buckets, and the final totals must
+# equal the exactly-once replay.
+#
+# Contract note (by design, not a gap): the FIRST delivery of each
+# batch id still arrives in increasing order — foreachBatch never
+# starts batch N+1 before batch N's attempt returns. A schedule where
+# N+1 commits a bucket BEFORE batch N ever reaches it is outside the
+# sink contract and is unrecoverable by any per-bucket watermark (the
+# late N is indistinguishable from a stale replay).
+
+_reorder_batch_st = st.tuples(
+    st.lists(  # rows: (user, delta)
+        st.tuples(st.integers(1, 8), st.integers(1, 9)),
+        min_size=1,
+        max_size=4,
+    ),
+    st.lists(st.integers(0, 97), max_size=2),  # replay picks (mod bid)
+    st.sets(st.integers(0, 3), max_size=2),  # partial replay's buckets
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_reorder_batch_st, min_size=2, max_size=3))
+def test_upsert_counter_ignores_reordered_replays(spark, schedule):
+    d = tempfile.mkdtemp(prefix="upsertreplay-")
+    try:
+        store = BucketedUpsertStore(d, "user_id", n_buckets=4)
+        want = Counter()
+        dfs = []
+        for bid, (rows, replay_picks, partial_buckets) in enumerate(schedule):
+            for u, delta in rows:
+                want[u] += delta
+            df = _df(spark, rows)
+            dfs.append(df)
+            store.apply(df, bid, _counter_merge)  # in-order first delivery
+            if bid >= 1:
+                # full redeliveries of strictly older committed batches,
+                # interleaved between fresh batches
+                for pick in replay_picks:
+                    rbid = pick % bid
+                    assert store.apply(dfs[rbid], rbid, _counter_merge) == []
+                # a PARTIAL redelivery (the crashed-attempt shape, but of
+                # an old batch): still zero rewrites
+                if partial_buckets:
+                    rbid = replay_picks[0] % bid if replay_picks else 0
+                    partial = (
+                        dfs[rbid]
+                        .withColumn("bk", store._bucket())
+                        .filter(F.col("bk").isin(sorted(partial_buckets)))
+                        .drop("bk")
+                    )
+                    assert store.apply(partial, rbid, _counter_merge) == []
+        # r11 test-design rule: random draws may produce zero replays —
+        # force one maximally-stale replay at the end of every schedule
+        assert store.apply(dfs[0], 0, _counter_merge) == []
         got = {
             r["user_id"]: r["total"]
             for r in store.read(spark, SCHEMA).collect()
