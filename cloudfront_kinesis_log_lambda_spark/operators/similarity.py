@@ -288,9 +288,16 @@ def ann_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of same-bucket candidates over L tables,
     exact cosine on candidates only.
+
+    ``query_vec`` injects the pre-fetched query vector (the same sharing
+    pattern as ``centroids`` on the IVF tiers): a caller probing several
+    tiers with one query fetches the 1-row vector once instead of each
+    tier paying its own collect job. Must be ``query_vec_id``'s actual
+    vector — results are identical to the in-call fetch by construction.
 
     Candidate fraction ≈ L·2^-B of the table (plus correlation) — here
     8 tables × 8 bits ≈ 3% of rows scored instead of 100%. Recall is
@@ -306,8 +313,14 @@ def ann_lsh_topk(
     score UDF) into TakeOrderedAndProject; no join, no shuffle.
     """
     planes = _np_planes(dim, bits, tables, seed)
-    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = [float(x) for x in qrow[0]]
+    if query_vec is None:
+        [qrow] = (
+            embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .collect()
+        )
+        query_vec = list(qrow[0])
+    qv = [float(x) for x in query_vec]
     if len(qv) != dim:
         raise ValueError(
             f"embedding dim {len(qv)} != configured dim {dim} — the "
@@ -436,6 +449,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     train_cap: int | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: coarse-quantize the corpus into
     ``n_centroids`` inverted lists (k-means cells), probe the ``nprobe``
@@ -451,14 +465,21 @@ def ivf_topk(
     StreamingVectorIndex pattern): a caller serving several tiers from
     one coarse quantizer trains once and shares — identical results to
     in-call training with the same (k, iters) since training is
-    deterministic.
+    deterministic. ``query_vec`` injects the pre-fetched query vector
+    the same way (see :func:`ann_lsh_topk`).
     """
     if centroids is None:
         centroids = kmeans_centroids(
             embeddings, n_centroids, iters, id_col, vec_col, train_cap
         )
-    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = [float(x) for x in qrow[0]]
+    if query_vec is None:
+        [qrow] = (
+            embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .collect()
+        )
+        query_vec = list(qrow[0])
+    qv = [float(x) for x in query_vec]
 
     def cos_py(c: list[float]) -> float:
         d = sum(a * b for a, b in zip(qv, c))
@@ -537,6 +558,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     train_cap: int | None = None,
+    query_vec: list[float] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF coarse cells prune the scan (as in
     :func:`ivf_topk`), and inside the probed cells vectors are scored
@@ -563,7 +585,8 @@ def ivf_pq_topk(
     Rows-only by design (numpy accumulation + k-means codebooks aren't
     SQL-expressible); recall-gated in tests/test_similarity.py.
     ``centroids`` injects shared pre-trained geometry (see
-    :func:`ivf_topk`).
+    :func:`ivf_topk`); ``query_vec`` injects the pre-fetched query
+    vector (see :func:`ann_lsh_topk`).
     """
     if centroids is None:
         centroids = kmeans_centroids(
@@ -575,8 +598,14 @@ def ivf_pq_topk(
     Xtrain = np.asarray([list(r[0]) for r in sample], dtype=np.float64)
     books = _pq_codebooks(Xtrain, m_subvectors, n_codes, iters)
 
-    [qrow] = embeddings.filter(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    qv = np.asarray([float(x) for x in qrow[0]], dtype=np.float64)
+    if query_vec is None:
+        [qrow] = (
+            embeddings.filter(F.col(id_col) == query_vec_id)
+            .select(vec_col)
+            .collect()
+        )
+        query_vec = list(qrow[0])
+    qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = float(np.linalg.norm(qv)) or 1.0
 
     def cos_py(c: list[float]) -> float:

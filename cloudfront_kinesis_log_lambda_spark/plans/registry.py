@@ -658,10 +658,18 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it just stops the report training the same geometry twice
     # (~1.4 s of the 5.7 s wall at sf0.1)
     cents = S.kmeans_centroids(emb, train_cap=ANN_TRAIN_CAP)
+    # likewise one shared query-vector fetch (r12, VERDICT r11 item 3):
+    # the three collect-based tiers otherwise each pay a 1-row collect
+    # job for the same vector — at the report's tiny data size the wall
+    # is job-count-bound, so shared fetches are the honest lever
+    [qrow] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = [float(x) for x in qrow[0]]
     tiers = {
-        "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k),
-        "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents),
-        "ivf_pq": S.ivf_pq_topk(emb, query_vec_id=0, k=k, centroids=cents),
+        "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k, query_vec=qv),
+        "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents,
+                          query_vec=qv),
+        "ivf_pq": S.ivf_pq_topk(emb, query_vec_id=0, k=k, centroids=cents,
+                                query_vec=qv),
         "matryoshka": S.matryoshka_topk(emb, query_vec_id=0, k=k, prefix_dim=16),
     }
     tagged = None
