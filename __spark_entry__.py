@@ -60,85 +60,86 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r11 WINDOW MATH (standing policy above at the CURRENT counts):
+    # r12 WINDOW MATH (standing policy above at the CURRENT counts):
     # 176 registry entries, 158 oracle-backed, 18 rows-only. 158 / 50
     # slots → rotation period 3.16 rounds → steady-state invariant
-    # "every oracle entry ≤3 rounds stale". Staleness after r10
-    # (union of CORRECTNESS_r01..r10 latest green rows): r7×15,
-    # r8×44, r9×49, r10×50.
+    # "every oracle entry ≤3 rounds stale". Staleness after r11
+    # (union of CORRECTNESS_r01..r11 latest green rows): r8×11,
+    # r9×48, r10×49, r11×50.
     #
-    # This round's 50 = 2 changed implementations + the 15 r7-stale
-    # entries (the debt pre-committed at r10 close — all of them
-    # lead) + the 33 alphabetically-first r8 greens. Owed to r12: the
-    # remaining 11 r8 greens (events_seasonal_outliers,
-    # events_user_skew_profile, lineitem_corr_matrix,
-    # order_basket_rules, order_basket_rules_incremental,
-    # orders_benford_digits, orders_benford_incremental,
-    # orders_quality_checks, part_entity_resolution, part_fuzzy_pairs,
-    # top_conversion_paths — exactly 3 rounds stale at r12, so they
-    # MUST lead), topped up with the oldest r9 greens (48 candidates,
-    # parquet_roundtrip_daily having re-verified here) minus slots for
-    # r12-changed code.
+    # This round's 50 = 1 changed implementation + the 11 r8-stale
+    # entries (the debt pre-committed at r11 close — they hit the
+    # 3-round ceiling, all lead) + the 38 alphabetically-first r9
+    # greens. Owed to r13: the remaining 10 r9 greens
+    # (order_price_percentiles, orders_quality_incremental,
+    # orders_with_max_item, parts_above_brand_avg,
+    # purchases_asof_cogroup, recent_orders_lateral,
+    # shipping_priority, sql_market_share, top_orders, user_value_scd2
+    # — exactly 3 rounds stale at r13, so they MUST lead), topped up
+    # with the oldest r10 greens minus slots for r13-changed code.
     #
-    # rule 1: changed this round — ranking_metrics now ENFORCES the
-    # one-row n_rel contract (ADVICE r10: empty input coalesces to a
-    # zero row, >1 rows raise_error, one-row NULL raise_error; output
-    # identical on gate data, oracle rerun green) and write_log_store
-    # derives log_day from the UTC-pinned @timestamp string instead of
-    # session-timezone date_format (output identical under the gate's
-    # UTC session, oracle rerun green) — changed code re-verifies:
-    "retrieval_eval_metrics",
+    # rule 1: changed this round — add_timestamp now renders the wire
+    # @timestamp timezone-INDEPENDENTLY (TIMESTAMP_NTZ parse/render +
+    # literal +00:00 offset; byte-identical under the gate's UTC
+    # session, oracle rerun green) — parquet_roundtrip_daily stores
+    # and re-reads that string, so the changed code re-verifies. The
+    # four ANN entries changed this round (optional query_vec
+    # injection, default path behavior-identical) are rows-only and
+    # stay in _TAIL per rule 3 — a slot there can't produce hash
+    # evidence; their recall/pinned-value gates reran green in
+    # tests/test_similarity.py this round.
     "parquet_roundtrip_daily",
-    # rule 2a: the 15 r7-green entries, 4 rounds stale — all lead
-    "purchases_asof_view",
-    "purchases_next_view",
-    "region_nations_agg",
-    "revenue_by_segment",
-    "rollup_returns",
-    "running_customer_spend",
-    "scalar_function_showcase",
-    "sessionize_events",
-    "supplier_nation_outer",
-    "theta_join_price_band",
-    "top_event_per_user",
-    "top_orders_per_customer",
-    "unpivot_order_metrics",
-    "word_countmin_incremental",
-    "word_countmin_topk",
-    # rule 2b: the 33 alphabetically-first of the 44 r8 greens
-    "ann_quantized_topk",
-    "cosine_topk_bruteforce",
-    "doc_bigram_logprob",
-    "doc_block_dedup",
-    "doc_bm25_incremental",
-    "doc_collocations",
-    "doc_contamination",
-    "doc_decontaminate",
-    "doc_dedup_keep",
-    "doc_dup_span_stats",
-    "doc_global_shuffle",
-    "doc_hybrid_rrf",
-    "doc_hybrid_rrf_incremental",
-    "doc_inverted_index",
-    "doc_inverted_index_incremental",
-    "doc_sorted_neighbors",
-    "doc_sorted_neighbors_multipass",
-    "embedding_drift",
-    "embedding_drift_incremental",
-    "events_ab_conversion",
-    "events_cusum_changepoints",
-    "events_ewma_incremental",
-    "events_holt",
-    "events_holt_incremental",
-    "events_holt_winters",
-    "events_holt_winters_incremental",
-    "events_ks_drift",
-    "events_ks_incremental",
-    "events_linear_trend",
-    "events_linear_trend_incremental",
-    "events_ohlc_incremental",
-    "events_psi_drift",
-    "events_psi_drift_incremental",
+    # rule 2a: the 11 r8-green entries, 4 rounds stale — all lead
+    "events_seasonal_outliers",
+    "events_user_skew_profile",
+    "lineitem_corr_matrix",
+    "order_basket_rules",
+    "order_basket_rules_incremental",
+    "orders_benford_digits",
+    "orders_benford_incremental",
+    "orders_quality_checks",
+    "part_entity_resolution",
+    "part_fuzzy_pairs",
+    "top_conversion_paths",
+    # rule 2b: the 38 alphabetically-first of the 48 r9 greens
+    "customer_value_ntile",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "decimal_revenue_exact",
+    "doc_exact_dedup",
+    "doc_gram_novelty",
+    "doc_mixture_sample",
+    "doc_pack_sequences_sql",
+    "doc_quality_sample",
+    "doc_source_quota",
+    "doc_table_profile",
+    "doc_unigram_logprob",
+    "doc_word_explode",
+    "embedding_norms",
+    "embedding_pairs_exact",
+    "embedding_quantize_int8",
+    "events_chi2_incremental",
+    "events_chi2_type_hour",
+    "events_funnel",
+    "events_hll_daily_merge",
+    "events_interval_join",
+    "events_median_udaf",
+    "events_pattern_match",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_variant_props",
+    "events_zorder_roundtrip",
+    "events_zscore",
+    "grouping_sets_revenue",
+    "matryoshka_topk",
+    "multimodal_asset_dedup",
+    "multimodal_features",
+    "nation_pagerank",
+    "near_dup_3gram",
+    "near_dup_clusters",
+    "order_price_delta",
 ]
 _FILL: list[str] = []
 _TAIL = [
