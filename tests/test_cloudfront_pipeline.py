@@ -52,6 +52,32 @@ def test_wire_records_match_oracle_exact_json(spark, log_file):
     assert len(set(keys)) == len(keys)
 
 
+def test_wire_records_identical_under_non_utc_session(spark, log_file):
+    """r12 (ADVICE r11): the wire Data payload must be byte-identical
+    from ANY producing session — the reference always runs on UTC Lambda
+    hosts, so a non-UTC Spark session must not leak its zone into
+    @timestamp (the only time-derived wire field). Fails against the
+    pre-fix date_format(ts, "...xxx") add_timestamp."""
+    path, _ = log_file
+    df = read_cloudfront_logs(spark, path)
+    utc = sorted(
+        r["Data"]
+        for r in cloudfront_wire_pipeline(df, env=ENV, service_id=SID).collect()
+    )
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = sorted(
+            r["Data"]
+            for r in cloudfront_wire_pipeline(
+                df, env=ENV, service_id=SID
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    assert ny == utc
+
+
 def test_wire_records_fast_path_semantics(spark, log_file):
     """Default JVM path: same parsed payload, same key order."""
     path, rows = log_file
