@@ -881,8 +881,11 @@ def semantic_dedup(
 
     Scale shape: the pairwise stage is confined to cells (corpus/k rows
     each), so work is O(N²/k) worst-case and embarrassingly parallel by
-    ``cid`` — the SemDeDup paper's exact trick; the self-join keys on
-    ``cid`` so each cell's pairs build in one partition. At production
+    ``cid`` — the SemDeDup paper's exact trick, realized as one grouped
+    matrix product per cell (each cell's vectors cross Arrow ONCE and
+    BLAS does the O(cell²) math in row blocks; the earlier ``cid``
+    self-join expanded both float vectors onto every candidate row —
+    ~1000× the Arrow traffic at the 25× smoke shape). At production
     scale raise ``n_centroids`` to keep mean cells comfortably UNDER
     ``max_cell_size`` — k ≈ N/10³ at the 4096 default, or raise both
     together for ~10⁴-row cells (sizing k from 10⁴ while leaving the
@@ -924,15 +927,15 @@ def semantic_dedup(
             F.col(id_col), F.col(vec_col), F.lit(0).alias("probe_rank"), "cid"
         )
     # materialize once: the size aggregate, the semi-join probe, and
-    # BOTH pair-join branches read this subtree — un-checkpointed, the
-    # full-corpus assignment kernel would re-execute per consumer
+    # the grouped pair kernel all read this subtree — un-checkpointed,
+    # the full-corpus assignment kernel would re-execute per consumer
     assigned = assigned.localCheckpoint(eager=True)
     # cell-size gate via a k-row aggregate broadcast back (NOT a window
     # count, which would drag vectors through an extra exchange+sort).
-    # It counts the JOIN population — primaries AND multi-probe
-    # visitors — because that is what the self-join below squares: a
-    # primaries-only count let a centrally-located cell that is
-    # runner-up for half the corpus pass the gate and still expand
+    # It counts the full cell population — primaries AND multi-probe
+    # visitors — because that is what the grouped pair kernel below
+    # squares: a primaries-only count let a centrally-located cell that
+    # is runner-up for half the corpus pass the gate and still expand
     # O(visitors²) (and a cell with zero primaries had no group row at
     # all, so the semi-join dropped its visitors — losing exactly the
     # boundary pairs nprobe>1 exists to catch). Multi-probe inflates
@@ -944,19 +947,48 @@ def semantic_dedup(
         .select("cid")
     )
     assigned = assigned.join(F.broadcast(small_cells), "cid", "left_semi")
-    a = assigned.select(
-        "cid", F.col(id_col).alias("doc_a"), F.col(vec_col).alias("vec_a")
-    )
-    b = assigned.select(
-        "cid", F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vec_b")
-    )
-    cos_pair = cos_pair_udf()
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos", cos_pair(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= threshold)
-        .select("doc_a", "doc_b")
+    # within-cell pairs as ONE grouped matrix product per cell (the
+    # SemDeDup paper's per-cluster GEMM), replacing the r6 cid self-join
+    # + per-pair Arrow kernel. The self-join materialized BOTH float
+    # vectors on every candidate row — at the 25× smoke's 25.4 M
+    # candidates that is ~25 GB of pair-expanded Arrow traffic for
+    # ~25 MB of underlying vectors (measured r12: the join form spent
+    # 89 s in this stage; the grouped kernel moves each cell's vectors
+    # ONCE and BLAS does the O(cell²) math). Rows of the cosine matrix
+    # are computed in fixed-size blocks so peak memory is
+    # O(block × cell) even at the documented 10⁴-row cell sizing, and
+    # the upper-triangle mask on the SORTED cell preserves the
+    # doc_a < doc_b output contract.
+    import pandas as pd  # noqa: PLC0415 — executor-side type only
+
+    id_type = dict(embeddings.dtypes)[id_col]
+    thr = float(threshold)
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        out_a, out_b = [], []
+        block = 1024
+        for s in range(0, len(ids), block):
+            sims = Xn[s : s + block] @ Xn.T  # (b, n)
+            bi, j = np.nonzero(sims >= thr)
+            gi = bi + s
+            keep = j > gi  # strict upper triangle of the sorted cell
+            if keep.any():
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[j[keep]])
+        if not out_a:
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    pairs = assigned.groupBy("cid").applyInPandas(
+        cell_pairs, f"doc_a {id_type}, doc_b {id_type}"
     )
     if nprobe > 1:  # a pair can meet in several shared cells
         pairs = pairs.distinct()
