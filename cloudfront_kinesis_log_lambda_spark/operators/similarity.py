@@ -858,6 +858,76 @@ def assign_centroids_topp(
     )
 
 
+def grouped_cell_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    new_col: str | None = None,
+    emit_cos: bool = False,
+) -> DataFrame:
+    """Within-cell above-threshold cosine pairs as ONE grouped matrix
+    product per ``cid`` cell (the SemDeDup paper's per-cluster GEMM) —
+    THE shared pair kernel of the batch operator and its streaming twin
+    (one formulation, so stream==batch parity cannot drift on ULPs at
+    the threshold boundary).
+
+    Replaces the r6 ``cid`` self-join + per-pair Arrow kernel, which
+    materialized BOTH float vectors on every candidate row — at the 25×
+    worst-case smoke shape that was ~25 GB of pair-expanded Arrow
+    traffic for ~25 MB of underlying vectors (measured r12: 89 s in the
+    join form vs ~2 s grouped; the 25× smoke leg dropped 165.6 s →
+    11.9 s). Each cell's vectors cross Arrow once; rows of the cosine
+    matrix are computed in fixed 1024-row blocks so peak memory is
+    O(block × cell) even at the documented 10⁴-row cell sizing; the
+    strict upper triangle of the id-SORTED cell preserves the
+    ``doc_a < doc_b`` output contract.
+
+    ``new_col`` (streaming): boolean column — only pairs involving at
+    least one new row are emitted (old×old pairs were logged by earlier
+    batches). ``emit_cos`` adds the cosine value (the twin's pair log
+    carries it for max-dedup across probe multiplicity).
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side type only
+
+    id_type = dict(assigned.dtypes)[id_col]
+    thr = float(threshold)
+
+    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        Xn = X / nrm[:, None]
+        is_new = pdf[new_col].to_numpy() if new_col else None
+        outs = []
+        block = 1024
+        for s in range(0, len(ids), block):
+            sims = Xn[s : s + block] @ Xn.T  # (b, n)
+            bi, j = np.nonzero(sims >= thr)
+            gi = bi + s
+            keep = j > gi  # strict upper triangle of the sorted cell
+            if is_new is not None:
+                keep &= is_new[gi] | is_new[j]
+            if keep.any():
+                rec = {"doc_a": ids[gi[keep]], "doc_b": ids[j[keep]]}
+                if emit_cos:
+                    rec["cos"] = sims[bi[keep], j[keep]]
+                outs.append(pd.DataFrame(rec))
+        if not outs:
+            empty = {"doc_a": ids[:0], "doc_b": ids[:0]}
+            if emit_cos:
+                empty["cos"] = np.array([], dtype=np.float64)
+            return pd.DataFrame(empty)
+        return pd.concat(outs, ignore_index=True)
+
+    schema = f"doc_a {id_type}, doc_b {id_type}"
+    if emit_cos:
+        schema += ", cos double"
+    return assigned.groupBy("cid").applyInPandas(cell_pairs, schema)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.92,
@@ -947,49 +1017,7 @@ def semantic_dedup(
         .select("cid")
     )
     assigned = assigned.join(F.broadcast(small_cells), "cid", "left_semi")
-    # within-cell pairs as ONE grouped matrix product per cell (the
-    # SemDeDup paper's per-cluster GEMM), replacing the r6 cid self-join
-    # + per-pair Arrow kernel. The self-join materialized BOTH float
-    # vectors on every candidate row — at the 25× smoke's 25.4 M
-    # candidates that is ~25 GB of pair-expanded Arrow traffic for
-    # ~25 MB of underlying vectors (measured r12: the join form spent
-    # 89 s in this stage; the grouped kernel moves each cell's vectors
-    # ONCE and BLAS does the O(cell²) math). Rows of the cosine matrix
-    # are computed in fixed-size blocks so peak memory is
-    # O(block × cell) even at the documented 10⁴-row cell sizing, and
-    # the upper-triangle mask on the SORTED cell preserves the
-    # doc_a < doc_b output contract.
-    import pandas as pd  # noqa: PLC0415 — executor-side type only
-
-    id_type = dict(embeddings.dtypes)[id_col]
-    thr = float(threshold)
-
-    def cell_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(id_col).reset_index(drop=True)
-        ids = pdf[id_col].to_numpy()
-        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-        nrm = np.linalg.norm(X, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        Xn = X / nrm[:, None]
-        out_a, out_b = [], []
-        block = 1024
-        for s in range(0, len(ids), block):
-            sims = Xn[s : s + block] @ Xn.T  # (b, n)
-            bi, j = np.nonzero(sims >= thr)
-            gi = bi + s
-            keep = j > gi  # strict upper triangle of the sorted cell
-            if keep.any():
-                out_a.append(ids[gi[keep]])
-                out_b.append(ids[j[keep]])
-        if not out_a:
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
-        )
-
-    pairs = assigned.groupBy("cid").applyInPandas(
-        cell_pairs, f"doc_a {id_type}, doc_b {id_type}"
-    )
+    pairs = grouped_cell_pairs(assigned, threshold, id_col, vec_col)
     if nprobe > 1:  # a pair can meet in several shared cells
         pairs = pairs.distinct()
     return near_dup_clusters(

@@ -54,7 +54,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.dedup import (
 from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
     assign_centroids,
     assign_centroids_topp,
-    cos_pair_udf,
+    grouped_cell_pairs,
     kmeans_centroids,
 )
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
@@ -170,28 +170,22 @@ class StreamingSemanticDedup:
             .select("cid")
         )
         gated = tagged.join(F.broadcast(small), "cid", "left_semi")
-        a = gated.select(
-            "cid",
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("va"),
-            F.col("is_new").alias("na"),
-        )
-        b = gated.select(
-            "cid",
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("vb"),
-            F.col("is_new").alias("nb"),
-        )
-        cos_pair = cos_pair_udf()
-        verified = (
-            a.join(b, "cid")
-            .filter(
-                (F.col("vec_a") < F.col("vec_b"))
-                & (F.col("na") | F.col("nb"))
-            )
-            .withColumn("cos", cos_pair(F.col("va"), F.col("vb")))
-            .filter(F.col("cos") >= self.threshold)
-            .select("vec_a", "vec_b", "cos")
+        # THE shared grouped GEMM kernel (operators/similarity.py) — the
+        # same code path the batch operator runs, so stream==batch pair
+        # parity holds to the bit, not just to formulation; old×old
+        # pairs are excluded inside the kernel (earlier batches already
+        # logged them)
+        verified = grouped_cell_pairs(
+            gated,
+            self.threshold,
+            id_col="vec_id",
+            vec_col="embedding",
+            new_col="is_new",
+            emit_cos=True,
+        ).select(
+            F.col("doc_a").alias("vec_a"),
+            F.col("doc_b").alias("vec_b"),
+            "cos",
         )
         if self.nprobe > 1:  # a pair can meet in several shared cells
             verified = verified.groupBy("vec_a", "vec_b").agg(
