@@ -296,10 +296,14 @@ def _finish_restore(part_dir: str, tmp: str, trash: str, mp: str) -> None:
     """Idempotent tail of the racing-append recovery: every step either
     re-runs harmlessly or finds its work already done, so a crash at ANY
     point re-enters here (phase=restore is already journaled) and
-    converges. Order matters: tmp must go first — while tmp exists, a
-    crash mid-fold would leave (tmp, no live, trash) which the swap-phase
-    state machine would misread as 'promote tmp', discarding the
-    appended rows folded into trash."""
+    converges. tmp goes first as defense-in-depth: with the phase
+    journaled, every re-entry lands back here regardless of ordering
+    (r12 crash-enumeration verified both orderings converge), but
+    deleting tmp before the fold means no crash state even RESEMBLES
+    the swap-phase 'promote tmp' shape — the misread the phase journal
+    exists to rule out (removing the journaling loses the folded
+    appends; the r12 crash-injection test fails on exactly that
+    mutant)."""
     import os
     import shutil
 

@@ -274,6 +274,89 @@ def test_mid_restore_crash_states_converge(spark, tmp_path):
     assert sorted(r["id"] for r in spark.read.parquet(part).collect()) == list(range(10)) + [100, 101]
 
 
+def test_recovery_survives_crash_at_every_internal_step(spark, tmp_path):
+    """r12: the staged-state tests above pin every DOCUMENTED crash
+    state; this one mechanically enumerates a crash at EVERY filesystem
+    mutation inside recovery itself (os.rename / os.remove /
+    shutil.rmtree — including atomic_write_json's journaling rename),
+    from the worst staged window (racing append recreated the live dir
+    while the only pre-crash copy sits in trash). After each injected
+    crash, one clean recovery must converge to the full row set with no
+    debris, and a second clean recovery must be a no-op."""
+    import json
+    import shutil
+
+    import cloudfront_kinesis_log_lambda_spark.sinks.parquet as P
+
+    def stage(root):
+        part = os.path.join(root, "log_day=2024-01-01")
+        parent, base = os.path.split(part)
+        trash = os.path.join(parent, f".{base}.old-7")
+        tmp = os.path.join(parent, f".{base}.compacting-7")
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        shutil.copytree(tpl_orig, trash)  # pre-swap originals
+        shutil.copytree(tpl_orig, tmp)  # completed compacted copy
+        shutil.copytree(tpl_app, part)  # the racing append's live dir
+        with open(P._compact_manifest_path(part), "w") as f:
+            json.dump(
+                {"tmp": os.path.basename(tmp), "trash": os.path.basename(trash)},
+                f,
+            )
+        return part, trash, tmp
+
+    tpl_orig = str(tmp_path / "tpl_orig")
+    tpl_app = str(tmp_path / "tpl_app")
+    spark.range(0, 40).write.parquet(tpl_orig)
+    spark.range(100, 110).write.parquet(tpl_app)
+    want = list(range(0, 40)) + list(range(100, 110))
+
+    real_rename, real_remove, real_rmtree = os.rename, os.remove, shutil.rmtree
+
+    class Fuse:
+        def __init__(self, budget):
+            self.left = budget
+
+        def spend(self):
+            if self.left <= 0:
+                raise RuntimeError("fuse")
+            self.left -= 1
+
+    root = str(tmp_path / "store")
+    crash_points = 0
+    for k in range(0, 50):
+        part, trash, tmp = stage(root)
+        fuse = Fuse(k)
+        os.rename = lambda *a, **kw: (fuse.spend(), real_rename(*a, **kw))[1]
+        os.remove = lambda *a, **kw: (fuse.spend(), real_remove(*a, **kw))[1]
+        shutil.rmtree = lambda *a, **kw: (fuse.spend(), real_rmtree(*a, **kw))[1]
+        try:
+            P._recover_compaction(part)
+            tripped = False
+        except RuntimeError:
+            tripped = True
+            crash_points += 1
+        finally:
+            os.rename, os.remove, shutil.rmtree = (
+                real_rename,
+                real_remove,
+                real_rmtree,
+            )
+        P._recover_compaction(part)  # the clean re-entry
+        got = sorted(r["id"] for r in spark.read.parquet(part).collect())
+        assert got == want, f"crash at mutation {k}: rows diverged"
+        assert not os.path.isfile(P._compact_manifest_path(part)), k
+        assert not os.path.isdir(trash) and not os.path.isdir(tmp), k
+        P._recover_compaction(part)  # idempotence: second clean pass
+        got2 = sorted(r["id"] for r in spark.read.parquet(part).collect())
+        assert got2 == want, f"crash at mutation {k}: recovery not idempotent"
+        if not tripped:
+            break  # every internal mutation has been crash-enumerated
+    else:
+        raise AssertionError("fuse never exhausted — raise the bound")
+    assert crash_points >= 3  # the window has real internal steps
+
+
 def test_compaction_retains_trash_until_next_pass(spark, tmp_path):
     """After a successful swap the pre-compaction files stay in the
     dot-trash dir until the next maintenance pass — deferred cleanup +
