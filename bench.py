@@ -474,7 +474,10 @@ def main() -> None:
     print(f"# kinesis_full_loop: {loop}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    # full detail record first (everything trend tooling reads) ...
+    # full detail record to STDERR with the other diagnostics — stdout
+    # carries exactly ONE JSON line (the contract line below), so
+    # consumers that take the first/only stdout JSON line keep working
+    # (ADVICE r12; the r11 tail-truncation fix briefly printed both here)
     print(json.dumps({
         "metric": "headline_queries_total_wall_detail",
         "value": total,
@@ -497,12 +500,12 @@ def main() -> None:
         "extension_canary": ext_canary,
         "streaming_full_loop": loop,
         "sf": sf,
-    }))
-    # ... then the contract line LAST, kept compact: the driver stores
-    # only the tail of stdout, and BENCH_r11.json's ~2 kB capture cut the
-    # old single 3.5 kB line mid-dict, losing the headline totals
-    # (VERDICT r11 item 2). Everything essential — totals, canaries,
-    # per-query mins, loop wall — fits in well under the captured tail.
+    }), file=sys.stderr)
+    # The contract line, kept compact: the driver stores only the tail
+    # of stdout, and BENCH_r11.json's ~2 kB capture cut the old single
+    # 3.5 kB line mid-dict, losing the headline totals (VERDICT r11
+    # item 2). Everything essential — totals, canaries, per-query mins,
+    # loop wall — fits in well under the captured tail.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

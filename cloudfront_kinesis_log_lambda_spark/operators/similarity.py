@@ -907,7 +907,13 @@ def grouped_cell_pairs(
             sims = Xn[s : s + block] @ Xn.T  # (b, n)
             bi, j = np.nonzero(sims >= thr)
             gi = bi + s
-            keep = j > gi  # strict upper triangle of the sorted cell
+            # Strict upper triangle BY ID VALUE, not position: with
+            # at-least-once delivery the streaming twin can land the
+            # same vec_id twice in one frozen-geometry cell (already
+            # persisted + redelivered with is_new=True); a positional
+            # j > gi would emit the (X, X, cos=1.0) self-pair that the
+            # pre-GEMM `doc_a < doc_b` join filter suppressed.
+            keep = ids[j] > ids[gi]
             if is_new is not None:
                 keep &= is_new[gi] | is_new[j]
             if keep.any():

@@ -322,3 +322,31 @@ def test_bigram_logprob_pairs_are_array_side(spark, sf_dir):
     plan = _plan(doc_bigram_logprob(spark, sf_dir))
     assert "SortMergeJoin" not in plan or "text" not in plan.split("SortMergeJoin")[1][:400]
     assert "partial_count" in plan  # bigram counts map-side combine
+
+
+def test_semantic_dedup_pair_stage_is_grouped_gemm_not_self_join(spark, sf_dir):
+    """The r6→r12 scale fix pinned: SemDeDup's pair stage must be the
+    per-cell grouped GEMM (exactly ONE FlatMapGroupsInPandas over the
+    assignment) and must NOT contain a cid self-join of the assigned
+    table — the join form re-expands both float vectors onto every
+    candidate row (~25 GB Arrow traffic for ~25 MB of vectors at the
+    25× smoke shape). Reverting grouped_cell_pairs to the join
+    formulation fails this gate (mutant-verified at introduction)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        assign_centroids,
+        grouped_cell_pairs,
+        kmeans_centroids,
+    )
+
+    emb = R.load(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=4, iters=1)
+    assigned = assign_centroids(emb, cents)
+    plan = _plan(grouped_cell_pairs(assigned, 0.92))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    # no join at all in the pair stage — the old form was a
+    # SortMergeJoin/ShuffledHashJoin of assigned against itself on cid
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan
+    # exactly the centroid-assignment Arrow kernel upstream — the old
+    # form added a SECOND per-pair kernel downstream of the join
+    assert plan.count("ArrowEvalPython") == 1

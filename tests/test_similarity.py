@@ -486,3 +486,40 @@ def test_kmeans_train_cap_samples_and_stays_deterministic(spark):
     assert kmeans_centroids(small, k=4, iters=1, train_cap=50) == (
         kmeans_centroids(small, k=4, iters=1)
     )
+
+
+def test_grouped_cell_pairs_duplicate_id_no_self_pair(spark):
+    """At-least-once redelivery seam (ADVICE r12): the SAME vec_id can
+    appear twice in one cell — persisted in the index AND redelivered
+    with is_new=True. The kernel's upper triangle must be strict BY ID
+    VALUE, not by position in the sorted cell: a positional `j > gi`
+    pairs the two copies into a (X, X, cos=1.0) self-edge that violates
+    the doc_a < doc_b pair-log contract and corrupts near_dup_clusters.
+    Legit pairs must still be emitted once per copy (max-cos dedup
+    upstream collapses the multiplicity)."""
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        grouped_cell_pairs,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    w = [0.99, 0.14, 0.0, 0.0]  # cos(v, w) ≈ 0.990 — above threshold
+    far = [0.0, 1.0, 0.0, 0.0]  # orthogonal — below threshold
+    rows = [
+        (10, v, 0, False),   # persisted copy of id 10
+        (10, v, 0, True),    # redelivered copy, same cell, is_new=True
+        (20, w, 0, True),    # legit near-dup of 10
+        (30, far, 0, True),  # unrelated
+    ]
+    assigned = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cid int, is_new boolean"
+    )
+    got = grouped_cell_pairs(
+        assigned, 0.92, new_col="is_new", emit_cos=True
+    ).collect()
+    # no self-pairs, strict orientation
+    assert all(r["doc_a"] < r["doc_b"] for r in got)
+    # both copies of 10 still pair with 20 (dedup happens upstream)
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(10, 20)}
+    assert sum(1 for r in got if (r["doc_a"], r["doc_b"]) == (10, 20)) == 2
+    for r in got:
+        assert r["cos"] == pytest.approx(0.990, abs=1e-3)

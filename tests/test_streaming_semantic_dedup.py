@@ -179,3 +179,39 @@ def test_centroid_write_leaves_foreign_tmps_alone(spark, tmp_path):
     detector(b0, 0)
     assert os.path.exists(foreign)  # not swept
     assert detector.frozen_centroids() is not None  # and geometry landed
+
+
+def test_redelivered_vec_id_emits_no_self_pair(spark, tmp_path):
+    """At-least-once sources can redeliver a vec_id that earlier batches
+    already persisted to the index: the copy arrives is_new=True, lands
+    in the same frozen-geometry cell as its is_new=False twin, and the
+    pair kernel must NOT log a (X, X, cos=1.0) self-edge (ADVICE r12 —
+    the positional upper triangle did; id-valued comparison doesn't).
+    Legit cross-batch pairs and the final assignment stay intact."""
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=DIM)
+    vecs = {
+        1: base,
+        2: base + 0.01 * rng.normal(size=DIM),  # near-dup of 1
+        3: rng.normal(size=DIM),
+        4: rng.normal(size=DIM),
+    }
+    vecs = {k: [float(x) for x in v] for k, v in vecs.items()}
+    store, out = str(tmp_path / "s"), str(tmp_path / "o")
+    detector = StreamingSemanticDedup(store, out, threshold=0.92, n_centroids=1)
+    b0 = spark.createDataFrame([(i, vecs[i]) for i in [1, 3, 4]], EMB_SCHEMA)
+    detector(b0, 0)
+    # batch 1 REDELIVERS id 1 (byte-identical vector) alongside its
+    # genuine near-dup 2 — a new batch_id, so this is not the retry
+    # overwrite path; the duplicate coexists with the indexed copy
+    b1 = spark.createDataFrame([(i, vecs[i]) for i in [1, 2]], EMB_SCHEMA)
+    detector(b1, 1)
+    pairs = semantic_pair_log(spark, out).collect()
+    assert all(r["vec_a"] < r["vec_b"] for r in pairs)  # no self-edges
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 2)}
+    ids = spark.createDataFrame([(i,) for i in vecs], "vec_id long")
+    assign = {
+        r["vec_id"]: r["canon_id"]
+        for r in semantic_assignment(spark, out, ids).collect()
+    }
+    assert assign == {1: 1, 2: 1, 3: 3, 4: 4}

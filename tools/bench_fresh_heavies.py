@@ -46,7 +46,11 @@ from cloudfront_kinesis_log_lambda_spark.session import get_spark
 name = os.environ["FRESH_NAME"]
 sf_dir = os.environ["FRESH_SF_DIR"]
 reps = int(os.environ["FRESH_REPS"])
-spark = get_spark(app_name="fresh-" + name, master="local[32]")
+# the SAME master derivation as bench.py's aged-JVM leg (bench.py:404)
+# — a hardcoded local[32] would compare the legs at different core
+# counts whenever SPARK_GRAFT_CPUS is set (ADVICE r12)
+cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+spark = get_spark(app_name="fresh-" + name, master="local[" + cpus + "]")
 fn = entrymod.queries()[name]
 canary_probe(spark)  # pay canary codegen before the bracket reading
 c_before = canary_probe(spark)
@@ -80,6 +84,7 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     canaries: dict[str, list[float]] = {}
+    failed: list[str] = []
     for name in HEAVIES:
         env = dict(
             os.environ,
@@ -88,13 +93,22 @@ def main() -> None:
             FRESH_SF_DIR=sf_dir,
             FRESH_REPS=str(reps),
         )
-        out = subprocess.run(
-            [sys.executable, "-c", _CHILD],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            env=env,
-        )
+        try:
+            # generous hard deadline — a hung child JVM must not wedge
+            # the whole leg (ADVICE r12); the slowest heavy measures ~5 s
+            # per rep, so 15 min covers any plausible ambient load
+            out = subprocess.run(
+                [sys.executable, "-c", _CHILD],
+                capture_output=True,
+                text=True,
+                cwd=REPO,
+                env=env,
+                timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"# {name}: child timed out (900s)", file=sys.stderr)
+            failed.append(name)
+            continue
         line = next(
             (ln for ln in out.stdout.splitlines() if ln.startswith("CHILD ")),
             None,
@@ -102,7 +116,9 @@ def main() -> None:
         if line is None:
             print(f"# {name}: child failed\n{out.stderr[-2000:]}",
                   file=sys.stderr)
-            queries[name] = -1.0
+            # out-of-band failure report — a -1.0 in "queries" reads as a
+            # negative wall to naive trend tooling (ADVICE r12)
+            failed.append(name)
             continue
         rec = json.loads(line[len("CHILD "):])
         queries[name] = rec["min"]
@@ -113,6 +129,7 @@ def main() -> None:
         "metric": "fresh_heavies",
         "queries": queries,
         "canaries": canaries,
+        "failed": failed,
         "reps": reps,
         "sf": sf,
     }))
