@@ -60,86 +60,81 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r12 WINDOW MATH (standing policy above at the CURRENT counts):
-    # 176 registry entries, 158 oracle-backed, 18 rows-only. 158 / 50
-    # slots → rotation period 3.16 rounds → steady-state invariant
-    # "every oracle entry ≤3 rounds stale". Staleness after r11
-    # (union of CORRECTNESS_r01..r11 latest green rows): r8×11,
-    # r9×48, r10×49, r11×50.
+    # r13 WINDOW MATH (standing policy above at the CURRENT counts):
+    # 176 registry entries, 158 oracle-backed, 18 rows-only; rotation
+    # period 158/50 = 3.16 rounds → invariant "every oracle entry
+    # ≤3 rounds stale". Staleness after r12 (union of
+    # CORRECTNESS_r01..r12 latest green rows): r9×10, r10×49, r11×49,
+    # r12×50.
     #
-    # This round's 50 = 1 changed implementation + the 11 r8-stale
-    # entries (the debt pre-committed at r11 close — they hit the
-    # 3-round ceiling, all lead) + the 38 alphabetically-first r9
-    # greens. Owed to r13: the remaining 10 r9 greens
-    # (order_price_percentiles, orders_quality_incremental,
-    # orders_with_max_item, parts_above_brand_avg,
-    # purchases_asof_cogroup, recent_orders_lateral,
-    # shipping_priority, sql_market_share, top_orders, user_value_scd2
-    # — exactly 3 rounds stale at r13, so they MUST lead), topped up
-    # with the oldest r10 greens minus slots for r13-changed code.
+    # This round's 50 = the 10 r9-stale entries (the debt pre-committed
+    # at r12 close — exactly 3 rounds stale, they MUST and do lead) +
+    # the 40 alphabetically-first r10 greens. Owed to r14: the
+    # remaining 9 r10 greens (kinesis_exactly_once_rollup,
+    # nation_set_ops, order_item_arrays, order_price_histogram,
+    # part_triangle_stats, pivot_qty_by_linestatus, pricing_summary,
+    # scd2_incremental_roundtrip, training_shards_roundtrip — 3 rounds
+    # stale at r14, so they lead), topped up with the oldest r11
+    # greens minus slots for r14-changed code.
     #
-    # rule 1: changed this round — add_timestamp now renders the wire
-    # @timestamp timezone-INDEPENDENTLY (TIMESTAMP_NTZ parse/render +
-    # literal +00:00 offset; byte-identical under the gate's UTC
-    # session, oracle rerun green) — parquet_roundtrip_daily stores
-    # and re-reads that string, so the changed code re-verifies. The
-    # four ANN entries changed this round (optional query_vec
-    # injection, default path behavior-identical) are rows-only and
-    # stay in _TAIL per rule 3 — a slot there can't produce hash
-    # evidence; their recall/pinned-value gates reran green in
-    # tests/test_similarity.py this round.
-    "parquet_roundtrip_daily",
-    # rule 2a: the 11 r8-green entries, 4 rounds stale — all lead
-    "events_seasonal_outliers",
-    "events_user_skew_profile",
-    "lineitem_corr_matrix",
-    "order_basket_rules",
-    "order_basket_rules_incremental",
-    "orders_benford_digits",
-    "orders_benford_incremental",
-    "orders_quality_checks",
-    "part_entity_resolution",
-    "part_fuzzy_pairs",
-    "top_conversion_paths",
-    # rule 2b: the 38 alphabetically-first of the 48 r9 greens
-    "customer_value_ntile",
-    "customers_with_open_orders",
-    "customers_without_orders",
-    "decimal_revenue_exact",
-    "doc_exact_dedup",
-    "doc_gram_novelty",
-    "doc_mixture_sample",
-    "doc_pack_sequences_sql",
-    "doc_quality_sample",
-    "doc_source_quota",
-    "doc_table_profile",
-    "doc_unigram_logprob",
-    "doc_word_explode",
-    "embedding_norms",
-    "embedding_pairs_exact",
-    "embedding_quantize_int8",
-    "events_chi2_incremental",
-    "events_chi2_type_hour",
-    "events_funnel",
-    "events_hll_daily_merge",
-    "events_interval_join",
-    "events_median_udaf",
-    "events_pattern_match",
-    "events_range_join",
-    "events_retention_cohorts",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_variant_props",
-    "events_zorder_roundtrip",
-    "events_zscore",
-    "grouping_sets_revenue",
-    "matryoshka_topk",
-    "multimodal_asset_dedup",
-    "multimodal_features",
-    "nation_pagerank",
-    "near_dup_3gram",
-    "near_dup_clusters",
-    "order_price_delta",
+    # rule 1: no oracle entry's implementation changed this round. The
+    # r13 grouped_cell_pairs fix (id-valued upper triangle — no
+    # self-pair on at-least-once redelivery) touches only the two
+    # rows-only semantic entries, which stay in _TAIL per rule 3; their
+    # contract gates (kernel duplicate-id test, streaming redelivery
+    # e2e, GEMM plan gate) ran green in tests/ this round.
+    # rule 2: the 10 r9-stale entries, 3 rounds stale — all lead
+    "order_price_percentiles",
+    "orders_quality_incremental",
+    "orders_with_max_item",
+    "parts_above_brand_avg",
+    "purchases_asof_cogroup",
+    "recent_orders_lateral",
+    "shipping_priority",
+    "sql_market_share",
+    "top_orders",
+    "user_value_scd2",
+    # rule 2b: the 40 alphabetically-first of the 49 r10 greens
+    "attribution_last_touch",
+    "conditional_agg_status",
+    "cosine_topk_multi_query",
+    "cube_orders",
+    "customer_rollup_diff",
+    "customers_per_region",
+    "distinct_suppliers_per_flag",
+    "doc_bm25_topk",
+    "doc_bpe_tokens",
+    "doc_chunks_udtf",
+    "doc_curation_funnel",
+    "doc_lang_id",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_repetition",
+    "doc_split_assign",
+    "doc_subword_tokens",
+    "doc_tfidf_topk",
+    "doc_token_stats",
+    "doc_weighted_sample",
+    "doc_weighted_sample_incremental",
+    "event_transitions",
+    "event_transitions_incremental",
+    "events_ddsketch_incremental",
+    "events_ewma",
+    "events_gapfill",
+    "events_hll_incremental",
+    "events_hll_type_overlap",
+    "events_hll_users",
+    "events_hourly",
+    "events_json_props",
+    "events_mad_outliers",
+    "events_metric_map",
+    "events_moving_hour_sum",
+    "events_ohlc",
+    "events_tumbling_windows",
+    "events_value_ddsketch",
+    "filtered_revenue",
+    "group_having",
 ]
 _FILL: list[str] = []
 _TAIL = [
