@@ -61,28 +61,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
     # r13 WINDOW MATH (standing policy above at the CURRENT counts):
-    # 176 registry entries, 158 oracle-backed, 18 rows-only; rotation
-    # period 158/50 = 3.16 rounds → invariant "every oracle entry
-    # ≤3 rounds stale". Staleness after r12 (union of
-    # CORRECTNESS_r01..r12 latest green rows): r9×10, r10×49, r11×49,
-    # r12×50.
+    # 176 registry entries, 160 oracle-backed (cloudfront_enriched and
+    # cloudfront_status_rollup GAINED DuckDB twins this round — the
+    # fixture tree is deterministic and oracle_sql() materializes it
+    # for DuckDB, VERDICT r12 item 8), 16 rows-only; rotation period
+    # 160/50 = 3.2 rounds → invariant "every oracle entry ≤3 rounds
+    # stale". Staleness after r12 (union of CORRECTNESS_r01..r12
+    # latest green rows): r9×10, r10×49, r11×49, r12×50.
     #
-    # This round's 50 = the 10 r9-stale entries (the debt pre-committed
-    # at r12 close — exactly 3 rounds stale, they MUST and do lead) +
-    # the 40 alphabetically-first r10 greens. Owed to r14: the
-    # remaining 9 r10 greens (kinesis_exactly_once_rollup,
+    # This round's 50 = the 2 newly-oracle-backed cloudfront entries
+    # (rule 1: no hash row exists for them at all) + the 10 r9-stale
+    # entries (the debt pre-committed at r12 close — exactly 3 rounds
+    # stale, they MUST and do lead) + the 38 alphabetically-first r10
+    # greens. Owed to r14: the remaining 11 r10 greens
+    # (filtered_revenue, group_having, kinesis_exactly_once_rollup,
     # nation_set_ops, order_item_arrays, order_price_histogram,
     # part_triangle_stats, pivot_qty_by_linestatus, pricing_summary,
     # scd2_incremental_roundtrip, training_shards_roundtrip — 3 rounds
     # stale at r14, so they lead), topped up with the oldest r11
     # greens minus slots for r14-changed code.
     #
-    # rule 1: no oracle entry's implementation changed this round. The
-    # r13 grouped_cell_pairs fix (id-valued upper triangle — no
-    # self-pair on at-least-once redelivery) touches only the two
-    # rows-only semantic entries, which stay in _TAIL per rule 3; their
-    # contract gates (kernel duplicate-id test, streaming redelivery
-    # e2e, GEMM plan gate) ran green in tests/ this round.
+    # rule 1: cloudfront_enriched / cloudfront_status_rollup upgraded
+    # rows-only → oracle-backed (implementation unchanged; the oracle
+    # side is new) — first hash evidence, so they lead. The r13
+    # grouped_cell_pairs fix (id-valued upper triangle — no self-pair
+    # on at-least-once redelivery) touches only the two rows-only
+    # semantic entries, which stay in _TAIL per rule 3; their contract
+    # gates (kernel duplicate-id test, streaming redelivery e2e, GEMM
+    # plan gate) ran green in tests/ this round.
+    "cloudfront_enriched",
+    "cloudfront_status_rollup",
     # rule 2: the 10 r9-stale entries, 3 rounds stale — all lead
     "order_price_percentiles",
     "orders_quality_incremental",
@@ -94,7 +102,7 @@ _FRONT = [
     "sql_market_share",
     "top_orders",
     "user_value_scd2",
-    # rule 2b: the 40 alphabetically-first of the 49 r10 greens
+    # rule 2b: the 38 alphabetically-first of the 49 r10 greens
     "attribution_last_touch",
     "conditional_agg_status",
     "cosine_topk_multi_query",
@@ -133,8 +141,6 @@ _FRONT = [
     "events_ohlc",
     "events_tumbling_windows",
     "events_value_ddsketch",
-    "filtered_revenue",
-    "group_having",
 ]
 _FILL: list[str] = []
 _TAIL = [
@@ -148,9 +154,7 @@ _TAIL = [
     "simhash_near_pairs",
     "winnow_near_pairs",
     "doc_semantic_dedup",
-    "cloudfront_enriched",
     "cloudfront_wire",
-    "cloudfront_status_rollup",
     "semantic_dedup_incremental",
     "ann_recall_report",
     "bpe_learn_merges",
@@ -243,4 +247,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB oracle for each SQL-expressible query (see
     functions/oracles.py for the type-parity rules). Keys absent here get
     the driver's weaker rows-only check."""
+    # the cloudfront_* oracles read the shared fixture tree directly
+    # from disk; materialize it NOW so DuckDB finds the files even if
+    # the driver runs the oracle side before the Spark side
+    from cloudfront_kinesis_log_lambda_spark.testing.fixtures import (
+        ensure_fixture_tree,
+    )
+
+    ensure_fixture_tree()
     return dict(ORACLE_SQL)

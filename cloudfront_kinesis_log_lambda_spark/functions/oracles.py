@@ -3153,3 +3153,70 @@ ORACLE_SQL["part_entity_resolution"] = f"""
 # Per-dim decimal sums and cohort counts merge exactly, feeding the
 # batch finalizer — the oracle IS embedding_drift's SQL.
 ORACLE_SQL["embedding_drift_incremental"] = ORACLE_SQL["embedding_drift"]
+
+
+# --- CloudFront pipeline oracles (VERDICT r12 item 8) -----------------------
+# The flagship reference pipeline is deterministic end-to-end (only the
+# wire twin's uuid PartitionKey is random), and its input is the shared
+# fixture tree at testing.fixtures.FIXTURE_DIR — the SAME constant the
+# registry queries read, so the two sides cannot drift onto different
+# paths. __spark_entry__.oracle_sql() materializes the tree before
+# returning these strings, so DuckDB always finds the files regardless
+# of which side the driver runs first.
+#
+# Wire-parity notes for the DuckDB leg:
+# - quote=''/escape='': the engine parses with split('\t') — no quote
+#   handling — so the oracle must read raw fields too;
+# - the header '#' lines arrive as 1-field rows under null_padding and
+#   are dropped by the NOT LIKE '#%' filter (DuckDB 1.0 read_csv has no
+#   comment option);
+# - DuckDB 1.0 has no url_decode; the replace chain decodes exactly the
+#   escape set the deterministic fixture generator emits
+#   (testing/fixtures.py _UAS/_PATHS: %2F %20 %3B %3A %2B) — each
+#   decodes to a non-'%' character, so the chain is order-independent
+#   and equals urllib.parse.unquote on this closed universe ('+'
+#   correctly survives undecoded, matching unquote, not url_decode).
+from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES as _CF_FIELDS  # noqa: E402
+from cloudfront_kinesis_log_lambda_spark.testing.fixtures import (  # noqa: E402
+    FIXTURE_DIR as _CF_FIXTURE_DIR,
+)
+
+_CF_RAW_CTE = f"""
+    WITH raw AS (
+      SELECT * FROM read_csv('{_CF_FIXTURE_DIR}/cloudfront/*/*/*.gz',
+          delim='\t', header=false, all_varchar=true, null_padding=true,
+          auto_detect=false, quote='', escape='',
+          filename=true,
+          columns={{{", ".join(f"'{n}': 'VARCHAR'" for n in _CF_FIELDS)}}})
+      WHERE log_date NOT LIKE '#%'
+    ),
+    enriched AS (
+      SELECT
+        {", ".join(f'"{n}"' for n in _CF_FIELDS if n not in ("log_date", "log_time", "http_referer", "http_user_agent"))},
+        replace(replace(replace(replace(replace("http_user_agent",
+            '%2F','/'), '%20',' '), '%3B',';'), '%3A',':'), '%2B','+')
+          AS "http_user_agent",
+        strftime(strptime(log_date || ' ' || log_time, '%Y-%m-%d %H:%M:%S'),
+            '%Y-%m-%dT%H:%M:%S') || '+00:00' AS "@timestamp",
+        regexp_extract(filename, '/cloudfront/([^/]+)/([^/]+)/[^/]+$', 2)
+          AS "serviceId",
+        'globaledge_cloudfront' AS "type",
+        regexp_extract(filename, '/cloudfront/([^/]+)/([^/]+)/[^/]+$', 1)
+          AS "env"
+      FROM raw
+    )
+"""
+
+ORACLE_SQL["cloudfront_enriched"] = _CF_RAW_CTE + """
+    SELECT * FROM enriched
+"""
+
+ORACLE_SQL["cloudfront_status_rollup"] = _CF_RAW_CTE + """
+    SELECT env,
+           substr(http_status, 1, 1) AS status_class,
+           COUNT(*) AS n_requests,
+           CAST(SUM(CAST(bytes_sent AS BIGINT)) AS BIGINT) AS bytes_sent,
+           COUNT(DISTINCT src_ip) AS n_client_ips
+    FROM enriched
+    GROUP BY env, status_class
+"""

@@ -40,7 +40,6 @@ from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
 )
 from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import read_cloudfront_logs
 from cloudfront_kinesis_log_lambda_spark.streaming import pipeline as SP
-from cloudfront_kinesis_log_lambda_spark.testing.fixtures import write_log_tree
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,26 +1035,15 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CloudFront pipeline on a deterministic fixture -------------------------
 
-_CF_FIXTURE = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v2")
-
-
 def _fixture_dir() -> str:
-    marker = os.path.join(_CF_FIXTURE, ".complete")
-    if not os.path.exists(marker):
-        # parallel gate processes can race to build the (deterministic)
-        # fixture; a half-written tree under the final path would poison
-        # every later query. Build under a pid-scoped path, then rename —
-        # atomic on POSIX; the loser's rename fails and it cleans up.
-        import shutil
+    # single-sourced with the DuckDB oracle side (functions/oracles.py
+    # reads the same FIXTURE_DIR), so the Spark query and its oracle
+    # can never read different trees
+    from cloudfront_kinesis_log_lambda_spark.testing.fixtures import (
+        ensure_fixture_tree,
+    )
 
-        tmp = f"{_CF_FIXTURE}.tmp-{os.getpid()}"
-        write_log_tree(tmp, rows=500, files_per_service=2)
-        open(os.path.join(tmp, ".complete"), "w").close()
-        try:
-            os.rename(tmp, _CF_FIXTURE)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # another process won
-    return _CF_FIXTURE
+    return ensure_fixture_tree()
 
 
 def cloudfront_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,3 +131,32 @@ def write_log_tree(
                 paths.append(p)
                 n += 1
     return paths
+
+
+#: the SHARED deterministic fixture tree both the driver-gate queries
+#: (plans/registry.py cloudfront_*) and their DuckDB oracles
+#: (functions/oracles.py) read — one constant so the two sides can
+#: never drift onto different paths
+FIXTURE_DIR = os.path.join(
+    __import__("tempfile").gettempdir(), "cfkll-fixture-v2"
+)
+
+
+def ensure_fixture_tree() -> str:
+    """Build the shared fixture tree once, atomically, and return its
+    path. Parallel gate processes can race to build the (deterministic)
+    tree; a half-written tree under the final path would poison every
+    later query, so build under a pid-scoped path then rename — atomic
+    on POSIX; the loser's rename fails and it cleans up."""
+    import shutil
+
+    marker = os.path.join(FIXTURE_DIR, ".complete")
+    if not os.path.exists(marker):
+        tmp = f"{FIXTURE_DIR}.tmp-{os.getpid()}"
+        write_log_tree(tmp, rows=500, files_per_service=2)
+        open(os.path.join(tmp, ".complete"), "w").close()
+        try:
+            os.rename(tmp, FIXTURE_DIR)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # another process won
+    return FIXTURE_DIR

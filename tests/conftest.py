@@ -32,9 +32,13 @@ def pytest_collection_modifyitems(config, items):
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+
     spark = get_spark(
         app_name="cfkll-spark-tests",
-        master="local[*]",
+        # tools/run_suite_sharded.py splits the box's cores across
+        # concurrent shard JVMs; a lone pytest keeps every core
+        master=os.environ.get("CFKLL_TEST_MASTER", "local[*]"),
         shuffle_partitions=32,
         # tiny inputs: stop codegen/AQE from being the bottleneck in tests
         extra_conf={"spark.sql.adaptive.coalescePartitions.minPartitionSize": "1m"},

@@ -23,9 +23,11 @@ ROWS_ONLY = {
     "embedding_pairs_lsh",
     "sketch_event_stats",
     "stratified_event_sample",
-    "cloudfront_enriched",
+    # r13: cloudfront_enriched / cloudfront_status_rollup LEFT this set
+    # — the fixture tree is deterministic and DuckDB reads it directly
+    # (functions/oracles.py); only the wire twin's uuid PartitionKey
+    # keeps cloudfront_wire rows-only
     "cloudfront_wire",
-    "cloudfront_status_rollup",
     "doc_semantic_dedup",
     "semantic_dedup_incremental",
     "ann_recall_report",

@@ -38,6 +38,41 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
+def make_timed(spark):
+    """Per-leg rep+canary protocol (VERDICT r12 item 3): single-rep
+    smoke ratios swung 4× on UNCHANGED code round-over-round (bpe 0.8×
+    vs 3.2× hours apart — its type table is invariant under duplication,
+    only ambient load differed), so every leg now takes min-of-2 walls
+    bracketed by bench.py's min-of-3 canary probes. A ratio is
+    comparable across rounds when both rows' canaries sit at the same
+    floor; a moved canary means box, not code.
+
+    Returns a ``timed(label, fn, reps=2)`` closure over the session —
+    single-sourced here because three smoke mains had copy-pasted the
+    unbracketed version (the exact drift r11 flagged in bench.py)."""
+    from bench import canary_probe
+
+    def timed(label, fn, reps=2):
+        c_before = canary_probe(spark)
+        walls, count = [], -1
+        for _ in range(reps):
+            t0 = time.monotonic()
+            count = fn()
+            walls.append(time.monotonic() - t0)
+        c_after = canary_probe(spark)
+        dt = min(walls)
+        # force() returns -1 (no row count): omit the rows suffix then
+        suffix = f" ({count} rows)" if count >= 0 else ""
+        rep_s = "/".join(f"{w:.2f}" for w in walls)
+        print(
+            f"{label}: {dt:.2f}s{suffix} "
+            f"[min of {reps}: {rep_s}; canary {c_before:.3f}/{c_after:.3f}]"
+        )
+        return dt
+
+    return timed
+
+
 def force(df) -> int:
     """Honest wall: noop-write the FULL plan. A bare ``.count()`` is
     NOT a valid wall for a plan ending in a key-preserving outer
@@ -79,14 +114,7 @@ def main_r8() -> None:
         df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
         return d
 
-    def timed(label, fn):
-        t0 = time.monotonic()
-        count = fn()
-        dt = time.monotonic() - t0
-        # force() returns -1 (no row count): omit the rows suffix then
-        suffix = f" ({count} rows)" if count >= 0 else ""
-        print(f"{label}: {dt:.2f}s{suffix}")
-        return dt
+    timed = make_timed(spark)
 
     from pyspark.sql import functions as F  # noqa: F811
 
@@ -242,14 +270,7 @@ def main() -> None:
             )
         return out.localCheckpoint(eager=True)
 
-    def timed(label, fn):
-        t0 = time.monotonic()
-        count = fn()
-        dt = time.monotonic() - t0
-        # force() returns -1 (no row count): omit the rows suffix then
-        suffix = f" ({count} rows)" if count >= 0 else ""
-        print(f"{label}: {dt:.2f}s{suffix}")
-        return dt
+    timed = make_timed(spark)
 
     docs1 = docs.localCheckpoint(eager=True)
     docsN = duplicated(docs, "doc_id", n)
@@ -350,14 +371,7 @@ def main_r9() -> None:
         df.write.mode("overwrite").parquet(f"{d}/{name}.parquet")
         return d
 
-    def timed(label, fn):
-        t0 = time.monotonic()
-        count = fn()
-        dt = time.monotonic() - t0
-        # force() returns -1 (no row count): omit the rows suffix then
-        suffix = f" ({count} rows)" if count >= 0 else ""
-        print(f"{label}: {dt:.2f}s{suffix}")
-        return dt
+    timed = make_timed(spark)
 
     # ---- leg 1: hub part in every order ----
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
