@@ -50,3 +50,56 @@ def test_load_works_on_plain_session():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "VANILLA_OK" in proc.stdout, proc.stdout
+
+
+def test_time_bucketing_is_session_timezone_independent(spark, sf_dir):
+    """r13 adversarial probe, pinned (VERDICT r12 item 7): the full
+    time-centric oracle surface came back byte-identical under
+    America/New_York AND Asia/Kolkata sessions (19 entries each,
+    tools/probe_session_seams.py) because events.ts is TIMESTAMP_NTZ in
+    parquet, the NTZ→session-LTZ cast + session-local rendering
+    round-trips the wall clock, and F.window aligns buckets in
+    session-LOCAL time. Pin the sharpest case as a cheap in-suite gate:
+    a HALF-HOUR zone (whole-hour zones survive epoch-aligned hour
+    bucketing by accident; +05:30 only survives local-time alignment) —
+    tumbling windows AND the hour-rendered OHLC twin must match the UTC
+    run exactly.
+
+    Compared through the GATE'S lens (toPandas → session wall-clock,
+    the conversion the driver hashes), not ``collect()``: collect
+    renders instants in the OS zone, and the NTZ→session-LTZ cast
+    intentionally maps the same wall-clock to different instants per
+    session — wall-clock parity IS the contract, instant parity is
+    not."""
+    from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
+        events_ohlc,
+    )
+    from cloudfront_kinesis_log_lambda_spark.plans.registry import (
+        events_tumbling_windows,
+    )
+
+    def run():
+        tw = (
+            events_tumbling_windows(spark, sf_dir)
+            .toPandas()
+            .sort_values(["window_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        oh = (
+            events_ohlc(spark, sf_dir)
+            .toPandas()
+            .sort_values(["hour", "event_type"])
+            .reset_index(drop=True)
+        )
+        return tw, oh
+
+    tz_key = "spark.sql.session.timeZone"
+    before = spark.conf.get(tz_key)
+    utc = run()
+    try:
+        spark.conf.set(tz_key, "Asia/Kolkata")
+        ist = run()
+    finally:
+        spark.conf.set(tz_key, before)
+    assert ist[0].equals(utc[0])
+    assert ist[1].equals(utc[1])
