@@ -163,7 +163,7 @@ def main() -> int:
 
     # fold measured walls back into the balance table (full runs only —
     # a filtered run like -m "not slow" would understate property files)
-    if not any("-m" in e for e in extra):
+    if not any(e == "-m" or e.startswith("-m=") or e.startswith("--markers") for e in extra):
         measured: dict[str, float] = {}
         if os.path.exists(DURATIONS_PATH):
             with open(DURATIONS_PATH) as f:
