@@ -18,6 +18,10 @@ oracle the gate uses:
 
 Usage: python tools/probe_session_seams.py <mode> [query ...]
   mode: tz=America/New_York | tz=Asia/Kolkata | ansi-off | arrow-off
+      | conf=<key>:<value>   — any single session conf (e.g.
+        conf=spark.sql.caseSensitive:true,
+        conf=spark.sql.codegen.wholeStage:false); defaults to the
+        TZ_SAMPLE ∪ ANSI_SAMPLE union when no queries are given
 Prints OK/FAIL per entry + a summary line; exit 1 on any FAIL.
 
 A FAIL here is a *finding*, not automatically a defect: it means the
@@ -109,6 +113,10 @@ def main() -> int:
     elif mode == "arrow-off":
         b = b.config("spark.sql.execution.arrow.pyspark.enabled", "false")
         names = names or ARROW_SAMPLE
+    elif mode.startswith("conf="):
+        key, _, val = mode[5:].partition(":")
+        b = b.config(key, val)
+        names = names or sorted(set(TZ_SAMPLE) | set(ANSI_SAMPLE))
     else:
         raise SystemExit(f"unknown mode {mode}")
     spark = b.getOrCreate()
