@@ -80,6 +80,20 @@ def main() -> int:
             return 2
     n_run = 0
     failures = []
+    def _release():
+        # bench.py's between-timings discipline, same reason here: the
+        # iterative entries localCheckpoint RDDs and never unpersist;
+        # over a 176-entry sweep in ONE JVM the blocks accumulate into
+        # memory pressure that fails the heaviest LATE entries with
+        # opaque py4j errors (r13: part_triangle_stats errored at sweep
+        # position ~170 at sf0.1, green in isolation)
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001 — cleanup must never fail a sweep
+            pass
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -91,6 +105,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        finally:
+            _release()
         dt = time.perf_counter() - t0
         if name not in oracles:
             if len(got) == 0:
