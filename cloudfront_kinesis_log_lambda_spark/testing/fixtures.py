@@ -11,6 +11,7 @@ from __future__ import annotations
 import gzip
 import os
 import random
+import tempfile
 
 from cloudfront_kinesis_log_lambda_spark.schema import FIELDNAMES
 
@@ -137,9 +138,7 @@ def write_log_tree(
 #: (plans/registry.py cloudfront_*) and their DuckDB oracles
 #: (functions/oracles.py) read — one constant so the two sides can
 #: never drift onto different paths
-FIXTURE_DIR = os.path.join(
-    __import__("tempfile").gettempdir(), "cfkll-fixture-v2"
-)
+FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "cfkll-fixture-v2")
 
 
 def ensure_fixture_tree() -> str:
