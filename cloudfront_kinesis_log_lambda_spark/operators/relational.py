@@ -153,7 +153,18 @@ def distinct_suppliers_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with grouping_id so subtotal
-    rows are distinguishable from genuine NULL keys."""
+    rows are distinguishable from genuine NULL keys.
+
+    EMPTY-input contract (applies to cube_orders and
+    grouping_sets_revenue too, r13 empty-table differential sweep):
+    Spark's grouping-sets expansion yields ZERO rows on an empty input
+    — including the `()` grand-total set, and even via SQL GROUPING
+    SETS — where the SQL standard (DuckDB, Postgres) yields the one
+    grand-total row with count 0. This engine follows SPARK semantics
+    (synthesizing the standard's row would cost an existence check on
+    every call to serve a degenerate input); consumers that need the
+    standard's row on possibly-empty input should use a plain global
+    aggregate, which Spark does special-case to one row."""
     l = load(spark, sf_dir, "lineitem")
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),

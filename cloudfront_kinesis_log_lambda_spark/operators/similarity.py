@@ -46,6 +46,34 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _fetch_query_vec(
+    embeddings: DataFrame, id_col: str, vec_col: str, query_vec_id: int
+) -> list:
+    """Driver-side 1-row fetch of a stored query vector, with a CLEAR
+    contract error: the bare `[qrow] = ...collect()` destructuring the
+    ANN tiers used raised "not enough values to unpack" on a missing id
+    and silently meant "duplicated id" on too many (r13 empty-table
+    differential sweep surfaced the former on an empty corpus)."""
+    rows = (
+        embeddings.filter(F.col(id_col) == query_vec_id)
+        .select(vec_col)
+        .limit(2)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"query {id_col}={query_vec_id} not found in the corpus "
+            "(empty table or unknown id) — pass query_vec= explicitly "
+            "or use an id that exists"
+        )
+    if len(rows) > 1:
+        raise ValueError(
+            f"query {id_col}={query_vec_id} is duplicated in the corpus "
+            "— ids must be unique for a stored-vector query"
+        )
+    return list(rows[0][0])
+
+
 def embedding_norms_by_label(embeddings: DataFrame) -> DataFrame:
     """Sanity/statistics operator: mean L2 norm per label — exercises the
     higher-order-function dot product and is SQL-oracle-checkable."""
@@ -314,12 +342,9 @@ def ann_lsh_topk(
     """
     planes = _np_planes(dim, bits, tables, seed)
     if query_vec is None:
-        [qrow] = (
-            embeddings.filter(F.col(id_col) == query_vec_id)
-            .select(vec_col)
-            .collect()
+        query_vec = _fetch_query_vec(
+            embeddings, id_col, vec_col, query_vec_id
         )
-        query_vec = list(qrow[0])
     qv = [float(x) for x in query_vec]
     if len(qv) != dim:
         raise ValueError(
@@ -473,12 +498,9 @@ def ivf_topk(
             embeddings, n_centroids, iters, id_col, vec_col, train_cap
         )
     if query_vec is None:
-        [qrow] = (
-            embeddings.filter(F.col(id_col) == query_vec_id)
-            .select(vec_col)
-            .collect()
+        query_vec = _fetch_query_vec(
+            embeddings, id_col, vec_col, query_vec_id
         )
-        query_vec = list(qrow[0])
     qv = [float(x) for x in query_vec]
 
     def cos_py(c: list[float]) -> float:
@@ -599,12 +621,9 @@ def ivf_pq_topk(
     books = _pq_codebooks(Xtrain, m_subvectors, n_codes, iters)
 
     if query_vec is None:
-        [qrow] = (
-            embeddings.filter(F.col(id_col) == query_vec_id)
-            .select(vec_col)
-            .collect()
+        query_vec = _fetch_query_vec(
+            embeddings, id_col, vec_col, query_vec_id
         )
-        query_vec = list(qrow[0])
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qn = float(np.linalg.norm(qv)) or 1.0
 

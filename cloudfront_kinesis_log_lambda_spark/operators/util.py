@@ -78,8 +78,14 @@ def global_rank(
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    # empty input: zero partitions counted → F.create_map() with no
+    # entries is map<void,void> and off[_pid] fails ANALYSIS with a
+    # type mismatch (r13 empty-table differential sweep) — an empty
+    # frame must rank to an empty frame, not throw
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map().cast("map<int,long>")
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
     return (

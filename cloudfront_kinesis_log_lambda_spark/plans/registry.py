@@ -116,14 +116,18 @@ def parquet_roundtrip_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and two writers overwriting one directory corrupt both
     out = os.path.join(tempfile.gettempdir(), f"cfkll-events-store-{os.getpid()}")
     e = R.load(spark, sf_dir, "events")
+    staged = e.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
     (
-        e.withColumn("log_day", F.date_format("ts", "yyyy-MM-dd"))
-        .repartition("log_day")
+        staged.repartition("log_day")
         .write.mode("overwrite")
         .partitionBy("log_day")
         .parquet(out)
     )
-    back = spark.read.parquet(out)
+    # read with the WRITTEN schema: a zero-row day writes only _SUCCESS
+    # and a bare read of the footer-less tree throws
+    # UNABLE_TO_INFER_SCHEMA — empty input must round-trip to an empty
+    # rollup (r13 empty-table differential sweep)
+    back = spark.read.schema(staged.schema).parquet(out)
     agg = (
         back.groupBy(F.col("log_day").cast("string").alias("log_day"))
         .agg(
@@ -858,7 +862,9 @@ def training_shards_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(), f"cfkll-shards-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     packed.repartition("split").write.partitionBy("split").parquet(out)
-    back = spark.read.parquet(out)
+    # written schema → an all-empty shard tree reads back as an empty
+    # frame instead of UNABLE_TO_INFER_SCHEMA (see parquet_roundtrip_daily)
+    back = spark.read.schema(packed.schema).parquet(out)
     agg = (
         back.groupBy(F.col("split").cast("string").alias("split"))
         .agg(

@@ -85,8 +85,18 @@ def write_log_store(
     )
 
 
-def read_log_store(spark, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_log_store(spark, path: str, schema=None) -> DataFrame:
+    """Read the store back. Pass ``schema`` (the written DataFrame's
+    schema, partition columns included) when the store may be EMPTY: a
+    partitionBy write of zero rows leaves only a _SUCCESS marker, and a
+    bare read of a footer-less tree fails with UNABLE_TO_INFER_SCHEMA
+    (r13 empty-table differential sweep) — an empty day must read back
+    as an empty frame, not an error. With a schema the read also skips
+    footer inference, which is a free win on wide stores."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def compact_partitions(
