@@ -665,8 +665,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three collect-based tiers otherwise each pay a 1-row collect
     # job for the same vector — at the report's tiny data size the wall
     # is job-count-bound, so shared fetches are the honest lever
-    [qrow] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
-    qv = [float(x) for x in qrow[0]]
+    qv = [float(x) for x in S._fetch_query_vec(emb, "vec_id", "embedding", 0)]
     tiers = {
         "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k, query_vec=qv),
         "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents,
@@ -719,9 +718,9 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = StreamingVectorIndex(root)
     idx(emb.filter(F.col("vec_id") % 2 == 0), 0)
     idx(emb.filter(F.col("vec_id") % 2 == 1), 1)
-    [qrow] = emb.filter(F.col("vec_id") == 0).select("embedding").collect()
+    qv = S._fetch_query_vec(emb, "vec_id", "embedding", 0)
     out = index_topk(
-        spark, root, [float(x) for x in qrow[0]], k=10, nprobe=4, exclude_id=0
+        spark, root, [float(x) for x in qv], k=10, nprobe=4, exclude_id=0
     ).localCheckpoint(eager=True)
     shutil.rmtree(root, ignore_errors=True)
     return out
