@@ -242,7 +242,7 @@ ORACLE_SQL: dict[str, str] = {
                     WHEN b < 90 THEN 'val'
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs,
-               CAST(SUM(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> ''))) AS BIGINT) AS sum_tokens
+               CAST(SUM(COALESCE(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')), 0)) AS BIGINT) AS sum_tokens
         FROM (SELECT text, ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 100 AS b
               FROM documents)
         GROUP BY 1
@@ -257,7 +257,7 @@ ORACLE_SQL: dict[str, str] = {
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
                        CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 8 AS INT) AS pack_group,
-                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                       CAST(COALESCE(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0) AS BIGINT) AS n_tokens
                 FROM documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
           SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -278,7 +278,7 @@ ORACLE_SQL: dict[str, str] = {
                  ROW_NUMBER() OVER (PARTITION BY pack_group ORDER BY doc_id) AS rn
           FROM (SELECT doc_id,
                        CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 16 AS INT) AS pack_group,
-                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                       CAST(COALESCE(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0) AS BIGINT) AS n_tokens
                 FROM documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens) AS (
           SELECT pack_group, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
@@ -400,7 +400,7 @@ ORACLE_SQL: dict[str, str] = {
                             WHEN b < 90 THEN 'val'
                             ELSE 'test' END AS split,
                        CAST((CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 + 4294967296) % 4294967296 % 8 AS INT) AS pack_group,
-                       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+                       CAST(COALESCE(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0) AS BIGINT) AS n_tokens
                 FROM (SELECT doc_id, text,
                              ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 + 4294967296) % 4294967296 % 100 AS b
                       FROM documents))),
@@ -873,7 +873,7 @@ ORACLE_SQL: dict[str, str] = {
     # --- text analysis ---------------------------------------------------
     "doc_token_stats": r"""
         SELECT doc_id,
-               CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')), 0) AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_wordpieces,
                CAST(length(text) AS BIGINT) AS n_chars_measured
         FROM documents

@@ -862,7 +862,7 @@ def doc_pack_sequences_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                        CAST((CAST(doc_id AS DECIMAL(20,0)) * 2654435761
                              % 4294967296 + 4294967296)
                             % 4294967296 % 16 AS INT) AS pack_group,
-                       CAST(size(filter(split(trim(text), '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+                       CAST(COALESCE(size(filter(split(trim(text), '\\s+'), x -> x != '')), 0) AS BIGINT) AS n_tokens
                 FROM v_documents)),
         pack(pack_group, rn, doc_id, n_tokens, seq_id, seq_tokens)
           MAX RECURSION LEVEL 100000 AS (

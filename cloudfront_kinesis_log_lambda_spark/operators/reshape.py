@@ -160,7 +160,17 @@ def stratified_event_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # missing strata at rate 0, so a hardcoded list would make any new
     # event_type vanish from the output without an error (the distinct
     # is a tiny aggregate over one low-cardinality column)
-    types = [r[0] for r in e.select("event_type").distinct().collect()]
+    # None is excluded: sampleBy rejects a None dict key outright
+    # (DISALLOWED_TYPE_FOR_CONTAINER — r13 null-table sweep), and a
+    # NULL stratum has no meaningful per-class rate anyway; rows with a
+    # null event_type fall out exactly like any stratum absent from the
+    # fractions dict (sampled at rate 0), documented here instead of
+    # crashing the job
+    types = [
+        r[0]
+        for r in e.select("event_type").distinct().collect()
+        if r[0] is not None
+    ]
     fractions = {t: (1.0 if t == "error" else 0.25) for t in types}
     sample = e.sampleBy("event_type", fractions, seed=42)
     return sample.groupBy("event_type").agg(

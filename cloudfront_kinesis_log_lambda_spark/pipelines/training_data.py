@@ -55,12 +55,18 @@ def _n_tokens(text_col: str):
     Blank-doc guard (house rule, same as text.token_stats): split of a
     trimmed blank yields [''] — filtered, so a blank document counts 0
     tokens in BOTH token modes (pack_sequences' subword path 0-fills the
-    same way; r6 review finding)."""
+    same way; r6 review finding). NULL text counts 0 the same way —
+    size(NULL) is NULL under Spark's default, which reached the pack
+    kernel as NaN and crashed int() (r13 null-table differential
+    sweep); a null document packs like a blank one."""
     return (
-        F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
-            )
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+                )
+            ),
+            F.lit(0),
         ).cast("long")
     )
 
@@ -96,8 +102,16 @@ def _gate_and_exact_dedup(
     passed = annotated.filter(F.col("quality") >= min_quality)
     if materialize:
         passed = passed.localCheckpoint(eager=True)
-    # exact dedup: fingerprint → keep the lowest doc_id per fingerprint
-    fp = passed.withColumn("fp", F.md5(F.col(text_col)))
+    # exact dedup: fingerprint → keep the lowest doc_id per fingerprint.
+    # The fingerprint is NULL-SAFE: md5(NULL) is NULL, and the semi join
+    # below is null-unsafe equality, so null-text docs were silently
+    # DROPPED from the corpus — not deduped, lost (r13 null-table
+    # differential sweep; the funnel oracle's GROUP BY keeps one). The
+    # sentinel groups null docs together like SQL GROUP BY does; it is
+    # not 32-hex, so it cannot collide with a real digest.
+    fp = passed.withColumn(
+        "fp", F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+    )
     keep_exact = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact_kept = fp.join(keep_exact, ["fp", "doc_id"], "left_semi").drop("fp")
     if materialize:

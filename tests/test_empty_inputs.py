@@ -103,3 +103,65 @@ def test_grouping_sets_empty_input_follows_spark_semantics(spark):
     assert df.cube("a").agg(F.count(F.lit(1)).alias("n")).count() == 0
     # the special case users should reach for instead
     assert df.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"] == 0
+
+
+# --- null-heavy degenerate (same r13 sweep, null non-key columns) ----------
+
+
+def test_null_text_docs_survive_exact_dedup_as_one_representative(spark):
+    """md5(NULL) is NULL and the exact-dedup semi join is null-unsafe
+    equality, so null-text docs were silently DROPPED from the curated
+    corpus — not deduped, LOST (r13 null-table sweep). The null-safe
+    fingerprint groups them like SQL GROUP BY: one min-doc_id
+    representative survives."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (
+        curation_report,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, None, "en"), (3, "real text here ok", "en")],
+        "doc_id long, text string, lang string",
+    )
+    stages = {
+        r["stage"]: r["n_docs"] for r in curation_report(docs, min_quality=0.0).collect()
+    }
+    # one representative of the two null docs + the real doc
+    assert stages["3_exact_dedup"] == 2
+
+
+def test_null_text_packs_as_zero_tokens_like_blank(spark):
+    """size(split(NULL)) is NULL under Spark defaults and reached the
+    pack kernel as NaN, crashing int() — the house rule is that a null
+    document counts 0 tokens, exactly like a blank one."""
+    from cloudfront_kinesis_log_lambda_spark.pipelines.training_data import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "three tokens here"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in pack_sequences(docs, budget=8).collect()}
+    assert rows == {1: 0, 2: 3, 3: 0}
+
+
+def test_null_strata_are_excluded_not_crashed(spark, sf_dir):
+    """sampleBy rejects a None fractions key outright; a NULL stratum is
+    excluded like any stratum absent from the fractions dict instead of
+    crashing the job."""
+    from cloudfront_kinesis_log_lambda_spark.operators.reshape import (
+        stratified_event_sample,
+    )
+    import cloudfront_kinesis_log_lambda_spark.operators.relational as R
+
+    e = R.load(spark, sf_dir, "events").withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.col("event_type")),
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    e.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = stratified_event_sample(spark, d)
+    types = {r["event_type"] for r in out.collect()}
+    assert None not in types and len(types) > 0
