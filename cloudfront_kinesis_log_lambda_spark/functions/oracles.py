@@ -3167,6 +3167,13 @@ ORACLE_SQL["embedding_drift_incremental"] = ORACLE_SQL["embedding_drift"]
 # Wire-parity notes for the DuckDB leg:
 # - quote=''/escape='': the engine parses with split('\t') — no quote
 #   handling — so the oracle must read raw fields too;
+# - LATENT DIVERGENCE, pinned here (ADVICE r13): read_csv reads an
+#   empty unquoted field as NULL while the engine's split('\t')
+#   contract (sources/cloudfront.py) deliberately yields '' for
+#   adjacent tabs. Parity holds because the fixture generator
+#   (testing/fixtures.py) never emits an empty field — if a future
+#   fixture change adds one, the oracle needs force_not_null over all
+#   columns (or COALESCE(col, '')) to keep matching the wire contract;
 # - the header '#' lines arrive as 1-field rows under null_padding and
 #   are dropped by the NOT LIKE '#%' filter (DuckDB 1.0 read_csv has no
 #   comment option);

@@ -46,14 +46,17 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
-def _fetch_query_vec(
+def fetch_query_vec(
     embeddings: DataFrame, id_col: str, vec_col: str, query_vec_id: int
 ) -> list:
     """Driver-side 1-row fetch of a stored query vector, with a CLEAR
     contract error: the bare `[qrow] = ...collect()` destructuring the
     ANN tiers used raised "not enough values to unpack" on a missing id
     and silently meant "duplicated id" on too many (r13 empty-table
-    differential sweep surfaced the former on an empty corpus)."""
+    differential sweep surfaced the former on an empty corpus).
+
+    Public (no underscore) since r14: plans/registry.py shares the fetch
+    across ANN tiers, so the error contract is cross-module API."""
     rows = (
         embeddings.filter(F.col(id_col) == query_vec_id)
         .select(vec_col)
@@ -342,7 +345,7 @@ def ann_lsh_topk(
     """
     planes = _np_planes(dim, bits, tables, seed)
     if query_vec is None:
-        query_vec = _fetch_query_vec(
+        query_vec = fetch_query_vec(
             embeddings, id_col, vec_col, query_vec_id
         )
     qv = [float(x) for x in query_vec]
@@ -498,7 +501,7 @@ def ivf_topk(
             embeddings, n_centroids, iters, id_col, vec_col, train_cap
         )
     if query_vec is None:
-        query_vec = _fetch_query_vec(
+        query_vec = fetch_query_vec(
             embeddings, id_col, vec_col, query_vec_id
         )
     qv = [float(x) for x in query_vec]
@@ -621,7 +624,7 @@ def ivf_pq_topk(
     books = _pq_codebooks(Xtrain, m_subvectors, n_codes, iters)
 
     if query_vec is None:
-        query_vec = _fetch_query_vec(
+        query_vec = fetch_query_vec(
             embeddings, id_col, vec_col, query_vec_id
         )
     qv = np.asarray([float(x) for x in query_vec], dtype=np.float64)

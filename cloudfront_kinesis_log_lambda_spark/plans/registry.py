@@ -665,7 +665,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the three collect-based tiers otherwise each pay a 1-row collect
     # job for the same vector — at the report's tiny data size the wall
     # is job-count-bound, so shared fetches are the honest lever
-    qv = [float(x) for x in S._fetch_query_vec(emb, "vec_id", "embedding", 0)]
+    qv = [float(x) for x in S.fetch_query_vec(emb, "vec_id", "embedding", 0)]
     tiers = {
         "lsh": S.ann_lsh_topk(emb, query_vec_id=0, k=k, query_vec=qv),
         "ivf": S.ivf_topk(emb, query_vec_id=0, k=k, centroids=cents,
@@ -718,7 +718,7 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = StreamingVectorIndex(root)
     idx(emb.filter(F.col("vec_id") % 2 == 0), 0)
     idx(emb.filter(F.col("vec_id") % 2 == 1), 1)
-    qv = S._fetch_query_vec(emb, "vec_id", "embedding", 0)
+    qv = S.fetch_query_vec(emb, "vec_id", "embedding", 0)
     out = index_topk(
         spark, root, [float(x) for x in qv], k=10, nprobe=4, exclude_id=0
     ).localCheckpoint(eager=True)
@@ -1053,7 +1053,9 @@ def _fixture_dir() -> str:
 
 def cloudfront_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's transform chain over a deterministic synthetic log
-    tree (rows-only: the cloudfront table isn't in the oracle's views)."""
+    tree. Oracle-backed since r13: functions/oracles.py carries a DuckDB
+    twin that reads the SAME gzipped TSV fixture tree (shared
+    FIXTURE_DIR), so the flagship pipeline is hash-checked end-to-end."""
     return transform_cloudfront(read_cloudfront_logs(spark, _fixture_dir()))
 
 
@@ -1069,9 +1071,10 @@ def cloudfront_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytics over the reference's OWN data: status-class × env
     traffic rollup on the enriched log records — the kind of question
     the reference's forward-only pipeline can't answer without a
-    downstream system. Rows-only (the cloudfront fixture isn't an
-    oracle view); the same rollup is value-asserted end-to-end in
-    tests/test_full_loop.py after a sink→source round trip."""
+    downstream system. Oracle-backed since r13 via the shared
+    FIXTURE_DIR DuckDB oracle (functions/oracles.py); the same rollup is
+    also value-asserted end-to-end in tests/test_full_loop.py after a
+    sink→source round trip."""
     enriched = transform_cloudfront(read_cloudfront_logs(spark, _fixture_dir()))
     return (
         enriched.groupBy(
@@ -1658,8 +1661,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_benford_incremental": orders_benford_incremental,
     "order_basket_rules_incremental": order_basket_rules_incremental,
     "orders_quality_incremental": orders_quality_incremental,
-    # rows-only (the reference pipeline itself: cloudfront table isn't an
-    # oracle view / PartitionKey is uuid-nondeterministic)
+    # cloudfront_enriched / cloudfront_status_rollup: oracle-backed
+    # since r13 (shared-FIXTURE_DIR DuckDB twins); cloudfront_wire stays
+    # rows-only (PartitionKey is uuid-nondeterministic by reference
+    # design, wire Data bytes golden-oracle-checked in tests)
     "cloudfront_enriched": cloudfront_enriched,
     "cloudfront_wire": cloudfront_wire,
     "cloudfront_status_rollup": cloudfront_status_rollup,

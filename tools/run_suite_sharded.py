@@ -175,7 +175,13 @@ def main() -> int:
 
     shard_rows = []
     totals = {"passed": 0, "failed": 0, "skipped": 0, "errors": 0}
-    ok = True
+    # a shard thread that died before recording its result (e.g. log
+    # parse crash) must fail the run — otherwise its tests are silently
+    # missing while the runner exits 0 (ADVICE r13)
+    ok = len(results) == len(parts)
+    if not ok:
+        missing = sorted(set(range(len(parts))) - set(results))
+        print(f"# FATAL: shard(s) {missing} recorded no result", file=sys.stderr)
     for i in sorted(results):
         rec = results[i]
         ok &= rec["rc"] == 0
