@@ -60,87 +60,80 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r13 WINDOW MATH (standing policy above at the CURRENT counts):
-    # 176 registry entries, 160 oracle-backed (cloudfront_enriched and
-    # cloudfront_status_rollup GAINED DuckDB twins this round — the
-    # fixture tree is deterministic and oracle_sql() materializes it
-    # for DuckDB, VERDICT r12 item 8), 16 rows-only; rotation period
-    # 160/50 = 3.2 rounds → invariant "every oracle entry ≤3 rounds
-    # stale". Staleness after r12 (union of CORRECTNESS_r01..r12
-    # latest green rows): r9×10, r10×49, r11×49, r12×50.
+    # r14 WINDOW MATH (standing policy above at the CURRENT counts):
+    # 176 registry entries, 160 oracle-backed, 16 rows-only; rotation
+    # period 160/50 = 3.2 rounds → invariant "every oracle entry ≤3
+    # rounds stale". Staleness after r13 (union of CORRECTNESS_r01..r13
+    # latest green rows): r10×11, r11×49, r12×50, r13×50.
     #
-    # This round's 50 = the 2 newly-oracle-backed cloudfront entries
-    # (rule 1: no hash row exists for them at all) + the 10 r9-stale
-    # entries (the debt pre-committed at r12 close — exactly 3 rounds
-    # stale, they MUST and do lead) + the 38 alphabetically-first r10
-    # greens. Owed to r14: the remaining 11 r10 greens
-    # (filtered_revenue, group_having, kinesis_exactly_once_rollup,
-    # nation_set_ops, order_item_arrays, order_price_histogram,
-    # part_triangle_stats, pivot_qty_by_linestatus, pricing_summary,
-    # scd2_incremental_roundtrip, training_shards_roundtrip — 3 rounds
-    # stale at r14, so they lead), topped up with the oldest r11
-    # greens minus slots for r14-changed code.
+    # This round's 50 = the 11 r10-stale entries (the debt
+    # pre-committed at r13 close — exactly 3 rounds stale, they MUST
+    # and do lead) + the 39 alphabetically-first r11 greens. Owed to
+    # r15: the remaining 10 r11 greens (running_customer_spend,
+    # scalar_function_showcase, sessionize_events,
+    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
+    # top_orders_per_customer, unpivot_order_metrics,
+    # word_countmin_incremental, word_countmin_topk — 3 rounds stale at
+    # r15, so they lead), topped up with the oldest r12 greens minus
+    # slots for r15-changed code.
     #
-    # rule 1: cloudfront_enriched / cloudfront_status_rollup upgraded
-    # rows-only → oracle-backed (implementation unchanged; the oracle
-    # side is new) — first hash evidence, so they lead. The r13
-    # grouped_cell_pairs fix (id-valued upper triangle — no self-pair
-    # on at-least-once redelivery) touches only the two rows-only
-    # semantic entries, which stay in _TAIL per rule 3; their contract
-    # gates (kernel duplicate-id test, streaming redelivery e2e, GEMM
-    # plan gate) ran green in tests/ this round.
-    "cloudfront_enriched",
-    "cloudfront_status_rollup",
-    # rule 2: the 10 r9-stale entries, 3 rounds stale — all lead
-    "order_price_percentiles",
-    "orders_quality_incremental",
-    "orders_with_max_item",
-    "parts_above_brand_avg",
-    "purchases_asof_cogroup",
-    "recent_orders_lateral",
-    "shipping_priority",
-    "sql_market_share",
-    "top_orders",
-    "user_value_scd2",
-    # rule 2b: the 38 alphabetically-first of the 49 r10 greens
-    "attribution_last_touch",
-    "conditional_agg_status",
-    "cosine_topk_multi_query",
-    "cube_orders",
-    "customer_rollup_diff",
-    "customers_per_region",
-    "distinct_suppliers_per_flag",
-    "doc_bm25_topk",
-    "doc_bpe_tokens",
-    "doc_chunks_udtf",
-    "doc_curation_funnel",
-    "doc_lang_id",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
-    "doc_repetition",
-    "doc_split_assign",
-    "doc_subword_tokens",
-    "doc_tfidf_topk",
-    "doc_token_stats",
-    "doc_weighted_sample",
-    "doc_weighted_sample_incremental",
-    "event_transitions",
-    "event_transitions_incremental",
-    "events_ddsketch_incremental",
-    "events_ewma",
-    "events_gapfill",
-    "events_hll_incremental",
-    "events_hll_type_overlap",
-    "events_hll_users",
-    "events_hourly",
-    "events_json_props",
-    "events_mad_outliers",
-    "events_metric_map",
-    "events_moving_hour_sum",
-    "events_ohlc",
-    "events_tumbling_windows",
-    "events_value_ddsketch",
+    # rule 1 check for r14: the fetch_query_vec rename (ADVICE r13)
+    # touches only the rows-only ANN entries, which stay in _TAIL per
+    # rule 3 (their recall/contract gates ran green in tests/); the
+    # registry docstring updates are comment-only.
+    #
+    # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
+    "filtered_revenue",
+    "group_having",
+    "kinesis_exactly_once_rollup",
+    "nation_set_ops",
+    "order_item_arrays",
+    "order_price_histogram",
+    "part_triangle_stats",
+    "pivot_qty_by_linestatus",
+    "pricing_summary",
+    "scd2_incremental_roundtrip",
+    "training_shards_roundtrip",
+    # rule 2b: the 39 alphabetically-first of the 49 r11 greens
+    "ann_quantized_topk",
+    "cosine_topk_bruteforce",
+    "doc_bigram_logprob",
+    "doc_block_dedup",
+    "doc_bm25_incremental",
+    "doc_collocations",
+    "doc_contamination",
+    "doc_decontaminate",
+    "doc_dedup_keep",
+    "doc_dup_span_stats",
+    "doc_global_shuffle",
+    "doc_hybrid_rrf",
+    "doc_hybrid_rrf_incremental",
+    "doc_inverted_index",
+    "doc_inverted_index_incremental",
+    "doc_sorted_neighbors",
+    "doc_sorted_neighbors_multipass",
+    "embedding_drift",
+    "embedding_drift_incremental",
+    "events_ab_conversion",
+    "events_cusum_changepoints",
+    "events_ewma_incremental",
+    "events_holt",
+    "events_holt_incremental",
+    "events_holt_winters",
+    "events_holt_winters_incremental",
+    "events_ks_drift",
+    "events_ks_incremental",
+    "events_linear_trend",
+    "events_linear_trend_incremental",
+    "events_ohlc_incremental",
+    "events_psi_drift",
+    "events_psi_drift_incremental",
+    "purchases_asof_view",
+    "purchases_next_view",
+    "region_nations_agg",
+    "retrieval_eval_metrics",
+    "revenue_by_segment",
+    "rollup_returns",
 ]
 _FILL: list[str] = []
 _TAIL = [
