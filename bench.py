@@ -157,11 +157,20 @@ REPS = int(os.environ.get("BENCH_REPS", "4"))
 #: join them — their operator-internal localCheckpoint (the bounded-
 #: memory fix for unpersistable cache() pins) adds a disk round-trip
 #: whose cost is the box's most noise-sensitive component
+#: r14 (VERDICT r13 item 2): the sub-second floor-riders join them —
+#: BENCH_r13 printed cloudfront_wire at 0.669 s (2.8× baseline) purely
+#: because the driver box's canary floor was the noisiest on record
+#: (0.156 median vs the 0.086-0.105 band); two independent runs placed
+#: the query at 0.37-0.41 s. At ~0.3-0.7 s a single 0.3 s scheduling
+#: hiccup doubles a reading, so one spike must not own the min.
 EXTRA_REPS = {
     "pricing_summary": 8,
     "revenue_by_segment": 8,
     "near_dup_minhash_lsh": 8,
     "winnow_near_pairs": 8,
+    "cloudfront_wire": 8,
+    "cosine_topk_bruteforce": 8,
+    "cube_orders": 8,
 }
 
 #: r11 (VERDICT r10 item 3): the heavy extensions (≥1.5 s at sf0.1) run
@@ -433,6 +442,17 @@ def main() -> None:
         "median": round(_median(canaries), 3),
     }
     print(f"# canary (idle-floor probe): {canary}", file=sys.stderr)
+    # r14 (VERDICT r13 item 2): per-query floor_units = min ÷ canary min
+    # — an in-band, box-independent reading. A floor query whose wall
+    # doubled on a 2×-noisier canary floor shows FLAT floor_units, so
+    # the artifact can exonerate its own noise without an external rerun
+    # (BENCH_r13's cloudfront_wire 0.669 s episode). Compare floor_units
+    # across rounds, not raw seconds, for every sub-second entry.
+    floor_units = {
+        name: round(t / canary["min"], 1) if canary["min"] > 0 else -1.0
+        for name, t in timings.items()
+    }
+    print(f"# floor_units (min / canary-min): {floor_units}", file=sys.stderr)
 
     # round-over-round visibility for the round-5 extension surface:
     # single warm rep each (they have no BASELINE row — the headline set
@@ -487,6 +507,7 @@ def main() -> None:
         "value_median_protocol": round(sum(medians.values()), 3),
         "queries": timings,
         "queries_median": medians,
+        "queries_floor_units": floor_units,
         # median >> min here ⇒ the box was contended during this run
         "noise_canary": canary,
         "extension_queries": extension,
@@ -512,6 +533,10 @@ def main() -> None:
         "unit": "sec",
         "value_median_protocol": round(sum(medians.values()), 3),
         "queries": timings,
+        # per-query min ÷ canary-min: box-independent floor readings so
+        # a contended run can't print an unexplained >2×-vs-baseline
+        # sub-second number (VERDICT r13 item 2)
+        "queries_floor_units": floor_units,
         "noise_canary": canary,
         "extension_total": round(sum(extension.values()), 3),
         "extension_canary": ext_canary,

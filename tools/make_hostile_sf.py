@@ -1,0 +1,161 @@
+"""Build a numeric-hostile scale dir — the input for the r14 hostile
+differential sweep (VERDICT r13 item 3):
+
+    python tools/make_hostile_sf.py [src_sf_dir] [dst_dir]
+    python tools/check_correctness.py /tmp/sf-hostile
+
+The empty (r13), 1-row (r13), and null-text (r13) sweeps each found
+real bugs in multi-round-green code; this variant probes the NUMERIC
+axis that none of them exercised: NaN / ±Inf / extreme-magnitude /
+denormal floats in ``events.value`` and ``embeddings.embedding``,
+zero-norm and float32-max vectors (GEMM threshold compares, cosine
+normalization, DDSketch's log, decimal quantizations), and
+int64-boundary / negative ids (hash bucketing, modulo partitioning,
+id-ordered tiebreaks). At 100 TB every one of these shapes exists
+somewhere in the keyspace.
+
+Everything appended is deterministic (no RNG) and stays inside the
+source tables' categorical domains (event_type, lang, label) so group
+keys don't explode — only the numeric payloads are hostile. The sweep
+compares Spark and DuckDB over the SAME files, so a mismatch is an
+engine-semantics divergence, not a data artifact.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+I64_MAX = 2**63 - 1
+I64_MIN = -(2**63)
+F32_MAX = 3.4028234663852886e38  # np.finfo(float32).max
+F32_DENORMAL_MIN = 1.401298464324817e-45  # np.finfo(float32).smallest_subnormal
+
+
+def _hostile_events(src: pa.Table) -> pa.Table:
+    """Append NaN/±Inf/extreme ``value`` rows and int64-boundary ids."""
+    ev_types = sorted(set(src.column("event_type").to_pylist()))
+    base_ts = src.column("ts")[0].as_py()
+    next_id = max(src.column("event_id").to_pylist()) + 1
+    rows = [
+        # (event_id, user_id, value) — ts/type/props stay in-domain
+        (next_id + 0, 1, float("nan")),
+        (next_id + 1, 2, float("inf")),
+        (next_id + 2, 3, float("-inf")),
+        (next_id + 3, I64_MAX, 1.7976931348623157e308),   # max double
+        (next_id + 4, I64_MIN, -1.7976931348623157e308),
+        (next_id + 5, -1, 5e-324),                        # min denormal
+        (I64_MAX, 4, 2.5),                                # boundary event ids,
+        (I64_MIN, 5, -2.5),                               # sane values
+    ]
+    extra = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base_ts] * len(rows), src.schema.field("ts").type),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(
+                [ev_types[i % len(ev_types)] for i in range(len(rows))],
+                pa.string(),
+            ),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
+def _hostile_embeddings(src: pa.Table) -> pa.Table:
+    """Append zero-norm / NaN / ±Inf / float32-extreme vectors and
+    int64-boundary ids. Vector shapes (dim preserved):
+
+    - all-zero (zero norm: cosine denominators, normalize-then-GEMM)
+    - one NaN element (NaN must not silently pass a GEMM ``>= thresh``)
+    - one ±Inf element (Inf·0 = NaN inside dot products)
+    - all float32-max (norm² overflows float32 → Inf in numpy paths)
+    - all denormal-min (norm² underflows float32 → 0-division in numpy)
+    """
+    dim = len(src.column("embedding")[0])
+    labels = sorted(set(src.column("label").to_pylist()))
+    next_id = max(src.column("vec_id").to_pylist()) + 100
+    nan_vec = [0.5] * dim
+    nan_vec[0] = float("nan")
+    inf_vec = [0.5] * dim
+    inf_vec[1] = float("inf")
+    ninf_vec = [0.5] * dim
+    ninf_vec[2] = float("-inf")
+    rows = [
+        (I64_MAX, [0.0] * dim),
+        (I64_MIN, nan_vec),
+        (-1, inf_vec),
+        (-2, ninf_vec),
+        (next_id + 0, [F32_MAX] * dim),
+        (next_id + 1, [F32_DENORMAL_MIN] * dim),
+    ]
+    extra = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], src.schema.field("embedding").type
+            ),
+            "label": pa.array(
+                [labels[i % len(labels)] for i in range(len(rows))],
+                src.schema.field("label").type,
+            ),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
+def _hostile_documents(src: pa.Table) -> pa.Table:
+    """Append int64-boundary / negative doc ids with ordinary text —
+    probes id hashing (split assign, shuffling, fingerprints) and
+    id-ordered tiebreaks without re-running the r13 null-text axis."""
+    langs = sorted(set(src.column("lang").to_pylist()))
+    sources = sorted(set(src.column("source").to_pylist()))
+    texts = [
+        "boundary document alpha beta gamma delta epsilon zeta",
+        "boundary document eta theta iota kappa lambda mu nu xi",
+        "boundary document omicron pi rho sigma tau upsilon phi",
+    ]
+    ids = [I64_MAX, I64_MIN, -1]
+    extra = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([langs[0]] * 3, pa.string()),
+            "source": pa.array([sources[0]] * 3, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
+_HOSTILE = {
+    "events": _hostile_events,
+    "embeddings": _hostile_embeddings,
+    "documents": _hostile_documents,
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf-hostile"
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        table = pq.read_table(f"{src}/{t}.parquet")
+        if t in _HOSTILE:
+            n0 = table.num_rows
+            table = _HOSTILE[t](table)
+            print(f"{t}: {n0} -> {table.num_rows} rows (+{table.num_rows - n0} hostile)")
+        pq.write_table(table, f"{dst}/{t}.parquet")
+    print(f"wrote {len(TABLES)} tables to {dst}")
+
+
+if __name__ == "__main__":
+    main()
