@@ -20,6 +20,30 @@ Type-parity rules used throughout (Spark ↔ DuckDB):
 
 from __future__ import annotations
 
+
+def _fin_cos(a: str, b: str) -> str:
+    """Participation predicate for exact-cosine legs, mirroring the
+    engine's ``similarity._cos_safe`` + ``_finite_filter`` contract
+    (r14 hostile-numeric sweep): only vector pairs with a finite,
+    well-defined cosine rank. Computed MANUALLY (dot / (|a|·|b|))
+    because DuckDB's ``list_cosine_similarity`` CLAMPS to [-1, 1] —
+    a zero-norm or NaN-element vector silently reads as -1.0 there,
+    while the engine excludes it. The clamping builtin still supplies
+    the VALUE for surviving rows (identical to manual on the finite
+    domain after ROUND 4)."""
+    return (
+        f"isfinite(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+#: the same predicate instantiated for the common (a=query, b=corpus)
+#: join aliases used by every cosine oracle below
+_FIN_COS_AB = _fin_cos(
+    "CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])"
+)
+
 ORACLE_SQL: dict[str, str] = {
     # --- aggregations --------------------------------------------------
     "pricing_summary": """
@@ -455,11 +479,16 @@ ORACLE_SQL: dict[str, str] = {
     # replay WITH injected duplicate deliveries + streaming dedup +
     # parquet store round trip; the oracle rolls up the ORIGINAL table —
     # they hash-match only if the duplicates collapsed losslessly
+    # SUM skips non-finite values: the JSON wire transports NaN/±Inf as
+    # null by contract (RFC 8259 has no tokens for them — see the rec()
+    # encoder in plans/registry.py), so the replayed rows carry NULL
+    # there; identical on all-finite data
     "kinesis_exactly_once_rollup": """
         SELECT event_type,
                COUNT(*)                 AS n_events,
                COUNT(DISTINCT event_id) AS n_ids,
-               ROUND(SUM(value), 2)     AS sum_value
+               ROUND(SUM(CASE WHEN isfinite(value) THEN value END), 2)
+                 AS sum_value
         FROM events
         GROUP BY event_type
     """,
@@ -615,12 +644,14 @@ ORACLE_SQL: dict[str, str] = {
                                / STDDEV_SAMP(value) OVER w
                      END, 4) AS z
         FROM events
+        WHERE isfinite(value) AND abs(value) < 1.3407807929942596e154
         WINDOW w AS (PARTITION BY user_id)
     """,
     "events_median_udaf": """
         SELECT user_id,
                ROUND(MEDIAN(value), 4) AS median_value
         FROM events
+        WHERE isfinite(value)
         GROUP BY user_id
     """,
     # --- PII scrub --------------------------------------------------------
@@ -819,7 +850,7 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
     # --- embedding dedup (exact baseline of the LSH tier) ----------------
-    "embedding_pairs_exact": """
+    "embedding_pairs_exact": f"""
         SELECT a.vec_id AS id_a,
                b.vec_id AS id_b,
                ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -830,6 +861,7 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 4)
               >= 0.3
+          AND {_FIN_COS_AB}
     """,
     # --- repetition / boilerplate quality signals ------------------------
     "doc_repetition": r"""
@@ -1092,26 +1124,36 @@ ORACLE_SQL: dict[str, str] = {
     # --- int8 quantization ------------------------------------------------
     # floor(x/scale + 0.5) spelled out on both engines: CAST/round()
     # half-way behavior differs across engines, floor of a double doesn't
+    # non-finite contract mirrored from quantize_int8 (r14): a vector
+    # with any NaN/±Inf element reads scale = NULL, codes = NULL
     "embedding_quantize_int8": """
         WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 len(list_filter(CAST(embedding AS DOUBLE[]),
+                                 x -> NOT isfinite(x))) = 0 AS fin
+          FROM embeddings),
         s AS (
-          SELECT vec_id, e,
+          SELECT vec_id, e, fin,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
           FROM v)
         SELECT vec_id,
-               ROUND(scale, 6) AS scale,
-               array_to_string(
+               CASE WHEN fin THEN ROUND(scale, 6) END AS scale,
+               CASE WHEN fin THEN array_to_string(
                  list_transform(e, x -> CAST(CASE WHEN scale > 0
                                                   THEN floor(x / scale + 0.5)
-                                                  ELSE 0 END AS INT)), ',') AS codes
+                                                  ELSE 0 END AS INT)), ',')
+               END AS codes
         FROM s
     """,
     # serving path over the quantized codes: integer dot (exact) times
-    # the two scales; same floor(x/scale + 0.5) quantizer as above
+    # the two scales; same floor(x/scale + 0.5) quantizer as above.
+    # Non-finite vectors carry NULL codes (the quantize_int8 contract)
+    # and are excluded from ranking on both sides.
     "ann_quantized_topk": """
         WITH v AS (
-          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+          WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> NOT isfinite(x))) = 0),
         s AS (
           SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
@@ -1141,16 +1183,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM embeddings
         GROUP BY label
     """,
-    "cosine_topk_bruteforce": """
+    "cosine_topk_bruteforce": f"""
         SELECT b.vec_id,
                ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
                                             CAST(a.embedding AS DOUBLE[])), 4) AS cos
         FROM embeddings a, embeddings b
         WHERE a.vec_id = 0 AND b.vec_id <> 0
+          AND {_FIN_COS_AB}
         ORDER BY cos DESC, b.vec_id
         LIMIT 10
     """,
-    "cosine_topk_multi_query": """
+    "cosine_topk_multi_query": f"""
         SELECT q_id, vec_id, cos, rn FROM (
           SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
                  ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
@@ -1162,6 +1205,7 @@ ORACLE_SQL: dict[str, str] = {
                                     b.vec_id) AS rn
           FROM embeddings a, embeddings b
           WHERE a.vec_id IN (0, 1, 2) AND b.vec_id <> a.vec_id
+            AND {_FIN_COS_AB}
         ) WHERE rn <= 5
     """,
     # the full curation pipeline's stage funnel: quality gate (the
@@ -1490,7 +1534,7 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY lift DESC, b.w1, b.w2
         LIMIT 20
     """,
-    "matryoshka_topk": """
+    "matryoshka_topk": f"""
         WITH q AS (
           SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         s1 AS (
@@ -1500,6 +1544,8 @@ ORACLE_SQL: dict[str, str] = {
                          CAST(q.qv[1:16] AS DOUBLE[])), 4) AS cos_pref
           FROM embeddings b, q
           WHERE b.vec_id <> 0
+            AND {_fin_cos("CAST(b.embedding[1:16] AS DOUBLE[])",
+                          "CAST(q.qv[1:16] AS DOUBLE[])")}
           ORDER BY cos_pref DESC, b.vec_id
           LIMIT 40)
         SELECT vec_id, cos_pref,
@@ -1507,6 +1553,7 @@ ORACLE_SQL: dict[str, str] = {
                                             CAST(qv AS DOUBLE[])), 4)
                  AS cos_full
         FROM s1
+        WHERE {_fin_cos("CAST(embedding AS DOUBLE[])", "CAST(qv AS DOUBLE[])")}
         ORDER BY cos_full DESC, vec_id
         LIMIT 10
     """,
@@ -1743,7 +1790,7 @@ ORACLE_SQL["events_hll_type_overlap"] = f"""
 ORACLE_SQL["events_value_ddsketch"] = f"""
     WITH h AS (
       SELECT event_type, {DD_BUCKET_SQL} AS bucket
-      FROM events WHERE value > 0),
+      FROM events WHERE value > 0 AND isfinite(value)),
     hist AS (
       SELECT event_type, bucket, COUNT(*) AS n FROM h GROUP BY 1, 2),
     cum AS (
@@ -1874,6 +1921,7 @@ ORACLE_SQL["retrieval_eval_metrics"] = f"""
                AS cos
       FROM embeddings a, embeddings b
       WHERE a.vec_id = {RRF_QUERY_VEC} AND b.vec_id <> {RRF_QUERY_VEC}
+        AND {_FIN_COS_AB}
       ORDER BY cos DESC, b.vec_id LIMIT {RRF_POOL}),
     ranked AS (
       SELECT p.vec_id,
@@ -1960,6 +2008,7 @@ ORACLE_SQL["doc_hybrid_rrf"] = rf"""
                AS cos
       FROM embeddings a, embeddings b
       WHERE a.vec_id = {RRF_QUERY_VEC} AND b.vec_id <> {RRF_QUERY_VEC}
+        AND {_FIN_COS_AB}
       ORDER BY cos DESC, b.vec_id LIMIT {RRF_POOL}),
     sem AS (
       SELECT doc_id,
@@ -2095,7 +2144,9 @@ ORACLE_SQL["events_holt_winters"] = f"""
              CAST(SUM(CAST(value AS DECIMAL(18,9))) AS DOUBLE) AS x,
              CAST(EXTRACT(hour FROM date_trunc('hour', ts)) AS BIGINT)
                AS p
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      FROM events
+      WHERE isfinite(value) AND abs(value) < 999999999.0  -- decimal-exact domain (r14)
+      GROUP BY event_type, date_trunc('hour', ts)),
     arrs AS (
       SELECT event_type,
              list(x ORDER BY hb) AS xs,
@@ -2141,7 +2192,9 @@ ORACLE_SQL["events_linear_trend"] = f"""
       SELECT event_type,
              epoch_us(ts) // 3600000000 - {TREND_EPOCH_HOURS} AS x,
              CAST(value AS DECIMAL(18,3)) AS yd
-      FROM events),
+      FROM events
+      WHERE isfinite(value) AND abs(value) < 999999999999999.0  -- decimal-exact domain (r14)
+      ),
     agg AS (
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
@@ -2188,7 +2241,9 @@ ORACLE_SQL["events_cusum_changepoints"] = f"""
     WITH RECURSIVE b AS (
       SELECT event_type, date_trunc('hour', ts) AS hb,
              SUM(CAST(value AS DECIMAL(18,9))) AS xd
-      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      FROM events
+      WHERE isfinite(value) AND abs(value) < 999999999.0  -- decimal-exact domain (r14)
+      GROUP BY event_type, date_trunc('hour', ts)),
     b2 AS (
       SELECT event_type, hb, xd, CAST(xd AS DOUBLE) AS x,
              CAST(CAST(xd AS DOUBLE) * CAST(xd AS DOUBLE)
@@ -2254,10 +2309,11 @@ ORACLE_SQL["events_ohlc"] = """
 ORACLE_SQL["events_mad_outliers"] = f"""
     WITH med AS (SELECT event_type,
                         ROUND(quantile_cont(value, 0.5), 9) AS med
-                 FROM events GROUP BY 1),
+                 FROM events WHERE isfinite(value) GROUP BY 1),
     dev AS (SELECT e.event_type, med,
                    ROUND(abs(e.value - med), 9) AS adev
-            FROM events e JOIN med USING (event_type)),
+            FROM events e JOIN med USING (event_type)
+            WHERE isfinite(e.value)),
     mad AS (SELECT event_type, ROUND(quantile_cont(adev, 0.5), 9) AS mad
             FROM dev GROUP BY 1)
     SELECT d.event_type,
@@ -2276,7 +2332,7 @@ ORACLE_SQL["events_seasonal_outliers"] = f"""
     WITH e AS (SELECT event_type,
                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
                       value
-               FROM events),
+               FROM events WHERE isfinite(value)),
     med AS (SELECT event_type, hod,
                    ROUND(quantile_cont(value, 0.5), 9) AS med
             FROM e GROUP BY 1, 2),
@@ -2679,7 +2735,9 @@ _PSI_PAD = float(PSI_BINS) * 0.5
 ORACLE_SQL["events_psi_drift"] = f"""
     WITH stats AS (
       SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax
-      FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}' GROUP BY 1),
+      FROM events
+      WHERE ts < TIMESTAMP '{_PSI_SPLIT}' AND isfinite(value)
+      GROUP BY 1),
     binned AS (
       SELECT e.event_type,
              CASE WHEN s.vmax = s.vmin THEN CAST(0 AS BIGINT)
@@ -2689,7 +2747,8 @@ ORACLE_SQL["events_psi_drift"] = f"""
                                   * CAST({PSI_BINS}.0 AS DOUBLE))
                             AS BIGINT))) END AS bin,
              (e.ts < TIMESTAMP '{_PSI_SPLIT}') AS is_ref
-      FROM events e JOIN stats s USING (event_type)),
+      FROM events e JOIN stats s USING (event_type)
+      WHERE isfinite(e.value)),
     counts AS (
       SELECT event_type, bin,
              CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT)
@@ -2909,7 +2968,7 @@ ORACLE_SQL["orders_benford_digits"] = """
                         / POW(CAST(10.0 AS DOUBLE),
                               CAST(FLOOR(LOG10(o_totalprice)) AS DOUBLE)))
                   AS BIGINT) AS d
-      FROM orders WHERE o_totalprice > 0),
+      FROM orders WHERE o_totalprice > 0 AND isfinite(o_totalprice)),
     digits AS (
       SELECT CASE WHEN d < 1 THEN CAST(9 AS BIGINT)
                   WHEN d > 9 THEN CAST(1 AS BIGINT)
@@ -3067,7 +3126,10 @@ ORACLE_SQL["embedding_drift"] = """
       SELECT label, (vec_id % 2 = 0) AS is_ref, g.g AS dim,
              CAST(embedding[g.g] AS DECIMAL(18,9)) AS vd
       FROM embeddings CROSS JOIN generate_series(1, 64) g(g)
-      WHERE embedding IS NOT NULL),
+      WHERE embedding IS NOT NULL
+        -- decimal-exact domain (r14), per element like the posexplode
+        AND isfinite(CAST(embedding[g.g] AS DOUBLE))
+        AND abs(CAST(embedding[g.g] AS DOUBLE)) < 999999999.0),
     counts AS (
       SELECT label,
              CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)

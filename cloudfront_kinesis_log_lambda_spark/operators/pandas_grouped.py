@@ -26,6 +26,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    finite,
+    in_variance_domain,
+)
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
 
 
@@ -57,8 +61,15 @@ def zscore_by_group(
         out["z"] = z.round(4)
         return out
 
-    return df.select(*id_cols, key, value_col).groupBy(key).applyInPandas(
-        norm, schema
+    # variance domain (r14): non-finite readings are missing, and a
+    # value whose square exceeds DBL_MAX would overflow the oracle's
+    # STDDEV_SAMP outright — excluded rows get no z-score (the output
+    # is total over IN-DOMAIN rows)
+    return (
+        df.select(*id_cols, key, value_col)
+        .filter(in_variance_domain(F.col(value_col)))
+        .groupBy(key)
+        .applyInPandas(norm, schema)
     )
 
 
@@ -177,7 +188,11 @@ def events_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def median_udf(v: pd.Series) -> float:
         return float(v.median())
 
-    e = load(spark, sf_dir, "events")
+    # robust-stat domain (r14): non-finite readings are missing — pandas
+    # median skips NaN while DuckDB sorts it greatest, so the exclusion
+    # must be explicit and mirrored (a user with no finite reading has
+    # no median row)
+    e = load(spark, sf_dir, "events").filter(finite(F.col("value")))
     return e.groupBy("user_id").agg(
         F.round(median_udf("value"), 4).alias("median_value")
     )

@@ -44,6 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    DECIMAL_18_9_BOUND,
+    finite,
+    in_decimal_domain,
+)
 
 # events span 2024-01-01..2024-01-30; split the month into a
 # reference fortnight and a current fortnight
@@ -55,9 +60,15 @@ PSI_DRIFT_THRESHOLD = 0.2
 
 
 def psi_ref_stats(ref: DataFrame, type_col: str, value_col: str) -> DataFrame:
-    """Per-type reference bin geometry: (type, vmin, vmax)."""
-    return ref.groupBy(F.col(type_col).alias("event_type")).agg(
-        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    """Per-type reference bin geometry: (type, vmin, vmax).
+
+    Non-finite values are excluded (r14 hostile sweep): a single NaN
+    reading would poison vmax under both engines' NaN-is-greatest
+    aggregation, collapsing every bin expression to NaN."""
+    return (
+        ref.filter(finite(F.col(value_col)))
+        .groupBy(F.col(type_col).alias("event_type"))
+        .agg(F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax"))
     )
 
 
@@ -93,11 +104,17 @@ def psi_bin_counts(
     its window by a conditional aggregate — the only wide exchange in
     the whole operator, carrying 10·|types| partial rows."""
     is_ref = F.col(ts_col) < F.lit(split)
-    binned = events.select(
-        F.col(type_col).alias("event_type"),
-        F.col(value_col).alias("v"),
-        is_ref.alias("is_ref"),
-    ).join(F.broadcast(stats), "event_type")
+    # non-finite readings have no position on the binned real line —
+    # excluded from BOTH windows (same rule as psi_ref_stats, r14)
+    binned = (
+        events.filter(finite(F.col(value_col)))
+        .select(
+            F.col(type_col).alias("event_type"),
+            F.col(value_col).alias("v"),
+            is_ref.alias("is_ref"),
+        )
+        .join(F.broadcast(stats), "event_type")
+    )
     return (
         binned.select(
             "event_type",
@@ -354,7 +371,9 @@ def benford_digits(df: DataFrame, value_col: str) -> DataFrame:
     """
     spark = df.sparkSession
     v = F.col(value_col)
-    digits = df.filter(v > 0).select(benford_digit_expr(v).alias("digit"))
+    digits = df.filter((v > 0) & finite(v)).select(
+        benford_digit_expr(v).alias("digit")
+    )
     counts = digits.groupBy("digit").agg(
         F.count(F.lit(1)).cast("long").alias("n_obs")
     )
@@ -599,6 +618,10 @@ def embedding_centroid_drift(
         F.col(label_col).alias("label"),
         is_ref.alias("is_ref"),
         F.posexplode("embedding").alias("dim", "val"),
+    ).filter(
+        # decimal-exact domain (r14): non-representable elements are
+        # missing for THIS statistic (per-dim, not whole-vector)
+        in_decimal_domain(F.col("val"), DECIMAL_18_9_BOUND)
     ).select(
         "label",
         "dim",

@@ -46,6 +46,28 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cos_safe(a: Column, b: Column) -> Column:
+    """Total cosine: NULL when the denominator is zero instead of an
+    ANSI DIVIDE_BY_ZERO crash (r14 hostile-numeric sweep: one all-zero
+    vector anywhere in the corpus killed every exact-cosine query —
+    and at 100 TB a zero vector somewhere in the keyspace is routine).
+    NaN propagates (a NaN-element vector has NaN norm, and
+    NaN > 0 is true under both Spark's and DuckDB's NaN ordering), so
+    callers pair this with :func:`_finite_filter`."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom > 0, _dot(a, b) / denom)
+
+
+def _finite_filter(c: Column) -> Column:
+    """The exact-cosine participation contract (r14): only vectors with
+    a positive finite norm rank — a zero-norm vector has no direction
+    (cosine NULL) and a NaN/Inf-element vector has no meaningful score
+    (cosine NaN). Both engines agree NaN sorts greatest, so without
+    this filter garbage vectors would deterministically CROWD OUT real
+    neighbors from every top-k. Mirrored in the DuckDB oracles."""
+    return c.isNotNull() & ~F.isnan(c)
+
+
 def fetch_query_vec(
     embeddings: DataFrame, id_col: str, vec_col: str, query_vec_id: int
 ) -> list:
@@ -113,13 +135,12 @@ def cosine_topk(
     q = embeddings.filter(F.col(id_col) == query_vec_id).select(
         F.col(vec_col).alias("q_vec")
     )
-    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
-    )
+    cos = _cos_safe(F.col(vec_col), F.col("q_vec"))
     return (
         ensure_parallelism(embeddings).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_vec_id)
         .select(id_col, F.round(cos, 4).alias("cos"))
+        .filter(_finite_filter(F.col("cos")))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
@@ -161,10 +182,8 @@ def matryoshka_topk(
     )
     pv = F.slice(F.col(vec_col), 1, prefix_dim)
     pq = F.slice(F.col("q_vec"), 1, prefix_dim)
-    cos_pref = _dot(pv, pq) / (_norm(pv) * _norm(pq))
-    cos_full = _dot(F.col(vec_col), F.col("q_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
-    )
+    cos_pref = _cos_safe(pv, pq)
+    cos_full = _cos_safe(F.col(vec_col), F.col("q_vec"))
     shortlist = (
         ensure_parallelism(embeddings)
         .crossJoin(F.broadcast(q))
@@ -175,6 +194,7 @@ def matryoshka_topk(
             "q_vec",
             F.round(cos_pref, 4).alias("cos_pref"),
         )
+        .filter(_finite_filter(F.col("cos_pref")))
         .orderBy(F.col("cos_pref").desc(), F.col(id_col))
         .limit(k * shortlist_factor)
     )
@@ -182,6 +202,7 @@ def matryoshka_topk(
         shortlist.select(
             id_col, "cos_pref", F.round(cos_full, 4).alias("cos_full")
         )
+        .filter(_finite_filter(F.col("cos_full")))
         .orderBy(F.col("cos_full").desc(), F.col(id_col))
         .limit(k)
     )
@@ -211,14 +232,13 @@ def cosine_topk_multi(
     q = embeddings.filter(F.col(id_col).isin(query_vec_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    cos = _dot(F.col(vec_col), F.col("q_vec")) / (
-        _norm(F.col(vec_col)) * _norm(F.col("q_vec"))
-    )
+    cos = _cos_safe(F.col(vec_col), F.col("q_vec"))
     scored = (
         ensure_parallelism(embeddings)
         .crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("q_id"))
         .select("q_id", id_col, F.round(cos, 4).alias("cos"))
+        .filter(_finite_filter(F.col("cos")))
     )
     from pyspark.sql import Window
 
@@ -691,19 +711,30 @@ def quantize_int8(
     everywhere, which is what lets the DuckDB oracle hash-match the
     codes exactly. Zero vectors quantize to all-zero codes at scale 0.
 
+    Non-finite contract (r14 hostile-numeric sweep): a vector containing
+    any NaN/±Inf element quantizes to ``scale = NULL, codes = NULL`` —
+    an explicit missing marker, not engine-dependent garbage codes
+    (Spark's floor(NaN) and DuckDB's CAST(NaN AS INT) disagree, and the
+    DuckDB side errors outright). Serving paths skip NULL-code rows.
+
     Returns (id, scale, codes array<int>).
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    finite_all = F.forall(
+        v, lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf")))
+    )
     amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = amax / F.lit(127.0)
+    raw_scale = amax / F.lit(127.0)
     codes = F.transform(
         v,
-        lambda x: F.when(amax > 0, F.floor(x / scale + F.lit(0.5)))
+        lambda x: F.when(amax > 0, F.floor(x / raw_scale + F.lit(0.5)))
         .otherwise(F.lit(0))
         .cast("int"),
     )
     return embeddings.select(
-        F.col(id_col), scale.alias("scale"), codes.alias("codes")
+        F.col(id_col),
+        F.when(finite_all, raw_scale).alias("scale"),
+        F.when(finite_all, codes).alias("codes"),
     )
 
 
@@ -727,7 +758,11 @@ def quantized_dot_topk(
     map-only quantize projection, broadcast 1-row query codes, integer
     zip_with/aggregate fold, TakeOrderedAndProject — no shuffle.
     """
-    q = quantize_int8(embeddings, id_col, vec_col)
+    # NULL-code rows are non-finite vectors (quantize_int8's r14
+    # contract) — they can't rank; a non-finite QUERY yields empty
+    q = quantize_int8(embeddings, id_col, vec_col).filter(
+        F.col("scale").isNotNull()
+    )
     qq = q.filter(F.col(id_col) == query_vec_id).select(
         F.col("codes").alias("q_codes"), F.col("scale").alias("q_scale")
     )
@@ -767,14 +802,12 @@ def cosine_pairs_exact(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
-    cos = _dot(F.col("vec_a"), F.col("vec_b")) / (
-        _norm(F.col("vec_a")) * _norm(F.col("vec_b"))
-    )
+    cos = _cos_safe(F.col("vec_a"), F.col("vec_b"))
     return (
         a.crossJoin(F.broadcast(b))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos", F.round(cos, 4))
-        .filter(F.col("cos") >= threshold)
+        .filter(_finite_filter(F.col("cos")) & (F.col("cos") >= threshold))
         .select("id_a", "id_b", "cos")
     )
 

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+from cloudfront_kinesis_log_lambda_spark.operators.util import finite
 
 # Register-index bits: m = 2^HLL_PRECISION registers (~1.04/sqrt(m)
 # relative error — 4.6% at the default 9). RHO_CAP bounds the CASE
@@ -339,10 +340,14 @@ def events_value_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one groupBy (event_type, bucket) COUNT — the partial
     aggregate IS the mergeable sketch, ≤ groups × ~1200 buckets on the
     exchange — then a cumulative window over the tiny bucket table and
-    one MIN-CASE aggregate per quantile. Positive values only (the
-    standard DDSketch contract; zero/negative go to dedicated stores
-    in the paper — absent from this table)."""
-    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    one MIN-CASE aggregate per quantile. Positive FINITE values only
+    (the standard DDSketch contract; zero/negative go to dedicated
+    stores in the paper — absent from this table; NaN/±Inf have no
+    log-bucket, and `> 0` alone admits NaN under both engines' NaN
+    ordering — r14 hostile sweep)."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("value") > 0) & finite(F.col("value"))
+    )
     hist = (
         e.select("event_type", F.expr(DD_BUCKET_SQL).alias("bucket"))
         .groupBy("event_type", "bucket")

@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    DECIMAL_18_3_BOUND,
+    DECIMAL_18_9_BOUND,
+    finite,
+    in_decimal_domain,
+)
 
 EWMA_ALPHA = 0.3
 HOLT_ALPHA = 0.3
@@ -185,7 +191,13 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide; each aggregate's partial state is the percentile buffer.
     Medians are quantized (ROUND 9) before the deviation pass so both
     engines branch identically on the 3·MAD threshold."""
-    e = load(spark, sf_dir, "events").select("event_type", "value")
+    # robust-stat domain (r14): non-finite readings are missing — a NaN
+    # deviation poisons the percentile differently per engine, and an
+    # outlier flag on a NaN reading is meaningless (validity checks,
+    # not MAD, own that signal)
+    e = load(spark, sf_dir, "events").select("event_type", "value").filter(
+        finite(F.col("value"))
+    )
     med = e.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
     )
@@ -233,7 +245,7 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.hour("ts").cast("long").alias("hod"),
         "value",
-    )
+    ).filter(finite(F.col("value")))  # robust-stat domain (r14)
     med = e.groupBy("event_type", "hod").agg(
         F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
     )
@@ -477,7 +489,10 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     period-bounded (24 doubles). Cross-engine parity is the recursive-
     CTE replay, as for Holt (multi-field fold; see the list_reduce
     divergence note at ORACLE_SQL["events_holt"])."""
-    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # decimal-exact domain (r14): out-of-range readings are missing
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
     buckets = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
@@ -580,7 +595,10 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the other hourly-series operators — one
     wide exchange (the hourly pre-aggregation), per-type arrays bounded
     by hours-in-retention."""
-    e = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # decimal-exact domain (r14): out-of-range readings are missing
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
     buckets = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
@@ -702,7 +720,12 @@ def linear_trend_partials(e: DataFrame) -> DataFrame:
     shape both the batch operator and the streaming twin aggregate
     (partials are plain SUMs, so they merge commutatively across
     batches)."""
-    prep = e.select(
+    # decimal-exact domain (r14): out-of-range readings are missing —
+    # shared by the batch operator AND the streaming twin (both build
+    # their partials here)
+    prep = e.filter(
+        in_decimal_domain(F.col("value"), DECIMAL_18_3_BOUND)
+    ).select(
         "event_type",
         F.expr(
             f"unix_micros(ts) div 3600000000 - {TREND_EPOCH_HOURS}L"

@@ -2,7 +2,57 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def finite(c: Column) -> Column:
+    """True iff the double column holds a finite number.
+
+    The r14 hostile-numeric sweep's domain guard: both Spark and DuckDB
+    order NaN GREATER than every number, so a bare ``value > 0`` domain
+    filter silently admits NaN into log/bucket/digit arithmetic, where
+    the engines then diverge (Spark's FLOOR(NaN) vs DuckDB's
+    CAST(NaN AS BIGINT) error). NULL stays NULL (WHERE treats it as
+    false), mirroring SQL ``isfinite``."""
+    return (~F.isnan(c)) & (F.abs(c) < F.lit(float("inf")))
+
+
+#: conservative |v| bounds for the decimal-exact accumulation paths:
+#: DECIMAL(18,9) holds 9 integer digits, DECIMAL(18,3) holds 15. The
+#: −1 margin keeps a value that rounds UP at the cast from overflowing
+#: at the boundary. Exact in double (both < 2^53), so the SAME literal
+#: comparison replays bit-identically in DuckDB.
+DECIMAL_18_9_BOUND = 1e9 - 1.0
+DECIMAL_18_3_BOUND = 1e15 - 1.0
+
+
+#: |v| bound for variance-based statistics: sqrt(DBL_MAX). A value whose
+#: SQUARE is not representable overflows any sum-of-squares variance —
+#: Spark silently reads Inf/NaN while DuckDB's STDDEV_SAMP raises "out
+#: of range", so the domain has to be explicit on both sides.
+VARIANCE_DOMAIN_BOUND = 1.3407807929942596e154
+
+
+def in_variance_domain(c: Column) -> Column:
+    """True iff the double can enter a sum-of-squares variance (finite
+    and |v| < sqrt(DBL_MAX)) — the r14 z-score domain guard."""
+    return finite(c) & (F.abs(c) < F.lit(VARIANCE_DOMAIN_BOUND))
+
+
+def in_decimal_domain(c: Column, bound: float) -> Column:
+    """True iff the double is representable in the decimal-exact
+    accumulation domain (finite and |v| < bound).
+
+    The r14 hostile-numeric sweep's second domain guard: the
+    decimal-exact statistics (Holt-Winters, CUSUM, OLS trend,
+    embedding drift) quantize inputs to DECIMAL(18,s) for order-free
+    exact sums, and under ANSI a single out-of-range reading (one
+    1e308 sensor glitch in 100 TB) crashed the whole statistic with
+    NUMERIC_VALUE_OUT_OF_RANGE. Out-of-domain values are treated as
+    missing — excluded rows, documented per operator and mirrored in
+    the DuckDB oracles with the same literal bound."""
+    return finite(c) & (F.abs(c) < F.lit(bound))
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

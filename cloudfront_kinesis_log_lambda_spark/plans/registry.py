@@ -213,8 +213,8 @@ def near_dup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
         )
         docs = _docs(spark, sf_dir)
-        detector(docs.filter(F.col("doc_id") % 2 == 1), 0)
-        detector(docs.filter(F.col("doc_id") % 2 == 0), 1)
+        detector(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), 0)
+        detector(docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), 1)
         return near_dup_pair_log(spark, os.path.join(root, "out"))
 
     return _with_scratch("stream-dedup", build)
@@ -242,8 +242,8 @@ def semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_centroids=16,
         )
         emb = _emb(spark, sf_dir)
-        detector(emb.filter(F.col("vec_id") % 2 == 1), 0)
-        detector(emb.filter(F.col("vec_id") % 2 == 0), 1)
+        detector(emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), 0)
+        detector(emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0), 1)
         return semantic_assignment(spark, os.path.join(root, "out"), emb)
 
     return _with_scratch("stream-semdedup", build)
@@ -264,7 +264,7 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         sk = StreamingHLL(root, ["event_type"], "user_id")
         e = R.load(spark, sf_dir, "events")
         for wave in range(3):
-            sk(e.filter(F.col("event_id") % 3 == wave), wave)
+            sk(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return sk.estimate(spark)
 
     return _with_scratch("stream-hll", build)
@@ -285,7 +285,7 @@ def events_ddsketch_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd = StreamingDDSketch(root, ["event_type"])
         e = R.load(spark, sf_dir, "events")
         for wave in range(3):
-            dd(e.filter(F.col("event_id") % 3 == wave), wave)
+            dd(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return dd.quantiles(spark)
 
     return _with_scratch("stream-dd", build)
@@ -310,7 +310,7 @@ def word_countmin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms = StreamingCountMin(root)
         d = R.load(spark, sf_dir, "documents").select("doc_id", "text")
         for wave in range(3):
-            cms(d.filter(F.col("doc_id") % 3 == wave), wave)
+            cms(d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave), wave)
         top = (
             d.select(F.explode(F.split("text", r"\s+")).alias("word"))
             .filter(F.col("word") != "")
@@ -345,7 +345,7 @@ def doc_weighted_sample_incremental(
         ws = StreamingWeightedSample(root, k=WEIGHTED_SAMPLE_K)
         d = R.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
         for wave in range(3):
-            ws(d.filter(F.col("doc_id") % 3 == wave), wave)
+            ws(d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave), wave)
         return ws.sample(spark)
 
     return _with_scratch("stream-ws", build)
@@ -716,8 +716,8 @@ def ann_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     emb = _emb(spark, sf_dir)
     idx = StreamingVectorIndex(root)
-    idx(emb.filter(F.col("vec_id") % 2 == 0), 0)
-    idx(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    idx(emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0), 0)
+    idx(emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), 1)
     qv = S.fetch_query_vec(emb, "vec_id", "embedding", 0)
     out = index_topk(
         spark, root, [float(x) for x in qv], k=10, nprobe=4, exclude_id=0
@@ -970,12 +970,28 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
         def rec(eid, ts, et, v) -> str:
+            # wire contract (r14 hostile-numeric sweep): non-finite
+            # doubles are not RFC-8259-representable — python's default
+            # json.dumps emits bare NaN/Infinity tokens, which Spark's
+            # get_json_object rejects, nulling EVERY field of the
+            # record (the row then collapses into a null-key dedup
+            # group: silent data loss). Encode them as JSON null — the
+            # row survives with a null value, like JSON.stringify does.
+            import math
+
             return (
                 _json.dumps(
                     {
                         "PartitionKey": str(eid),
                         "Data": _json.dumps(
-                            {"event_id": eid, "ts": ts, "event_type": et, "value": v}
+                            {
+                                "event_id": eid,
+                                "ts": ts,
+                                "event_type": et,
+                                "value": v
+                                if v is not None and math.isfinite(v)
+                                else None,
+                            }
                         ),
                     }
                 )
@@ -1140,18 +1156,32 @@ def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drive_time_ordered_waves(st, e) -> None:
     """Shared wave driver for the order-DEPENDENT incremental twins
     (transitions / EWMA / Holt): the events table as three
-    TIME-ORDERED arrival waves (event_id terciles — the generator
-    writes event_id in ts order, a monotonicity the fixture asserts)."""
+    TIME-ORDERED arrival waves.
+
+    Waves are terciles of the (ts, event_id) rank, not raw event_id
+    ranges: the original id-tercile split leaned on the generator
+    writing event_id in ts order, and the r14 hostile-numeric sweep
+    broke that lean (appended rows carry early timestamps with
+    boundary ids, so an id-tercile wave delivered them out of time
+    order and the last-event state bridged WRONG pairs). Ranking by
+    the operator's actual order key keeps the in-order arrival
+    contract true for ANY table; on a ts-monotone id space the waves
+    are identical to the old terciles."""
+    from pyspark.sql import Window
+
     n = e.count()
     c1, c2 = n // 3, (2 * n) // 3
+    ranked = e.withColumn(
+        "_r", F.row_number().over(Window.orderBy("ts", "event_id")) - 1
+    )
     for wave, cond in enumerate(
         [
-            F.col("event_id") < c1,
-            (F.col("event_id") >= c1) & (F.col("event_id") < c2),
-            F.col("event_id") >= c2,
+            F.col("_r") < c1,
+            (F.col("_r") >= c1) & (F.col("_r") < c2),
+            F.col("_r") >= c2,
         ]
     ):
-        st(e.filter(cond), wave)
+        st(ranked.filter(cond).drop("_r"), wave)
 
 
 def event_transitions_incremental(
@@ -1196,7 +1226,7 @@ def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         so = StreamingOHLC(root)
         e = R.load(spark, sf_dir, "events")
         for wave in range(3):
-            so(e.filter(F.col("event_id") % 3 == wave), wave)
+            so(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return so.candles(spark)
 
     return _with_scratch("stream-ohlc", build)
@@ -1279,7 +1309,7 @@ def events_linear_trend_incremental(
         st = StreamingLinearTrend(root)
         e = R.load(spark, sf_dir, "events")
         for wave in range(3):
-            st(e.filter(F.col("event_id") % 3 == wave), wave)
+            st(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return st.trend(spark)
 
     return _with_scratch("stream-lintrend", build)
@@ -1307,7 +1337,7 @@ def events_psi_drift_incremental(
         )
         mon.freeze_reference(e.filter(F.col("ts") < F.lit(PSI_SPLIT)))
         for wave in range(3):
-            mon(e.filter(F.col("event_id") % 3 == wave), wave)
+            mon(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return mon.psi(spark)
 
     return _with_scratch("stream-psi", build)
@@ -1328,7 +1358,7 @@ def events_chi2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", F.hour("ts").alias("hour_of_day")
         )
         for wave in range(3):
-            t(e.filter(F.col("event_id") % 3 == wave), wave)
+            t(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return t.chi2(spark)
 
     return _with_scratch("stream-chi2", build)
@@ -1354,7 +1384,7 @@ def embedding_drift_incremental(
             (F.col("vec_id") % 2 == 0).alias("is_ref"),
         )
         for wave in range(3):
-            mon(emb.filter(F.col("vec_id") % 3 == wave), wave)
+            mon(emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == wave), wave)
         return mon.drift(spark)
 
     return _with_scratch("stream-embdrift", build)
@@ -1377,7 +1407,7 @@ def events_ks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "ts", "value"
         )
         for wave in range(3):
-            ks(e.filter(F.col("event_id") % 3 == wave), wave)
+            ks(e.filter(F.pmod(F.col("event_id"), F.lit(3)) == wave), wave)
         return ks.ks(spark)
 
     return _with_scratch("stream-ks", build)
@@ -1408,7 +1438,7 @@ def order_basket_rules_incremental(
         )
         # split by LINE number, not order: most baskets straddle waves
         for wave in range(3):
-            sr(items.filter(F.col("l_linenumber") % 3 == wave), wave)
+            sr(items.filter(F.pmod(F.col("l_linenumber"), F.lit(3)) == wave), wave)
         return sr.rules(spark)
 
     return _with_scratch("stream-rules", build)
@@ -1431,7 +1461,7 @@ def orders_quality_incremental(
         qc = StreamingQualityChecks(root, customer)
         o = R.load(spark, sf_dir, "orders")
         for wave in range(3):
-            qc(o.filter(F.col("o_orderkey") % 3 == wave), wave)
+            qc(o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == wave), wave)
         return qc.checks(spark)
 
     return _with_scratch("stream-quality", build)
@@ -1452,7 +1482,7 @@ def orders_benford_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_totalprice"
         )
         for wave in range(3):
-            b(o.filter(F.col("o_orderkey") % 3 == wave), wave)
+            b(o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == wave), wave)
         return b.digits(spark)
 
     return _with_scratch("stream-benford", build)
@@ -1470,7 +1500,7 @@ def _drive_inverted_index(spark: SparkSession, sf_dir: str, root: str):
     st = StreamingInvertedIndex(root)
     d = _docs(spark, sf_dir)
     for wave in range(3):
-        st(d.filter(F.col("doc_id") % 3 == wave), wave)
+        st(d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == wave), wave)
     return st
 
 

@@ -36,6 +36,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.sketch import (
     dd_bucket_sql,
     dd_quantile_sql,
 )
+from cloudfront_kinesis_log_lambda_spark.operators.util import finite
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
     read_batch_store,
 )
@@ -69,7 +70,9 @@ class StreamingDDSketch:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         bucket_sql = dd_bucket_sql(self.value_col)
         partial = (
-            batch_df.filter(F.col(self.value_col) > 0)
+            batch_df.filter(
+                (F.col(self.value_col) > 0) & finite(F.col(self.value_col))
+            )
             .select(*self.group_cols, F.expr(bucket_sql).alias("bucket"))
             .groupBy(*self.group_cols, "bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -34,6 +34,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    DECIMAL_18_9_BOUND,
+    in_decimal_domain,
+)
 from cloudfront_kinesis_log_lambda_spark.operators.quality import (
     centroid_drift_from_sums,
 )
@@ -82,6 +86,10 @@ class StreamingEmbeddingDrift:
                 F.col(self.label_col).alias("label"),
                 "is_ref",
                 F.posexplode(self.emb_col).alias("dim", "val"),
+            )
+            .filter(
+                # decimal-exact domain (r14), same rule as the batch op
+                in_decimal_domain(F.col("val"), DECIMAL_18_9_BOUND)
             )
             .select(
                 "label",

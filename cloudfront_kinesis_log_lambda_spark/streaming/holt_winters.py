@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    DECIMAL_18_9_BOUND,
+    in_decimal_domain,
+)
 from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
     HW_PERIOD,
     holt_winters_merge_lambda,
@@ -74,6 +78,8 @@ class StreamingHoltWinters:
         spark = batch_df.sparkSession
         buckets = (
             batch_df.select("event_type", "ts", "event_id", "value")
+            # decimal-exact domain (r14), same rule as the batch op
+            .filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
             .groupBy(
                 "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
             )

@@ -29,6 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import finite
 from cloudfront_kinesis_log_lambda_spark.streaming.store import (
     read_batch_store,
 )
@@ -123,7 +124,9 @@ class StreamingBenford:
         )
 
         partial = (
-            batch_df.filter(F.col(self.value_col) > 0)
+            batch_df.filter(
+                (F.col(self.value_col) > 0) & finite(F.col(self.value_col))
+            )
             .select(
                 benford_digit_expr(F.col(self.value_col)).alias("digit")
             )
