@@ -68,19 +68,39 @@ _FRONT = [
     #
     # This round's 50 = the 11 r10-stale entries (the debt
     # pre-committed at r13 close — exactly 3 rounds stale, they MUST
-    # and do lead) + the 39 alphabetically-first r11 greens. Owed to
-    # r15: the remaining 10 r11 greens (running_customer_spend,
-    # scalar_function_showcase, sessionize_events,
-    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
-    # top_orders_per_customer, unpivot_order_metrics,
-    # word_countmin_incremental, word_countmin_topk — 3 rounds stale at
-    # r15, so they lead), topped up with the oldest r12 greens minus
-    # slots for r15-changed code.
+    # and do lead; kinesis_exactly_once_rollup is ALSO r14-changed) +
+    # ALL 39 remaining oracle-backed entries whose implementation or
+    # oracle changed in the r14 hostile-numeric hardening (rule 1: no
+    # driver row exists for the CURRENT implementation). The changed
+    # set consumed every top-up slot: 20 of the changed entries were
+    # already r11-stale window members, 19 swap in from r12/r13.
+    # Owed to r15: the 29 UNCHANGED r11 greens (the 10 pre-committed
+    # at r13 close — running_customer_spend, scalar_function_showcase,
+    # sessionize_events, supplier_nation_outer, theta_join_price_band,
+    # top_event_per_user, top_orders_per_customer,
+    # unpivot_order_metrics, word_countmin_topk — minus
+    # word_countmin_incremental which is r14-changed and runs NOW,
+    # plus the 19 displaced: doc_bigram_logprob, doc_block_dedup,
+    # doc_collocations, doc_contamination, doc_decontaminate,
+    # doc_dedup_keep, doc_dup_span_stats, doc_global_shuffle,
+    # doc_inverted_index, doc_sorted_neighbors,
+    # doc_sorted_neighbors_multipass, events_ab_conversion,
+    # events_holt, events_ks_drift, purchases_asof_view,
+    # purchases_next_view, region_nations_agg, revenue_by_segment,
+    # rollup_returns, ann_quantized_topk is r14-changed and stays —
+    # they are exactly 4 rounds stale at r15 and MUST all lead),
+    # topped up with the oldest r12 greens minus slots for
+    # r15-changed code.
     #
-    # rule 1 check for r14: the fetch_query_vec rename (ADVICE r13)
-    # touches only the rows-only ANN entries, which stay in _TAIL per
-    # rule 3 (their recall/contract gates ran green in tests/); the
-    # registry docstring updates are comment-only.
+    # rule 1 census for r14 (the hostile-numeric sweep fixes): the
+    # exact-cosine participation contract (similarity.py + _fin_cos
+    # oracles), the int8 non-finite contract, the DDSketch/PSI/
+    # Benford/robust-stat/variance/decimal domain guards, the pmod
+    # residue waves, the (ts,event_id)-rank tercile waves, and the
+    # JSON-wire non-finite-as-null rule. Rows-only changed entries
+    # (near_dup/semantic_dedup/ann_* incrementals, fetch_query_vec
+    # rename) stay in _TAIL per rule 3 — their contract gates ran in
+    # tests/test_hostile_inputs.py and the streaming suites.
     #
     # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
     "filtered_revenue",
@@ -94,46 +114,46 @@ _FRONT = [
     "pricing_summary",
     "scd2_incremental_roundtrip",
     "training_shards_roundtrip",
-    # rule 2b: the 39 alphabetically-first of the 49 r11 greens
+    # rule 1: the 39 r14-changed oracle-backed entries (alphabetical)
     "ann_quantized_topk",
     "cosine_topk_bruteforce",
-    "doc_bigram_logprob",
-    "doc_block_dedup",
+    "cosine_topk_multi_query",
     "doc_bm25_incremental",
-    "doc_collocations",
-    "doc_contamination",
-    "doc_decontaminate",
-    "doc_dedup_keep",
-    "doc_dup_span_stats",
-    "doc_global_shuffle",
     "doc_hybrid_rrf",
     "doc_hybrid_rrf_incremental",
-    "doc_inverted_index",
     "doc_inverted_index_incremental",
-    "doc_sorted_neighbors",
-    "doc_sorted_neighbors_multipass",
+    "doc_weighted_sample_incremental",
     "embedding_drift",
     "embedding_drift_incremental",
-    "events_ab_conversion",
+    "embedding_pairs_exact",
+    "embedding_quantize_int8",
+    "event_transitions_incremental",
+    "events_chi2_incremental",
     "events_cusum_changepoints",
+    "events_ddsketch_incremental",
     "events_ewma_incremental",
-    "events_holt",
+    "events_hll_incremental",
     "events_holt_incremental",
     "events_holt_winters",
     "events_holt_winters_incremental",
-    "events_ks_drift",
     "events_ks_incremental",
     "events_linear_trend",
     "events_linear_trend_incremental",
+    "events_mad_outliers",
+    "events_median_udaf",
     "events_ohlc_incremental",
     "events_psi_drift",
     "events_psi_drift_incremental",
-    "purchases_asof_view",
-    "purchases_next_view",
-    "region_nations_agg",
+    "events_seasonal_outliers",
+    "events_value_ddsketch",
+    "events_zscore",
+    "matryoshka_topk",
+    "order_basket_rules_incremental",
+    "orders_benford_digits",
+    "orders_benford_incremental",
+    "orders_quality_incremental",
     "retrieval_eval_metrics",
-    "revenue_by_segment",
-    "rollup_returns",
+    "word_countmin_incremental",
 ]
 _FILL: list[str] = []
 _TAIL = [
