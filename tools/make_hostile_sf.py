@@ -136,25 +136,117 @@ def _hostile_documents(src: pa.Table) -> pa.Table:
     return pa.concat_tables([src, extra.cast(src.schema)])
 
 
+def _hostile_text_documents(src: pa.Table) -> pa.Table:
+    """The STRING axis (r14 second sweep): unicode and shape extremes
+    in ``documents.text`` — emoji/surrogate pairs, RTL scripts,
+    zero-width characters, control characters, regex metacharacters,
+    one 10k-char single token (tokenizer/BM25 dl/BPE pathology), and
+    one 100k-char document (quadratic-guard probe). Real web corpora
+    contain all of these on page one."""
+    langs = sorted(set(src.column("lang").to_pylist()))
+    sources = sorted(set(src.column("source").to_pylist()))
+    next_id = max(src.column("doc_id").to_pylist()) + 1000
+    texts = [
+        "emoji corpus \U0001d11e \U0001f389 \U0001f600 pair \U0001f1fa\U0001f1f8 done",
+        "مرحبا بالعالم rtl mixed with latin words",
+        "zero​width‍joined words and nbsp spacing",
+        "control\tchars\nnewline\rcarriage and backslash \\ quote \" mix",
+        "regex meta ((( [[[ ))) ]]] *+?{2,} |pipe| $dollar ^caret",
+        "x" * 10_000,
+        ("lorem ipsum dolor sit amet " * 4_000).strip(),  # ~108k chars
+        "UPPER lower MiXeD Éé Üü ß straße naïve",
+    ]
+    extra = pa.table(
+        {
+            "doc_id": pa.array(
+                [next_id + i for i in range(len(texts))], pa.int64()
+            ),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(
+                [langs[i % len(langs)] for i in range(len(texts))], pa.string()
+            ),
+            "source": pa.array([sources[0]] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
+def _hostile_lineitem(src: pa.Table) -> pa.Table:
+    """TPC-H numeric axis: NaN/±Inf prices and discounts, max-double
+    quantity, and DANGLING negative foreign keys — the relational
+    entries (aggregates, percentiles, histograms, theta/outer/anti
+    joins) have never seen a hostile row."""
+    cols = {n: src.column(n).to_pylist()[:0] for n in src.column_names}
+    base = src.slice(0, 6).to_pylist()
+    hostile = []
+    for i, r in enumerate(base):
+        r = dict(r)
+        r["l_orderkey"] = -(i + 1)  # dangling FK: no such order
+        r["l_partkey"] = -(i + 1)
+        r["l_suppkey"] = -(i + 1)
+        hostile.append(r)
+    hostile[0]["l_extendedprice"] = float("nan")
+    hostile[1]["l_extendedprice"] = float("inf")
+    hostile[2]["l_discount"] = float("nan")
+    hostile[3]["l_quantity"] = 1.7976931348623157e308
+    hostile[4]["l_tax"] = float("-inf")
+    # row 5 keeps sane values: a purely dangling-key probe
+    extra = pa.Table.from_pylist(hostile, schema=src.schema)
+    del cols
+    return pa.concat_tables([src, extra])
+
+
+def _hostile_orders(src: pa.Table) -> pa.Table:
+    """NaN/Inf totalprice + boundary/dangling keys on the orders side."""
+    base = src.slice(0, 4).to_pylist()
+    hostile = []
+    for i, r in enumerate(base):
+        r = dict(r)
+        r["o_orderkey"] = I64_MAX - i if i % 2 == 0 else I64_MIN + i
+        r["o_custkey"] = -(i + 1)  # dangling FK: no such customer
+        hostile.append(r)
+    hostile[0]["o_totalprice"] = float("nan")
+    hostile[1]["o_totalprice"] = float("inf")
+    hostile[2]["o_totalprice"] = 1.7976931348623157e308
+    extra = pa.Table.from_pylist(hostile, schema=src.schema)
+    return pa.concat_tables([src, extra])
+
+
 _HOSTILE = {
     "events": _hostile_events,
     "embeddings": _hostile_embeddings,
     "documents": _hostile_documents,
 }
 
+_AXES = {
+    # numeric axis (the r14 first sweep): events/embeddings/documents
+    "numeric": _HOSTILE,
+    # string axis: unicode/shape extremes in the text corpus
+    "strings": {"documents": _hostile_text_documents},
+    # TPC-H axis: hostile numerics + dangling keys in the fact tables
+    "tpch": {"lineitem": _hostile_lineitem, "orders": _hostile_orders},
+}
+
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf-hostile"
+    args = [a for a in sys.argv[1:] if not a.startswith("--axis")]
+    axis = "numeric"
+    for a in sys.argv[1:]:
+        if a.startswith("--axis="):
+            axis = a.split("=", 1)[1]
+    src = args[0] if args else "/root/testdata/sf0.01"
+    dst = args[1] if len(args) > 1 else f"/tmp/sf-hostile-{axis}"
+    hostile = _AXES[axis]
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         table = pq.read_table(f"{src}/{t}.parquet")
-        if t in _HOSTILE:
+        if t in hostile:
             n0 = table.num_rows
-            table = _HOSTILE[t](table)
+            table = hostile[t](table)
             print(f"{t}: {n0} -> {table.num_rows} rows (+{table.num_rows - n0} hostile)")
         pq.write_table(table, f"{dst}/{t}.parquet")
-    print(f"wrote {len(TABLES)} tables to {dst}")
+    print(f"wrote {len(TABLES)} tables to {dst} (axis={axis})")
 
 
 if __name__ == "__main__":
