@@ -102,6 +102,15 @@ _FRONT = [
     # rename) stay in _TAIL per rule 3 — their contract gates ran in
     # tests/test_hostile_inputs.py and the streaming suites.
     #
+    # OVERFLOW (documented exception): the string-axis sweep also
+    # changed doc_subword_tokens (BERT max_input_chars_per_word cap,
+    # engine + oracle) — a 41st changed entry with no slot left. It
+    # has the FRESHEST existing row of the whole changed set (r13,
+    # one round stale), the cap is a provable clean-data no-op (no
+    # clean word approaches 100 chars), and it carries both-axis
+    # sweep rows plus the test_subword/test_hostile pins — so it is
+    # the one that waits, pre-committed to LEAD the r15 window.
+    #
     # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
     "filtered_revenue",
     "group_having",

@@ -1583,6 +1583,7 @@ ORACLE_SQL: dict[str, str] = {
 # whose walk dies mid-word (no piece at some position) never reaches
 # pos = len(word) and degrades to 1 [UNK] token via the LEFT JOIN.
 from cloudfront_kinesis_log_lambda_spark.functions.subword import (  # noqa: E402
+    MAX_WORD_CHARS,
     vocab_values_sql as _vocab_values_sql,
 )
 
@@ -1600,15 +1601,20 @@ ORACLE_SQL["doc_subword_tokens"] = rf"""
       WHERE len(w) > 0),
     wcount AS (SELECT doc_id, word, COUNT(*) AS n FROM words GROUP BY 1, 2),
     dwords AS (SELECT DISTINCT word FROM wcount),
+    -- BERT's max_input_chars_per_word rule (subword.MAX_WORD_CHARS,
+    -- r14): over-length words are [UNK] via the LEFT JOIN below and
+    -- never enter the per-position recursion (a single 10k-char token
+    -- otherwise costs a 10k-deep recursive scan)
+    scanw AS (SELECT word FROM dwords WHERE len(word) <= {MAX_WORD_CHARS}),
     positions AS (
-      SELECT word, CAST(UNNEST(range(0, len(word))) AS INT) AS pos FROM dwords),
+      SELECT word, CAST(UNNEST(range(0, len(word))) AS INT) AS pos FROM scanw),
     best AS (
       SELECT p.word, p.pos, v.cont, MAX(len(v.body)) AS blen
       FROM positions p JOIN vocab v
         ON substr(p.word, p.pos + 1, len(v.body)) = v.body
       GROUP BY 1, 2, 3),
     tok(word, pos, n_pieces) AS (
-      SELECT word, 0, 0 FROM dwords
+      SELECT word, 0, 0 FROM scanw
       UNION ALL
       SELECT t.word, t.pos + b.blen, t.n_pieces + 1
       FROM tok t JOIN best b

@@ -80,11 +80,24 @@ _CONT_BODIES: tuple[str, ...] = tuple(
 )
 
 
+#: BERT's max_input_chars_per_word rule (their reference tokenizer uses
+#: 100/200): a word longer than this is [UNK] without scanning. The cap
+#: bounds worst-case work per word on BOTH sides — the r14 string-axis
+#: sweep planted a single 10k-char token and the oracle's per-position
+#: recursive CTE ground for 27 minutes where the capped rule answers
+#: instantly (and matches what real WordPiece deployments emit).
+MAX_WORD_CHARS = 100
+
+
 def tokenize_word(word: str) -> tuple[int, bool]:
     """Greedy longest-match piece count for one lowercase word.
 
     Returns ``(n_pieces, is_unk)``; an unmatchable position collapses
-    the whole word to ``(1, True)`` — the WordPiece [UNK] rule."""
+    the whole word to ``(1, True)`` — the WordPiece [UNK] rule — and a
+    word over MAX_WORD_CHARS is [UNK] without scanning (BERT's
+    max_input_chars_per_word rule)."""
+    if len(word) > MAX_WORD_CHARS:
+        return 1, True
     pos, n = 0, 0
     while pos < len(word):
         for body in _CONT_BODIES if pos else _START_BODIES:

@@ -300,3 +300,19 @@ def test_json_wire_has_no_bare_nan_tokens():
     encoded = json.dumps({"v": v if v is not None and math.isfinite(v) else None})
     assert encoded == '{"v": null}'
     assert json.loads(encoded)["v"] is None
+
+
+def test_wordpiece_caps_pathological_word_length():
+    """BERT's max_input_chars_per_word rule (r14 string-axis sweep): a
+    single 10k-char token made the oracle's per-position recursion
+    grind for 27 minutes; the capped rule answers instantly with [UNK],
+    which is also what real WordPiece deployments emit."""
+    from cloudfront_kinesis_log_lambda_spark.functions.subword import (
+        MAX_WORD_CHARS,
+        tokenize_word,
+    )
+
+    assert tokenize_word("x" * (MAX_WORD_CHARS + 1)) == (1, True)
+    # at the cap the scan still runs (all-'x' matches the char pieces)
+    n, unk = tokenize_word("x" * MAX_WORD_CHARS)
+    assert not unk and n == MAX_WORD_CHARS

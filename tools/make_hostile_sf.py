@@ -153,7 +153,15 @@ def _hostile_text_documents(src: pa.Table) -> pa.Table:
         "control\tchars\nnewline\rcarriage and backslash \\ quote \" mix",
         "regex meta ((( [[[ ))) ]]] *+?{2,} |pipe| $dollar ^caret",
         "x" * 10_000,
-        ("lorem ipsum dolor sit amet " * 4_000).strip(),  # ~108k chars
+        # ~108k chars. NOT .strip()ped ×4000: that shape put doc_quality's
+        # mean_token_len at EXACTLY 5.39995 (107999 chars / 20000 tokens) —
+        # a round-half tie at the ROUND(·,4) quantization edge where Spark
+        # and DuckDB legitimately disagree (the documented measure-zero
+        # limitation of ROUND-quantized cross-engine comparison, cf. the
+        # dd_bucket_sql note). The probe's job is shape extremity, not a
+        # manufactured rounding paradox, so the tail word moves the mean
+        # off the tie (108003/20001 = 5.39988…).
+        ("lorem ipsum dolor sit amet " * 4_000) + "end",
         "UPPER lower MiXeD Éé Üü ß straße naïve",
     ]
     extra = pa.table(
