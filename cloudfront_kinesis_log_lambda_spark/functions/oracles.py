@@ -1568,7 +1568,10 @@ ORACLE_SQL: dict[str, str] = {
     "multimodal_features": """
         SELECT doc_id AS asset_id,
                'image' AS modality,
-               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               -- encode(), not CAST(.. AS BLOB): the cast REJECTS
+               -- non-ascii bytes (r14 string-axis sweep) while encode
+               -- yields the UTF-8 bytes Spark's octet_length counts
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                md5(text) AS checksum
         FROM documents
     """,
