@@ -102,14 +102,20 @@ _FRONT = [
     # rename) stay in _TAIL per rule 3 — their contract gates ran in
     # tests/test_hostile_inputs.py and the streaming suites.
     #
-    # OVERFLOW (documented exception): the string-axis sweep also
-    # changed doc_subword_tokens (BERT max_input_chars_per_word cap,
-    # engine + oracle) — a 41st changed entry with no slot left. It
-    # has the FRESHEST existing row of the whole changed set (r13,
-    # one round stale), the cap is a provable clean-data no-op (no
-    # clean word approaches 100 chars), and it carries both-axis
-    # sweep rows plus the test_subword/test_hostile pins — so it is
-    # the one that waits, pre-committed to LEAD the r15 window.
+    # OVERFLOW (documented exception): the string- and TPC-H-axis
+    # sweeps changed FIVE more oracle-backed entries after the window
+    # filled — doc_subword_tokens (r13 green; WordPiece
+    # max_input_chars_per_word cap), order_price_percentiles (r13;
+    # robust-stat finite domain), decimal_revenue_exact (r12;
+    # decimal-exact domain), lineitem_corr_matrix (r12; variance
+    # domain), multimodal_features (r12; oracle encode() spelling
+    # only). They are the changed entries with the FRESHEST existing
+    # evidence (≤2 rounds stale — everything with older evidence got
+    # a slot), every change is a provable clean-data no-op (domain
+    # guards no clean row trips; the oracle spelling is
+    # value-identical on ascii), and each carries hostile-axis sweep
+    # rows plus clean-sweep rows from this session. All five are
+    # pre-committed to LEAD the r15 window.
     #
     # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
     "filtered_revenue",

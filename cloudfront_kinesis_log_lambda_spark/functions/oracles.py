@@ -623,6 +623,7 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99,
                COUNT(*) AS n_orders
         FROM orders
+        WHERE isfinite(o_totalprice)  -- robust-stat domain (r14)
         GROUP BY o_orderstatus
     """,
     "order_item_arrays": """
@@ -632,6 +633,9 @@ ORACLE_SQL: dict[str, str] = {
                CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_max,
                array_to_string(list_sort(list(DISTINCT l_returnflag)), ',') AS flags
         FROM lineitem
+        -- bigint cast domain (r14), mirrors the engine's filter
+        WHERE isfinite(l_quantity)
+          AND abs(l_quantity) < 9.223372036854776e18
         GROUP BY l_orderkey
     """,
     # --- grouped Pandas-UDF surface --------------------------------------
@@ -847,6 +851,7 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(MAX(o_totalprice), 2) AS hi,
                ROUND(AVG(o_totalprice), 4) AS mean_price
         FROM orders
+        WHERE isfinite(o_totalprice)  -- no real-line bucket otherwise (r14)
         GROUP BY 1
     """,
     # --- embedding dedup (exact baseline of the LSH tier) ----------------
@@ -1119,6 +1124,11 @@ ORACLE_SQL: dict[str, str] = {
                     AS DOUBLE) AS sum_disc_price_exact,
                COUNT(*) AS n_rows
         FROM lineitem
+        -- decimal-exact domain (r14), mirrors the engine's filter
+        WHERE isfinite(l_extendedprice)
+          AND abs(l_extendedprice) < 999999999999999.0
+          AND isfinite(l_discount)
+          AND abs(l_discount) < 99999999999999.0
         GROUP BY l_returnflag
     """,
     # --- int8 quantization ------------------------------------------------
@@ -2919,7 +2929,9 @@ ORACLE_SQL["lineitem_corr_matrix"] = """
              ROUND(COVAR_SAMP(l_discount, l_tax)
                    / NULLIF(STDDEV_SAMP(l_discount)
                             * STDDEV_SAMP(l_tax), 0), 6)           AS r_dt
-      FROM lineitem)
+      FROM lineitem
+      -- variance domain (r14), mirrors the engine's complete-row rule
+      WHERE isfinite(l_quantity) AND abs(l_quantity) < 1.3407807929942596e154 AND isfinite(l_extendedprice) AND abs(l_extendedprice) < 1.3407807929942596e154 AND isfinite(l_discount) AND abs(l_discount) < 1.3407807929942596e154 AND isfinite(l_tax) AND abs(l_tax) < 1.3407807929942596e154)
     SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
            r_qp AS pearson_r, n FROM base
     UNION ALL SELECT 'l_quantity', 'l_discount', r_qd, n FROM base

@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    BIGINT_DOMAIN_BOUND,
+    DECIMAL_18_3_BOUND,
+    DECIMAL_18_4_BOUND,
+    finite,
+    in_decimal_domain,
+)
+
 
 #: marker conf: session already tuned by _tune_session (skip the RPCs)
 _TUNED = "spark.cloudfront_kinesis_log_lambda_spark.tuned"
@@ -1039,7 +1047,9 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     it's exercised rows-only in tests since sketches aren't
     cross-engine-stable.
     """
-    o = load(spark, sf_dir, "orders")
+    # robust-stat domain (r14 TPC-H hostile axis): non-finite prices
+    # are missing — percentile NaN placement diverges across engines
+    o = load(spark, sf_dir, "orders").filter(finite(F.col("o_totalprice")))
     return o.groupBy("o_orderstatus").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
@@ -1077,7 +1087,13 @@ def order_item_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     is cross-engine hashable (array columns don't compare stably through
     pandas) — the array ops themselves are the point.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # bigint cast domain (r14): a quantity outside ±2^63 crashes the
+    # ANSI cast on one engine and errors the other's — excluded rows,
+    # same missing-value rule as the decimal-exact paths
+    li = load(spark, sf_dir, "lineitem").filter(
+        finite(F.col("l_quantity"))
+        & (F.abs(F.col("l_quantity")) < F.lit(BIGINT_DOMAIN_BOUND))
+    )
     qty = F.sort_array(F.collect_list(F.col("l_quantity").cast("bigint")))
     return li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_items"),
@@ -1096,7 +1112,9 @@ def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the reduce stage moves 20 rows per partition no matter how many
     trillions of input rows. Bucket = floor(price/30k) clamped to [0,20).
     """
-    o = load(spark, sf_dir, "orders")
+    # non-finite prices have no bucket on the real line (r14): the
+    # floor/clamp chain lands them engine-dependently
+    o = load(spark, sf_dir, "orders").filter(finite(F.col("o_totalprice")))
     bucket = F.least(
         F.greatest(F.floor(F.col("o_totalprice") / 30000.0), F.lit(0)),
         F.lit(19),
@@ -1118,7 +1136,12 @@ def decimal_revenue_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined two-phase aggregate is bit-identical to a serial
     fold). The end cast to double only renders the exact result.
     """
-    li = load(spark, sf_dir, "lineitem")
+    # decimal-exact domain (r14): out-of-range readings are missing,
+    # same rule as the decimal-exact statistics
+    li = load(spark, sf_dir, "lineitem").filter(
+        in_decimal_domain(F.col("l_extendedprice"), DECIMAL_18_3_BOUND)
+        & in_decimal_domain(F.col("l_discount"), DECIMAL_18_4_BOUND)
+    )
     p = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,4)")
     one = F.lit(1).cast("decimal(18,4)")

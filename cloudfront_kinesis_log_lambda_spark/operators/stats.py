@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
+from cloudfront_kinesis_log_lambda_spark.operators.util import in_variance_domain
 
 STATS_ROUND = 6
 
@@ -187,9 +188,15 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlation audit of the four lineitem numeric measures —
     quantity/price correlate by construction; discount/tax should
     read near zero against everything."""
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
-    )
+    # variance domain (r14): any measure outside the sum-of-squares
+    # domain drops the ROW (corr needs complete observations; DuckDB's
+    # STDDEV_SAMP raises outright on a max-double reading)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    dom = None
+    for c in cols:
+        p_ = in_variance_domain(F.col(c))
+        dom = p_ if dom is None else (dom & p_)
+    li = load(spark, sf_dir, "lineitem").select(*cols).filter(dom)
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )

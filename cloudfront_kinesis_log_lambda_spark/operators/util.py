@@ -25,6 +25,10 @@ def finite(c: Column) -> Column:
 #: comparison replays bit-identically in DuckDB.
 DECIMAL_18_9_BOUND = 1e9 - 1.0
 DECIMAL_18_3_BOUND = 1e15 - 1.0
+DECIMAL_18_4_BOUND = 1e14 - 1.0
+#: |v| bound for double→BIGINT casts: 2^63 exactly as a double; every
+#: double strictly below it casts losslessly-in-range on both engines
+BIGINT_DOMAIN_BOUND = 9.223372036854776e18
 
 
 #: |v| bound for variance-based statistics: sqrt(DBL_MAX). A value whose

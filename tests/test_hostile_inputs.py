@@ -316,3 +316,82 @@ def test_wordpiece_caps_pathological_word_length():
     # at the cap the scan still runs (all-'x' matches the char pieces)
     n, unk = tokenize_word("x" * MAX_WORD_CHARS)
     assert not unk and n == MAX_WORD_CHARS
+
+
+def _lineitem(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    )
+
+
+def test_bigint_cast_domain_excludes_overflow_quantities(spark, tmp_path):
+    """r14 TPC-H axis: a max-double quantity crashed order_item_arrays
+    with ANSI CAST_OVERFLOW (and would error DuckDB's CAST outright).
+    Quantities outside ±2^63 are missing by the documented domain."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import (
+        order_item_arrays,
+    )
+
+    ship = dt.datetime(1996, 1, 1)
+    rows = [
+        (1, 1, 1, 1, 5.0, 100.0, 0.1, 0.02, "N", "O", ship),
+        (1, 2, 2, 2, 3.0, 50.0, 0.0, 0.0, "N", "O", ship),
+        (2, 3, 3, 1, DBL_MAX, 10.0, 0.0, 0.0, "R", "F", ship),
+        (2, 4, 4, 2, NAN, 10.0, 0.0, 0.0, "R", "F", ship),
+    ]
+    df = _lineitem(spark, rows)
+    df.toPandas().pipe(
+        lambda p: pq.write_table(
+            pa.Table.from_pandas(p, preserve_index=False),
+            str(tmp_path / "lineitem.parquet"),
+        )
+    )
+    got = {r.l_orderkey: r for r in order_item_arrays(spark, str(tmp_path)).collect()}
+    assert got[1].n_items == 2 and got[1].qty_csv == "3,5"
+    assert 2 not in got  # both of order 2's rows are out of domain
+
+
+def test_histogram_and_percentiles_use_finite_domain(spark, tmp_path):
+    """NaN/Inf prices have no bucket on the real line and place
+    engine-dependently in percentile interpolation — excluded."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import (
+        order_price_histogram,
+        order_price_percentiles,
+    )
+
+    od = dt.datetime(1996, 1, 1)
+    rows = [
+        (i, i, "O", p, od, "1-URGENT")
+        for i, p in enumerate([100.0, 200.0, 300.0, NAN, INF, -INF])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.toPandas().pipe(
+        lambda p: pq.write_table(
+            pa.Table.from_pandas(p, preserve_index=False),
+            str(tmp_path / "orders.parquet"),
+        )
+    )
+    hist = order_price_histogram(spark, str(tmp_path)).collect()
+    assert sum(r.n_orders for r in hist) == 3
+    assert all(math.isfinite(r.hi) and math.isfinite(r.lo) for r in hist)
+    pct = order_price_percentiles(spark, str(tmp_path)).collect()
+    assert len(pct) == 1 and pct[0].n_orders == 3
+    assert pct[0].p50 == 200.0
