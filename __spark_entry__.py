@@ -74,23 +74,23 @@ _FRONT = [
     # driver row exists for the CURRENT implementation). The changed
     # set consumed every top-up slot: 20 of the changed entries were
     # already r11-stale window members, 19 swap in from r12/r13.
-    # Owed to r15: the 29 UNCHANGED r11 greens (the 10 pre-committed
-    # at r13 close — running_customer_spend, scalar_function_showcase,
-    # sessionize_events, supplier_nation_outer, theta_join_price_band,
-    # top_event_per_user, top_orders_per_customer,
-    # unpivot_order_metrics, word_countmin_topk — minus
-    # word_countmin_incremental which is r14-changed and runs NOW,
-    # plus the 19 displaced: doc_bigram_logprob, doc_block_dedup,
+    # Owed to r15, ALL pre-committed to lead: (a) the 27 UNCHANGED
+    # r11 greens — exactly the r11 entries NOT in this window, 4
+    # rounds stale at r15: doc_bigram_logprob, doc_block_dedup,
     # doc_collocations, doc_contamination, doc_decontaminate,
     # doc_dedup_keep, doc_dup_span_stats, doc_global_shuffle,
     # doc_inverted_index, doc_sorted_neighbors,
     # doc_sorted_neighbors_multipass, events_ab_conversion,
     # events_holt, events_ks_drift, purchases_asof_view,
     # purchases_next_view, region_nations_agg, revenue_by_segment,
-    # rollup_returns, ann_quantized_topk is r14-changed and stays —
-    # they are exactly 4 rounds stale at r15 and MUST all lead),
-    # topped up with the oldest r12 greens minus slots for
-    # r15-changed code.
+    # rollup_returns, running_customer_spend, sessionize_events,
+    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
+    # top_orders_per_customer, unpivot_order_metrics,
+    # word_countmin_topk; (b) the 6 OVERFLOW changed entries below;
+    # then topped up with the oldest r12 greens minus slots for
+    # r15-changed code. (scalar_function_showcase and
+    # word_countmin_incremental left the r13-close owed list: both are
+    # r14-changed and run NOW.)
     #
     # rule 1 census for r14 (the hostile-numeric sweep fixes): the
     # exact-cosine participation contract (similarity.py + _fin_cos
@@ -103,19 +103,24 @@ _FRONT = [
     # tests/test_hostile_inputs.py and the streaming suites.
     #
     # OVERFLOW (documented exception): the string- and TPC-H-axis
-    # sweeps changed FIVE more oracle-backed entries after the window
-    # filled — doc_subword_tokens (r13 green; WordPiece
-    # max_input_chars_per_word cap), order_price_percentiles (r13;
-    # robust-stat finite domain), decimal_revenue_exact (r12;
-    # decimal-exact domain), lineitem_corr_matrix (r12; variance
-    # domain), multimodal_features (r12; oracle encode() spelling
-    # only). They are the changed entries with the FRESHEST existing
-    # evidence (≤2 rounds stale — everything with older evidence got
-    # a slot), every change is a provable clean-data no-op (domain
-    # guards no clean row trips; the oracle spelling is
-    # value-identical on ascii), and each carries hostile-axis sweep
-    # rows plus clean-sweep rows from this session. All five are
-    # pre-committed to LEAD the r15 window.
+    # sweeps changed SEVEN more oracle-backed entries after the window
+    # filled. scalar_function_showcase (r11-stale + changed — the same
+    # priority class as the window's other r11 members) SWAPPED IN,
+    # displacing events_hll_incremental (r13-fresh, pmod-only change —
+    # the freshest, smallest-change member). Six changed entries
+    # therefore carry no r14 slot: doc_subword_tokens (r13 green;
+    # WordPiece max_input_chars_per_word cap), order_price_percentiles
+    # (r13; robust-stat finite domain), events_hll_incremental (r13;
+    # pmod residue waves), decimal_revenue_exact (r12; decimal-exact
+    # domain), lineitem_corr_matrix (r12; variance domain),
+    # multimodal_features (r12; oracle encode() spelling only). They
+    # are the changed entries with the FRESHEST existing evidence
+    # (≤2 rounds stale — everything with older evidence got a slot),
+    # every change is a provable clean-data no-op (no clean row trips
+    # a domain guard; the oracle spelling is value-identical on
+    # ascii), and each carries hostile-axis sweep rows plus clean
+    # sf0.01 sweep rows from this session. All six are pre-committed
+    # to LEAD the r15 window.
     #
     # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
     "filtered_revenue",
@@ -147,7 +152,6 @@ _FRONT = [
     "events_cusum_changepoints",
     "events_ddsketch_incremental",
     "events_ewma_incremental",
-    "events_hll_incremental",
     "events_holt_incremental",
     "events_holt_winters",
     "events_holt_winters_incremental",
@@ -168,6 +172,7 @@ _FRONT = [
     "orders_benford_incremental",
     "orders_quality_incremental",
     "retrieval_eval_metrics",
+    "scalar_function_showcase",
     "word_countmin_incremental",
 ]
 _FILL: list[str] = []

@@ -573,10 +573,27 @@ ORACLE_SQL: dict[str, str] = {
                upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
                concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
                lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
-               ROUND(abs(o_totalprice - 150000.0), 2) AS dist_from_150k,
-               CAST(ceil(o_totalprice / 1000.0) AS BIGINT) AS price_kilo_ceil,
-               ROUND(sqrt(o_totalprice), 4) AS price_sqrt,
-               ROUND(log10(o_totalprice), 4) AS price_log10,
+               -- ROUND only where decimals exist: DuckDB's ROUND
+               -- drifts ulps at extreme magnitude (r14)
+               CASE WHEN abs(o_totalprice - 150000.0) < 1e12
+                    THEN ROUND(abs(o_totalprice - 150000.0), 2)
+                    ELSE abs(o_totalprice - 150000.0)
+               END AS dist_from_150k,
+               -- guarded partial-domain scalars (r14): NULL outside
+               -- the domain on BOTH engines (DuckDB errors on
+               -- sqrt/log10 of negatives and on CAST(ceil(NaN)))
+               CASE WHEN isfinite(o_totalprice)
+                     AND abs(o_totalprice / 1000.0) < 9.223372036854776e18
+                    THEN CAST(ceil(o_totalprice / 1000.0) AS BIGINT)
+               END AS price_kilo_ceil,
+               CASE WHEN isfinite(o_totalprice) AND o_totalprice >= 0
+                    THEN CASE WHEN sqrt(o_totalprice) < 1e12
+                              THEN ROUND(sqrt(o_totalprice), 4)
+                              ELSE sqrt(o_totalprice) END
+               END AS price_sqrt,
+               CASE WHEN isfinite(o_totalprice) AND o_totalprice > 0
+                    THEN ROUND(log10(o_totalprice), 4)
+               END AS price_log10,
                CASE WHEN o_totalprice > 200000 THEN 'high'
                     WHEN o_totalprice > 100000 THEN 'mid'
                     ELSE 'low' END AS price_band

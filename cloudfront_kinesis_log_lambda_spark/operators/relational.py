@@ -948,8 +948,15 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar library sweep (SURVEY.md §2.5 'scalar function library'):
     date (trunc/extract/datediff), string (substring/concat/upper/lpad),
     math (abs/ceil/floor/pow/log), conditional — one pass over orders,
-    every expression codegen'd JVM-side."""
+    every expression codegen'd JVM-side.
+
+    Partial-domain scalars are TOTAL by explicit guard (r14 TPC-H
+    hostile axis): ceil→bigint overflows the cast on a non-finite
+    price, and DuckDB ERRORS on sqrt/log of a negative where Spark
+    yields NaN/NULL — each guarded expression reads NULL outside its
+    domain, identically on both engines."""
     o = load(spark, sf_dir, "orders")
+    price_ok = finite(F.col("o_totalprice"))
     return o.select(
         "o_orderkey",
         F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("order_month"),
@@ -960,10 +967,35 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring("o_orderpriority", 1, 1)).alias("prio_initial"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
-        F.round(F.abs(F.col("o_totalprice") - 150000.0), 2).alias("dist_from_150k"),
-        F.ceil(F.col("o_totalprice") / 1000.0).cast("long").alias("price_kilo_ceil"),
-        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
-        F.round(F.log10("o_totalprice"), 4).alias("price_log10"),
+        # ROUND(x, k) beyond ~1e12 is the identity in exact math, but
+        # DuckDB's multiply-round-divide spelling drifts ulps at
+        # extreme magnitude (r14: ROUND(1.34e154, 4) came back 2 ulps
+        # off) — so the rounding applies only where decimals exist
+        F.when(
+            F.abs(F.col("o_totalprice") - 150000.0) < 1e12,
+            F.round(F.abs(F.col("o_totalprice") - 150000.0), 2),
+        )
+        .otherwise(F.abs(F.col("o_totalprice") - 150000.0))
+        .alias("dist_from_150k"),
+        F.when(
+            # the CAST's domain, not just finiteness: a finite 1.8e308
+            # price still overflows bigint after ceil(x/1000)
+            price_ok
+            & (F.abs(F.col("o_totalprice") / 1000.0) < F.lit(BIGINT_DOMAIN_BOUND)),
+            F.ceil(F.col("o_totalprice") / 1000.0),
+        )
+        .cast("long")
+        .alias("price_kilo_ceil"),
+        F.when(
+            price_ok & (F.col("o_totalprice") >= 0),
+            F.when(
+                F.sqrt("o_totalprice") < 1e12, F.round(F.sqrt("o_totalprice"), 4)
+            ).otherwise(F.sqrt("o_totalprice")),
+        ).alias("price_sqrt"),
+        F.when(
+            price_ok & (F.col("o_totalprice") > 0),
+            F.round(F.log10("o_totalprice"), 4),
+        ).alias("price_log10"),
         F.when(F.col("o_totalprice") > 200000, "high")
         .when(F.col("o_totalprice") > 100000, "mid")
         .otherwise("low")
