@@ -51,11 +51,16 @@ def _cos_safe(a: Column, b: Column) -> Column:
     ANSI DIVIDE_BY_ZERO crash (r14 hostile-numeric sweep: one all-zero
     vector anywhere in the corpus killed every exact-cosine query —
     and at 100 TB a zero vector somewhere in the keyspace is routine).
-    NaN propagates (a NaN-element vector has NaN norm, and
-    NaN > 0 is true under both Spark's and DuckDB's NaN ordering), so
-    callers pair this with :func:`_finite_filter`."""
-    denom = _norm(a) * _norm(b)
-    return F.when(denom > 0, _dot(a, b) / denom)
+    NaN propagates (a NaN-element vector has NaN norm), so callers
+    pair this with :func:`_finite_filter`.
+
+    ``try_divide`` rather than ``when(denom > 0, dot/denom)``: same
+    semantics on the norm domain (norms are ≥ 0 or NaN; NULL exactly
+    at zero, NaN/NaN elsewhere), but the denominator folds evaluate
+    ONCE — the conditional form duplicates the O(d) norm folds into
+    both the predicate and the value branch, and codegen CSE across
+    conditional branches is not guaranteed."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def _finite_filter(c: Column) -> Column:
