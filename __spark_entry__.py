@@ -119,8 +119,12 @@ _FRONT = [
     # every change is a provable clean-data no-op (no clean row trips
     # a domain guard; the oracle spelling is value-identical on
     # ascii), and each carries hostile-axis sweep rows plus clean
-    # sf0.01 sweep rows from this session. All six are pre-committed
-    # to LEAD the r15 window.
+    # sf0.01 sweep rows from this session. The late JSON-hostile probe
+    # added two more: events_json_props and events_variant_props
+    # (try_cast/try_variant_get extraction + tolerant oracle JSON
+    # parse — clean-data no-op, verified 3/3 clean + 2/2 hostile, pin
+    # in test_hostile_inputs). All EIGHT are pre-committed to LEAD
+    # the r15 window.
     #
     # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
     "filtered_revenue",

@@ -227,11 +227,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY 1, 2
     """,
+    # tolerant extraction on BOTH sides (r14 JSON-hostile probe):
+    # TRY_CAST(props AS JSON) nulls malformed JSON (DuckDB's
+    # json_extract ERRORS on it where Spark returns NULL) and the
+    # BIGINT TRY_CAST nulls object-valued k like Spark's try_cast
     "events_json_props": """
         SELECT event_type,
                COUNT(*)                                                AS n_events,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-               ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6)       AS avg_k
+               CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)), 6)       AS avg_k
         FROM events
         GROUP BY event_type
     """,
@@ -240,10 +244,10 @@ ORACLE_SQL: dict[str, str] = {
     # equal results prove the variant path is lossless
     "events_variant_props": """
         SELECT event_type,
-               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-               CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-               CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+               COUNT(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS n_with_k,
+               CAST(MIN(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(MAX(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(SUM(TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
     """,

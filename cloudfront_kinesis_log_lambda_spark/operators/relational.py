@@ -473,8 +473,11 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction (pairs with the CloudFront pipeline's to_json):
     pull props.k out and aggregate it."""
     e = load(spark, sf_dir, "events")
+    # try_cast, not cast (r14 JSON-hostile probe): a props record whose
+    # k holds an OBJECT crashes the ANSI string->long cast — one
+    # schema-drifted record must read NULL, not kill the query
     return (
-        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        e.withColumn("k", F.get_json_object("props", "$.k").try_cast("long"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -495,7 +498,9 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     props.k. Malformed JSON → NULL (``try_`` variant), matching the
     oracle's NULL-skipping aggregates."""
     e = load(spark, sf_dir, "events")
-    k = F.expr("variant_get(try_parse_json(props), '$.k', 'long')")
+    # try_variant_get (r14): an object-valued k crashes variant_get's
+    # cast under ANSI — schema drift reads NULL instead
+    k = F.expr("try_variant_get(try_parse_json(props), '$.k', 'long')")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -395,3 +395,40 @@ def test_histogram_and_percentiles_use_finite_domain(spark, tmp_path):
     pct = order_price_percentiles(spark, str(tmp_path)).collect()
     assert len(pct) == 1 and pct[0].n_orders == 3
     assert pct[0].p50 == 200.0
+
+
+def test_json_extraction_tolerates_schema_drift(spark, tmp_path):
+    """r14 JSON-hostile probe: a props record whose k holds an OBJECT
+    crashed the ANSI string->long cast in events_json_props (and the
+    variant cast in events_variant_props); malformed JSON errored the
+    DuckDB oracle outright. One schema-drifted record must read NULL,
+    not kill the query — try_cast / try_variant_get semantics, mirrored
+    with TRY_CAST(props AS JSON) in the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfront_kinesis_log_lambda_spark.operators.relational import (
+        events_json_props,
+        events_variant_props,
+    )
+
+    df = _events(spark, [1.0] * 6)
+    pdf = df.toPandas()
+    pdf["props"] = [
+        '{"k": 2}',
+        '{"k": 4}',
+        '{"k": {"drift": 1}}',  # object-valued k
+        '{"k": 1',  # truncated
+        "not json",
+        None,
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        str(tmp_path / "events.parquet"),
+    )
+    j = events_json_props(spark, str(tmp_path)).collect()
+    assert len(j) == 1
+    assert j[0].n_events == 6 and j[0].sum_k == 6 and j[0].avg_k == 3.0
+    v = events_variant_props(spark, str(tmp_path)).collect()
+    assert len(v) == 1
+    assert v[0].n_with_k == 2 and v[0].min_k == 2 and v[0].max_k == 4

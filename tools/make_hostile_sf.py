@@ -227,6 +227,43 @@ _HOSTILE = {
     "documents": _hostile_documents,
 }
 
+def _hostile_json_events(src: pa.Table) -> pa.Table:
+    """JSON axis: malformed / schema-drifted ``events.props`` — the
+    semi-structured extraction entries' hostile probe. One truncated
+    record, one non-JSON string, empty string, NULL, an OBJECT-valued
+    k (schema drift: the crash class — an ANSI string→long cast on it
+    killed the query), a 5k-char value, an array root, and a number
+    beyond double range."""
+    ev = sorted(set(src.column("event_type").to_pylist()))
+    base_ts = src.column("ts")[0].as_py()
+    next_id = max(src.column("event_id").to_pylist()) + 1
+    props = [
+        '{"k": 1',
+        "not json at all",
+        "",
+        None,
+        '{"k": {"deep": {"deeper": {"deepest": [1,2,3]}}}}',
+        '{"k": "' + "x" * 5000 + '"}',
+        "[1,2,3]",
+        '{"k": null, "j": 1e999}',
+    ]
+    extra = pa.table(
+        {
+            "event_id": pa.array(
+                [next_id + i for i in range(len(props))], pa.int64()
+            ),
+            "ts": pa.array([base_ts] * len(props), src.schema.field("ts").type),
+            "user_id": pa.array(list(range(len(props))), pa.int64()),
+            "event_type": pa.array(
+                [ev[i % len(ev)] for i in range(len(props))], pa.string()
+            ),
+            "value": pa.array([1.0] * len(props), pa.float64()),
+            "props": pa.array(props, pa.string()),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
 _AXES = {
     # numeric axis (the r14 first sweep): events/embeddings/documents
     "numeric": _HOSTILE,
@@ -234,6 +271,8 @@ _AXES = {
     "strings": {"documents": _hostile_text_documents},
     # TPC-H axis: hostile numerics + dangling keys in the fact tables
     "tpch": {"lineitem": _hostile_lineitem, "orders": _hostile_orders},
+    # JSON axis: malformed/drifted semi-structured props
+    "json": {"events": _hostile_json_events},
 }
 
 
