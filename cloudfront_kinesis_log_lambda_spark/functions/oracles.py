@@ -1156,12 +1156,17 @@ ORACLE_SQL: dict[str, str] = {
     # floor(x/scale + 0.5) spelled out on both engines: CAST/round()
     # half-way behavior differs across engines, floor of a double doesn't
     # non-finite contract mirrored from quantize_int8 (r14): a vector
-    # with any NaN/±Inf element reads scale = NULL, codes = NULL
+    # with any NaN/±Inf element reads scale = NULL, codes = NULL.
+    # NULL-STRICT (r15 ADVICE): the predicate is `isfinite(x) IS NOT
+    # TRUE`, not `NOT isfinite(x)` — list_filter drops NULL-predicate
+    # elements, so the loose spelling would read a NULL-element vector
+    # as finite and emit codes, while the engine's F.forall yields NULL
+    # (→ NULL scale/codes) for the same vector.
     "embedding_quantize_int8": """
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                  len(list_filter(CAST(embedding AS DOUBLE[]),
-                                 x -> NOT isfinite(x))) = 0 AS fin
+                                 x -> isfinite(x) IS NOT TRUE)) = 0 AS fin
           FROM embeddings),
         s AS (
           SELECT vec_id, e, fin,
@@ -1184,7 +1189,7 @@ ORACLE_SQL: dict[str, str] = {
         WITH v AS (
           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
           WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
-                                x -> NOT isfinite(x))) = 0),
+                                x -> isfinite(x) IS NOT TRUE)) = 0),
         s AS (
           SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale

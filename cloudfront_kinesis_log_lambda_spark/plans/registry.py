@@ -8,6 +8,7 @@ and verified by planted-duplicate recall tests in ``tests/``.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 from collections.abc import Callable
@@ -977,8 +978,6 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # record (the row then collapses into a null-key dedup
             # group: silent data loss). Encode them as JSON null — the
             # row survives with a null value, like JSON.stringify does.
-            import math
-
             return (
                 _json.dumps(
                     {

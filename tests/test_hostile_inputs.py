@@ -123,6 +123,61 @@ def test_quantized_topk_skips_null_code_rows(spark, hostile_emb):
     assert set(ids) <= {1, 2, 3, 4, I64_MAX}  # zero vector scores 0.0, allowed
 
 
+def test_quantize_int8_null_element_vector_is_null_both_engines(
+    spark, tmp_path
+):
+    """r15 ADVICE pin: a vector with a NULL ELEMENT. The engine's
+    F.forall yields NULL (→ scale=NULL/codes=NULL); the oracle's old
+    `NOT isfinite(x)` filter DROPPED the NULL-predicate element and
+    read the vector as finite, emitting codes — latent divergence. The
+    null-strict spelling `isfinite(x) IS NOT TRUE` closes it."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
+    from cloudfront_kinesis_log_lambda_spark.operators.similarity import (
+        quantize_int8,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.5, None, 0.5, 0.5]),  # NULL element
+        (2, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert got[1].scale is None and got[1].codes is None
+    assert got[0].codes is not None and got[2].codes is not None
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path / 'embeddings.parquet'}'"
+    )
+    oracle = {
+        r[0]: r
+        for r in con.execute(
+            ORACLE_SQL["embedding_quantize_int8"]
+        ).fetchall()
+    }
+    assert oracle[1][1] is None and oracle[1][2] is None
+    assert oracle[0][2] is not None and oracle[2][2] is not None
+    # the serving path excludes the NULL-code row on both sides
+    ann = con.execute(ORACLE_SQL["ann_quantized_topk"]).fetchall()
+    assert 1 not in {r[0] for r in ann}
+
+
 def _events(spark, values, ids=None):
     base = __import__("datetime").datetime(2024, 1, 1)
     rows = [
@@ -420,7 +475,12 @@ def test_json_extraction_tolerates_schema_drift(spark, tmp_path):
         '{"k": {"drift": 1}}',  # object-valued k
         '{"k": 1',  # truncated
         "not json",
-        None,
+        # r15 ADVICE pin: a VALID k beside an out-of-range sibling —
+        # neither engine may null the whole record because an unrelated
+        # field exceeds double range (DuckDB keeps JSON as raw text, so
+        # TRY_CAST .. AS JSON accepts 1e999; Spark's get_json_object
+        # extracts $.k without materializing $.j)
+        '{"k": 3, "j": 1e999}',
     ]
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
@@ -428,7 +488,19 @@ def test_json_extraction_tolerates_schema_drift(spark, tmp_path):
     )
     j = events_json_props(spark, str(tmp_path)).collect()
     assert len(j) == 1
-    assert j[0].n_events == 6 and j[0].sum_k == 6 and j[0].avg_k == 3.0
+    assert j[0].n_events == 6 and j[0].sum_k == 9 and j[0].avg_k == 3.0
     v = events_variant_props(spark, str(tmp_path)).collect()
     assert len(v) == 1
-    assert v[0].n_with_k == 2 and v[0].min_k == 2 and v[0].max_k == 4
+    assert v[0].n_with_k == 3 and v[0].min_k == 2 and v[0].max_k == 4
+    # the oracle must read the SAME k set from the same file — the
+    # whole-document-validity divergence the r15 ADVICE flagged
+    import duckdb
+
+    from cloudfront_kinesis_log_lambda_spark.functions.oracles import ORACLE_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path / 'events.parquet'}'"
+    )
+    oj = con.execute(ORACLE_SQL["events_json_props"]).fetchall()
+    assert len(oj) == 1 and oj[0][1] == 6 and oj[0][2] == 9

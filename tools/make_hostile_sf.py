@@ -246,6 +246,11 @@ def _hostile_json_events(src: pa.Table) -> pa.Table:
         '{"k": "' + "x" * 5000 + '"}',
         "[1,2,3]",
         '{"k": null, "j": 1e999}',
+        # r15 ADVICE pin: a VALID k next to an out-of-range sibling —
+        # probes whether either engine nulls the whole record when an
+        # unrelated field exceeds double range (both must still read
+        # k=1; DuckDB stores JSON as raw text so 1e999 parses fine)
+        '{"k": 1, "j": 1e999}',
     ]
     extra = pa.table(
         {
