@@ -728,20 +728,27 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # --- time-series gapfill ---------------------------------------------
     "events_gapfill": """
-        WITH agg AS (
+        WITH ev AS (
+            -- ts spine domain (r15 hostile-dates sweep): mirrors the
+            -- engine's in_ts_spine_domain — the ns-interop envelope,
+            -- bounding the data-derived spine at 5.12 M buckets
+            SELECT * FROM events
+            WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                         AND TIMESTAMP '2262-04-11 00:00:00'),
+        agg AS (
             SELECT date_trunc('hour', ts) AS bucket_ts, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS s
-            FROM events GROUP BY 1, 2),
+            FROM ev GROUP BY 1, 2),
         bounds AS (
             SELECT MIN(date_trunc('hour', ts)) AS lo,
                    MAX(date_trunc('hour', ts)) AS hi
-            FROM events),
+            FROM ev),
         spine AS (
             SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
             FROM bounds),
         grid AS (
             SELECT s.bucket_ts, t.event_type
-            FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+            FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM ev) t)
         SELECT g.bucket_ts, g.event_type,
                COALESCE(a.n, 0) AS n_events,
                COALESCE(a.s, 0.0) AS sum_value,

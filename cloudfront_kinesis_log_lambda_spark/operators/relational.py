@@ -30,6 +30,7 @@ from cloudfront_kinesis_log_lambda_spark.operators.util import (
     DECIMAL_18_4_BOUND,
     finite,
     in_decimal_domain,
+    in_ts_spine_domain,
 )
 
 
@@ -552,8 +553,16 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     — hours×types rows, trivially memory-resident — rather than
     re-scanning events. The spine is generated, the outer join and LOCF
     window run over the already-dense grid.
+
+    Timestamp domain (r15 hostile-dates sweep): the spine derives from
+    data min/max, so ONE corrupt instant (year 0001 or 9999 — certain
+    somewhere in 100 TB) exploded it to 87.6 M hourly buckets and
+    killed the JVM. Rows outside the ns-interop envelope
+    (``in_ts_spine_domain``, worst case 5.12 M buckets) are missing,
+    literal-mirrored in the oracle; NULL ts has no bucket and is
+    likewise excluded.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(in_ts_spine_domain(F.col("ts")))
     hour = F.date_trunc("hour", F.col("ts"))
     agg = (
         e.groupBy(hour.alias("bucket_ts"), F.col("event_type"))

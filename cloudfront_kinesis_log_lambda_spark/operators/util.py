@@ -44,6 +44,33 @@ def in_variance_domain(c: Column) -> Column:
     return finite(c) & (F.abs(c) < F.lit(VARIANCE_DOMAIN_BOUND))
 
 
+#: timestamp participation domain for SPINE-GENERATING operators
+#: (gapfill and anything else that materializes a bucket grid derived
+#: from data min/max). The r15 hostile-dates sweep's finding: one
+#: year-0001 row next to one year-9999 row makes a data-derived hourly
+#: gapfill spine 87.6 MILLION buckets wide — a single 700 MB sequence
+#: array that killed the whole JVM (at 100 TB a corrupt timestamp
+#: SOMEWHERE is certain). The domain is the int64-NANOSECONDS interop
+#: envelope (Arrow / numpy datetime64[ns]: 1677-09-21..2262-04-11),
+#: rounded inward to whole days — principled (it is the range every
+#: ns-based tool in the pipeline can even represent) and it hard-caps
+#: the worst-case spine at 5.12 M hourly buckets. Out-of-domain rows
+#: are treated as missing, literal-mirrored in the DuckDB oracles; a
+#: NULL timestamp has no position on the time axis and is likewise
+#: excluded (BETWEEN is null-rejecting on both engines).
+TS_SPINE_DOMAIN_LO = "1677-09-22 00:00:00"
+TS_SPINE_DOMAIN_HI = "2262-04-11 00:00:00"
+
+
+def in_ts_spine_domain(c: Column) -> Column:
+    """True iff the timestamp may participate in a data-derived bucket
+    spine (inside the ns-interop envelope; NULL-rejecting)."""
+    return c.between(
+        F.lit(TS_SPINE_DOMAIN_LO).cast("timestamp"),
+        F.lit(TS_SPINE_DOMAIN_HI).cast("timestamp"),
+    )
+
+
 def in_decimal_domain(c: Column, bound: float) -> Column:
     """True iff the double is representable in the decimal-exact
     accumulation domain (finite and |v| < bound).

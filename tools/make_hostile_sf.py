@@ -269,6 +269,100 @@ def _hostile_json_events(src: pa.Table) -> pa.Table:
     return pa.concat_tables([src, extra.cast(src.schema)])
 
 
+def _hostile_dates_events(src: pa.Table) -> pa.Table:
+    """DATES axis (r15, VERDICT item 3): hostile instants in
+    ``events.ts`` — the one value domain no prior sweep probed. Epoch
+    zero, pre-epoch instants WITH sub-second parts (floor-div vs
+    trunc-div in epoch math diverges exactly there), the proleptic
+    extremes 0001/9999 (bucket-spine explosion probe: a single
+    year-0001 row makes a data-derived hourly gapfill spine 87M buckets
+    wide), US DST-seam instants (the engine pins UTC, but the ORACLES
+    parse timestamps too), a leap-day with microseconds, and a NULL ts
+    (Spark windows order NULLS FIRST, DuckDB NULLS LAST — every ordered
+    operator diverges unless the oracle spells the null order). Payload
+    values stay sane and in-domain: only the time axis is hostile."""
+    import datetime as dt
+
+    ev_types = sorted(set(src.column("event_type").to_pylist()))
+    next_id = max(src.column("event_id").to_pylist()) + 1
+    stamps = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),                      # epoch zero
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),         # -1 us
+        dt.datetime(1969, 7, 20, 20, 17, 40),                  # pre-epoch
+        dt.datetime(1, 1, 1, 0, 0, 0),                         # proleptic min
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),         # proleptic max
+        dt.datetime(2021, 3, 14, 7, 30, 0),                    # US spring-fwd (UTC)
+        dt.datetime(2021, 11, 7, 5, 30, 0),                    # US fall-back (UTC)
+        dt.datetime(2000, 2, 29, 12, 34, 56, 789012),          # leap day + us
+        None,                                                  # NULL ts
+    ]
+    extra = pa.table(
+        {
+            "event_id": pa.array(
+                [next_id + i for i in range(len(stamps))], pa.int64()
+            ),
+            "ts": pa.array(stamps, src.schema.field("ts").type),
+            "user_id": pa.array(list(range(1, len(stamps) + 1)), pa.int64()),
+            "event_type": pa.array(
+                [ev_types[i % len(ev_types)] for i in range(len(stamps))],
+                pa.string(),
+            ),
+            "value": pa.array([1.0] * len(stamps), pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(stamps), pa.string()),
+        }
+    ).select(src.column_names)
+    return pa.concat_tables([src, extra.cast(src.schema)])
+
+
+def _hostile_dates_orders(src: pa.Table) -> pa.Table:
+    """Hostile ``o_orderdate`` instants on otherwise-valid orders (keys
+    stay referentially intact so the dates FLOW THROUGH joins)."""
+    import datetime as dt
+
+    base = src.slice(0, 6).to_pylist()
+    next_key = max(src.column("o_orderkey").to_pylist()) + 1
+    stamps = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1, 1, 1, 0, 0, 0),
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+        None,
+        dt.datetime(2000, 2, 29, 12, 34, 56, 789012),
+    ]
+    hostile = []
+    for i, r in enumerate(base):
+        r = dict(r)
+        r["o_orderkey"] = next_key + i
+        r["o_orderdate"] = stamps[i]
+        hostile.append(r)
+    extra = pa.Table.from_pylist(hostile, schema=src.schema)
+    return pa.concat_tables([src, extra])
+
+
+def _hostile_dates_lineitem(src: pa.Table) -> pa.Table:
+    """Hostile ``l_shipdate`` instants; order/part/supp keys stay valid
+    (copied from real rows), linenumbers bumped for uniqueness."""
+    import datetime as dt
+
+    base = src.slice(0, 6).to_pylist()
+    stamps = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(1, 1, 1, 0, 0, 0),
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+        None,
+        dt.datetime(2000, 2, 29, 12, 34, 56, 789012),
+    ]
+    hostile = []
+    for i, r in enumerate(base):
+        r = dict(r)
+        r["l_linenumber"] = 90 + i
+        r["l_shipdate"] = stamps[i]
+        hostile.append(r)
+    extra = pa.Table.from_pylist(hostile, schema=src.schema)
+    return pa.concat_tables([src, extra])
+
+
 _AXES = {
     # numeric axis (the r14 first sweep): events/embeddings/documents
     "numeric": _HOSTILE,
@@ -278,6 +372,12 @@ _AXES = {
     "tpch": {"lineitem": _hostile_lineitem, "orders": _hostile_orders},
     # JSON axis: malformed/drifted semi-structured props
     "json": {"events": _hostile_json_events},
+    # DATES axis: hostile instants in every timestamp column
+    "dates": {
+        "events": _hostile_dates_events,
+        "orders": _hostile_dates_orders,
+        "lineitem": _hostile_dates_lineitem,
+    },
 }
 
 
