@@ -2128,7 +2128,9 @@ ORACLE_SQL["events_ewma"] = f"""
            ROUND(list_reduce(list(value ORDER BY ts, event_id),
                              (a, x) -> a * {1.0 - EWMA_ALPHA!r} +
                                        x * {EWMA_ALPHA!r}), 6) AS ewma
-    FROM events GROUP BY user_id
+    FROM events
+    WHERE ts IS NOT NULL  -- no position in an ordered series (r15)
+    GROUP BY user_id
 """
 
 # Holt linear trend. NOT list_reduce: DuckDB 1.0 mutates the
@@ -2149,7 +2151,9 @@ ORACLE_SQL["events_holt"] = f"""
       SELECT user_id,
              list(value ORDER BY ts, event_id) AS arr,
              CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY user_id),
+      FROM events
+      WHERE ts IS NOT NULL  -- no position in an ordered series (r15)
+      GROUP BY user_id),
     state AS (
       SELECT user_id, CAST(2 AS BIGINT) AS i,
              CAST(arr[2] AS DOUBLE) AS l,
@@ -2198,6 +2202,7 @@ ORACLE_SQL["events_holt_winters"] = f"""
                AS p
       FROM events
       WHERE isfinite(value) AND abs(value) < 999999999.0  -- decimal-exact domain (r14)
+        AND ts IS NOT NULL  -- no hourly bucket (r15)
       GROUP BY event_type, date_trunc('hour', ts)),
     arrs AS (
       SELECT event_type,
@@ -2295,6 +2300,7 @@ ORACLE_SQL["events_cusum_changepoints"] = f"""
              SUM(CAST(value AS DECIMAL(18,9))) AS xd
       FROM events
       WHERE isfinite(value) AND abs(value) < 999999999.0  -- decimal-exact domain (r14)
+        AND ts IS NOT NULL  -- no hourly bucket (r15)
       GROUP BY event_type, date_trunc('hour', ts)),
     b2 AS (
       SELECT event_type, hb, xd, CAST(xd AS DOUBLE) AS x,
@@ -3092,8 +3098,11 @@ ORACLE_SQL["events_ks_drift"] = f"""
       SELECT event_type, ROUND(value, 3) AS v,
              CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
                            THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
-             CAST(SUM(CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}'
-                           THEN 0 ELSE 1 END) AS BIGINT) AS c_cur
+             -- null-strict current-cohort test (r15): the engine's
+             -- when/otherwise drops NULL ts from BOTH cohorts, so the
+             -- old ELSE 1 spelling counted a NULL-ts row as current
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_PSI_SPLIT}'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
       FROM events GROUP BY 1, 2),
     totals AS (
       SELECT event_type,

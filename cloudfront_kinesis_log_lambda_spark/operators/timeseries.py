@@ -62,10 +62,16 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-entity recursive smoother (Kalman-ish filters, decayed
     counters). Per-user arrays are bounded by per-entity event counts,
     the usual assumption for per-user state (same contract as
-    sessionize / SCD2)."""
+    sessionize / SCD2).
+
+    NULL event time (r15 hostile-dates sweep): a row with no timestamp
+    has no position in an order-DEPENDENT series — and the engines
+    disagree where to put it (Spark sort_array ranks a NULL struct
+    field FIRST, so it silently became the EWMA seed; DuckDB's ORDER BY
+    ranks it last). Excluded, mirrored in the oracle."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
-    )
+    ).filter(F.col("ts").isNotNull())
     arr = (
         e.groupBy("user_id")
         .agg(
@@ -122,10 +128,11 @@ def events_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence note at ORACLE_SQL["events_holt"]), so the oracle
     replays the fold as a recursive CTE with the identical per-step
     IEEE expressions. Single-event users never enter the fold — their
-    level is x₀, trend 0."""
+    level is x₀, trend 0. NULL event time is excluded (order-dependent
+    fold; the events_ewma contract)."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
-    )
+    ).filter(F.col("ts").isNotNull())
     arr = (
         e.groupBy("user_id")
         .agg(
@@ -489,10 +496,14 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     period-bounded (24 doubles). Cross-engine parity is the recursive-
     CTE replay, as for Holt (multi-field fold; see the list_reduce
     divergence note at ORACLE_SQL["events_holt"])."""
-    # decimal-exact domain (r14): out-of-range readings are missing
+    # decimal-exact domain (r14): out-of-range readings are missing;
+    # NULL event time has no hourly bucket (r15, the events_ewma rule)
     e = load(spark, sf_dir, "events").select(
         "event_type", "ts", "value"
-    ).filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
+    ).filter(
+        in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND)
+        & F.col("ts").isNotNull()
+    )
     buckets = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
@@ -595,10 +606,14 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the other hourly-series operators — one
     wide exchange (the hourly pre-aggregation), per-type arrays bounded
     by hours-in-retention."""
-    # decimal-exact domain (r14): out-of-range readings are missing
+    # decimal-exact domain (r14): out-of-range readings are missing;
+    # NULL event time has no hourly bucket (r15, the events_ewma rule)
     e = load(spark, sf_dir, "events").select(
         "event_type", "ts", "value"
-    ).filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
+    ).filter(
+        in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND)
+        & F.col("ts").isNotNull()
+    )
     buckets = (
         e.groupBy(
             "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")

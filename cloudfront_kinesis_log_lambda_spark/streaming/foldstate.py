@@ -81,9 +81,17 @@ class FoldStateStore:
 
 
 def user_series(batch_df: DataFrame) -> DataFrame:
-    """The twins' shared per-user event-ordered series aggregate."""
+    """The twins' shared per-user event-ordered series aggregate.
+
+    NULL event time is excluded (r15 hostile-dates sweep): a row with
+    no timestamp has no position on the stream timeline — real
+    Structured Streaming could never deliver it past a watermark, and
+    in the order-dependent folds Spark would rank it FIRST (sort_array
+    NULL-field ordering), silently making it the seed. Same rule as the
+    batch events_ewma/events_holt."""
     return (
         batch_df.select("user_id", "ts", "event_id", "value")
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .agg(
             F.sort_array(

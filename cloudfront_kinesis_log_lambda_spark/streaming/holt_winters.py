@@ -78,8 +78,12 @@ class StreamingHoltWinters:
         spark = batch_df.sparkSession
         buckets = (
             batch_df.select("event_type", "ts", "event_id", "value")
-            # decimal-exact domain (r14), same rule as the batch op
-            .filter(in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND))
+            # decimal-exact domain (r14) + NULL-event-time exclusion
+            # (r15), same rules as the batch op
+            .filter(
+                in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND)
+                & F.col("ts").isNotNull()
+            )
             .groupBy(
                 "event_type", F.date_trunc("hour", F.col("ts")).alias("hb")
             )
