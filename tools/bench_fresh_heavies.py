@@ -125,9 +125,20 @@ def main() -> None:
         canaries[name] = [rec["canary_before"], rec["canary_after"]]
         print(f"# {name}: min {rec['min']}s (reps {rec['reps']}, "
               f"canaries {canaries[name]})", file=sys.stderr)
+    # r15 (VERDICT r14 item 6): in-band floor_units — min ÷ adjacent
+    # canary-min, per heavy, IN the artifact line. The fresh-JVM anchor
+    # adjudications previously leaned on prose canary brackets in
+    # BASELINE.md; this is the same box-independent mechanism the
+    # headline floor queries got in r14 (bench.py contract line).
+    floor_units = {
+        n: round(queries[n] / min(canaries[n]), 1)
+        for n in queries
+        if min(canaries[n]) > 0
+    }
     print(json.dumps({
         "metric": "fresh_heavies",
         "queries": queries,
+        "floor_units": floor_units,
         "canaries": canaries,
         "failed": failed,
         "reps": reps,
