@@ -162,17 +162,22 @@ ORACLE_SQL: dict[str, str] = {
               FROM orders)
         WHERE rn <= 3
     """,
+    # NULLS FIRST spells Spark's ascending default (r15 hostile-dates:
+    # DuckDB defaults NULLS LAST — an undated order silently reordered
+    # every delta/running total in its customer's history)
     "order_price_delta": """
         SELECT o_custkey, o_orderkey,
                ROUND(o_totalprice - LAG(o_totalprice) OVER (
-                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey), 2)
                  AS price_delta
         FROM orders
     """,
     "running_customer_spend": """
         SELECT o_custkey, o_orderkey,
                ROUND(SUM(o_totalprice) OVER (
-                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate NULLS FIRST, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
                  AS running_spend
         FROM orders
@@ -374,7 +379,9 @@ ORACLE_SQL: dict[str, str] = {
           SELECT user_id, CAST(ts AS DATE) AS day,
                  COUNT(*) AS n_events,
                  ROUND(SUM(value), 2) AS day_value
-          FROM events GROUP BY 1, 2)
+          FROM events
+          WHERE ts IS NOT NULL  -- no activity day to version (r15)
+          GROUP BY 1, 2)
         SELECT user_id,
                n_events,
                day_value,
@@ -487,6 +494,19 @@ ORACLE_SQL: dict[str, str] = {
     # null by contract (RFC 8259 has no tokens for them — see the rec()
     # encoder in plans/registry.py), so the replayed rows carry NULL
     # there; identical on all-finite data
+    # event-time domain (r15 hostile-dates): mirrors the engine's
+    # in_ts_spine_domain guard in dedup_within_watermark (watermark
+    # poisoning — one year-9999 delivery drops every later record).
+    # The wire serializes ts at second granularity, so an instant
+    # within 1 s above the HI bound would truncate INTO the envelope
+    # on the engine side only — latent, boundary-day instants are not
+    # a planted fixture and the bounds are whole days.
+    # ... and the in-horizon domain: records older than the 3650-day
+    # dedup horizon below the stream max are dropped deterministically
+    # (the entry pre-filters; see plans/registry.py). date_trunc makes
+    # the cutoff second-granular like the wire's strftime — the two
+    # comparisons are equivalent because floor is monotonic and the
+    # cutoff is whole-second.
     "kinesis_exactly_once_rollup": """
         SELECT event_type,
                COUNT(*)                 AS n_events,
@@ -494,6 +514,13 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(CASE WHEN isfinite(value) THEN value END), 2)
                  AS sum_value
         FROM events
+        WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                     AND TIMESTAMP '2262-04-11 00:00:00'
+          AND ts >= (SELECT date_trunc('second',
+                            MAX(ts) - INTERVAL 3650 DAY)
+                     FROM events
+                     WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                                  AND TIMESTAMP '2262-04-11 00:00:00')
         GROUP BY event_type
     """,
     # benchmark contamination: distinct 3-gram leak fraction against the
@@ -547,6 +574,7 @@ ORACLE_SQL: dict[str, str] = {
                          - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                       THEN 1 ELSE 0 END AS is_new
           FROM events
+          WHERE ts IS NOT NULL  -- no position on a session timeline (r15)
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sess AS (
           SELECT user_id, event_id, ts,
@@ -772,6 +800,11 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS n_events,
                ROUND(SUM(value), 2) AS sum_value
         FROM events
+        -- event-time domain (r15 hostile-dates): mirrors the engine's
+        -- in_ts_spine_domain guard against watermark poisoning /
+        -- ns-envelope overflow; NULL ts is null-rejected by BETWEEN
+        WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                     AND TIMESTAMP '2262-04-11 00:00:00'
         GROUP BY 1, 2, 3
     """,
     # Sliding windows: every event belongs to exactly window/slide = 2
@@ -783,7 +816,10 @@ ORACLE_SQL: dict[str, str] = {
                    CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP),
                    CAST(to_timestamp(FLOOR(epoch(ts) / 300) * 300) AS TIMESTAMP),
                    INTERVAL 5 MINUTE)) AS window_start
-          FROM events)
+          FROM events
+          -- event-time domain (r15): the events_tumbling_windows rule
+          WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                       AND TIMESTAMP '2262-04-11 00:00:00')
         SELECT window_start,
                window_start + INTERVAL 10 MINUTE AS window_end,
                event_type,
@@ -810,6 +846,9 @@ ORACLE_SQL: dict[str, str] = {
                           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS is_new
             FROM events
+            -- event-time domain (r15): the events_tumbling_windows rule
+            WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                         AND TIMESTAMP '2262-04-11 00:00:00'
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ),
         sess AS (
@@ -1000,15 +1039,24 @@ ORACLE_SQL: dict[str, str] = {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
-    # identical semantics to purchases_asof_view, via the cogrouped
-    # applyInPandas merge_asof path — same oracle on purpose: both engine
-    # formulations must agree with the one ASOF JOIN truth
+    # identical semantics to purchases_asof_view ON the Arrow ns
+    # envelope, via the cogrouped applyInPandas merge_asof path — the
+    # kernel crosses the Arrow boundary, so out-of-envelope instants
+    # are excluded on both sides (r15 hostile-dates; engine mirror at
+    # operators/pandas_grouped.py asof_join_cogroup). NULL-ts purchases
+    # keep their no-match row (p.ts >= v.ts is never true for NULL).
     "purchases_asof_cogroup": """
         SELECT p.event_id, p.ts, p.user_id, p.value,
                v.ts    AS ts_asof,
                v.value AS value_asof
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        FROM (SELECT * FROM events WHERE event_type = 'purchase'
+                AND (ts IS NULL
+                     OR ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                               AND TIMESTAMP '2262-04-11 00:00:00')) p
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'view'
+                AND ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                           AND TIMESTAMP '2262-04-11 00:00:00') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
     # forward as-of + tolerance: earliest view at-or-after each purchase,

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.util import (
     finite,
+    in_ts_spine_domain,
     in_variance_domain,
 )
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
@@ -104,8 +105,22 @@ def asof_join_cogroup(
     cases where the per-group logic genuinely needs pandas (model
     features around the match, interpolation) — with the usual cogroup
     contract that each key's rows fit one task's memory.
-    """
+
+    Arrow ns-envelope participation domain (r15 hostile-dates sweep):
+    the cogroup kernel crosses the Arrow boundary, which coerces event
+    times to datetime64[ns] — an instant outside 1677..2262 cannot be
+    REPRESENTED inside the kernel at all (pyarrow raises worker-side
+    and one corrupt row kills the whole join). Out-of-envelope rows
+    are excluded on both sides, literal-mirrored in the oracle; the
+    two formulations are "semantically identical" ON that envelope.
+    NULL-ts left rows keep their documented no-match row (NULL crosses
+    Arrow fine)."""
     from pyspark.sql.types import StructField, StructType
+
+    left = left.filter(
+        F.col(left_ts).isNull() | in_ts_spine_domain(F.col(left_ts))
+    )
+    right = right.filter(in_ts_spine_domain(F.col(right_ts)))
 
     right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     rtype = {f.name: f.dataType for f in right.schema.fields}

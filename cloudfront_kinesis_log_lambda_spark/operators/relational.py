@@ -345,9 +345,17 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAG analytic window: price delta vs customer's previous order."""
+    """LAG analytic window: price delta vs customer's previous order.
+
+    NULL order-date convention (r15 hostile-dates sweep): an undated
+    order sorts FIRST in its customer's history — Spark's ascending
+    default, spelled explicitly here and as NULLS FIRST in the oracle
+    (DuckDB defaults NULLS LAST, the silent cross-engine divergence).
+    The o_orderkey tie-break keeps the order total regardless."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_first(), "o_orderkey"
+    )
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -358,11 +366,12 @@ def order_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-based running sum (ROWS UNBOUNDED PRECEDING..CURRENT)."""
+    """Frame-based running sum (ROWS UNBOUNDED PRECEDING..CURRENT).
+    NULL order dates sort first — the order_price_delta convention."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_first(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -516,8 +525,13 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
-    the classic batch formulation; the streaming twin is session_window."""
-    e = load(spark, sf_dir, "events")
+    the classic batch formulation; the streaming twin is session_window.
+
+    NULL event time has no position on the session timeline (r15
+    hostile-dates sweep): Spark's NULLS-FIRST lag made it a phantom
+    opening session while DuckDB's NULLS-LAST merged it into the last
+    one — excluded, mirrored in the oracle (the events_ewma rule)."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     # both windows share partitioning AND ordering, so Catalyst plans one
     # exchange + one sort; the frame differs per function (lag = default
     # frame, running sum = unbounded-preceding)
@@ -713,8 +727,12 @@ def user_value_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (user, day) aggregate, one window shuffle on
     user_id ordered by day for the lead(). Both exchanges carry
     (user, date, double) rows.
+
+    NULL event time has no activity day to version (r15 hostile-dates
+    sweep: the NULL day sorted first in Spark's lead ordering, last in
+    DuckDB's, flipping is_current) — excluded, mirrored in the oracle.
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("day_value"),

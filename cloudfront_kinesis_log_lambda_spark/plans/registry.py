@@ -1024,6 +1024,22 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("Data", "$.event_type").alias("event_type"),
         F.get_json_object("Data", "$.value").cast("double").alias("value"),
     )
+    # in-horizon participation domain (r15 hostile-dates sweep): a
+    # record older than the dedup horizon below the stream's max event
+    # time is dropped by the watermark state store ANYWAY — but only
+    # when it arrives after the watermark has advanced, i.e. the drop
+    # depends on micro-batch arrival order. Pre-filtering to the same
+    # horizon makes the late-drop deterministic (order-free — the
+    # exactly-once claim must not depend on shard interleaving) and
+    # oracle-expressible. The cutoff derives from the SOURCE table's
+    # max in-envelope event time, mirrored literally in the oracle.
+    cutoff = duckdb.sql(
+        f"SELECT strftime(MAX(ts) - INTERVAL 3650 DAY, '%Y-%m-%d %H:%M:%S') "
+        f"FROM '{src}' "
+        f"WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00' "
+        f"              AND TIMESTAMP '2262-04-11 00:00:00'"
+    ).fetchone()[0]
+    decoded = decoded.filter(F.col("ts") >= F.to_timestamp(F.lit(cutoff)))
     deduped = dedup_within_watermark(decoded, ["event_id"], watermark="3650 days")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -30,6 +30,9 @@ from pyspark.sql.streaming import StreamingQuery
 from cloudfront_kinesis_log_lambda_spark.operators.transforms import (
     cloudfront_wire_pipeline,
 )
+from cloudfront_kinesis_log_lambda_spark.operators.util import (
+    in_ts_spine_domain,
+)
 from cloudfront_kinesis_log_lambda_spark.sources.cloudfront import (
     read_cloudfront_logs_stream,
 )
@@ -82,7 +85,16 @@ def tumbling_event_counts(
 
     Late rows beyond the watermark are dropped and their window's state
     evicted — bounded state at any scale.
-    """
+
+    Event-time domain guard (r15 hostile-dates sweep): one corrupt
+    FUTURE instant (a single year-9999 row somewhere in 100 TB) would
+    advance the watermark past every live event and silently drop the
+    entire stream; a pre-1677 instant overflows the Arrow/pandas ns
+    envelope every downstream consumer uses. Out-of-envelope rows are
+    excluded BEFORE the watermark (``in_ts_spine_domain``, the
+    ns-interop envelope), literal-mirrored in the batch-twin oracles;
+    NULL event time has no position on the timeline (null-rejecting)."""
+    events = events.filter(in_ts_spine_domain(F.col(ts_col)))
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     # the value sum is emitted only when the stream HAS the column —
     # count-only streams (e.g. the CloudFront wire stream keyed by env)
@@ -113,7 +125,10 @@ def session_window_counts(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Gap-based session windows (the streaming twin of the batch
-    ``sessionize_events`` lag+running-sum formulation)."""
+    ``sessionize_events`` lag+running-sum formulation). Event-time
+    domain guard as for ``tumbling_event_counts`` (watermark poisoning
+    + ns-envelope overflow, r15 hostile-dates sweep)."""
+    events = events.filter(in_ts_spine_domain(F.col(ts_col)))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(key_col))
@@ -336,5 +351,14 @@ def dedup_within_watermark(
 ) -> DataFrame:
     """Exactly-once upgrade for at-least-once upstreams: drop duplicate
     deliveries (same ``keys``, e.g. cf_request_id) arriving within the
-    watermark horizon. State holds only keys newer than the horizon."""
+    watermark horizon. State holds only keys newer than the horizon.
+
+    Event-time domain guard (r15 hostile-dates sweep): one corrupt
+    year-9999 delivery advances the dedup watermark eight millennia and
+    silently drops EVERY subsequent record as late — observed end to
+    end in kinesis_exactly_once_rollup, where a single hostile instant
+    collapsed 80% of the rollup. Out-of-envelope and NULL event times
+    are excluded before the watermark (``in_ts_spine_domain``),
+    mirrored in the rollup oracle."""
+    df = df.filter(in_ts_spine_domain(F.col(ts_col)))
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
