@@ -2400,9 +2400,15 @@ ORACLE_SQL["events_ohlc"] = """
     WITH k AS (
       SELECT event_type, value,
              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+             -- +62135596800000000 = -proleptic-min epoch-us: keeps the
+             -- padded key non-negative for every instant (a negative
+             -- epoch breaks string order — r15; mirror of
+             -- timeseries.PROLEPTIC_MIN_US)
+             lpad(CAST(epoch_us(ts) + 62135596800000000 AS VARCHAR),
+                  20, '0') ||
                lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
-      FROM events)
+      FROM events
+      WHERE ts IS NOT NULL)  -- no hour bucket / open-close order (r15)
     SELECT event_type, hour,
            arg_min(value, k) AS open,
            MAX(value)        AS high,
@@ -2465,7 +2471,8 @@ ORACLE_SQL["event_transitions"] = """
       SELECT user_id, event_type AS from_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS to_type
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL),  -- no adjacency position (r15)
     counts AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
                FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2)
     SELECT from_type, to_type, n,
@@ -2495,7 +2502,8 @@ ORACLE_SQL["attribution_last_touch"] = f"""
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                AS touch_ts
-      FROM events),
+      FROM events
+      WHERE ts IS NOT NULL),  -- no carry position / convert lag (r15)
     p AS (
       SELECT value,
              CASE WHEN touch_ts IS NOT NULL
@@ -2727,6 +2735,7 @@ ORACLE_SQL["top_conversion_paths"] = f"""
                        > {SESSION_GAP_S}
                   THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL  -- no position on a session timeline (r15)
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id, ts, event_type,

@@ -41,12 +41,30 @@ TOUCH_TYPES = ("view", "click")
 CONVERSION_TYPE = "purchase"
 
 
+#: epoch-µs of 0001-01-01 00:00:00 UTC — subtracted inside
+#: ``_event_key`` so the padded key is non-negative for EVERY
+#: representable instant. Without it a pre-epoch event's negative
+#: epoch-µs breaks the string order (the '-' sign shifts with digit
+#: count and digit comparison runs backwards for negatives), silently
+#: mis-picking open/close — found by the r15 hostile-dates first-
+#: principles audit, INVISIBLE to the hash gate because the oracle
+#: shared the same lpad algebra (the known shared-algebra blind spot).
+PROLEPTIC_MIN_US = -62_135_596_800_000_000
+
+
 def _event_key() -> "F.Column":
-    """Zero-padded (epoch-µs, event_id) composite string: a total order
-    over events that both engines compare identically (string order ==
-    numeric order thanks to the fixed-width pads)."""
+    """Zero-padded (epoch-µs − proleptic-min, event_id) composite
+    string: a total order over events that both engines compare
+    identically (string order == numeric order thanks to the offset-
+    to-non-negative plus fixed-width pads; max instant 9999-12-31
+    gives 18 digits < the 20-wide pad)."""
     return F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(
+            (F.unix_micros(F.col("ts")) - F.lit(PROLEPTIC_MIN_US))
+            .cast("string"),
+            20,
+            "0",
+        ),
         F.lpad(F.col("event_id").cast("string"), 12, "0"),
     )
 
@@ -168,10 +186,13 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC (open/high/low/close) candles per event type — the
     classic downsampling rollup. open/close are extremum-by-composite-
     key (first/last event in the hour, event_id tie-break); one hash
-    aggregate, partial+final, no window needed."""
+    aggregate, partial+final, no window needed. NULL event time has no
+    hour bucket and no position in the open/close order (r15
+    hostile-dates: min_by/arg_min treat a NULL key engine-dependently)
+    — excluded, mirrored in the oracle."""
     e = load(spark, sf_dir, "events").select(
         "event_type", "ts", "event_id", "value"
-    )
+    ).filter(F.col("ts").isNotNull())
     keyed = e.withColumn("k", _event_key()).withColumn(
         "hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00")
     )
@@ -288,12 +309,19 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def transition_pairs(events: DataFrame) -> DataFrame:
     """(from_type, to_type) adjacency pairs per user in event-time
     order — the shared kernel of the batch query and the streaming
-    twin's within-batch leg."""
+    twin's within-batch leg.
+
+    NULL event time has no position in the adjacency order (r15
+    hostile-dates: Spark's NULLS-FIRST lead paired it with the FIRST
+    event, DuckDB's NULLS-LAST with the last — a corrupt row invents a
+    transition edge that never happened) — excluded, mirrored in the
+    oracle."""
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
     return (
         events.select("user_id", "ts", "event_id", "event_type")
+        .filter(F.col("ts").isNotNull())
         .withColumn("to_type", F.lead("event_type").over(w))
         .filter(F.col("to_type").isNotNull())
         .select(F.col("event_type").alias("from_type"), "to_type")
@@ -331,10 +359,12 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single user-partitioned window pass (IGNORE NULLS last_value over
     strictly-preceding rows) — the same shuffle sessionize pays, no
     self-join. The hours average divides two exact integer sums, so
-    both engines render the identical double."""
+    both engines render the identical double. NULL event time has no
+    position in the carry order and no convert-lag (r15 hostile-dates)
+    — excluded, mirrored in the oracle."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type", "value"
-    )
+    ).filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -398,10 +428,12 @@ def top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat_ws) — one user-partitioned window pass for session ids plus
     one session-keyed aggregate; path strings are bounded by session
     length, and only (user, session, type, ts) columns ever shuffle.
-    Top-k is TakeOrderedAndProject."""
+    Top-k is TakeOrderedAndProject. NULL event time has no position on
+    the session timeline (r15, the sessionize_events rule) — excluded,
+    mirrored in the oracle."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
-    )
+    ).filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
     sess = e.withColumn(

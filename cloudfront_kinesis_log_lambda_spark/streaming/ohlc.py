@@ -55,6 +55,8 @@ class StreamingOHLC:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         keyed = batch_df.select(
             "event_type", "ts", "event_id", "value"
+        ).filter(  # no hour bucket / open-close position (r15, batch rule)
+            F.col("ts").isNotNull()
         ).withColumn("k", _event_key()).withColumn(
             "hour",
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00"),

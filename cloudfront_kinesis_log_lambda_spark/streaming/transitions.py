@@ -72,7 +72,13 @@ class StreamingTransitions:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        events = batch_df.select("user_id", "ts", "event_id", "event_type")
+        # NULL event time is excluded here as well as in the
+        # transition_pairs kernel: the firsts/lasts boundary legs rank
+        # by (ts, event_id) too, and a NULL-ts row would become a
+        # phantom batch-boundary endpoint (r15 hostile-dates)
+        events = batch_df.select(
+            "user_id", "ts", "event_id", "event_type"
+        ).filter(F.col("ts").isNotNull())
 
         w = Window.partitionBy("user_id").orderBy(
             F.col("ts").asc(), F.col("event_id").asc()

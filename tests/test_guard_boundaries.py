@@ -191,3 +191,63 @@ def test_ts_spine_domain_is_inside_ns_envelope_one_day_tight():
     # the worst-case data-derived hourly spine is hard-capped ~5.12 M
     n_hours = (hi - lo).total_seconds() / 3600.0
     assert 5_000_000 < n_hours < 5_200_000
+
+
+# --- _event_key total-order property (r15) ---------------------------------
+
+#: proleptic calendar envelope in epoch-µs: 0001-01-01 .. 9999-12-31
+#: 23:59:59.999999 — every instant either engine can represent
+_PRO_MIN_US = -62_135_596_800_000_000
+_PRO_MAX_US = 253_402_300_799_999_999
+
+
+def _event_key_py(epoch_us: int, event_id: int, offset: int) -> str:
+    """Pure-Python replay of timeseries._event_key / the events_ohlc
+    oracle's lpad algebra (NO engine in the loop — both engines share
+    the same expression, so a broken key hash-matches green; this
+    property is the out-of-band check)."""
+    return str(epoch_us - offset).zfill(20) + str(event_id).zfill(12)
+
+
+def test_event_key_offset_is_the_proleptic_min():
+    from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
+        PROLEPTIC_MIN_US,
+    )
+    import datetime as dt
+
+    assert PROLEPTIC_MIN_US == _PRO_MIN_US
+    # derivation from first principles, not the shared literal
+    epoch = dt.datetime(1970, 1, 1)
+    assert (dt.datetime(1, 1, 1) - epoch) // dt.timedelta(microseconds=1) == _PRO_MIN_US
+    # the offset key of the MAX instant still fits the 20-wide pad
+    assert len(str(_PRO_MAX_US - _PRO_MIN_US)) <= 20
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    a_us=st.integers(min_value=_PRO_MIN_US, max_value=_PRO_MAX_US),
+    b_us=st.integers(min_value=_PRO_MIN_US, max_value=_PRO_MAX_US),
+    a_id=st.integers(min_value=0, max_value=10**12 - 1),
+    b_id=st.integers(min_value=0, max_value=10**12 - 1),
+)
+def test_event_key_string_order_is_tuple_order(a_us, b_us, a_id, b_id):
+    """String comparison of the padded key must equal (ts, event_id)
+    tuple order for EVERY pair of proleptic instants — the property a
+    negative epoch breaks without the offset (the pre-r15 key)."""
+    ka = _event_key_py(a_us, a_id, _PRO_MIN_US)
+    kb = _event_key_py(b_us, b_id, _PRO_MIN_US)
+    assert (ka < kb) == ((a_us, a_id) < (b_us, b_id))
+    assert (ka == kb) == ((a_us, a_id) == (b_us, b_id))
+
+
+def test_event_key_without_offset_is_a_live_mutant():
+    """The pre-fix key (offset 0) mis-orders pre-epoch instants two
+    ways: sign-vs-zero pad ('-' < '0' puts ALL negatives first — which
+    happens to be right — but digit order runs BACKWARDS between two
+    negatives) — the recorded mutant witness."""
+    t1969 = -86_400_000_000  # 1969-12-31
+    t1968 = -31_622_400_000_000  # 1968-ish, more negative
+    k_new = _event_key_py(t1968, 0, _PRO_MIN_US) < _event_key_py(t1969, 0, _PRO_MIN_US)
+    assert k_new is True  # offset key: earlier instant sorts first
+    k_old = _event_key_py(t1968, 0, 0) < _event_key_py(t1969, 0, 0)
+    assert k_old is False  # mutant: order inverted for negatives

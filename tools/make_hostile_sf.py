@@ -296,19 +296,33 @@ def _hostile_dates_events(src: pa.Table) -> pa.Table:
         dt.datetime(2000, 2, 29, 12, 34, 56, 789012),          # leap day + us
         None,                                                  # NULL ts
     ]
+    # DENSE cross product (r15 second pass): one hostile row per
+    # (stamp, event_type), users spread over the real id range and
+    # DISTINCT exact values. The first sweep planted 9 rows with a
+    # cyclic type and value=1.0, and event_transitions passed by pure
+    # count-multiset COINCIDENCE while hiding a real NULL-ordering
+    # divergence (the NULL row's type never hit a type-filtered ordered
+    # operator, and equal values made mis-picked open/close invisible).
+    # Density is what makes a differential fixture adversarial: every
+    # type-filtered / per-user-ordered operator must meet every hostile
+    # instant, with values that make any mis-ordering change the hash.
+    rows = [
+        (s, t) for s in stamps for t in ev_types
+    ]
     extra = pa.table(
         {
             "event_id": pa.array(
-                [next_id + i for i in range(len(stamps))], pa.int64()
+                [next_id + i for i in range(len(rows))], pa.int64()
             ),
-            "ts": pa.array(stamps, src.schema.field("ts").type),
-            "user_id": pa.array(list(range(1, len(stamps) + 1)), pa.int64()),
-            "event_type": pa.array(
-                [ev_types[i % len(ev_types)] for i in range(len(stamps))],
-                pa.string(),
+            "ts": pa.array([r[0] for r in rows], src.schema.field("ts").type),
+            "user_id": pa.array(
+                [1 + (7 * i) % 30 for i in range(len(rows))], pa.int64()
             ),
-            "value": pa.array([1.0] * len(stamps), pa.float64()),
-            "props": pa.array(['{"k": 1}'] * len(stamps), pa.string()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array(
+                [1.0 + i * 0.125 for i in range(len(rows))], pa.float64()
+            ),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
         }
     ).select(src.column_names)
     return pa.concat_tables([src, extra.cast(src.schema)])
