@@ -418,7 +418,11 @@ ORACLE_SQL: dict[str, str] = {
                  o.o_totalprice,
                  ROW_NUMBER() OVER (
                    PARTITION BY c.c_custkey
-                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+                   -- NULLS LAST spelled explicitly: an undated order is
+                   -- never "most recent" (r15 — both engines' defaults
+                   -- agree here only by coincidence)
+                   ORDER BY o.o_orderdate DESC NULLS LAST,
+                            o.o_orderkey DESC) AS rn
           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey)
         SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
         FROM ranked WHERE rn <= 2
@@ -511,7 +515,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT event_type,
                COUNT(*)                 AS n_events,
                COUNT(DISTINCT event_id) AS n_ids,
-               ROUND(SUM(CASE WHEN isfinite(value) THEN value END), 2)
+               -- decimal-exact sum (r15): a double SUM is summation-
+               -- order-dependent and straddled a cent boundary across
+               -- engines; DECIMAL(18,9) partials are order-free exact.
+               -- Domain mirrors the engine's in_decimal_domain; the
+               -- wire already transports non-finite as null.
+               ROUND(CAST(SUM(CASE WHEN isfinite(value)
+                                    AND abs(value) < 999999999.0
+                                   THEN CAST(value AS DECIMAL(18,9)) END)
+                          AS DOUBLE), 2)
                  AS sum_value
         FROM events
         WHERE ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'

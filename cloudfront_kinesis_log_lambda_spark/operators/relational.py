@@ -851,6 +851,13 @@ def recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FRONT DOOR (correlated-subquery authoring), not a new executor.
     Deterministic tiebreak on o_orderkey; inner join drops orderless
     customers so the oracle stays a plain window filter.
+
+    NULL order dates sort LAST in the descending recency order — an
+    undated order is never "most recent". Spelled explicitly on both
+    sides (r15 hostile-dates): Spark's DESC default happens to be
+    NULLS LAST and DuckDB's default_null_order happens to be
+    direction-independent NULLS LAST, so the engines agreed only by a
+    coincidence of defaults a session setting could flip.
     """
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     o = load(spark, sf_dir, "orders").select(
@@ -863,7 +870,8 @@ def recent_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("o.o_custkey") == F.col("c.c_custkey").outer())
             .select("o_orderkey", "o_orderdate", "o_totalprice")
             .orderBy(
-                F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+                F.col("o_orderdate").desc_nulls_last(),
+                F.col("o_orderkey").desc(),
             )
             .limit(2)
         )

@@ -1056,12 +1056,32 @@ def kinesis_exactly_once_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
 
     back = spark.read.parquet(store)
+    from cloudfront_kinesis_log_lambda_spark.operators.util import (
+        DECIMAL_18_9_BOUND,
+        in_decimal_domain,
+    )
+
     out = (
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_id").alias("n_ids"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-exact sum (r15 dense-dates fixture finding): a
+            # double SUM is summation-ORDER-dependent, and two types'
+            # totals landed half an ulp apart across the engines
+            # exactly on a cent boundary (…14 vs …15 after ROUND 2).
+            # DECIMAL(18,9) partials are exact in any order; the
+            # domain guard is the standing decimal-exact rule,
+            # literal-mirrored in the oracle.
+            F.round(
+                F.sum(
+                    F.when(
+                        in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND),
+                        F.col("value").cast("decimal(18,9)"),
+                    )
+                ).cast("double"),
+                2,
+            ).alias("sum_value"),
         )
         .localCheckpoint(eager=True)
     )
