@@ -1043,13 +1043,30 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
     """,
     # --- as-of join ------------------------------------------------------
+    # ns-envelope participation domain on both sides (r15 hostile-
+    # dates): the result's raw timestamps must be representable by
+    # every Arrow/pandas consumer, the driver gate included — engine
+    # mirror at plans/registry._asof_events_sides
+    # NULL-ts purchases are UNION'd in as explicit no-match rows: the
+    # engine's `p.ts >= v.ts` can never hold on NULL, but DuckDB's
+    # ASOF JOIN sorts NULL as greatest and hands it the user's LAST
+    # view (r15 dense-dates finding)
     "purchases_asof_view": """
         SELECT p.event_id, p.ts, p.user_id, p.value,
                v.ts    AS ts_asof,
                v.value AS value_asof
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        FROM (SELECT * FROM events WHERE event_type = 'purchase'
+                AND ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                           AND TIMESTAMP '2262-04-11 00:00:00') p
+        ASOF LEFT JOIN
+             (SELECT * FROM events WHERE event_type = 'view'
+                AND ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                           AND TIMESTAMP '2262-04-11 00:00:00') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+        UNION ALL
+        SELECT event_id, ts, user_id, value,
+               NULL AS ts_asof, NULL AS value_asof
+        FROM events WHERE event_type = 'purchase' AND ts IS NULL
     """,
     # identical semantics to purchases_asof_view ON the Arrow ns
     # envelope, via the cogrouped applyInPandas merge_asof path — the
@@ -1057,19 +1074,24 @@ ORACLE_SQL: dict[str, str] = {
     # are excluded on both sides (r15 hostile-dates; engine mirror at
     # operators/pandas_grouped.py asof_join_cogroup). NULL-ts purchases
     # keep their no-match row (p.ts >= v.ts is never true for NULL).
+    # NULL-ts purchases UNION'd in as no-match rows, as for
+    # purchases_asof_view (DuckDB ASOF sorts NULL greatest — r15)
     "purchases_asof_cogroup": """
         SELECT p.event_id, p.ts, p.user_id, p.value,
                v.ts    AS ts_asof,
                v.value AS value_asof
         FROM (SELECT * FROM events WHERE event_type = 'purchase'
-                AND (ts IS NULL
-                     OR ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
-                               AND TIMESTAMP '2262-04-11 00:00:00')) p
+                AND ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                           AND TIMESTAMP '2262-04-11 00:00:00') p
         ASOF LEFT JOIN
              (SELECT * FROM events WHERE event_type = 'view'
                 AND ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
                            AND TIMESTAMP '2262-04-11 00:00:00') v
           ON p.user_id = v.user_id AND p.ts >= v.ts
+        UNION ALL
+        SELECT event_id, ts, user_id, value,
+               NULL AS ts_asof, NULL AS value_asof
+        FROM events WHERE event_type = 'purchase' AND ts IS NULL
     """,
     # forward as-of + tolerance: earliest view at-or-after each purchase,
     # nulled when it lies more than 1 day ahead (merge_asof forward
@@ -1078,11 +1100,16 @@ ORACLE_SQL: dict[str, str] = {
         SELECT p.event_id, p.ts, p.user_id, p.value,
                n.ts    AS ts_next,
                n.value AS value_next
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        FROM (SELECT * FROM events WHERE event_type = 'purchase'
+                AND (ts IS NULL
+                     OR ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                               AND TIMESTAMP '2262-04-11 00:00:00')) p
         LEFT JOIN LATERAL (
           SELECT v.ts, v.value
           FROM events v
           WHERE v.event_type = 'view'
+            AND v.ts BETWEEN TIMESTAMP '1677-09-22 00:00:00'
+                         AND TIMESTAMP '2262-04-11 00:00:00'
             AND v.user_id = p.user_id
             AND v.ts >= p.ts
             AND v.ts <= p.ts + INTERVAL 1 DAY
@@ -1370,7 +1397,13 @@ ORACLE_SQL: dict[str, str] = {
     "events_zorder_roundtrip": """
         SELECT event_type,
                COUNT(*)                              AS n_events,
-               ROUND(SUM(value), 2)                  AS sum_value,
+               -- decimal-exact sum: order-free (r15, the
+               -- kinesis_exactly_once_rollup cent-boundary finding);
+               -- domain mirrors the engine's in_decimal_domain
+               ROUND(CAST(SUM(CASE WHEN isfinite(value)
+                                    AND abs(value) < 999999999.0
+                                   THEN CAST(value AS DECIMAL(18,9)) END)
+                          AS DOUBLE), 2)             AS sum_value,
                COUNT(DISTINCT user_id)               AS n_users,
                CAST(MIN(event_id) AS BIGINT)         AS min_event_id,
                CAST(MAX(event_id) AS BIGINT)         AS max_event_id

@@ -161,11 +161,27 @@ def events_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = R.load(spark, sf_dir, "events")
     write_zordered(e, out, ["user_id", "value"], n_files=16)
     back = spark.read.parquet(out)
+    from cloudfront_kinesis_log_lambda_spark.operators.util import (
+        DECIMAL_18_9_BOUND,
+        in_decimal_domain,
+    )
+
     agg = (
         back.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # decimal-exact sum (r15, the kinesis_exactly_once_rollup
+            # finding): a double SUM is summation-order-dependent and
+            # the dense dates fixture landed totals on a cent boundary
+            F.round(
+                F.sum(
+                    F.when(
+                        in_decimal_domain(F.col("value"), DECIMAL_18_9_BOUND),
+                        F.col("value").cast("decimal(18,9)"),
+                    )
+                ).cast("double"),
+                2,
+            ).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
             F.min("event_id").alias("min_event_id"),
             F.max("event_id").alias("max_event_id"),
@@ -484,14 +500,39 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- as-of join -------------------------------------------------------------
 
 
+def _asof_events_sides(spark: SparkSession, sf_dir: str):
+    """Shared purchase/view inputs for the as-of ENTRIES, restricted to
+    the Arrow ns envelope (r15 hostile-dates): the underlying
+    operators/asof.py path is pure JVM and handles any instant, but the
+    entry RESULTS carry raw timestamps that every pandas/Arrow consumer
+    (including the driver gate's toPandas — Arrow is on by default in
+    Spark 4) must be able to represent; one year-9999 purchase crashed
+    the collection outright. Same participation contract as
+    purchases_asof_cogroup; NULL-ts purchases keep their documented
+    no-match row."""
+    from cloudfront_kinesis_log_lambda_spark.operators.util import (
+        in_ts_spine_domain,
+    )
+
+    ev = R.load(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .filter(F.col("ts").isNull() | in_ts_spine_domain(F.col("ts")))
+        .select("event_id", "ts", "user_id", "value")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .filter(in_ts_spine_domain(F.col("ts")))
+        .select("user_id", "ts", "value")
+    )
+    return purchases, views
+
+
 def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each purchase event joined (backward as-of, per user) to that
-    user's most recent view event at-or-before the purchase time."""
-    ev = R.load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "ts", "user_id", "value"
-    )
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    user's most recent view event at-or-before the purchase time.
+    Participation domain: the ns envelope (``_asof_events_sides``)."""
+    purchases, views = _asof_events_sides(spark, sf_dir)
     return A.asof_join_backward(purchases, views, on="user_id", right_cols=["value"])
 
 
@@ -500,12 +541,9 @@ def purchases_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     EARLIEST view event at-or-after the purchase time, nulled when it
     falls more than 1 day out — the merge_asof(direction='forward',
     tolerance=...) contract, exercising the frame-flip + tolerance paths
-    of operators/asof.py the backward entry doesn't."""
-    ev = R.load(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "ts", "user_id", "value"
-    )
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    of operators/asof.py the backward entry doesn't. Participation
+    domain: the ns envelope (``_asof_events_sides``)."""
+    purchases, views = _asof_events_sides(spark, sf_dir)
     return A.asof_join_forward(
         purchases, views, on="user_id", right_cols=["value"],
         suffix="_next", tolerance="1 day",
