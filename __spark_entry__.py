@@ -60,124 +60,93 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r14 WINDOW MATH (standing policy above at the CURRENT counts):
+    # r15 WINDOW MATH (standing policy above at the CURRENT counts):
     # 176 registry entries, 160 oracle-backed, 16 rows-only; rotation
-    # period 160/50 = 3.2 rounds → invariant "every oracle entry ≤3
-    # rounds stale". Staleness after r13 (union of CORRECTNESS_r01..r13
-    # latest green rows): r10×11, r11×49, r12×50, r13×50.
+    # period 160/50 = 3.2 rounds -> invariant "every oracle entry <=3
+    # rounds stale". Staleness after r14 (union of CORRECTNESS_r01..r14
+    # latest green rows): r11x27, r12x40, r13x43, r14x50.
     #
-    # This round's 50 = the 11 r10-stale entries (the debt
-    # pre-committed at r13 close — exactly 3 rounds stale, they MUST
-    # and do lead; kinesis_exactly_once_rollup is ALSO r14-changed) +
-    # ALL 39 remaining oracle-backed entries whose implementation or
-    # oracle changed in the r14 hostile-numeric hardening (rule 1: no
-    # driver row exists for the CURRENT implementation). The changed
-    # set consumed every top-up slot: 20 of the changed entries were
-    # already r11-stale window members, 19 swap in from r12/r13.
-    # Owed to r15, ALL pre-committed to lead: (a) the 27 UNCHANGED
-    # r11 greens — exactly the r11 entries NOT in this window, 4
-    # rounds stale at r15: doc_bigram_logprob, doc_block_dedup,
-    # doc_collocations, doc_contamination, doc_decontaminate,
-    # doc_dedup_keep, doc_dup_span_stats, doc_global_shuffle,
-    # doc_inverted_index, doc_sorted_neighbors,
-    # doc_sorted_neighbors_multipass, events_ab_conversion,
-    # events_holt, events_ks_drift, purchases_asof_view,
-    # purchases_next_view, region_nations_agg, revenue_by_segment,
-    # rollup_returns, running_customer_spend, sessionize_events,
-    # supplier_nation_outer, theta_join_price_band, top_event_per_user,
+    # This round's 50 = rule 1 first: the 8 r14-overflow entries whose
+    # CURRENT implementation has no driver row (pre-committed at r14
+    # close to lead) + the 31 entries whose implementation or oracle
+    # changed in the r15 hostile-DATES hardening (the NULL-event-time /
+    # watermark-poisoning / Arrow-ns-envelope / decimal-exact-sum /
+    # null-order-convention fixes; every one re-verified green this
+    # session on clean sf0.01 AND the dense hostile-dates tables, most
+    # on 2-3 other axes too) = 39 slots; rule 2 tops up with 11 of the
+    # 21 unchanged r11-stale entries (alphabetical - the doc_* corpus
+    # family).
+    #
+    # DOCUMENTED BREACH, FIRST IN 15 ROUNDS: 10 unchanged r11 greens do
+    # NOT fit (events_ab_conversion, region_nations_agg,
+    # revenue_by_segment, rollup_returns, supplier_nation_outer,
+    # theta_join_price_band, top_event_per_user,
     # top_orders_per_customer, unpivot_order_metrics,
-    # word_countmin_topk; (b) the 6 OVERFLOW changed entries below;
-    # then topped up with the oldest r12 greens minus slots for
-    # r15-changed code. (scalar_function_showcase and
-    # word_countmin_incremental left the r13-close owed list: both are
-    # r14-changed and run NOW.)
+    # word_countmin_topk) and will be 5 rounds stale at r16 - the
+    # arithmetic is forced: two wide hardening rounds back-to-back
+    # (r14 numeric 39 changed, r15 dates 31 changed) exceed the 3.2-
+    # round rotation budget, and rule 1 outranks staleness because a
+    # changed entry has NO driver row for its current code at all.
+    # Mitigations: all 10 ran GREEN in this session's full clean-sf0.01
+    # sweep AND all five hostile-axis sweeps (their code and oracles
+    # are byte-identical to their r11-green state); revenue_by_segment
+    # additionally executes every round as the entry() smoke. ALL 10
+    # are pre-committed to LEAD the r16 window, before any r12-stale
+    # top-up.
     #
-    # rule 1 census for r14 (the hostile-numeric sweep fixes): the
-    # exact-cosine participation contract (similarity.py + _fin_cos
-    # oracles), the int8 non-finite contract, the DDSketch/PSI/
-    # Benford/robust-stat/variance/decimal domain guards, the pmod
-    # residue waves, the (ts,event_id)-rank tercile waves, and the
-    # JSON-wire non-finite-as-null rule. Rows-only changed entries
-    # (near_dup/semantic_dedup/ann_* incrementals, fetch_query_vec
-    # rename) stay in _TAIL per rule 3 — their contract gates ran in
-    # tests/test_hostile_inputs.py and the streaming suites.
-    #
-    # OVERFLOW (documented exception): the string- and TPC-H-axis
-    # sweeps changed SEVEN more oracle-backed entries after the window
-    # filled. scalar_function_showcase (r11-stale + changed — the same
-    # priority class as the window's other r11 members) SWAPPED IN,
-    # displacing events_hll_incremental (r13-fresh, pmod-only change —
-    # the freshest, smallest-change member). Six changed entries
-    # therefore carry no r14 slot: doc_subword_tokens (r13 green;
-    # WordPiece max_input_chars_per_word cap), order_price_percentiles
-    # (r13; robust-stat finite domain), events_hll_incremental (r13;
-    # pmod residue waves), decimal_revenue_exact (r12; decimal-exact
-    # domain), lineitem_corr_matrix (r12; variance domain),
-    # multimodal_features (r12; oracle encode() spelling only). They
-    # are the changed entries with the FRESHEST existing evidence
-    # (≤2 rounds stale — everything with older evidence got a slot),
-    # every change is a provable clean-data no-op (no clean row trips
-    # a domain guard; the oracle spelling is value-identical on
-    # ascii), and each carries hostile-axis sweep rows plus clean
-    # sf0.01 sweep rows from this session. The late JSON-hostile probe
-    # added two more: events_json_props and events_variant_props
-    # (try_cast/try_variant_get extraction + tolerant oracle JSON
-    # parse — clean-data no-op, verified 3/3 clean + 2/2 hostile, pin
-    # in test_hostile_inputs). All EIGHT are pre-committed to LEAD
-    # the r15 window.
-    #
-    # rule 2: the 11 r10-stale entries, 3 rounds stale — all lead
-    "filtered_revenue",
-    "group_having",
-    "kinesis_exactly_once_rollup",
-    "nation_set_ops",
-    "order_item_arrays",
-    "order_price_histogram",
-    "part_triangle_stats",
-    "pivot_qty_by_linestatus",
-    "pricing_summary",
-    "scd2_incremental_roundtrip",
-    "training_shards_roundtrip",
-    # rule 1: the 39 r14-changed oracle-backed entries (alphabetical)
+    # rule 1a: the 8 r14-overflow changed entries (r14 close pre-commit)
+    "doc_subword_tokens",
+    "order_price_percentiles",
+    "events_hll_incremental",
+    "decimal_revenue_exact",
+    "lineitem_corr_matrix",
+    "multimodal_features",
+    "events_json_props",
+    "events_variant_props",
+    # rule 1b: the 31 r15-changed entries (alphabetical)
     "ann_quantized_topk",
-    "cosine_topk_bruteforce",
-    "cosine_topk_multi_query",
-    "doc_bm25_incremental",
-    "doc_hybrid_rrf",
-    "doc_hybrid_rrf_incremental",
-    "doc_inverted_index_incremental",
-    "doc_weighted_sample_incremental",
-    "embedding_drift",
-    "embedding_drift_incremental",
-    "embedding_pairs_exact",
+    "attribution_last_touch",
     "embedding_quantize_int8",
+    "event_transitions",
     "event_transitions_incremental",
-    "events_chi2_incremental",
     "events_cusum_changepoints",
-    "events_ddsketch_incremental",
+    "events_ewma",
     "events_ewma_incremental",
+    "events_gapfill",
+    "events_holt",
     "events_holt_incremental",
     "events_holt_winters",
     "events_holt_winters_incremental",
+    "events_ks_drift",
     "events_ks_incremental",
-    "events_linear_trend",
-    "events_linear_trend_incremental",
-    "events_mad_outliers",
-    "events_median_udaf",
+    "events_ohlc",
     "events_ohlc_incremental",
-    "events_psi_drift",
-    "events_psi_drift_incremental",
-    "events_seasonal_outliers",
-    "events_value_ddsketch",
-    "events_zscore",
-    "matryoshka_topk",
-    "order_basket_rules_incremental",
-    "orders_benford_digits",
-    "orders_benford_incremental",
-    "orders_quality_incremental",
-    "retrieval_eval_metrics",
-    "scalar_function_showcase",
-    "word_countmin_incremental",
+    "events_session_windows",
+    "events_sliding_windows",
+    "events_tumbling_windows",
+    "events_zorder_roundtrip",
+    "kinesis_exactly_once_rollup",
+    "order_price_delta",
+    "purchases_asof_cogroup",
+    "purchases_asof_view",
+    "purchases_next_view",
+    "recent_orders_lateral",
+    "running_customer_spend",
+    "sessionize_events",
+    "top_conversion_paths",
+    "user_value_scd2",
+    # rule 2: 11 of the 21 unchanged r11-stale entries (alphabetical)
+    "doc_bigram_logprob",
+    "doc_block_dedup",
+    "doc_collocations",
+    "doc_contamination",
+    "doc_decontaminate",
+    "doc_dedup_keep",
+    "doc_dup_span_stats",
+    "doc_global_shuffle",
+    "doc_inverted_index",
+    "doc_sorted_neighbors",
+    "doc_sorted_neighbors_multipass",
 ]
 _FILL: list[str] = []
 _TAIL = [
