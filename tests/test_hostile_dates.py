@@ -282,3 +282,51 @@ def test_order_windows_null_date_sorts_first(spark, tmp_path):
     assert delta[1] is None and delta[2] == -50.0
     spend = {r.o_orderkey: r.running_spend for r in running_customer_spend(spark, sf).collect()}
     assert spend[1] == 100.0 and spend[2] == 150.0
+
+
+def test_transitions_null_ts_invents_no_edge(spark):
+    """The coincidence-masked finding: a NULL-ts event paired with the
+    FIRST event under Spark's NULLS-FIRST lead (and with the LAST under
+    DuckDB's NULLS-LAST) — a corrupt row invented a transition edge
+    that never happened. No position in the adjacency order →
+    excluded."""
+    from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
+        transition_pairs,
+    )
+
+    e = _events(
+        spark,
+        [
+            (1, _m(0), 1, "a", 1.0),
+            (2, _m(1), 1, "b", 1.0),
+            (3, None, 1, "c", 1.0),
+        ],
+    )
+    got = {(r.from_type, r.to_type) for r in transition_pairs(e).collect()}
+    assert got == {("a", "b")}
+
+
+def test_ohlc_pre_epoch_open_close_order(spark, tmp_path):
+    """The shared-algebra blind spot: the OHLC composite key's lpad of
+    a NEGATIVE epoch compares digits backwards (-14182799 sorted AFTER
+    -14179201 as strings), silently swapping open and close for any
+    pre-epoch hour — and the oracle shared the same algebra, so the
+    hash gate stayed green. The proleptic offset restores the total
+    order; this pin holds the fix with no engine in the oracle loop."""
+    from cloudfront_kinesis_log_lambda_spark.operators.timeseries import (
+        events_ohlc,
+    )
+
+    early = dt.datetime(1969, 7, 20, 20, 0, 1)   # epoch -14182799 s
+    late = dt.datetime(1969, 7, 20, 20, 59, 59)  # epoch -14179201 s
+    sf = _write_events(
+        spark,
+        tmp_path,
+        [
+            (1, early, 1, "click", 111.0),
+            (2, late, 1, "click", 222.0),
+        ],
+    )
+    got = events_ohlc(spark, sf).collect()
+    assert len(got) == 1
+    assert got[0].open == 111.0 and got[0].close == 222.0
