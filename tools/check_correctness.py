@@ -91,6 +91,15 @@ def main() -> int:
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
             spark.catalog.clearCache()
+            # localCheckpoint blocks are released by the ContextCleaner
+            # only after the DRIVER garbage-collects the Python/JVM
+            # references — which a long sweep may never do on its own
+            # (r15: the r13 phenomenon recurred at sf0.1, position ~170,
+            # despite the unpersist loop above). Nudge both collectors.
+            import gc
+
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
         except Exception:  # noqa: BLE001 — cleanup must never fail a sweep
             pass
 
