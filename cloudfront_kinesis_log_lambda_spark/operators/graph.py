@@ -21,14 +21,35 @@ agree within float noise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cloudfront_kinesis_log_lambda_spark.operators.dedup import ordered_pairs
 from cloudfront_kinesis_log_lambda_spark.operators.relational import load
 
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 PAGERANK_ROUND = 12
+
+#: r15 optimization gates (guide §3.1: pick the join strategy
+#: deliberately — broadcast the side that FITS, shuffle otherwise).
+#: Both are measured row counts collected from already-materialized
+#: inputs (one tiny aggregate each), not size estimates, so the gate
+#: can't be fooled by a localCheckpoint's unknown statistics. The
+#: defaults keep the broadcast relation in the tens-of-MB range
+#: (2 M ranks ≈ 32 MB of (long, double); 2 M oriented edges ≈ 48 MB of
+#: 3 longs) — inside the "few hundred MB is fine" broadcast envelope
+#: with full headroom on the 8 GB driver; env-tunable for clusters
+#: with bigger or smaller drivers. Above the gate the operators keep
+#: their shuffle formulation — correct at any scale.
+PAGERANK_BROADCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_BROADCAST_MAX_NODES", "2000000")
+)
+TRIANGLE_BROADCAST_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_TRIANGLE_BROADCAST_MAX_EDGES", "2000000")
+)
 
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,6 +99,19 @@ def pagerank(
     ROUND quantization are untouched; only how often the intermediate
     is pinned changes). ``ckpt_every=1`` restores the per-sweep pin for
     flaky-executor environments where recompute-on-retry matters more.
+
+    r15 (guide §3.1/§2.4): when the node spine is small (measured
+    count ≤ ``PAGERANK_BROADCAST_MAX_NODES``), the per-sweep rank and
+    contribution-sum tables — both ≤ |V| rows — join BROADCAST-side.
+    The checkpointed inputs carry no size statistics, so without the
+    explicit hint Catalyst planned every sweep's two joins as
+    SortMergeJoin: 2 exchanges + 2 sorts per sweep of a ≤|V|-row
+    table, 10× per query. Broadcasting leaves ONE exchange per sweep
+    (the groupBy(dst) contribution shuffle — fundamental to the
+    algorithm). Join strategy only; the fold arithmetic and the sweep
+    trajectory are bit-identical (A/B'd at sf0.1: equal collect()
+    output, 2.72 s → 2.21 s for the 10-sweep loop). Above the gate
+    (web-scale graphs) the shuffle formulation stands.
     """
     edges = edges.localCheckpoint(eager=True)
     nodes = (
@@ -86,6 +120,8 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    small = nodes.count() <= PAGERANK_BROADCAST_MAX_NODES
+    bcast = F.broadcast if small else (lambda df: df)
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
@@ -96,7 +132,7 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for i in range(iters):
         contribs = esrc.join(
-            ranks.withColumnRenamed("node", "src"), "src"
+            bcast(ranks.withColumnRenamed("node", "src")), "src"
         ).select("dst", "src", (F.col("rank") / F.col("deg")).alias("c"))
         if exact_fold:
             summed = contribs.groupBy("dst").agg(
@@ -108,7 +144,7 @@ def pagerank(
         else:
             summed = contribs.groupBy("dst").agg(F.sum("c").alias("s"))
         ranks = nodes.join(
-            summed.withColumnRenamed("dst", "node"), "node", "left"
+            bcast(summed.withColumnRenamed("dst", "node")), "node", "left"
         ).select(
             "node",
             F.round(
@@ -125,8 +161,17 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank of nations in the trade graph, with names and
     out-degrees — the oracle-checked registry entry (exact-fold mode;
     the DuckDB twin replays the identical 10 sweeps in a recursive
-    CTE)."""
-    edges = trade_edges(spark, sf_dir)
+    CTE).
+
+    ``edges`` is checkpointed HERE (r15): the out-degree aggregate
+    below consumes the same edge list as the sweeps, and an
+    un-materialized plan re-derived the full lineitem ⋈ orders ⋈ dims
+    fan-in from parquet a second time just for ``n_out`` (visible as a
+    second 3-BHJ scan subtree in the pre-r15 plan) — one redundant
+    pass over the fact table per query, at any scale. ``pagerank``'s
+    own internal checkpoint of the already-materialized RDD is a
+    bounded |E|-row copy, not a recompute."""
+    edges = trade_edges(spark, sf_dir).localCheckpoint(eager=True)
     ranks = pagerank(edges)
     n = load(spark, sf_dir, "nation").select(
         F.col("n_nationkey").cast("long").alias("node"), "n_name"
@@ -148,25 +193,36 @@ def nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected co-purchase edges over parts: (a, b) with a < b iff
-    some order contains both parts. The pair generator is an
-    equi-self-join on ``l_orderkey`` — per-order fan-out is bounded by
+    some order contains both parts. Per-order fan-out is bounded by
     the items-per-order contract (≤ 7 in TPC-H-shaped data), so edge
-    count is linear in lineitems, never quadratic in parts. Distinct
-    (orderkey, partkey) first: the same part twice in one order (two
-    suppliers) must not create a self-edge or a duplicate pair."""
-    op = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_partkey").cast("long").alias("pk"),
-        )
-        .distinct()
+    count is linear in lineitems, never quadratic in parts.
+    ``collect_set`` first: the same part twice in one order (two
+    suppliers) must not create a self-edge or a duplicate pair.
+
+    r15 pair generator (guide §2.4): each order's distinct parts are
+    collected into ONE sorted array (a single hash exchange keyed by
+    orderkey, with map-side partial aggregation collapsing duplicate
+    (order, part) rows before the shuffle) and pairs expand JVM-side
+    with the shared nested-``transform`` kernel — the market-basket
+    shape from operators/mining.py. The previous equi-self-join on
+    ``l_orderkey`` spent four exchanges on the same output (distinct
+    (ok, pk), both join sides, pair distinct); this derivation pays
+    two (the groupBy, the distinct over pairs). Identical edge set:
+    the array is sorted-distinct, so slice-pairs (i < j) enumerates
+    exactly the pk < pk2 join output; ``collect_set`` drops NULL
+    partkeys exactly as the null-rejecting equi-join did."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").cast("long").alias("pk"),
     )
-    o2 = op.select(F.col("ok"), F.col("pk").alias("pk2"))
+    baskets = li.groupBy("ok").agg(
+        F.array_sort(F.collect_set("pk")).alias("arr")
+    )
+    pairs = baskets.select(
+        ordered_pairs(F.col("arr"), lambda x, y: F.array(x, y)).alias("p")
+    )
     return (
-        op.join(o2, "ok")
-        .where(F.col("pk") < F.col("pk2"))
-        .select(F.col("pk").alias("a"), F.col("pk2").alias("b"))
+        pairs.select(F.col("p")[0].alias("a"), F.col("p")[1].alias("b"))
         .distinct()
     )
 
@@ -211,8 +267,33 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
       projections — the union re-ran the closing join per branch
       (ReusedExchange dedupes the shuffle, not the join above it), so
       the most expensive join in the plan executed three times.
+
+    r15 join strategy (guide §3.1/§2.4, gated like the packed key):
+    when the measured edge count is ≤ ``TRIANGLE_BROADCAST_MAX_EDGES``
+    every join against a ≤|E|-row side is an explicit BROADCAST — the
+    two degree attachments, the wedge self-join's second side, the
+    closing probe, and the final count attachment. The checkpointed
+    inputs carry no statistics, so Catalyst planned all of these as
+    SortMergeJoin; the wedge STREAM (O(m^1.5) rows — 41 M at sf0.1's
+    1.2 M edges) then crossed a full hash exchange + sort just to meet
+    the 1.2 M-row closer side. Broadcasting turns the wedge build +
+    close + corner explode + partial count into ONE map-side stage
+    over the oriented list: the only exchanges left are the two
+    per-node count aggregates. The wedge stream itself never shuffles.
+    Same gating probe as the packed key (one tiny aggregate over the
+    checkpointed edges, now also carrying count(1)); above the gate
+    the sort-merge formulation stands — correct at any scale.
     """
     edges = edges.localCheckpoint(eager=True)
+    # single stats probe: packed-key bounds + the broadcast gate count
+    bounds = edges.agg(
+        F.min(F.least(F.col("a"), F.col("b"))).alias("lo"),
+        F.max(F.greatest(F.col("a"), F.col("b"))).alias("hi"),
+        F.count(F.lit(1)).alias("n_edges"),
+    ).collect()[0]
+    min_id, max_id = bounds["lo"], bounds["hi"]
+    small = bounds["n_edges"] <= TRIANGLE_BROADCAST_MAX_EDGES
+    bcast = F.broadcast if small else (lambda df: df)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -222,8 +303,8 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
     oriented = (
-        edges.join(da, "a")
-        .join(db, "b")
+        edges.join(bcast(da), "a")
+        .join(bcast(db), "b")
         .select(
             F.when(
                 (F.col("deg_a") < F.col("deg_b"))
@@ -248,20 +329,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         F.col("s").alias("x"), F.col("t").alias("z"),
         F.col("dt").alias("dz"),
     )
-    wedges = e1.join(e2, "x").where(
+    wedges = e1.join(bcast(e2), "x").where(
         (F.col("dy") < F.col("dz"))
         | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
     )
     # packed-key gate: injective only while every id is in [0, 2^31)
     # (signed 64-bit product bound; a NEGATIVE id breaks injectivity
     # even when the max is small — (y, 0) collides with (y+1, -2^32) —
-    # so the min is probed alongside the max); the probe is one tiny
-    # job over the already-checkpointed edge list
-    bounds = edges.agg(
-        F.min(F.least(F.col("a"), F.col("b"))).alias("lo"),
-        F.max(F.greatest(F.col("a"), F.col("b"))).alias("hi"),
-    ).collect()[0]
-    min_id, max_id = bounds["lo"], bounds["hi"]
+    # so the min is probed alongside the max); probed by the single
+    # stats aggregate above
     if max_id is not None and 0 <= min_id and max_id < (1 << 31):
         pack = F.lit(1 << 32)
         wedges = wedges.select(
@@ -272,20 +348,20 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.col("s").alias("cy"),
             F.col("t").alias("cz"),
         )
-        tri = wedges.join(closer, "yz").select(
+        tri = wedges.join(bcast(closer), "yz").select(
             "x", F.col("cy").alias("y"), F.col("cz").alias("z")
         )
     else:
         closer = oriented.select(
             F.col("s").alias("y"), F.col("t").alias("z")
         )
-        tri = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+        tri = wedges.join(bcast(closer), ["y", "z"]).select("x", "y", "z")
     corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
     tcount = corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles")
     )
     return (
-        deg.join(tcount, "node", "left")
+        deg.join(bcast(tcount), "node", "left")
         .select(
             "node",
             F.col("deg").cast("long").alias("degree"),
