@@ -25,12 +25,23 @@ DuckDB-checkable oracle twin; MinHash/SimHash results are hash-dependent
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators.util import ensure_parallelism
+
+#: r15 (guide §3.1): broadcast gate for the connected-components label
+#: joins — measured node count from the already-checkpointed label
+#: table, not a size estimate. 2 M (node, label) longs ≈ 32 MB data,
+#: comfortably inside the broadcast envelope; env-tunable. Above the
+#: gate every round keeps its sort-merge formulation.
+CC_BROADCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_CC_BROADCAST_MAX_NODES", "2000000")
+)
 
 #: Mersenne prime 2^31-1: universal-hash modulus. a·h+b with a,b,h < p
 #: stays under 2^62 — no long overflow even with ANSI arithmetic.
@@ -517,6 +528,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     so the fixpoint (no change through BOTH steps ⇒ propagation alone is
     at fixpoint) is the same component-minimum labeling as pure
     propagation.
+
+    r15 join strategy (guide §3.1, the operators/graph.py gate): when
+    the measured node count fits ``CC_BROADCAST_MAX_NODES``, every
+    per-round join against a ≤|V|-row label table is an explicit
+    BROADCAST — the checkpointed inputs carry no statistics, so each
+    round otherwise planned 4 SortMergeJoins (edge-join, propagate,
+    jump, changed-count) = 7-8 exchanges of tiny tables per round.
+    Broadcasting leaves one exchange per round (the groupBy(u)
+    neighbor-min — fundamental). Join strategy only: labels only ever
+    decrease through the SAME least/coalesce lattice, so the fixpoint
+    and every intermediate labeling are unchanged. Above the gate the
+    sort-merge formulation stands (a 100 TB doc graph's label table
+    does not broadcast).
     """
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     edges = edges.union(
@@ -528,32 +552,46 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= CC_BROADCAST_MAX_NODES
+    bcast = F.broadcast if small else (lambda df: df)
     for _ in range(max_iter):
         nbr = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(bcast(labels), edges.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
         propagated = (
-            labels.join(nbr, labels.node == nbr.u, "left")
+            labels.join(bcast(nbr), labels.node == nbr.u, "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
                     "label"
                 ),
+                F.col("label").alias("_old"),
             )
-            # materialize before the self-join: both join sides read this
-            # subtree — un-checkpointed, the edge-join + aggregate would
-            # execute twice per round
-            .localCheckpoint(eager=True)
         )
+        if not small:
+            # materialize before the self-join: both join sides read
+            # this subtree — un-checkpointed, the edge-join + aggregate
+            # would execute twice per round. In broadcast mode (r15)
+            # the recompute is two cheap broadcast joins over a gated-
+            # small table whose groupBy exchange ReusedExchange dedupes
+            # — skipping the per-round materialization job is the
+            # bigger cost on a ≤gate graph; lineage stays truncated by
+            # the new_labels checkpoint below either way.
+            propagated = propagated.localCheckpoint(eager=True)
         # pointer jump: label := min(label, label[label]) — label values
-        # are node ids, so every label resolves in the labels table
+        # are node ids, so every label resolves in the labels table.
+        # The round's START label rides along as ``_old`` (r15) so the
+        # convergence probe below is a join-free scan of the
+        # checkpointed result instead of a third per-round join.
         new_labels = (
             propagated.alias("p")
             .join(
-                propagated.select(
-                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                bcast(
+                    propagated.select(
+                        F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                    )
                 ),
                 F.col("p.label") == F.col("_ln"),
                 "left",
@@ -563,16 +601,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 F.least(F.col("label"), F.coalesce("_ll", "label")).alias(
                     "label"
                 ),
+                F.col("_old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(
+            F.col("label") != F.col("_old")
+        ).count()
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     return labels
