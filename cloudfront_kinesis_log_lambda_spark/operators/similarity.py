@@ -432,6 +432,18 @@ def assign_centroids(
     return embeddings.withColumn("cid", nearest(F.col(vec_col)))
 
 
+#: r15 (guide §4.1/§2.2): partition sizing for the CAPPED k-means
+#: training table. The training set is ≤ train_cap rows by
+#: construction, and each Lloyd iteration pays one Arrow/Python
+#: round-trip PER PARTITION plus per-task scheduling; at ~4 k rows a
+#: 64-dim assignment matmul is microseconds, so tasks below this many
+#: rows are pure launch overhead (measured: 3 iterations over a
+#: 2 000-row table at 32 round-robin partitions cost ~1.0 s each —
+#: worker latency, not compute). Capped at defaultParallelism, so a
+#: near-cap training set on a big cluster still fans out.
+KMEANS_ROWS_PER_TASK = 4096
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -439,6 +451,7 @@ def kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_cap: int | None = None,
+    n_rows: int | None = None,
 ) -> list[list[float]]:
     """Spherical-ish k-means (cosine assignment, mean update) as Lloyd
     iterations over DataFrames.
@@ -458,14 +471,30 @@ def kmeans_centroids(
     corpus — geometry is byte-identical to uncapped. At 100 TB training
     the quantizer on the full corpus per build is the anti-pattern this
     exists to avoid.
+
+    ``n_rows`` (r15) injects an already-known input count so a caller
+    that counted the corpus anyway (ann_recall_report) doesn't pay the
+    count job twice. When the cap is active the training table is also
+    repartitioned to ≤ ``KMEANS_ROWS_PER_TASK`` rows per task instead
+    of full cluster width — the capped sample is small by construction
+    and per-iteration Python-worker round trips dominate otherwise
+    (see the constant above). Uncapped callers keep the original
+    ensure_parallelism width: their input size is unknown.
     """
+    train_par = None
     if train_cap is not None:
-        n = embeddings.count()
+        n = n_rows if n_rows is not None else embeddings.count()
         mod = -(-n // train_cap)  # ceil: n > cap always downsamples
         if mod > 1:
             embeddings = embeddings.filter(
                 F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0
             )
+        train_n = n // mod if mod > 1 else n
+        try:
+            par_cap = embeddings.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            par_cap = 8  # Spark Connect: no sparkContext
+        train_par = max(1, min(par_cap, -(-train_n // KMEANS_ROWS_PER_TASK)))
     init = embeddings.orderBy(id_col).limit(k).select(vec_col).collect()
     if not init:
         raise ValueError("kmeans_centroids: empty input, nothing to train on")
@@ -477,7 +506,12 @@ def kmeans_centroids(
     # the round-robin exchange (measured ~0.3 s/iteration of pure
     # re-read overhead at sf0.1). At real scale training runs on a
     # bounded sample, so materializing it is cheap by construction.
-    embeddings = ensure_parallelism(embeddings).localCheckpoint(eager=True)
+    if train_par is not None:
+        embeddings = embeddings.repartition(train_par).localCheckpoint(
+            eager=True
+        )
+    else:
+        embeddings = ensure_parallelism(embeddings).localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = assign_centroids(embeddings, centroids, id_col, vec_col).select(
             "cid", F.posexplode(vec_col)

@@ -657,6 +657,12 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-identical to uncapped, so only sf0.1+ trains on the sample.
 ANN_TRAIN_CAP = 25_000
 
+# r15: rows/task floor for the recall report's shared corpus
+# repartition -- a 64-dim cosine/bucket Arrow kernel over fewer rows
+# than this is launch-latency, not compute; capped at cluster
+# parallelism so big corpora still use every slot.
+ANN_REPORT_ROWS_PER_TASK = 256
+
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
@@ -686,9 +692,30 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     One declarative plan: tag each tier's returned ids, left-semi join
     against the truth set, count per tag — no driver-side set math.
     Rows-only (the trained tiers are hash-seeded); the values are pinned
-    deterministic + floor-gated in tests/test_similarity.py."""
+    deterministic + floor-gated in tests/test_similarity.py.
+
+    r15 (guide §2.2/§4.1): the corpus is repartitioned ONCE to a
+    data-size-derived width (≤ ANN_REPORT_ROWS_PER_TASK rows/task,
+    capped at cluster parallelism) and shared by the truth probe, the
+    trainer and all four tiers. Each tier's internal
+    ensure_parallelism short-circuits on the visible Repartition, and
+    the four union branches reuse the single exchange
+    (ReusedExchange) — before, every branch re-repartitioned the
+    2 000-row sf0.1 corpus to full cluster width and paid ~32
+    near-empty Python-worker round trips per Arrow kernel. At real
+    scale the derived width saturates at defaultParallelism, so the
+    plan is unchanged where the data is big. The count this sizing
+    needs is shared with the trainer (``n_rows``)."""
     emb = _emb(spark, sf_dir)
     k = 10
+    n_emb = emb.count()
+    try:
+        _par_cap = spark.sparkContext.defaultParallelism
+    except Exception:
+        _par_cap = 8
+    emb = emb.repartition(
+        max(1, min(_par_cap, -(-n_emb // ANN_REPORT_ROWS_PER_TASK)))
+    )
     truth = (
         S.cosine_topk(emb, query_vec_id=0, k=k)
         .select("vec_id")
@@ -699,7 +726,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameters, so injection changes nothing the report measures —
     # it just stops the report training the same geometry twice
     # (~1.4 s of the 5.7 s wall at sf0.1)
-    cents = S.kmeans_centroids(emb, train_cap=ANN_TRAIN_CAP)
+    cents = S.kmeans_centroids(emb, train_cap=ANN_TRAIN_CAP, n_rows=n_emb)
     # likewise one shared query-vector fetch (r12, VERDICT r11 item 3):
     # the three collect-based tiers otherwise each pay a 1-row collect
     # job for the same vector — at the report's tiny data size the wall
