@@ -74,11 +74,20 @@ def basket_rules(
 
     # one shuffle: per-basket sorted distinct item array; whale
     # baskets drop here, BEFORE any pair expands (supports and the
-    # basket total consistently count retained baskets only)
+    # basket total consistently count retained baskets only).
+    # localCheckpoint (r15): three consumers read this table (the
+    # basket total, the item supports, the pair expansion) and the
+    # un-materialized plan re-ran the fact-scan + collect_set
+    # aggregate once PER consumer (4 identical subtrees in the
+    # physical plan — AQE reuses the exchange's map side, not the
+    # object-hash aggregate above it). One materialization of the
+    # array table (linear in baskets, arrays capped by
+    # max_basket_size) replaces three re-aggregations of fact rows.
     baskets = (
         items.groupBy(b.alias("basket"))
         .agg(F.array_sort(F.collect_set(it)).alias("arr"))
         .filter(F.size("arr") <= F.lit(max_basket_size))
+        .localCheckpoint(eager=True)
     )
 
     # 1-row scalar + |vocab|-row item supports, both broadcast later
