@@ -342,6 +342,11 @@ def dup_span_stats(
         # ~10× smaller shuffle rows, 2⁻⁶⁴-per-pair collision rate
         grams = grams.select("doc_id", F.xxhash64("gram").alias("gram"))
     per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # r15 examined, left alone: per feeds both the corpus-total
+    # aggregate and the probe join, but both consumers sit above the
+    # identical hashpartitioning(doc_id, gram) exchange, so runtime
+    # ReuseExchange already runs the positional explode once — a
+    # measured A/B of an eager pin here was a 9% pessimization.
     tot = per.groupBy("gram").agg(F.sum("c").alias("total"))
     dup = F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(F.lit(0)))
     return (
@@ -403,6 +408,13 @@ def block_dedup(
     """
     base = block_base(docs, block_tokens, text_col)
     blocks = block_rows(base, block_tokens, hash_blocks)
+    # r15: blocks feeds both the first-occurrence aggregate and the
+    # probe join — unpinned, the tokenize + block-key explode over the
+    # full corpus ran twice (6 parquet scans in the r15 before-plan;
+    # now the key pass runs once and reassembly pays the one further
+    # scan the ANALYSIS prescribes). Compact rows only: (doc_id,
+    # block_idx, bk) — the token arrays stay out of the pin.
+    blocks = blocks.localCheckpoint(eager=True)
     first = blocks.groupBy("bk").agg(
         F.min(F.struct("doc_id", "block_idx")).alias("f")
     )
@@ -583,6 +595,12 @@ def collocation_lift(
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # r15 examined, left alone: big feeds the n_big total AND the
+    # scoring chain, uni feeds BOTH count-joins — but every duplicate
+    # consumer sits above an identical exchange, so runtime
+    # ReuseExchange already tokenizes once (plan-gated by
+    # test_collocation_lift_reuses_the_unigram_exchange); a measured
+    # A/B of eager pins here was a wash.
     big = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c_ab")
     )
@@ -683,6 +701,12 @@ def gram_novelty(
     sh = shingles(docs, n, text_col)
     if hash_grams:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    # r15 examined, left alone: sh feeds both the first-occurrence
+    # index and the probe side, but both consumers demand the IDENTICAL
+    # hashpartitioning(shingle) exchange, so runtime ReuseExchange
+    # already computes the scan + explode once — a measured A/B of an
+    # eager pin here was a 6% pessimization (the pin adds a
+    # materialization the reused shuffle files make redundant).
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel_frac = F.col("n_novel") / F.col("n_grams")
     return (

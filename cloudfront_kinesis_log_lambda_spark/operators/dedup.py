@@ -799,7 +799,17 @@ def sorted_neighborhood_pairs(
         key_expr.alias("snm_key"),
         F.substring(F.col("text"), 1, SNM_PREFIX_LEN).alias("prefix"),
     )
-    ranked = global_rank(keyed, ["snm_key", "doc_id"])
+    # Materialize the ranked table once: it feeds BOTH join sides, and
+    # without the pin the range exchange + per-partition window behind
+    # global_rank executes twice (once per side — the r15 before-plan
+    # shows the duplicated Exchange/Sort/Window subtree). The pinned
+    # rows are narrow (id, 80-char prefix, rank) — snm_key is dead
+    # after ranking and is dropped before the pin.
+    ranked = (
+        global_rank(keyed, ["snm_key", "doc_id"])
+        .select("doc_id", "prefix", "rn")
+        .localCheckpoint(eager=True)
+    )
     left = ranked.select(
         F.col("doc_id").alias("doc_a"),
         F.col("prefix").alias("prefix_a"),

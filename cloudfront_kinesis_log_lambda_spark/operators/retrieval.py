@@ -122,14 +122,45 @@ def _bm25_inputs(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(tf, dl) for the fixed query over the documents table — the
-    scan-side reduction shared by doc_bm25_topk and doc_hybrid_rrf."""
+    scan-side reduction shared by doc_bm25_topk and doc_hybrid_rrf.
+
+    r15: ONE tokenize pass. tf and dl each fed two consumers downstream
+    (the scoring join plus df_t / the N·avgdl scalars), so the r15
+    before-plan tokenized the full corpus FOUR times. A single
+    aggregate now produces one narrow row per document — (doc_id, dl,
+    per-query-term counts) — pinned once; tf (unpivot + filter > 0) and
+    dl are cheap derivations of the pin, so every re-reference replays
+    the pinned rows instead of re-splitting text. Values are unchanged:
+    dl still counts every non-empty token, tf rows still exist exactly
+    for (doc, term) pairs with ≥ 1 occurrence."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = _tokens(docs)
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("word") == F.lit(q), True)).alias(
+                    f"_tf_{i}"
+                )
+                for i, q in enumerate(BM25_QUERY)
+            ],
+        )
+        .localCheckpoint(eager=True)
+    )
+    dl = per_doc.select("doc_id", "dl")
     tf = (
-        toks.filter(F.col("word").isin(*BM25_QUERY))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        per_doc.select(
+            "doc_id",
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(q) for q in BM25_QUERY]),
+                    F.array(*[F.col(f"_tf_{i}") for i in range(len(BM25_QUERY))]),
+                )
+            ).alias("word", "n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("doc_id", "word", F.col("n").cast("double").alias("tf"))
     )
     return tf, dl
 

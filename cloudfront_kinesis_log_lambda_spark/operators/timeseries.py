@@ -274,26 +274,50 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").cast("long").alias("hod"),
         "value",
     ).filter(finite(F.col("value")))  # robust-stat domain (r14)
-    med = e.groupBy("event_type", "hod").agg(
-        F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med")
+    # r15: the med/dev/mad/flag chain re-evaluated its shared subtrees —
+    # the before-plan scanned events.parquet FOUR times (med twice, dev
+    # twice). Exact MAD fundamentally needs two passes (median first,
+    # deviations second); this is now exactly two: pass 1 computes the
+    # per-(type, hod) medians (pinned — |types|·24 rows no matter the
+    # corpus), pass 2 collects the sorted deviation array per key (the
+    # same O(group) buffer the percentile aggregate itself holds) and
+    # derives mad + the outlier count from the array in one aggregate.
+    # The interpolation replicates Spark's Percentile bit-for-bit:
+    # position = 0.5·(n−1) is exactly k or k.5 in binary, so the
+    # branch points and (hi−pos)·lo + (pos−lo)·hi products are the
+    # identical IEEE DAG, and the ROUND-9 quantization is unchanged.
+    med = (
+        e.groupBy("event_type", "hod")
+        .agg(F.round(F.expr("percentile(value, 0.5D)"), 9).alias("med"))
+        .localCheckpoint(eager=True)
     )
     dev = e.join(F.broadcast(med), ["event_type", "hod"]).withColumn(
         "adev", F.round(F.abs(F.col("value") - F.col("med")), 9)
     )
-    mad = dev.groupBy("event_type", "hod").agg(
-        F.round(F.expr("percentile(adev, 0.5D)"), 9).alias("mad")
+    stats = dev.groupBy("event_type", "hod").agg(
+        F.max("med").alias("median_value"),
+        F.array_sort(F.collect_list("adev")).alias("_adevs"),
+        F.count(F.lit(1)).alias("n_events"),
     )
-    flagged = dev.join(F.broadcast(mad), ["event_type", "hod"])
+    pos = F.lit(0.5) * (F.col("n_events") - F.lit(1)).cast("double")
+    lo = F.floor(pos)
+    hi = F.ceil(pos)
+    lo_v = F.element_at("_adevs", (lo + F.lit(1)).cast("int"))
+    hi_v = F.element_at("_adevs", (hi + F.lit(1)).cast("int"))
+    interp = (
+        (hi.cast("double") - pos) * lo_v + (pos - lo.cast("double")) * hi_v
+    )
+    mad_col = F.round(F.when(lo == hi, lo_v).otherwise(interp), 9)
     return (
-        flagged.groupBy("event_type", "hod")
-        .agg(
-            F.max("med").alias("median_value"),
-            F.max("mad").alias("mad"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(
-                (F.col("adev") > F.lit(float(MAD_SIGMA)) * F.col("mad"))
-                .cast("long")
-            ).alias("n_outliers"),
+        stats.withColumn("mad", mad_col)
+        .withColumn(
+            "n_outliers",
+            F.size(
+                F.filter(
+                    "_adevs",
+                    lambda x: x > F.lit(float(MAD_SIGMA)) * F.col("mad"),
+                )
+            ).cast("long"),
         )
         .withColumn(
             "outlier_rate",
@@ -302,6 +326,15 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_events").cast("double"),
                 6,
             ),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "median_value",
+            "mad",
+            "n_events",
+            "n_outliers",
+            "outlier_rate",
         )
     )
 
