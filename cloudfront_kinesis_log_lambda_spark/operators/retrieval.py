@@ -439,30 +439,45 @@ def index_from_tf(tf: DataFrame, min_df: int = INDEX_MIN_DF) -> DataFrame:
     compare stably through pandas, so the driver gate's
     canonicalization chokes on raw array<bigint> — the r7 err).
     """
-    stats = tf.groupBy("word").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("tf").cast("long").alias("total_tf"),
-    ).filter(F.col("n_docs") >= min_df)
-
+    # r15: stats and postings used to be two independent word-keyed
+    # reductions joined back on word — tf evaluated twice, two (word)
+    # exchanges, plus the join. The per-word df/tf totals are
+    # unbounded-frame window aggregates over the SAME partitioning the
+    # rank window already establishes, so one exchange now carries the
+    # rank AND the stats, the min_df filter prunes before the fold,
+    # and the final (word) aggregate reuses the window's partitioning —
+    # no second shuffle, no join. Values are unchanged: n_docs/total_tf
+    # count every posting of the word (the window frame is the whole
+    # partition, not the top-k remnant).
     w = Window.partitionBy("word").orderBy(
         F.col("tf").desc(), F.col("doc_id").asc()
     )
-    postings = (
-        tf.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= POSTINGS_K)
+    wall = Window.partitionBy("word")
+    ranked = tf.select(
+        "word",
+        "doc_id",
+        "tf",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_docs"),
+        F.sum("tf").over(wall).cast("long").alias("total_tf"),
+    )
+    return (
+        ranked.filter(
+            (F.col("n_docs") >= min_df) & (F.col("rn") <= POSTINGS_K)
+        )
         .groupBy("word")
         .agg(
+            F.max("n_docs").alias("n_docs"),  # constant per word
+            F.max("total_tf").alias("total_tf"),
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("rn", "doc_id"))),
                     lambda x: x["doc_id"].cast("string"),
                 ),
                 ",",
-            ).alias("postings_csv")
+            ).alias("postings_csv"),
         )
-    )
-    return stats.join(postings, "word").select(
-        "word", "n_docs", "total_tf", "postings_csv"
+        .select("word", "n_docs", "total_tf", "postings_csv")
     )
 
 
