@@ -210,11 +210,15 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     two (the groupBy, the distinct over pairs). Identical edge set:
     the array is sorted-distinct, so slice-pairs (i < j) enumerates
     exactly the pk < pk2 join output; ``collect_set`` drops NULL
-    partkeys exactly as the null-rejecting equi-join did."""
+    partkeys exactly as the null-rejecting equi-join did, and the
+    explicit NULL-orderkey filter drops the NULL basket exactly as the
+    null-rejecting equi-join on ``l_orderkey`` did (r16, ADVICE r15:
+    groupBy would otherwise KEEP a NULL-key basket and pair its
+    parts — invisible on TPC-H-shaped data, wrong on hostile rows)."""
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"),
         F.col("l_partkey").cast("long").alias("pk"),
-    )
+    ).filter(F.col("ok").isNotNull())
     baskets = li.groupBy("ok").agg(
         F.array_sort(F.collect_set("pk")).alias("arr")
     )
@@ -233,72 +237,72 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
     The classic distributed-triangle trick: orient every edge from the
     (degree, node)-smaller endpoint to the larger one. Each node's
-    oriented out-adjacency is then O(√m), so the wedge self-join
-    (e1.src = e2.src) generates O(m^1.5) candidates worst-case instead
-    of Σdeg² — the bound that survives power-law degree skew at 100 TB
-    (a celebrity node's edges all point INTO it; it generates no
-    wedges). Each triangle {x, y, z} is counted exactly once as the
-    wedge at its orientation-minimal corner closed by the third
-    oriented edge; per-node counts come from unioning the three
-    corners. Integer counts → hash-exact across engines; the
-    clustering coefficient 2T/(d(d−1)) is rounded at the float edge.
+    oriented out-adjacency is then O(√m) — the bound that survives
+    power-law degree skew at 100 TB (a celebrity node's edges all
+    point INTO it; its out-list stays small). Integer counts →
+    hash-exact across engines; the clustering coefficient 2T/(d(d−1))
+    is rounded at the float edge.
+
+    r16 edge-iterator formulation (guide §1.2 step 1 — fix the
+    distributed algorithm; replaces the r9/r15 wedge-stream join):
+    per-source out-adjacency ARRAYS (one groupBy over the oriented
+    list) are attached to both endpoints of every oriented edge, and
+    the triangles through edge (s, t) are ``array_intersect(N⁺(s),
+    N⁺(t))`` evaluated row-by-row in codegen. Exactly-once proof: for
+    a triangle with orientation order x ≺ y ≺ z (≺ = (degree, id)
+    lexicographic — a strict total order, ids are distinct), the
+    oriented edges are x→y, x→z, y→z; the triangle appears ONLY at
+    edge (x, y) (z ∈ N⁺(x)∩N⁺(y)); at (x, z) it would need y ∈ N⁺(z)
+    — false — and at (y, z) it would need x ∈ N⁺(y) — false. The
+    edge lists are duplicate-free (edges are distinct (a, b) pairs),
+    so ``array_intersect``'s set semantics drop nothing. Per-corner
+    counts come from ONE explode per edge row: s and t each gain
+    |intersection| and every witness z gains 1 — bit-identical to the
+    per-triangle 3-corner explode it replaces, with 2+|zs| rows per
+    TRIANGLE-BEARING edge instead of 3 rows per triangle.
+
+    Why this beats the wedge join it replaces (measured at sf0.1,
+    1.2 M edges / 41 M wedges: 5.1 s → 1.5 s fresh-JVM wall): the old
+    plan MATERIALIZED every wedge as a row — 41 M rows built, hashed
+    and probed through a join (and, above the broadcast gate, shuffled
+    whole) only for ~99% of them to miss the closing-edge probe. The
+    element-level work (Σ_s outdeg(s)² candidate checks) is the same,
+    but it now runs as hash-set probes inside one codegen stage over
+    |E| rows — no 41 M-row stream, no join machinery, nothing
+    O(m^1.5) ever leaves a task. At 100 TB the wedge stream was the
+    plan's largest relation by an order of magnitude; it no longer
+    exists.
 
     ``edges`` and the oriented list are localCheckpoint-ed: both are
     referenced two and three times downstream (deg/orientation; the
-    two wedge sides + the closing probe), and without materialization
-    the whole upstream edge derivation re-executes per reference
-    (observed: 13 exchanges in the un-checkpointed plan vs 6 after —
-    at 100 TB that is three redundant passes over the fact table).
+    adjacency build + the two endpoint attachments), and without
+    materialization the whole upstream edge derivation re-executes per
+    reference. The adjacency arrays stay bounded by orientation
+    (out-degree ≤ 2√m), so no row ever carries more than O(√m) longs.
 
-    Two measured plan rules (r9, sf0.1: 1.2 M edges / 41 M wedges,
-    24 s → 6 s end-to-end):
-
-    - the closing probe joins on ONE packed long ``y·2³² + z`` instead
-      of the (y, z) two-column key — half the sort/hash-probe work on
-      the wedge stream, which is the largest relation in the plan. The
-      pack is injective only while every node id fits 31 bits, so it
-      is GATED on the observed id RANGE — min ≥ 0 AND max < 2³¹, both
-      from one tiny aggregate over the checkpointed edge list (a
-      negative id breaks injectivity even under a small max); ids
-      outside that range fall back to the two-column join — correct at
-      any scale, packed whenever it is safe;
-    - per-corner counts explode ONE pass of the triangle stream
-      (``explode(array(x, y, z))``) instead of a 3-branch union of
-      projections — the union re-ran the closing join per branch
-      (ReusedExchange dedupes the shuffle, not the join above it), so
-      the most expensive join in the plan executed three times.
-
-    r15 join strategy (guide §3.1/§2.4, gated like the packed key):
-    when the measured edge count is ≤ ``TRIANGLE_BROADCAST_MAX_EDGES``
-    every join against a ≤|E|-row side is an explicit BROADCAST — the
-    two degree attachments, the wedge self-join's second side, the
-    closing probe, and the final count attachment. The checkpointed
-    inputs carry no statistics, so Catalyst planned all of these as
-    SortMergeJoin; the wedge STREAM (O(m^1.5) rows — 41 M at sf0.1's
-    1.2 M edges) then crossed a full hash exchange + sort just to meet
-    the 1.2 M-row closer side. Broadcasting turns the wedge build +
-    close + corner explode + partial count into ONE map-side stage
-    over the oriented list: the only exchanges left are the two
-    per-node count aggregates. The wedge stream itself never shuffles.
-    Same gating probe as the packed key (one tiny aggregate over the
-    checkpointed edges, now also carrying count(1)); above the gate
-    the sort-merge formulation stands — correct at any scale.
+    Join strategy (guide §3.1, r15 gate kept): when the measured edge
+    count is ≤ ``TRIANGLE_BROADCAST_MAX_EDGES``, the degree and
+    adjacency attachments broadcast (the adjacency relation totals |E|
+    longs — 2 M edges ≈ 16 MB); above the gate they fall back to
+    shuffle joins keyed on s / t, which ship each edge row with one
+    bounded O(√m) array — still nothing O(m^1.5). The gating probe is
+    one tiny count over the checkpointed edges, not a size estimate.
     """
     edges = edges.localCheckpoint(eager=True)
-    # single stats probe: packed-key bounds + the broadcast gate count
-    bounds = edges.agg(
-        F.min(F.least(F.col("a"), F.col("b"))).alias("lo"),
-        F.max(F.greatest(F.col("a"), F.col("b"))).alias("hi"),
-        F.count(F.lit(1)).alias("n_edges"),
-    ).collect()[0]
-    min_id, max_id = bounds["lo"], bounds["hi"]
-    small = bounds["n_edges"] <= TRIANGLE_BROADCAST_MAX_EDGES
+    # broadcast-gate probe: one measured count over the materialized
+    # edge list (estimates can't be fooled — there are none involved)
+    n_edges = edges.count()
+    small = n_edges <= TRIANGLE_BROADCAST_MAX_EDGES
     bcast = F.broadcast if small else (lambda df: df)
+    # deg feeds the orientation joins AND the final output row — two
+    # full union+aggregate passes over the edge list without the pin
+    # (|V| rows of (long, long): compact by construction)
     deg = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -309,56 +313,66 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(
                 (F.col("deg_a") < F.col("deg_b"))
                 | ((F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))),
-                F.struct(F.col("a").alias("s"), F.col("b").alias("t"),
-                         F.col("deg_a").alias("ds"), F.col("deg_b").alias("dt")),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
             )
             .otherwise(
-                F.struct(F.col("b").alias("s"), F.col("a").alias("t"),
-                         F.col("deg_b").alias("ds"), F.col("deg_a").alias("dt"))
+                F.struct(F.col("b").alias("s"), F.col("a").alias("t"))
             )
             .alias("e")
         )
-        .select("e.s", "e.t", "e.ds", "e.dt")
+        .select("e.s", "e.t")
         .localCheckpoint(eager=True)
     )
-    e1 = oriented.select(
-        F.col("s").alias("x"), F.col("t").alias("y"),
-        F.col("dt").alias("dy"),
+    # out-adjacency arrays: unsorted collect_list is safe — every
+    # consumer below is order-free (set intersection, size, explode →
+    # sum), and the lists are duplicate-free because oriented edges
+    # are distinct pairs. Pinned: the relation is attached on BOTH
+    # endpoints (s and t), and the aggregate would otherwise run twice
+    # (an object-hash aggregate above a reused exchange is not deduped
+    # — the r15 order_basket_rules lesson); ≤|V| rows carrying |E|
+    # longs total, bytes the joins ship anyway
+    adj = (
+        oriented.groupBy("s")
+        .agg(F.collect_list("t").alias("nbrs"))
+        .localCheckpoint(eager=True)
     )
-    e2 = oriented.select(
-        F.col("s").alias("x"), F.col("t").alias("z"),
-        F.col("dt").alias("dz"),
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nbrs_t"))
+    # inner joins: an edge whose source or target has no out-list
+    # closes no triangle and contributes nothing anyway (s always has
+    # one — the edge itself; t may not)
+    tri_edges = (
+        oriented.join(bcast(adj), "s")
+        .join(bcast(adj_t), "t")
+        .select(
+            "s",
+            "t",
+            F.array_intersect(F.col("nbrs"), F.col("nbrs_t")).alias("zs"),
+        )
+        .where(F.size("zs") > 0)
     )
-    wedges = e1.join(bcast(e2), "x").where(
-        (F.col("dy") < F.col("dz"))
-        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    corner = F.concat(
+        F.array(
+            F.struct(
+                F.col("s").alias("node"),
+                F.size("zs").cast("long").alias("cnt"),
+            ),
+            F.struct(
+                F.col("t").alias("node"),
+                F.size("zs").cast("long").alias("cnt"),
+            ),
+        ),
+        F.transform(
+            "zs",
+            lambda z: F.struct(
+                z.alias("node"), F.lit(1).cast("long").alias("cnt")
+            ),
+        ),
     )
-    # packed-key gate: injective only while every id is in [0, 2^31)
-    # (signed 64-bit product bound; a NEGATIVE id breaks injectivity
-    # even when the max is small — (y, 0) collides with (y+1, -2^32) —
-    # so the min is probed alongside the max); probed by the single
-    # stats aggregate above
-    if max_id is not None and 0 <= min_id and max_id < (1 << 31):
-        pack = F.lit(1 << 32)
-        wedges = wedges.select(
-            "x", (F.col("y") * pack + F.col("z")).alias("yz")
-        )
-        closer = oriented.select(
-            (F.col("s") * pack + F.col("t")).alias("yz"),
-            F.col("s").alias("cy"),
-            F.col("t").alias("cz"),
-        )
-        tri = wedges.join(bcast(closer), "yz").select(
-            "x", F.col("cy").alias("y"), F.col("cz").alias("z")
-        )
-    else:
-        closer = oriented.select(
-            F.col("s").alias("y"), F.col("t").alias("z")
-        )
-        tri = wedges.join(bcast(closer), ["y", "z"]).select("x", "y", "z")
-    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    corners = tri_edges.select(F.explode(corner).alias("c")).select(
+        "c.node", "c.cnt"
+    )
     tcount = corners.groupBy("node").agg(
-        F.count(F.lit(1)).alias("triangles")
+        F.sum("cnt").alias("triangles")
     )
     return (
         deg.join(bcast(tcount), "node", "left")
