@@ -698,19 +698,24 @@ def gram_novelty(
     """
     from cloudfront_kinesis_log_lambda_spark.operators.dedup import shingles
 
+    from pyspark.sql.window import Window
+
     sh = shingles(docs, n, text_col)
     if hash_grams:
         sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    # r15 examined, left alone: sh feeds both the first-occurrence
-    # index and the probe side, but both consumers demand the IDENTICAL
-    # hashpartitioning(shingle) exchange, so runtime ReuseExchange
-    # already computes the scan + explode once — a measured A/B of an
-    # eager pin here was a 6% pessimization (the pin adds a
-    # materialization the reused shuffle files make redundant).
-    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    # r16 (guide §2.4 "two operations keyed the same way share one
+    # exchange" — the index_from_tf treatment): the first-occurrence
+    # index was a groupBy(shingle) min joined back onto the probe side.
+    # ReuseExchange deduped the scan+explode (one shuffle, read twice),
+    # but the reduce side still SORTED both reads and ran an SMJ. An
+    # unbounded-frame window min over the SAME (shingle) partitioning
+    # computes the identical integer (min over the whole partition ==
+    # the grouped min) with ONE read of the exchange and no join; a
+    # measured pin here stays rejected (the r15 A/B: +6%).
+    w = Window.partitionBy("shingle")
     novel_frac = F.col("n_novel") / F.col("n_grams")
     return (
-        sh.join(first, "shingle")
+        sh.select("doc_id", F.min("doc_id").over(w).alias("first_doc"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
