@@ -405,8 +405,16 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    qlab = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
-        F.col("label").alias("qlabel")
+    # r16 (guide §2.4): the one-row query-label relation feeds TWO
+    # cross joins (relevance flags + the corpus-wide relevant count),
+    # and un-pinned each broadcast build re-ran its own pushed-filter
+    # scan of the embeddings table. Pinned once — the row-count
+    # semantics (empty ⇒ empty ranked pool, exactly as before) and the
+    # NULL-label comparison are untouched.
+    qlab = (
+        emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+        .select(F.col("label").alias("qlabel"))
+        .localCheckpoint(eager=True)
     )
     pool = cosine_topk(emb, query_vec_id=RRF_QUERY_VEC, k=RRF_POOL)
     w = Window.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
