@@ -301,6 +301,50 @@ def _make_client(options: dict) -> FakeShardClient | Boto3ShardClient:
     return Boto3ShardClient(options["stream_name"], options.get("region"))
 
 
+#: rows per Arrow RecordBatch yielded by the executor-side readers —
+#: large enough to amortize per-batch overhead, small enough to bound
+#: worker memory for fat Data payloads (guide §4.2's batch-size rule)
+_ARROW_ROWS_PER_BATCH = 10_000
+
+
+def _record_batches(shard_id: str, records: list) -> Iterator:
+    """Executor-side rows → pyarrow RecordBatches (guide §4.2).
+
+    The DataSource worker accepts an iterator of ``pyarrow.RecordBatch``
+    and forwards the batches to the JVM as-is; yielding tuples instead
+    makes the worker build the identical Arrow batches itself via a
+    per-record Python loop (pyspark/sql/worker/plan_data_source_read.py,
+    ``records_to_arrow_batches``) — per-row tuple allocation plus a
+    row→column transpose that four bulk ``pa.array`` calls replace.
+    Column NAMES and order must match ``KINESIS_SCHEMA`` (the worker
+    validates both). ``records`` is the client protocol's
+    ``[(seq, {"PartitionKey": ..., "Data": ...}), ...]`` list; the
+    emitted values are bit-identical to the tuple path's
+    (``str(seq)`` included).
+    """
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("ShardId", pa.string()),
+            pa.field("SequenceNumber", pa.string()),
+            pa.field("PartitionKey", pa.string()),
+            pa.field("Data", pa.string()),
+        ]
+    )
+    for i in range(0, len(records), _ARROW_ROWS_PER_BATCH):
+        chunk = records[i : i + _ARROW_ROWS_PER_BATCH]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([shard_id] * len(chunk), type=pa.string()),
+                pa.array([str(seq) for seq, _ in chunk], type=pa.string()),
+                pa.array([rec["PartitionKey"] for _, rec in chunk], type=pa.string()),
+                pa.array([rec["Data"] for _, rec in chunk], type=pa.string()),
+            ],
+            schema=schema,
+        )
+
+
 class _ShardPartition(InputPartition):
     def __init__(self, shard_id: str) -> None:
         self.shard_id = shard_id
@@ -315,11 +359,10 @@ class KinesisBatchReader(DataSourceReader):
     def partitions(self) -> list[InputPartition]:
         return [_ShardPartition(s) for s in _make_client(self.options).list_shards()]
 
-    def read(self, partition: _ShardPartition) -> Iterator[tuple]:
+    def read(self, partition: _ShardPartition) -> Iterator:
         client = _make_client(self.options)  # executor-side construction
         got, _ = client.read_from(partition.shard_id, client.initial_position)
-        for seq, rec in got:
-            yield (partition.shard_id, str(seq), rec["PartitionKey"], rec["Data"])
+        yield from _record_batches(partition.shard_id, got)
 
 
 class _ShardRangePartition(InputPartition):
@@ -408,10 +451,15 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _ShardRangePartition):  # executor-side
         client = _make_client(self.options)
-        for seq, rec in client.read_between(
+        got = client.read_between(
             partition.shard_id, partition.start, partition.end
-        ):
-            yield (partition.shard_id, str(seq), rec["PartitionKey"], rec["Data"])
+        )
+        # Arrow RecordBatch yields (guide §4.2): same rows, columnar
+        # hand-off — see _record_batches. The Simple (driver-prefetch)
+        # tier below keeps tuple yields: its read() runs on the driver
+        # and its records re-enter Spark through the prefetch cache,
+        # not this worker path.
+        yield from _record_batches(partition.shard_id, got)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the checkpoint log; nothing to ack

@@ -14,6 +14,19 @@ from cloudfront_kinesis_log_lambda_spark.sources.kinesis import (
 )
 
 
+def _read_rows(reader, partition):
+    """Flatten a reader.read() result to row tuples: the executor-side
+    readers yield pyarrow RecordBatches since r16 (guide §4.2); the
+    unit-level assertions below are about WHICH records a partition
+    replays, so they read the batches back as the same (ShardId,
+    SequenceNumber, PartitionKey, Data) tuples as before."""
+    rows = []
+    for batch in reader.read(partition):
+        cols = [c.to_pylist() for c in batch.columns]
+        rows += list(zip(*cols))
+    return rows
+
+
 def _write_shard(dir_, shard, records, append=False):
     os.makedirs(dir_, exist_ok=True)
     mode = "a" if append else "w"
@@ -309,7 +322,7 @@ def test_partitioned_reader_plans_ranges_reads_on_partitions(tmp_path):
 
     parts = {p.shard_id: p for p in r.partitions(start, end)}
     assert set(parts) == {"shard-000", "shard-001"}
-    got = [row for p in parts.values() for row in r.read(p)]
+    got = [row for p in parts.values() for row in _read_rows(r, p)]
     assert sorted(row[3] for row in got) == ["a0", "a1", "a2", "a3", "b0", "b1"]
 
     # caught-up shard produces NO partition; appended shard resumes mid-file
@@ -317,14 +330,14 @@ def test_partitioned_reader_plans_ranges_reads_on_partitions(tmp_path):
     end2 = r.latestOffset()
     parts2 = r.partitions(end, end2)
     assert [p.shard_id for p in parts2] == ["shard-001"]
-    assert [row[3] for row in r.read(parts2[0])] == ["b2"]
+    assert [row[3] for row in _read_rows(r, parts2[0])] == ["b2"]
 
     # a shard born after the stream started reads from the beginning
     _write_shard(d, "shard-002", [("pknew", "c0")])
     end3 = r.latestOffset()
     parts3 = {p.shard_id: p for p in r.partitions(end2, end3)}
     assert parts3["shard-002"].start == 0
-    assert [row[3] for row in r.read(parts3["shard-002"])] == ["c0"]
+    assert [row[3] for row in _read_rows(r, parts3["shard-002"])] == ["c0"]
 
 
 def test_partitioned_reader_admission_control(tmp_path):
@@ -350,7 +363,7 @@ def test_partitioned_reader_admission_control(tmp_path):
     end2 = r.latestOffset()          # baseline 4 → capped to 4+3
     assert end2 == {"shard-000": 7}
     parts = r.partitions({"shard-000": 4}, end2)
-    assert [row[3] for p in parts for row in r.read(p)] == ["a4", "a5", "a6"]
+    assert [row[3] for p in parts for row in _read_rows(r, p)] == ["a4", "a5", "a6"]
 
     end3 = r.latestOffset()          # baseline 7 → 10 within cap
     assert end3 == {"shard-000": 10}
