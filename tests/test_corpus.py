@@ -324,6 +324,7 @@ def test_source_quota_single_exchange(spark, sf_dir):
 # --- property-based brute-force parity (SURVEY.md §5.4 pattern) -------------
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 _word = st.sampled_from([f"w{i}" for i in range(12)])  # small vocab → collisions
@@ -346,7 +347,7 @@ def _brute_dup_span(texts, n=3):
     return out
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_doc, min_size=1, max_size=10))
 def test_dup_span_stats_matches_bruteforce(spark, texts):
     docs = _docs(spark, [(t, 0) for t in texts])
@@ -374,7 +375,7 @@ def _brute_novelty(texts, n=3):
     }
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_doc, min_size=1, max_size=10))
 def test_gram_novelty_matches_bruteforce(spark, texts):
     docs = _docs(spark, [(t, 0) for t in texts])
@@ -385,7 +386,7 @@ def test_gram_novelty_matches_bruteforce(spark, texts):
     assert got == _brute_novelty(texts)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=12),
     st.integers(min_value=0, max_value=3),
@@ -504,7 +505,7 @@ def test_block_dedup_hand_computed(spark):
     assert got[1] == (3, 1, "x y")
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_doc, min_size=1, max_size=10))
 def test_block_dedup_matches_bruteforce(spark, texts):
     docs = _docs(spark, [(t, 0) for t in texts])
@@ -684,7 +685,7 @@ def test_decontaminate_blocks_hand_computed(spark):
     assert got[1] == (2, 2, "a b c d e f")
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(_doc, min_size=1, max_size=8),
     st.lists(_doc, min_size=1, max_size=3),
@@ -752,7 +753,7 @@ def test_collocation_lift_hand_computed(spark):
     assert got[0][0] == "x" and got[0][1] == "y"
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_doc, min_size=1, max_size=10))
 def test_collocation_lift_matches_bruteforce(spark, texts):
     docs = _docs(spark, [(t, 0) for t in texts])

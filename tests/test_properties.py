@@ -16,6 +16,7 @@ import random
 from urllib.parse import quote, unquote
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.operators.transforms import url_unquote
@@ -31,7 +32,7 @@ _ua_text = st.text(
 )
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(25), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_ua_text, min_size=1, max_size=30))
 def test_url_unquote_exact_matches_python_unquote(spark, uas):
     """The exact (Arrow UDF) path IS urllib.parse.unquote, for arbitrary
@@ -50,7 +51,7 @@ _tsv_safe = st.text(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.tuples(
@@ -124,7 +125,7 @@ _doc_text = st.text(
 )
 
 
-@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(15), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_doc_text, min_size=1, max_size=25))
 def test_pii_scrub_idempotent_and_total(spark, texts):
     """Scrubbing is idempotent (a second pass finds nothing) and total
@@ -147,7 +148,7 @@ def test_pii_scrub_idempotent_and_total(spark, texts):
     }
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(  # left events: (key, ts-seconds)
         st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
@@ -199,7 +200,7 @@ def test_asof_backward_matches_bruteforce_oracle(spark, lefts, rights):
         assert got[i] == want, (i, k, ts, cands)
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(10), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
     st.integers(min_value=8, max_value=64),
@@ -247,7 +248,7 @@ def test_pack_sequences_invariants_random_corpora(spark, token_counts, budget):
 # --- connected components vs union-find --------------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(8), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)),
@@ -296,7 +297,7 @@ def test_connected_components_match_union_find(spark, edges):
 # --- deterministic shuffle / split invariants --------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(8), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(st.integers(-(2**62), 2**62), min_size=1, max_size=80, unique=True),
     st.integers(1, 8),
@@ -333,7 +334,7 @@ def test_global_shuffle_is_a_permutation(spark, doc_ids, n_shards):
 # --- exact dedup: normalization + idempotence ---------------------------------
 
 
-@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(8), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(
         st.text(alphabet="ab X\t\n\x0b\f\r", min_size=0, max_size=12),

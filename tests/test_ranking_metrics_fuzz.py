@@ -23,6 +23,7 @@ import math
 from decimal import ROUND_HALF_UP, Decimal
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.operators.retrieval import (
@@ -78,7 +79,7 @@ def _run(spark, pool, n_total, pool_k=40):
     )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(12), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(st.integers(min_value=0, max_value=1), min_size=0, max_size=25),
     st.integers(min_value=0, max_value=6),

@@ -32,6 +32,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -184,7 +185,7 @@ def _run_schedule(spark, cls, schedule, *, retries: bool):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(5), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_schedule_st, st.sampled_from(sorted(CLASSES)))
 def test_store_contract_survives_retry_and_fold_schedules(
     spark, schedule, cls
@@ -194,7 +195,7 @@ def test_store_contract_survives_retry_and_fold_schedules(
     assert stressed == clean, (cls, schedule)
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(5), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(
     _schedule_st,
     st.lists(st.integers(0, 2), min_size=1, max_size=2),
@@ -378,7 +379,7 @@ def _norm_events(rows):
     return list(seen.values())
 
 
-@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(max_examples=fuzz_examples(5), deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(_fold_schedule_st)
 def test_foldstate_asof_survives_retry_and_fold_schedules(spark, schedule):
     """The order-dependent fold class (EWMA/Holt shape) through the

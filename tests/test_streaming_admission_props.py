@@ -32,6 +32,7 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from conftest import ordered_waves as _ordered_waves
+from conftest import fuzz_examples
 
 from cloudfront_kinesis_log_lambda_spark.operators.corpus import (
     gram_novelty,
@@ -92,7 +93,7 @@ _quota_rows_st = st.lists(st.integers(0, 2), min_size=1, max_size=12).map(
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_quota_rows_st, _cuts_st, _retries_st)
 def test_quota_any_ordered_split_matches_batch(spark, rows, cuts, retries):
@@ -132,7 +133,7 @@ _mix_rows_st = st.lists(st.integers(0, 2), min_size=1, max_size=10).map(
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_mix_rows_st, _cuts_st, _retries_st)
 def test_mixture_any_ordered_split_matches_batch(spark, rows, cuts, retries):
@@ -177,7 +178,7 @@ _nov_rows_st = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_nov_rows_st, _cuts_st, _retries_st)
 def test_novelty_any_ordered_split_matches_batch(spark, rows, cuts, retries):

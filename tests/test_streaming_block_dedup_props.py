@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.operators.corpus import block_dedup
@@ -54,7 +55,7 @@ def _rows(df):
     )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.sets(st.integers(1, 9), max_size=3),  # cut points in doc_id space

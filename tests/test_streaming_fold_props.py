@@ -32,6 +32,7 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from conftest import ordered_waves as _ordered_waves
+from conftest import fuzz_examples
 from pyspark.sql import functions as F
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
@@ -101,7 +102,7 @@ _cuts_st = st.sets(st.integers(1, 11), max_size=3)
 _retries_st = st.lists(st.booleans(), min_size=4, max_size=4)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_rows_st, _cuts_st, _retries_st)
 def test_holt_any_time_ordered_split_matches_batch(spark, rows, cuts, retries):
@@ -132,7 +133,7 @@ def test_holt_any_time_ordered_split_matches_batch(spark, rows, cuts, retries):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_hourly_rows_st, _cuts_st, _retries_st)
 def test_holt_winters_any_time_ordered_split_matches_batch(
@@ -166,7 +167,7 @@ def test_holt_winters_any_time_ordered_split_matches_batch(
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     _hourly_rows_st,

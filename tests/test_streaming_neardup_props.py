@@ -23,6 +23,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.streaming.dedup import (
@@ -56,7 +57,7 @@ def _df(spark, rows):
     )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_docs_st, _assign_st, _retries_st)
 def test_near_dup_pair_log_any_assignment_matches_single_wave(

@@ -22,6 +22,7 @@ import tempfile
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from conftest import ordered_waves
+from conftest import fuzz_examples
 
 from cloudfront_kinesis_log_lambda_spark.operators import timeseries as TS
 from cloudfront_kinesis_log_lambda_spark.streaming.ohlc import StreamingOHLC
@@ -62,7 +63,7 @@ _rows_st = st.lists(
 )
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     _rows_st,
@@ -91,7 +92,7 @@ def test_ohlc_candles_survive_any_split(spark, rows, assign, retries):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     _rows_st,

@@ -15,6 +15,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -41,7 +42,7 @@ def _index_rows(df):
     }
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(
     st.lists(

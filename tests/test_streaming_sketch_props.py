@@ -16,6 +16,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.streaming.countmin import (
@@ -72,7 +73,7 @@ def _hll_df(spark, rows):
     )
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_rows_st, _waves_st, _retry_st,
        st.lists(st.sets(st.integers(0, 24), max_size=5), max_size=2))
@@ -108,7 +109,7 @@ def _txt_df(spark, rows):
     )
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_rows_st, _waves_st, _retry_st)
 def test_countmin_counters_are_split_invariant(spark, rows, waves, retries):
@@ -139,7 +140,7 @@ def _val_df(spark, rows):
     )
 
 
-@settings(max_examples=4, deadline=None,
+@settings(max_examples=fuzz_examples(4), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_rows_st, _waves_st, _retry_st)
 def test_ddsketch_histogram_is_split_invariant(spark, rows, waves, retries):

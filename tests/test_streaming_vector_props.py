@@ -32,6 +32,7 @@ import shutil
 import tempfile
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 
 from cloudfront_kinesis_log_lambda_spark.streaming.semantic_dedup import (
@@ -101,7 +102,7 @@ def _drive(twin, spark, waves, retries, must_retry: int):
         twin(_df(spark, waves[bid]), bid)  # late replays (idempotence)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_vecs_st, _assign_st, _retries_st)
 def test_semantic_pair_log_any_assignment_matches_single_wave(
@@ -137,7 +138,7 @@ def test_semantic_pair_log_any_assignment_matches_single_wave(
     assert got == want, (assign,)
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(_vecs_st, _assign_st, _retries_st)
 def test_vector_index_any_assignment_serves_single_wave_ranking(

@@ -21,6 +21,7 @@ import tempfile
 from collections import Counter
 
 from hypothesis import HealthCheck, given, settings
+from conftest import fuzz_examples
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -59,7 +60,7 @@ _batch_st = st.tuples(
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_batch_st, min_size=2, max_size=3))
 def test_upsert_counter_survives_crash_retry_schedules(spark, schedule):
@@ -122,7 +123,7 @@ _reorder_batch_st = st.tuples(
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=fuzz_examples(5), deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(_reorder_batch_st, min_size=2, max_size=3))
 def test_upsert_counter_ignores_reordered_replays(spark, schedule):
