@@ -40,7 +40,9 @@ def main() -> int:
     from cloudfront_kinesis_log_lambda_spark import get_spark
 
     spark = get_spark(app_name=f"dump-plans-{tag}")
-    outdir = os.path.join(REPO, "plans", "r15")
+    outdir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(outdir, exist_ok=True)
     queries = entrymod.queries()
     rc = 0
