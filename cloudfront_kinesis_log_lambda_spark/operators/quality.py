@@ -407,8 +407,20 @@ def benford_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
     by the batch audit and the streaming twin, so identical merged
     counts yield identical statistics."""
     grid = spark.range(1, 10).select(F.col("id").alias("digit"))
-    filled = grid.join(F.broadcast(counts), "digit", "left").select(
-        "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+    # r16 (guide §2.4): the 9-row filled grid feeds the n_total
+    # aggregate, the χ²/MAD stats aggregate AND the output spine — four
+    # copies of the ``counts`` subtree (a full fact scan each in the
+    # batch audit) nested through broadcast builds that ReuseExchange
+    # cannot all dedupe. Pinning 9 rows makes every consumer read the
+    # pin; the fact rows are scanned exactly once, in the pin build.
+    # (Streaming twin: digits() is a serve-time call, so the eager
+    # 9-row materialization is paid where the serve already executes.)
+    filled = (
+        grid.join(F.broadcast(counts), "digit", "left")
+        .select(
+            "digit", F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs")
+        )
+        .localCheckpoint(eager=True)
     )
     total = filled.agg(F.sum("n_obs").cast("long").alias("n_total"))
     base = filled.join(F.broadcast(total)).select(
