@@ -60,114 +60,86 @@ def entry(spark: SparkSession) -> DataFrame:
 #            with the freshest possible evidence.
 #   _TAIL  — rows-only entries that already have driver rows.
 _FRONT = [
-    # r15 WINDOW MATH (standing policy above at the CURRENT counts):
+    # r16 WINDOW MATH (standing policy above at the CURRENT counts):
     # 176 registry entries, 160 oracle-backed, 16 rows-only; rotation
-    # period 160/50 = 3.2 rounds -> invariant "every oracle entry <=3
-    # rounds stale". Staleness after r14 (union of CORRECTNESS_r01..r14
-    # latest green rows): r11x27, r12x40, r13x43, r14x50.
+    # period 160/50 = 3.2 rounds. Staleness after r15 (union of
+    # CORRECTNESS_r01..r15 latest green rows): r11×17, r12×28, r13×29,
+    # r14×36, r15×50.
     #
-    # This round's 50 = rule 1 first: the 8 r14-overflow entries whose
-    # CURRENT implementation has no driver row (pre-committed at r14
-    # close to lead) + the 31 entries whose implementation or oracle
-    # changed in the r15 hostile-DATES hardening (the NULL-event-time /
-    # watermark-poisoning / Arrow-ns-envelope / decimal-exact-sum /
-    # null-order-convention fixes; every one re-verified green this
-    # session on clean sf0.01 AND the dense hostile-dates tables, most
-    # on 2-3 other axes too) = 39 slots; rule 2 tops up with 11 of the
-    # 21 unchanged r11-stale entries (alphabetical - the doc_* corpus
-    # family).
+    # This round's 50 honors the r15 pre-commitments FIRST, then rule 1
+    # for this round's optimization-changed plans, then rule-2 top-up:
     #
-    # DOCUMENTED BREACH, FIRST IN 15 ROUNDS: 10 unchanged r11 greens do
-    # NOT fit (events_ab_conversion, region_nations_agg,
-    # revenue_by_segment, rollup_returns, supplier_nation_outer,
-    # theta_join_price_band, top_event_per_user,
-    # top_orders_per_customer, unpivot_order_metrics,
-    # word_countmin_topk) and will be 5 rounds stale at r16 - the
-    # arithmetic is forced: two wide hardening rounds back-to-back
-    # (r14 numeric 39 changed, r15 dates 31 changed) exceed the 3.2-
-    # round rotation budget, and rule 1 outranks staleness because a
-    # changed entry has NO driver row for its current code at all.
-    # Mitigations: all 10 ran GREEN in this session's full clean-sf0.01
-    # sweep AND all five hostile-axis sweeps (their code and oracles
-    # are byte-identical to their r11-green state); revenue_by_segment
-    # additionally executes every round as the entry() smoke. ALL 10
-    # are pre-committed to LEAD the r16 window, before any r12-stale
-    # top-up.
-    #
-    # rule 1a: the 8 r14-overflow changed entries (r14 close pre-commit)
-    "doc_subword_tokens",
-    "order_price_percentiles",
-    "events_hll_incremental",
-    "decimal_revenue_exact",
-    "lineitem_corr_matrix",
-    "multimodal_features",
-    "events_json_props",
-    "events_variant_props",
-    # rule 1b: the 31 r15-changed entries (alphabetical)
-    "ann_quantized_topk",
-    "attribution_last_touch",
-    "embedding_quantize_int8",
-    "event_transitions",
-    "event_transitions_incremental",
-    "events_cusum_changepoints",
-    "events_ewma",
-    "events_ewma_incremental",
-    "events_gapfill",
-    "events_holt",
-    "events_holt_incremental",
-    "events_holt_winters",
-    "events_holt_winters_incremental",
-    "events_ks_drift",
-    "events_ks_incremental",
-    "events_ohlc",
-    "events_ohlc_incremental",
-    "events_session_windows",
-    "events_sliding_windows",
-    "events_tumbling_windows",
-    "events_zorder_roundtrip",
-    "kinesis_exactly_once_rollup",
-    "order_price_delta",
-    "purchases_asof_cogroup",
-    "purchases_asof_view",
-    "purchases_next_view",
-    "recent_orders_lateral",
-    "running_customer_spend",
-    "sessionize_events",
-    "top_conversion_paths",
-    "user_value_scd2",
-    # rule 1c: the 11 r15-OPTIMIZATION-changed oracle entries (this
-    # round restructured their plans — results oracle-proven identical
-    # this session at sf0.001+sf0.01 AND all five hostile axes, see
-    # OPTIMIZATION_r15.md — but a changed plan has no driver row, and
-    # rule 1 outranks staleness). Four of these were already r11-stale
-    # top-ups in the pre-commitment (block_dedup / inverted_index /
-    # sorted_neighbors ×2), so they keep their slots with rule-1 status.
-    "events_seasonal_outliers",
-    "doc_bm25_topk",
-    "doc_hybrid_rrf",
-    "doc_inverted_index",
-    "doc_block_dedup",
-    "doc_sorted_neighbors",
-    "doc_sorted_neighbors_multipass",
-    "nation_pagerank",
+    # rule 1a — the 5 r15 window-overflow entries (plan changed in r15,
+    # no driver row yet; pre-committed at the r15 close to lead):
+    "doc_bm25_incremental",
+    "doc_hybrid_rrf_incremental",
+    "doc_inverted_index_incremental",
+    "order_basket_rules_incremental",
+    "near_dup_clusters",
+    # rule 1b — the 10 r11 breach entries (unchanged code, 5 rounds
+    # stale, pre-committed at the r15 close to lead before any top-up):
+    "events_ab_conversion",
+    "region_nations_agg",
+    "revenue_by_segment",
+    "rollup_returns",
+    "supplier_nation_outer",
+    "theta_join_price_band",
+    "top_event_per_user",
+    "top_orders_per_customer",
+    "unpivot_order_metrics",
+    "word_countmin_topk",
+    # rule 1c — the 7 r11-stale top-ups displaced by r15's rule 1
+    # (pre-committed alongside 1b):
+    "doc_bigram_logprob",
+    "doc_collocations",
+    "doc_contamination",
+    "doc_decontaminate",
+    "doc_dedup_keep",
+    "doc_global_shuffle",
+    "doc_dup_span_stats",
+    # rule 1d — the 6 entries whose plan the r16 OPTIMIZATION round
+    # restructured (results oracle-proven identical this session at
+    # sf0.001+sf0.01, see OPTIMIZATION_r16.md; a changed plan has no
+    # driver row): triangle census (adjacency-intersect formulation),
+    # gram novelty (window-min), eval metrics + Benford (pins; the
+    # Benford incremental twin serves through the same pinned
+    # finalizer), and the exactly-once rollup (its stream crosses the
+    # Arrow-batch Kinesis source read path):
     "part_triangle_stats",
-    "part_entity_resolution",
-    "order_basket_rules",
-    # WINDOW OVERFLOW, round 2 of the documented breach: rule-1 demand
-    # is 8 + 31 + 16 = 55 for 50 slots. The five optimization-changed
-    # entries left OUT each share their changed core with an IN-window
-    # sibling whose hash exercises the same math on the same integers
-    # (doc_bm25_incremental / doc_hybrid_rrf_incremental /
-    # doc_inverted_index_incremental / order_basket_rules_incremental
-    # serve THROUGH the batch cores checked above; near_dup_clusters
-    # shares the connected-components change with in-window
-    # part_entity_resolution), and all five ran green this session on
-    # clean sf0.001+sf0.01 and the five hostile axes. They are
-    # pre-committed to LEAD the r16 window together with the 10
-    # previously-documented r11 breach entries and the 7 r11-stale
-    # top-ups displaced by rule 1c (doc_bigram_logprob,
-    # doc_collocations, doc_contamination, doc_decontaminate,
-    # doc_dedup_keep, doc_global_shuffle, doc_dup_span_stats).
+    "doc_gram_novelty",
+    "retrieval_eval_metrics",
+    "orders_benford_digits",
+    "orders_benford_incremental",
+    "kinesis_exactly_once_rollup",
+    # rule 2 — top-up with the 22 stalest remaining greens (r12,
+    # alphabetical). DOCUMENTED RESIDUE, round 3 of the breach ledger:
+    # 4 r12 entries do NOT fit (near_dup_3gram, orders_quality_checks,
+    # parquet_roundtrip_daily, part_fuzzy_pairs — 4 rounds stale at
+    # r17) and are PRE-COMMITTED to lead the r17 window; all four are
+    # code-unchanged since their r12 green and ran green in this
+    # session's full clean-sf0.01 sweep.
+    "customer_value_ntile",
+    "customers_with_open_orders",
+    "customers_without_orders",
+    "doc_exact_dedup",
+    "doc_mixture_sample",
+    "doc_pack_sequences_sql",
+    "doc_quality_sample",
+    "doc_source_quota",
+    "doc_table_profile",
+    "doc_unigram_logprob",
+    "doc_word_explode",
+    "embedding_norms",
+    "events_chi2_type_hour",
+    "events_funnel",
+    "events_hll_daily_merge",
+    "events_interval_join",
+    "events_pattern_match",
+    "events_range_join",
+    "events_retention_cohorts",
+    "events_user_skew_profile",
+    "grouping_sets_revenue",
+    "multimodal_asset_dedup",
 ]
 _FILL: list[str] = []
 _TAIL = [
