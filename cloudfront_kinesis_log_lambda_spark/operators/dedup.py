@@ -552,6 +552,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
         .localCheckpoint(eager=True)
     )
+    # Driver-memory note (ADVICE r15): broadcast mode builds up to three
+    # ≤gate-row broadcast relations per round, reclaimed lazily by the
+    # ContextCleaner rather than eagerly per round (the DataFrame API
+    # exposes no handle to destroy a BroadcastExchange's relation). At
+    # the default 2M-node gate that is tens of MB per round across ≤25
+    # rounds — bounded, but a small-driver deployment should lower
+    # SPARK_GRAFT_CC_BROADCAST_MAX_NODES rather than rely on GC timing.
     small = labels.count() <= CC_BROADCAST_MAX_NODES
     bcast = F.broadcast if small else (lambda df: df)
     for _ in range(max_iter):

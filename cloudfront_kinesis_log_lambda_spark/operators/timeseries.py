@@ -294,6 +294,14 @@ def events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = e.join(F.broadcast(med), ["event_type", "hod"]).withColumn(
         "adev", F.round(F.abs(F.col("value") - F.col("med")), 9)
     )
+    # Buffer-shape caveat (ADVICE r15): collect_list holds one element
+    # per ROW of the group, while the percentile() aggregate it
+    # replaced buffers value→count PAIRS — on heavy-tie/low-cardinality
+    # groups the list is strictly larger and hits the 2³¹
+    # array-element cap sooner. The per-(type, hod) grain bounds a
+    # group to one type's hourly slice; if a deployment's per-slice row
+    # counts approach 2³¹, fall back to the pre-r15 two-pass
+    # percentile formulation rather than raising group memory.
     stats = dev.groupBy("event_type", "hod").agg(
         F.max("med").alias("median_value"),
         F.array_sort(F.collect_list("adev")).alias("_adevs"),
@@ -463,7 +471,16 @@ def top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, and only (user, session, type, ts) columns ever shuffle.
     Top-k is TakeOrderedAndProject. NULL event time has no position on
     the session timeline (r15, the sessionize_events rule) — excluded,
-    mirrored in the oracle."""
+    mirrored in the oracle.
+
+    Examined r16, left alone (plans/r16/top_conversion_paths_before.txt):
+    1 scan, 2 exchanges — the session aggregate reuses the user_id
+    window exchange (hashpartitioning(user_id) satisfies the
+    (user_id, session_id) clustering), the partial/final collect_list
+    pair runs back-to-back in that stage, and the conversion flag is
+    folded into the same aggregate, so no second pass over events
+    exists to remove. The only row-level exchange carries 4 narrow
+    columns. Already the §2.4 shared-exchange shape."""
     e = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     ).filter(F.col("ts").isNotNull())
@@ -560,7 +577,15 @@ def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a year is 8 760 elements. The per-step seasonal array rewrite is
     period-bounded (24 doubles). Cross-engine parity is the recursive-
     CTE replay, as for Holt (multi-field fold; see the list_reduce
-    divergence note at ORACLE_SQL["events_holt"])."""
+    divergence note at ORACLE_SQL["events_holt"]).
+
+    Examined r16, left alone (plans/r16/events_holt_winters_before.txt):
+    1 scan + 2 exchanges is the floor — the hourly pre-aggregation is
+    the only event-count-sized exchange (partial map-side sums), the
+    per-type exchange carries hours-in-retention rows, and the HW fold
+    is a codegen expression over the sorted array. The second exchange
+    cannot reuse the first (hashpartitioning(type, hb) does not
+    satisfy clustering by (type) — superset, not subset)."""
     # decimal-exact domain (r14): out-of-range readings are missing;
     # NULL event time has no hourly bucket (r15, the events_ewma rule)
     e = load(spark, sf_dir, "events").select(
